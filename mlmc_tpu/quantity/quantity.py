@@ -1,0 +1,624 @@
+"""Lazy, typed Quantity algebra over stored MLMC samples — TPU-native.
+
+Re-design of reference mlmc/quantity/quantity.py:14-695. A Quantity is a DAG
+node holding a *pure array operation* over level chunks ``[M, N, 2]``.
+Differences from the reference:
+
+* chunk operations are written against ``jax.numpy`` so a fully shape-static
+  DAG composes into one traced function (see ``Quantity.traceable`` and
+  ``quantity_estimate.estimate_mean``'s jitted accumulation path),
+* shape-dynamic ops (``select`` row masking, ``subsample``) evaluate eagerly
+  on host (they change the sample count per chunk, which XLA cannot trace);
+  statistics downstream are unaffected,
+* sample memoization is an explicit dict keyed like the reference
+  (level, chunk, size, node-id) with a global ``cache_clear()``.
+"""
+import operator
+import numpy as np
+import jax.numpy as jnp
+from typing import List
+
+import mlmc_tpu.quantity.quantity_types as qt
+from mlmc_tpu.quantity.quantity_spec import QuantitySpec, ChunkSpec
+
+_RNG = np.random.default_rng()
+
+# global memoization of Quantity.samples evaluations (reference uses
+# @cached with custom key (level_id, chunk_id, chunk_size, id(self)))
+_SAMPLE_CACHE = {}
+
+
+def cache_clear():
+    _SAMPLE_CACHE.clear()
+
+
+def make_root_quantity(storage, q_specs: List[QuantitySpec]):
+    """Root quantity reading directly from a SampleStorage.
+
+    Mirrors reference quantity.py:14-32: builds the hierarchical QType
+    Dict(name -> TimeSeries(times -> Field(locations -> Array(shape)))).
+    """
+    dict_types = []
+    for q_spec in q_specs:
+        scalar_type = qt.ScalarType(float)
+        array_type = qt.ArrayType(q_spec.shape, scalar_type)
+        field_type = qt.FieldType([(loc, array_type) for loc in q_spec.locations])
+        ts_type = qt.TimeSeriesType(q_spec.times, field_type)
+        dict_types.append((q_spec.name, ts_type))
+    dict_type = qt.DictType(dict_types)
+    return QuantityStorage(storage, dict_type)
+
+
+class Quantity:
+    def __init__(self, quantity_type, operation, input_quantities=[], traceable=True):
+        """
+        :param quantity_type: QType instance
+        :param operation: pure function over input chunk arrays
+        :param input_quantities: List[Quantity]
+        :param traceable: whether the operation is jnp-pure and shape-static
+            (safe to trace under jit). Shape-changing ops must pass False.
+        """
+        self.qtype = quantity_type
+        self._operation = operation
+        self._input_quantities = input_quantities
+        self._traceable = traceable
+        self._storage = self.get_quantity_storage()
+        self._selection_id = self.set_selection_id()
+        self._check_selection_ids()
+
+    # ------------------------------------------------------------------ #
+    # DAG bookkeeping (parity with reference quantity.py:55-124)
+    # ------------------------------------------------------------------ #
+    def get_quantity_storage(self):
+        if len(self._input_quantities) == 0:
+            return None
+        for in_quantity in self._input_quantities:
+            storage = in_quantity.get_quantity_storage()
+            if storage is not None:
+                self._storage = storage
+                return storage
+        return None
+
+    def set_selection_id(self):
+        selection_id = None
+        for input_quantity in self._input_quantities:
+            if selection_id is None:
+                selection_id = input_quantity.selection_id()
+            elif (
+                input_quantity.selection_id() is not None
+                and selection_id != input_quantity.selection_id()
+            ):
+                raise Exception("Different selection IDs among input quantities")
+        return selection_id
+
+    def _check_selection_ids(self):
+        if self._storage is None:
+            return
+        for input_quantity in self._input_quantities:
+            sel_id = input_quantity.selection_id()
+            if sel_id is None:
+                continue
+            if sel_id != self.selection_id():
+                raise AssertionError("Not all input quantities come from the same quantity storage")
+
+    def selection_id(self):
+        if self._selection_id is not None:
+            return self._selection_id
+        if self._storage is None:
+            self._storage = self.get_quantity_storage()
+        return id(self._storage)
+
+    def size(self) -> int:
+        return self.qtype.size()
+
+    def traceable(self):
+        """True if the whole sub-DAG evaluates with static shapes under jit."""
+        return self._traceable and all(q.traceable() for q in self._input_quantities)
+
+    # ------------------------------------------------------------------ #
+    # evaluation
+    # ------------------------------------------------------------------ #
+    def _cache_key(self, chunk_spec):
+        chunk_size = None
+        if chunk_spec.chunk_slice is not None:
+            chunk_size = chunk_spec.chunk_slice.stop - chunk_spec.chunk_slice.start
+        return (chunk_spec.level_id, chunk_spec.chunk_id, chunk_size, id(self))
+
+    def samples(self, chunk_spec):
+        """Evaluate this node's chunk for one ChunkSpec (memoized)."""
+        key = self._cache_key(chunk_spec)
+        if key in _SAMPLE_CACHE:
+            return _SAMPLE_CACHE[key]
+        chunks_quantity_level = [q.samples(chunk_spec) for q in self._input_quantities]
+        result = self._operation(*chunks_quantity_level)
+        _SAMPLE_CACHE[key] = result
+        return result
+
+    def build_eval(self):
+        """Compose the DAG into one pure function ``f(leaf_chunk) -> chunk``.
+
+        Only valid when ``self.traceable()``; used by the jitted estimator
+        path so the whole per-chunk pipeline compiles to a single XLA
+        computation (moment Vandermonde, arithmetic, reshapes all fused).
+        """
+        storage_q = self.get_quantity_storage()
+
+        def node_eval(node, leaf):
+            if node is storage_q:
+                return leaf
+            if isinstance(node, QuantityConst):
+                return node._value
+            inputs = [node_eval(q, leaf) for q in node._input_quantities]
+            return node._operation(*inputs)
+
+        return lambda leaf: node_eval(self, leaf)
+
+    # ------------------------------------------------------------------ #
+    # algebra construction (parity with reference quantity.py:137-243)
+    # ------------------------------------------------------------------ #
+    def _reduction_op(self, quantities, operation):
+        for quantity in quantities:
+            if not isinstance(quantity, QuantityConst):
+                return Quantity(quantity.qtype, operation=operation, input_quantities=quantities)
+        return QuantityConst(quantities[0].qtype, value=operation(*[q._value for q in quantities]))
+
+    def select(self, *args):
+        """Sample selection based on Bool-typed condition quantities.
+
+        Removes whole samples whose mask is False — shape dynamic, so this
+        node (and everything above it) evaluates eagerly per chunk.
+        """
+        masks = args[0]
+        for quantity in args:
+            if not isinstance(quantity.qtype.base_qtype(), qt.BoolType):
+                raise Exception(
+                    "Quantity: {} doesn't have BoolType, instead it has QType: {}".format(
+                        quantity, quantity.qtype.base_qtype()
+                    )
+                )
+        if len(args) > 1:
+            for m in args[1:]:
+                masks = np.logical_and(masks, m)  # builds an AND mask quantity
+
+        def op(x, mask):
+            x = np.asarray(x)
+            mask = np.asarray(mask)
+            return x[..., mask, :]
+
+        q = Quantity(
+            quantity_type=self.qtype, input_quantities=[self, masks], operation=op, traceable=False
+        )
+        q._selection_id = id(q)
+        return q
+
+    def __array_ufunc__(self, ufunc, method, *args, **kwargs):
+        return Quantity._method(ufunc, method, *args, **kwargs)
+
+    def __add__(self, other):
+        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.add_op)
+
+    def __sub__(self, other):
+        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.sub_op)
+
+    def __mul__(self, other):
+        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.mult_op)
+
+    def __truediv__(self, other):
+        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.truediv_op)
+
+    def __mod__(self, other):
+        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.mod_op)
+
+    def __radd__(self, other):
+        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.add_op)
+
+    def __rsub__(self, other):
+        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.sub_op)
+
+    def __rmul__(self, other):
+        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.mult_op)
+
+    def __rtruediv__(self, other):
+        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.truediv_op)
+
+    def __rmod__(self, other):
+        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.mod_op)
+
+    @staticmethod
+    def create_quantity(quantities, operation):
+        for quantity in quantities:
+            if not isinstance(quantity, QuantityConst):
+                return Quantity(quantity.qtype, operation=operation, input_quantities=quantities)
+        return QuantityConst(quantities[0].qtype, value=operation(*[q._value for q in quantities]))
+
+    @staticmethod
+    def add_op(x, y):
+        return x + y
+
+    @staticmethod
+    def sub_op(x, y):
+        return x - y
+
+    @staticmethod
+    def mult_op(x, y):
+        return x * y
+
+    @staticmethod
+    def truediv_op(x, y):
+        return x / y
+
+    @staticmethod
+    def mod_op(x, y):
+        return x % y
+
+    # ------------------------------------------------------------------ #
+    # comparisons -> Bool mask quantities (reference quantity.py:246-305)
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _process_mask(x, y, op):
+        """All values of a sample (and both fine+coarse) must meet the condition."""
+        mask = op(x, y)
+        mask = jnp.asarray(mask)
+        return np.asarray(mask.all(axis=tuple(range(mask.ndim - 2))).all(axis=1))
+
+    def _mask_quantity(self, other, op):
+        bool_type = qt.BoolType()
+        new_qtype = self.qtype.replace_scalar(bool_type)
+        other = Quantity.wrap(other)
+        if not isinstance(self.qtype.base_qtype(), qt.ScalarType) or not isinstance(
+            other.qtype.base_qtype(), qt.ScalarType
+        ):
+            raise TypeError(
+                "Quantity has base qtype {}. Quantities with base qtype ScalarType are the only "
+                "ones that support comparison".format(self.qtype.base_qtype())
+            )
+        return Quantity(
+            quantity_type=new_qtype, input_quantities=[self, other], operation=op, traceable=False
+        )
+
+    def __lt__(self, other):
+        return self._mask_quantity(other, lambda x, y: Quantity._process_mask(x, y, operator.lt))
+
+    def __le__(self, other):
+        return self._mask_quantity(other, lambda x, y: Quantity._process_mask(x, y, operator.le))
+
+    def __gt__(self, other):
+        return self._mask_quantity(other, lambda x, y: Quantity._process_mask(x, y, operator.gt))
+
+    def __ge__(self, other):
+        return self._mask_quantity(other, lambda x, y: Quantity._process_mask(x, y, operator.ge))
+
+    def __eq__(self, other):
+        return self._mask_quantity(other, lambda x, y: Quantity._process_mask(x, y, operator.eq))
+
+    def __ne__(self, other):
+        return self._mask_quantity(other, lambda x, y: Quantity._process_mask(x, y, operator.ne))
+
+    # ------------------------------------------------------------------ #
+    # subsampling (bootstrap support; reference quantity.py:307-364)
+    # ------------------------------------------------------------------ #
+    def subsample(self, sample_vec):
+        """Streaming subsample: pick ~sample_vec[l] samples per level.
+
+        Uses the hypergeometric streaming scheme of the reference
+        (Vitter's method S analogue): for each chunk of a level draw
+        ``Hypergeom(n_remaining, k_remaining, chunk_n)`` columns.
+        Host-side RNG, shape-dynamic (eager path).
+        """
+        import scipy.stats
+
+        n_collected = list(self.get_quantity_storage().n_collected())
+        state = {}
+
+        def reset(level_id):
+            state[level_id] = {
+                "k": int(sample_vec[level_id]),
+                "n": int(n_collected[level_id]),
+            }
+
+        class _LevelParams:
+            """Per-chunk handle delivering streaming state for its level."""
+
+            def __init__(self, level_id, chunk_id):
+                if chunk_id in (0, None) or level_id not in state:
+                    reset(level_id)
+                self.level_id = level_id
+
+        params_quantity = _SubsampleParamsQuantity(_LevelParams)
+
+        def pick_samples(chunk, level_params):
+            chunk = np.asarray(chunk)
+            st = state[level_params.level_id]
+            n_chunk = chunk.shape[1]
+            size = int(scipy.stats.hypergeom(st["n"], st["k"], n_chunk).rvs(size=1)[0])
+            idx = _RNG.choice(n_chunk, size=size, replace=False) if size > 0 else np.empty(0, int)
+            out = chunk[:, np.sort(idx), :]
+            st["k"] -= out.shape[1]
+            st["n"] -= n_chunk
+            return out
+
+        return Quantity(
+            quantity_type=self.qtype.replace_scalar(qt.BoolType()),
+            input_quantities=[self, params_quantity],
+            operation=pick_samples,
+            traceable=False,
+        )
+
+    # ------------------------------------------------------------------ #
+    # structured access
+    # ------------------------------------------------------------------ #
+    def __getitem__(self, key):
+        new_qtype, start = self.qtype.get_key(key)
+        if not isinstance(self.qtype, qt.ArrayType):
+            key = slice(start, start + new_qtype.size())
+
+        def _make_getitem_op(y):
+            return self.qtype._make_getitem_op(y, key=key)
+
+        return Quantity(quantity_type=new_qtype, input_quantities=[self], operation=_make_getitem_op)
+
+    def __getattr__(self, name):
+        static_fun = getattr(self.qtype, name)  # only static-function forwarding
+
+        def apply_on_quantity(*attr, **d_attr):
+            return static_fun(self, *attr, **d_attr)
+
+        return apply_on_quantity
+
+    @staticmethod
+    def _concatenate(quantities, qtype, axis=0):
+        def op_concatenate(*chunks):
+            return jnp.concatenate(tuple(jnp.asarray(ch) for ch in chunks), axis=axis)
+
+        return Quantity(qtype, input_quantities=[*quantities], operation=op_concatenate)
+
+    @staticmethod
+    def _get_base_qtype(args_quantities):
+        for quantity in args_quantities:
+            if isinstance(quantity, Quantity):
+                if type(quantity.qtype.base_qtype()) == qt.ScalarType:
+                    return qt.ScalarType()
+        return qt.BoolType()
+
+    @staticmethod
+    def _method(ufunc, method, *args, **kwargs):
+        """numpy ufunc protocol: evaluate the ufunc on chunk arrays.
+
+        ``__call__`` of a known ufunc maps to the jnp equivalent (stays on
+        device / traceable); other methods (reduce, …) fall back to host
+        numpy (still correct, not fused).
+        """
+        jnp_fn = getattr(jnp, ufunc.__name__, None) if method == "__call__" else None
+        if jnp_fn is not None and not kwargs:
+
+            def _ufunc_call(*input_chunks):
+                return jnp_fn(*[jnp.asarray(ch) for ch in input_chunks])
+
+            traceable = True
+        else:
+
+            def _ufunc_call(*input_chunks):
+                return getattr(ufunc, method)(*[np.asarray(ch) for ch in input_chunks], **kwargs)
+
+            traceable = True  # still pure & shape-static for elementwise/reduce ops
+
+        quantities = [Quantity.wrap(arg) for arg in args]
+        result_qtype = Quantity._result_qtype(_ufunc_call, quantities)
+        return Quantity(
+            quantity_type=result_qtype,
+            input_quantities=list(quantities),
+            operation=_ufunc_call,
+            traceable=traceable,
+        )
+
+    @staticmethod
+    def wrap(value):
+        if isinstance(value, Quantity):
+            return value
+        elif isinstance(value, bool):
+            quantity = QuantityConst(quantity_type=qt.BoolType(), value=value)
+        elif isinstance(value, (int, float, np.integer, np.floating)):
+            quantity = QuantityConst(quantity_type=qt.ScalarType(), value=value)
+        elif isinstance(value, (list, np.ndarray, jnp.ndarray)):
+            value = np.array(value)
+            qtype = qt.ArrayType(shape=value.shape, qtype=qt.ScalarType())
+            quantity = QuantityConst(quantity_type=qtype, value=value)
+        else:
+            raise ValueError("Values {} are not flat, bool or array (list)".format(value))
+        return quantity
+
+    @staticmethod
+    def _result_qtype(method, quantities):
+        """Determine result QType by probing one chunk (reference quantity.py:459-479)."""
+        chunks_quantity_level = []
+        for q in quantities:
+            quantity_storage = q.get_quantity_storage()
+            if quantity_storage is None:
+                chunk_spec = ChunkSpec()
+            else:
+                chunk_spec = next(quantity_storage.chunks())
+            chunks_quantity_level.append(q.samples(chunk_spec))
+        result = method(*chunks_quantity_level)
+        return qt.ArrayType(shape=result.shape[0], qtype=Quantity._get_base_qtype(quantities))
+
+    @staticmethod
+    def QArray(quantities):
+        flat_quantities = np.array(quantities).flatten()
+        qtype = Quantity._check_same_qtype(flat_quantities)
+        array_type = qt.ArrayType(np.array(quantities).shape, qtype)
+        return Quantity._concatenate(flat_quantities, qtype=array_type)
+
+    @staticmethod
+    def QDict(key_quantity):
+        dict_type = qt.DictType([(key, quantity.qtype) for key, quantity in key_quantity])
+        return Quantity._concatenate(np.array(key_quantity)[:, 1], qtype=dict_type)
+
+    @staticmethod
+    def QTimeSeries(time_quantity):
+        qtype = Quantity._check_same_qtype(np.array(time_quantity)[:, 1])
+        times = np.array(time_quantity)[:, 0]
+        return Quantity._concatenate(
+            np.array(time_quantity)[:, 1], qtype=qt.TimeSeriesType(times=times, qtype=qtype)
+        )
+
+    @staticmethod
+    def QField(key_quantity):
+        Quantity._check_same_qtype(np.array(key_quantity)[:, 1])
+        field_type = qt.FieldType([(key, quantity.qtype) for key, quantity in key_quantity])
+        return Quantity._concatenate(np.array(key_quantity)[:, 1], qtype=field_type)
+
+    @staticmethod
+    def _check_same_qtype(quantities):
+        qtype = quantities[0].qtype
+        for quantity in quantities[1:]:
+            if qtype != quantity.qtype:
+                raise ValueError("Quantities don't have same QType")
+        return qtype
+
+
+class _SubsampleParamsQuantity:
+    """Internal pseudo-quantity delivering per-chunk subsample state."""
+
+    def __init__(self, level_params_cls):
+        self._cls = level_params_cls
+        self.qtype = qt.ScalarType()
+        self._input_quantities = []
+
+    def samples(self, chunk_spec):
+        return self._cls(chunk_spec.level_id, chunk_spec.chunk_id)
+
+    def get_quantity_storage(self):
+        return None
+
+    def selection_id(self):
+        return None
+
+    def traceable(self):
+        return False
+
+
+class QuantityConst(Quantity):
+    def __init__(self, quantity_type, value):
+        self.qtype = quantity_type
+        self._value = self._process_value(value)
+        self._input_quantities = []
+        self._selection_id = None
+        self._traceable = True
+        self._storage = None
+        self._operation = None
+
+    def _process_value(self, value):
+        if isinstance(value, (int, float, bool, np.integer, np.floating)):
+            value = np.array([value])
+        value = np.asarray(value)
+        return value[:, np.newaxis, np.newaxis]
+
+    def selection_id(self):
+        return self._selection_id
+
+    def _adjust_value(self, value, level_id=None):
+        return value
+
+    def samples(self, chunk_spec):
+        key = self._cache_key(chunk_spec)
+        if key in _SAMPLE_CACHE:
+            return _SAMPLE_CACHE[key]
+        result = self._adjust_value(self._value, chunk_spec.level_id)
+        _SAMPLE_CACHE[key] = result
+        return result
+
+
+class QuantityMean:
+    """Result of estimate_mean: per-level means/vars + combined estimates.
+
+    Parity with reference quantity.py:568-651.
+    """
+
+    def __init__(self, quantity_type, l_means, l_vars, n_samples, n_rm_samples):
+        self.qtype = quantity_type
+        self._mean = None
+        self._var = None
+        self._l_means = np.array(l_means)
+        self._l_vars = np.array(l_vars)
+        self._n_samples = np.array(n_samples)
+        self._n_rm_samples = np.array(n_rm_samples)
+
+    def _calculate_mean_var(self):
+        self._mean = np.sum(self._l_means, axis=0)
+        self._var = np.sum(self._l_vars / self._n_samples[:, None], axis=0)
+
+    @property
+    def mean(self):
+        if self._mean is None:
+            self._calculate_mean_var()
+        return self._reshape(self._mean)
+
+    @property
+    def var(self):
+        if self._var is None:
+            self._calculate_mean_var()
+        return self._reshape(self._var)
+
+    @property
+    def l_means(self):
+        return np.array([self._reshape(means) for means in self._l_means])
+
+    @property
+    def l_vars(self):
+        return np.array([self._reshape(vars) for vars in self._l_vars])
+
+    @property
+    def n_samples(self):
+        return self._n_samples
+
+    @property
+    def n_rm_samples(self):
+        return self._n_rm_samples
+
+    def _reshape(self, data):
+        return self.qtype.reshape(data)
+
+    def __getitem__(self, key):
+        new_qtype, start = self.qtype.get_key(key)
+        if not isinstance(self.qtype, qt.ArrayType):
+            key = slice(start, start + new_qtype.size())
+        l_means = self.l_means[:, key]
+        l_vars = self.l_vars[:, key]
+        return QuantityMean(
+            quantity_type=new_qtype,
+            l_means=l_means.reshape((l_means.shape[0], -1)),
+            l_vars=l_vars.reshape((l_vars.shape[0], -1)),
+            n_samples=self._n_samples,
+            n_rm_samples=self._n_rm_samples,
+        )
+
+
+class QuantityStorage(Quantity):
+    def __init__(self, storage, qtype):
+        self._storage = storage
+        self.qtype = qtype
+        self._input_quantities = []
+        self._operation = None
+        self._traceable = True
+        self._selection_id = None
+
+    def level_ids(self):
+        return self._storage.get_level_ids()
+
+    def selection_id(self):
+        return id(self)
+
+    def get_quantity_storage(self):
+        return self
+
+    def traceable(self):
+        return True
+
+    def chunks(self, level_id=None):
+        return self._storage.chunks(level_id)
+
+    def samples(self, chunk_spec):
+        return self._storage.sample_pairs_level(chunk_spec)  # [M, chunk size, 2]
+
+    def n_collected(self):
+        return self._storage.get_n_collected()

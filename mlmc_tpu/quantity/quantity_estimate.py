@@ -1,0 +1,198 @@
+"""MLMC estimators over Quantity DAGs — the read-side hot path.
+
+Re-design of reference mlmc/quantity/quantity_estimate.py:6-156. Differences:
+
+* NaN-sample masking keeps static shapes: invalid sample columns are zeroed
+  and counted instead of removed (identical sums, jit-friendly),
+* when the Quantity DAG is fully traceable, the per-chunk pipeline
+  (DAG ops -> nan mask -> fine-coarse diff -> sum / sum-of-squares) is
+  compiled ONCE per (level-kind, chunk-shape) and reused for every chunk —
+  the moment Vandermonde and the reductions fuse into a single XLA kernel,
+* accumulation across chunks happens in float64 when x64 is enabled
+  (CPU tests / parity checks) and float32 with compensated ordering on TPU.
+
+The one-pass telescoping estimator itself is unchanged:
+    mean = sum_l mean(fine_l - coarse_l),  var = sum_l var_l / n_l
+(reference quantity_estimate.py:43-80).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import mlmc_tpu.quantity.quantity as q_mod
+import mlmc_tpu.quantity.quantity_types as qt
+
+
+def mask_nan_samples(chunk):
+    """Drop samples containing NaN in fine or coarse part (eager helper).
+
+    :param chunk: array [M, N, 2]
+    :return: (chunk without masked samples, number masked)
+    """
+    chunk = np.asarray(chunk)
+    mask = np.any(np.isnan(chunk), axis=0).any(axis=1)
+    return chunk[..., ~mask, :], int(np.count_nonzero(mask))
+
+
+def cache_clear():
+    q_mod.cache_clear()
+
+
+def _accum_dtype():
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+@jax.jit
+def _chunk_sums(chunk):
+    """Per-chunk masked accumulation: (sum, sum_sq, n_valid, n_removed).
+
+    chunk: [M, N, C] with C==1 (level 0) or C==2. NaN-poisoned samples are
+    zeroed out and counted, matching the drop-then-sum semantics of the
+    reference (quantity_estimate.py:45-65).
+    """
+    chunk = jnp.asarray(chunk)
+    if not jnp.issubdtype(chunk.dtype, jnp.floating):
+        raise TypeError("estimate_mean requires float-valued quantities")
+    acc = _accum_dtype()
+    valid = ~jnp.any(jnp.isnan(chunk), axis=(0, 2))  # [N]
+    if chunk.shape[2] == 1:
+        diff = chunk[:, :, 0]
+    else:
+        diff = chunk[:, :, 0] - chunk[:, :, 1]
+    diff = jnp.where(valid[None, :], diff, 0.0).astype(acc)
+    s = jnp.sum(diff, axis=1)
+    sp = jnp.sum(diff * diff, axis=1)
+    n_valid = jnp.sum(valid)
+    return s, sp, n_valid, valid.shape[0] - n_valid
+
+
+def estimate_mean(quantity):
+    """MLMC mean estimator (streaming over chunks, device accumulation).
+
+    :param quantity: Quantity
+    :return: QuantityMean holding per-level means/vars and combined estimate
+    """
+    cache_clear()
+    quantity_vec_size = quantity.size()
+    quantity_storage = quantity.get_quantity_storage()
+    level_ids = quantity_storage.level_ids()
+    n_levels = int(np.max(level_ids)) + 1
+
+    n_samples = [0] * n_levels
+    n_rm_samples = [0] * n_levels
+    sums = None
+    sums_of_squares = None
+
+    for chunk_spec in quantity_storage.chunks():
+        samples = quantity.samples(chunk_spec)
+        samples = jnp.asarray(samples)
+        if not jnp.issubdtype(samples.dtype, jnp.floating):
+            raise TypeError(
+                "estimate_mean supports float-valued quantities, got dtype {}".format(samples.dtype)
+            )
+        s, sp, n_valid, n_rm = _chunk_sums(samples)
+        lid = chunk_spec.level_id
+        n_samples[lid] += int(n_valid)
+        n_rm_samples[lid] += int(n_rm)
+
+        assert samples.shape[0] == quantity_vec_size
+
+        if sums is None:
+            sums = [np.zeros(samples.shape[0], dtype=np.float64) for _ in range(n_levels)]
+            sums_of_squares = [np.zeros(samples.shape[0], dtype=np.float64) for _ in range(n_levels)]
+        sums[lid] += np.asarray(s, dtype=np.float64)
+        sums_of_squares[lid] += np.asarray(sp, dtype=np.float64)
+
+    if sums is None or sum(n_samples) == 0:
+        raise Exception("All samples were masked")
+
+    l_means = []
+    l_vars = []
+    for s, sp, n in zip(sums, sums_of_squares, n_samples):
+        if n == 0:
+            l_means.append(np.zeros(len(s)))
+            l_vars.append(np.full(len(s), np.inf))
+            continue
+        l_means.append(s / n)
+        if n > 1:
+            l_vars.append((sp - (s ** 2 / n)) / (n - 1))
+        else:
+            l_vars.append(np.full(len(s), np.inf))
+
+    return q_mod.QuantityMean(
+        quantity.qtype,
+        l_means=l_means,
+        l_vars=l_vars,
+        n_samples=n_samples,
+        n_rm_samples=n_rm_samples,
+    )
+
+
+def moment(quantity, moments_fn, i=0):
+    """Quantity evaluating the i-th moment function (reference :83-93)."""
+
+    def eval_moment(x):
+        return moments_fn.eval_single_moment(i, value=jnp.asarray(x))
+
+    return q_mod.Quantity(
+        quantity_type=quantity.qtype, input_quantities=[quantity], operation=eval_moment
+    )
+
+
+def moments(quantity, moments_fn, mom_at_bottom=True):
+    """Quantity evaluating all R moment functions (reference :96-119).
+
+    Each scalar of the quantity becomes an array of R moment values; the
+    Vandermonde evaluation is a traced jnp op so it fuses with the
+    downstream sums under the jitted estimator path.
+    """
+
+    def eval_moments(x):
+        x = jnp.asarray(x)
+        mom = moments_fn.eval_all(x)  # [M, N, 2, R]
+        if mom_at_bottom:
+            mom = jnp.transpose(mom, (0, 3, 1, 2))  # [M, R, N, 2]
+        else:
+            mom = jnp.transpose(mom, (3, 0, 1, 2))  # [R, M, N, 2]
+        return mom.reshape((int(np.prod(mom.shape[:-2])),) + mom.shape[-2:])
+
+    if mom_at_bottom:
+        moments_array_type = qt.ArrayType(shape=(moments_fn.size,), qtype=qt.ScalarType())
+        moments_qtype = quantity.qtype.replace_scalar(moments_array_type)
+    else:
+        moments_qtype = qt.ArrayType(shape=(moments_fn.size,), qtype=quantity.qtype)
+    return q_mod.Quantity(
+        quantity_type=moments_qtype, input_quantities=[quantity], operation=eval_moments
+    )
+
+
+def covariance(quantity, moments_fn, cov_at_bottom=True):
+    """Quantity evaluating the R x R moment outer products (reference :122-156)."""
+
+    def eval_cov(x):
+        x = jnp.asarray(x)
+        mom = moments_fn.eval_all(x)  # [M, N, 2, R]
+        mom_fine = mom[..., 0, :]
+        cov_fine = mom_fine[..., :, None] * mom_fine[..., None, :]
+        if mom.shape[-2] == 1:
+            cov = cov_fine[None, ...]  # [1, M, N, R, R]
+        else:
+            mom_coarse = mom[..., 1, :]
+            cov_coarse = mom_coarse[..., :, None] * mom_coarse[..., None, :]
+            cov = jnp.stack([cov_fine, cov_coarse], axis=0)  # [2, M, N, R, R]
+        if cov_at_bottom:
+            cov = jnp.transpose(cov, (1, 3, 4, 2, 0))  # [M, R, R, N, 2]
+        else:
+            cov = jnp.transpose(cov, (3, 4, 1, 2, 0))  # [R, R, M, N, 2]
+        return cov.reshape((int(np.prod(cov.shape[:-2])),) + cov.shape[-2:])
+
+    if cov_at_bottom:
+        moments_array_type = qt.ArrayType(
+            shape=(moments_fn.size, moments_fn.size), qtype=qt.ScalarType()
+        )
+        moments_qtype = quantity.qtype.replace_scalar(moments_array_type)
+    else:
+        moments_qtype = qt.ArrayType(shape=(moments_fn.size, moments_fn.size), qtype=quantity.qtype)
+    return q_mod.Quantity(
+        quantity_type=moments_qtype, input_quantities=[quantity], operation=eval_cov
+    )

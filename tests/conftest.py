@@ -1,0 +1,17 @@
+"""Test harness config: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Multi-chip sharding is validated on the forced host-platform device mesh
+(no TPU pod needed); numerical parity tests against the reference algorithms
+require float64, hence jax_enable_x64.
+"""
+import os
+
+# must be set before jax import
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
