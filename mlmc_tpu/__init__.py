@@ -29,5 +29,17 @@ from mlmc_tpu.quantity.quantity_types import (
     DictType,
 )
 from mlmc_tpu.sample_storage import SampleStorage, Memory
+from mlmc_tpu.level_simulation import LevelSimulation
+from mlmc_tpu.sampling_pool import (
+    SamplingPool,
+    OneProcessPool,
+    ProcessPool,
+    ThreadPool,
+    DeviceBatchPool,
+)
+from mlmc_tpu.sampler import Sampler
+from mlmc_tpu.estimator import Estimate
+from mlmc_tpu.sim.simulation import Simulation
+from mlmc_tpu.sim.synth_simulation import SynthSimulation
 
 __version__ = "0.1.0"

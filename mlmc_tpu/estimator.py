@@ -1,0 +1,344 @@
+"""Estimate wrapper: moments/covariance estimation, variance regression,
+optimal sample allocation, bootstrap, density construction.
+
+Re-design of reference mlmc/estimator.py:11-450. Host-side orchestration is
+kept thin; all numerics route through the device estimators
+(quantity_estimate) and small closed-form formulas:
+
+* variance regression  log σ²_l = A + B·log h_l + C·log² h_l  (3-param lstsq,
+  reference :87-134),
+* optimal allocation   n_l ∝ sqrt(V_l / C_l) · Σ_k sqrt(V_k · C_k) / ε²
+  clamped to [2, V_l·L/ε²]  (reference :366-385),
+* bootstrap via Quantity.subsample (reference :171-205).
+"""
+import numpy as np
+
+import mlmc_tpu.quantity.quantity_estimate as qe
+from mlmc_tpu.quantity.quantity_types import ScalarType
+from mlmc_tpu.quantity.quantity_spec import ChunkSpec
+
+
+class Estimate:
+    """Wrapper over (quantity, sample_storage, moments_fn)."""
+
+    def __init__(self, quantity, sample_storage, moments_fn=None):
+        self._quantity = quantity
+        self._sample_storage = sample_storage
+        self._moments_fn = moments_fn
+
+    @property
+    def quantity(self):
+        return self._quantity
+
+    @quantity.setter
+    def quantity(self, quantity):
+        self._quantity = quantity
+
+    @property
+    def n_moments(self):
+        return self._moments_fn.size
+
+    def estimate_moments(self, moments_fn=None):
+        """:return: (moment means, variances of those estimates)"""
+        if moments_fn is None:
+            moments_fn = self._moments_fn
+        moments_mean = qe.estimate_mean(qe.moments(self._quantity, moments_fn))
+        return moments_mean.mean, moments_mean.var
+
+    def estimate_covariance(self, moments_fn=None):
+        """:return: (covariance matrix mean, variance of the estimate)"""
+        if moments_fn is None:
+            moments_fn = self._moments_fn
+        cov_mean = qe.estimate_mean(qe.covariance(self._quantity, moments_fn))
+        return cov_mean.mean, cov_mean.var
+
+    def estimate_diff_vars(self, moments_fn=None):
+        """:return: (level diff variances [L, R], n_samples [L])"""
+        if moments_fn is None:
+            moments_fn = self._moments_fn
+        moments_mean = qe.estimate_mean(qe.moments(self._quantity, moments_fn))
+        return moments_mean.l_vars, moments_mean.n_samples
+
+    def estimate_diff_vars_regression(self, n_created_samples, moments_fn=None, raw_vars=None):
+        """Smooth level variances by the log-quadratic regression model."""
+        self._n_created_samples = n_created_samples
+        if raw_vars is None:
+            if moments_fn is None:
+                moments_fn = self._moments_fn
+            raw_vars, n_samples = self.estimate_diff_vars(moments_fn)
+        sim_steps = np.squeeze(np.asarray(self._sample_storage.get_level_parameters()))
+        vars = self._all_moments_variance_regression(raw_vars, sim_steps)
+        return vars, self._sample_storage.get_n_ops()
+
+    def _all_moments_variance_regression(self, raw_vars, sim_steps):
+        reg_vars = np.array(raw_vars, dtype=float, copy=True)
+        n_moments = raw_vars.shape[1]
+        for m in range(1, n_moments):
+            reg_vars[:, m] = self._moment_variance_regression(raw_vars[:, m], sim_steps)
+        assert np.allclose(reg_vars[:, 0], 0.0)
+        return reg_vars
+
+    @staticmethod
+    def _moment_variance_regression(raw_vars, sim_steps):
+        """log var_l = A + B log h_l + C log² h_l  for l = 1..L-1.
+
+        Level 0 is left untouched (no coarse diff there).
+        """
+        raw_vars = np.asarray(raw_vars, dtype=float)
+        L = raw_vars.shape[0]
+        L1 = L - 1
+        if L < 3 or np.allclose(raw_vars, 0):
+            return raw_vars
+
+        K = 3
+        X = np.zeros((L1, K))
+        log_step = np.log(np.atleast_1d(sim_steps)[1:])
+        X[:, 0] = 1.0
+        X[:, 1] = log_step
+        X[:, 2] = log_step ** 2
+
+        log_vars = np.log(raw_vars[1:])
+        params, *_ = np.linalg.lstsq(X, log_vars, rcond=None)
+        new_vars = raw_vars.copy()
+        new_vars[1:] = np.exp(np.dot(X, params))
+        return new_vars
+
+    def _variance_of_variance(self, n_samples=None):
+        """Variance of log of a chi²_{n-1}-distributed variance estimate.
+
+        Quadrature over the log-chi² pdf (reference estimator.py:136-169).
+        """
+        import scipy.stats as st
+        import scipy.integrate as integrate
+
+        if n_samples is None:
+            n_samples = self._n_created_samples
+        if hasattr(self, "_saved_var_var"):
+            ns, var_var = self._saved_var_var
+            if np.sum(np.abs(np.array(ns) - np.array(n_samples))) == 0:
+                return var_var
+
+        vars = []
+        for ns in n_samples:
+            df = ns - 1
+
+            def log_chi_pdf(x):
+                return np.exp(x) * df * st.chi2.pdf(np.exp(x) * df, df=df)
+
+            def compute_moment(moment):
+                std_est = np.sqrt(2 / df)
+                fn = lambda x, m=moment: x ** m * log_chi_pdf(x)
+                return integrate.quad(fn, -100 * std_est, 100 * std_est)[0]
+
+            mean = compute_moment(1)
+            second = compute_moment(2)
+            vars.append(second - mean ** 2)
+
+        self._saved_var_var = (n_samples, np.array(vars))
+        return np.array(vars)
+
+    # ------------------------------------------------------------------ #
+    # bootstrap
+    # ------------------------------------------------------------------ #
+    def est_bootstrap(self, n_subsamples=100, sample_vector=None, moments_fn=None):
+        """Bootstrap means/vars by repeated level subsampling."""
+        if moments_fn is not None:
+            self._moments_fn = moments_fn
+        else:
+            moments_fn = self._moments_fn
+
+        sample_vector = determine_sample_vec(
+            n_collected_samples=self._sample_storage.get_n_collected(),
+            n_levels=self._sample_storage.get_n_levels(),
+            sample_vector=sample_vector,
+        )
+        bs_mean, bs_var, bs_l_means, bs_l_vars = [], [], [], []
+        for _ in range(n_subsamples):
+            quantity_subsample = self.quantity.subsample(sample_vec=sample_vector)
+            moments_quantity = qe.moments(quantity_subsample, moments_fn=moments_fn, mom_at_bottom=False)
+            q_mean = qe.estimate_mean(moments_quantity)
+            bs_mean.append(q_mean.mean)
+            bs_var.append(q_mean.var)
+            bs_l_means.append(q_mean.l_means)
+            bs_l_vars.append(q_mean.l_vars)
+
+        self.mean_bs_mean = np.mean(bs_mean, axis=0)
+        self.mean_bs_var = np.mean(bs_var, axis=0)
+        self.mean_bs_l_means = np.mean(bs_l_means, axis=0)
+        self.mean_bs_l_vars = np.mean(bs_l_vars, axis=0)
+
+        self.var_bs_mean = np.var(bs_mean, axis=0, ddof=1)
+        self.var_bs_var = np.var(bs_var, axis=0, ddof=1)
+        self.var_bs_l_means = np.var(bs_l_means, axis=0, ddof=1)
+        self.var_bs_l_vars = np.var(bs_l_vars, axis=0, ddof=1)
+
+        self._bs_level_mean_variance = (
+            self.var_bs_l_means * np.array(self._sample_storage.get_n_collected())[:, None]
+        )
+
+    def bs_target_var_n_estimated(self, target_var, sample_vec=None):
+        """Estimate n_l for a target variance from bootstrapped level vars."""
+        sample_vec = determine_sample_vec(
+            n_collected_samples=self._sample_storage.get_n_collected(),
+            n_levels=self._sample_storage.get_n_levels(),
+            sample_vector=sample_vec,
+        )
+        self.est_bootstrap(n_subsamples=300, sample_vector=sample_vec)
+        variances, n_ops = self.estimate_diff_vars_regression(sample_vec, raw_vars=self.mean_bs_l_vars)
+        return estimate_n_samples_for_target_variance(
+            target_var, variances, n_ops, n_levels=self._sample_storage.get_n_levels()
+        )
+
+    # ------------------------------------------------------------------ #
+    # plots (host-side diagnostics)
+    # ------------------------------------------------------------------ #
+    def plot_variances(self, sample_vec=None):
+        from mlmc_tpu.plot import plots
+
+        var_plot = plots.VarianceBreakdown(10)
+        sample_vec = determine_sample_vec(
+            n_collected_samples=self._sample_storage.get_n_collected(),
+            n_levels=self._sample_storage.get_n_levels(),
+            sample_vector=sample_vec,
+        )
+        self.est_bootstrap(n_subsamples=100, sample_vector=sample_vec)
+        var_plot.add_variances(self.mean_bs_l_vars, sample_vec, ref_level_vars=self._bs_level_mean_variance)
+        var_plot.show(None)
+
+    def fine_coarse_violinplot(self):
+        import pandas as pd
+        from mlmc_tpu.plot import violinplot
+
+        label_n_spaces = 5
+        n_levels = self._sample_storage.get_n_levels()
+        dframe = None
+        if n_levels > 1:
+            for level_id in range(n_levels):
+                chunk_spec = next(
+                    self._sample_storage.chunks(
+                        level_id=level_id,
+                        n_samples=int(self._sample_storage.get_n_collected()[level_id]),
+                    )
+                )
+                samples = np.squeeze(np.asarray(self._quantity.samples(chunk_spec)), axis=0)
+                label = "{} F{} {} C".format(level_id, " " * label_n_spaces, level_id + 1)
+                if level_id == 0:
+                    data = {"samples": samples[:, 0], "type": "fine", "level": label}
+                    dframe = pd.DataFrame(data)
+                else:
+                    data = {"samples": samples[:, 1], "type": "coarse", "level": label}
+                    dframe = pd.concat([dframe, pd.DataFrame(data)], axis=0)
+                    if level_id + 1 < n_levels:
+                        data = {"samples": samples[:, 0], "type": "fine", "level": label}
+                        dframe = pd.concat([dframe, pd.DataFrame(data)], axis=0)
+        violinplot.fine_coarse_violinplot(dframe)
+
+    # ------------------------------------------------------------------ #
+    # domain + density
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def estimate_domain(quantity, sample_storage, quantile=None):
+        """Moment domain from sample quantile range (reference :275-302)."""
+        ranges = []
+        if quantile is None:
+            quantile = 0.01
+        for level_id in range(sample_storage.get_n_levels()):
+            chunk_spec = next(
+                sample_storage.chunks(
+                    level_id=level_id, n_samples=int(sample_storage.get_n_collected()[level_id])
+                )
+            )
+            fine_samples = np.asarray(quantity.samples(chunk_spec))[..., 0]
+            fine_samples = np.squeeze(fine_samples)
+            fine_samples = fine_samples[~np.isnan(fine_samples)]
+            ranges.append(np.percentile(fine_samples, [100 * quantile, 100 * (1 - quantile)]))
+        ranges = np.array(ranges)
+        return np.min(ranges[:, 0]), np.max(ranges[:, 1])
+
+    def construct_density(self, tol=1e-8, reg_param=0.0, orth_moments_tol=1e-4, exact_pdf=None):
+        """Maximum-entropy density from orthogonalized moments (reference :304-331)."""
+        import mlmc_tpu.tool.simple_distribution as sd
+
+        if not isinstance(self._quantity.qtype, ScalarType):
+            raise NotImplementedError("construct_density supports ScalarType quantities only")
+
+        cov_mean = qe.estimate_mean(qe.covariance(self._quantity, self._moments_fn))
+        cov_mat = cov_mean.mean
+        moments_obj, info = sd.construct_ortogonal_moments(
+            self._moments_fn, cov_mat, tol=orth_moments_tol
+        )
+        moments_mean = qe.estimate_mean(qe.moments(self._quantity, moments_obj))
+        est_moments = moments_mean.mean
+        est_vars = np.ones(moments_obj.size)
+        moments_data = np.stack((est_moments, est_vars), axis=1)
+        distr_obj = sd.SimpleDistribution(moments_obj, moments_data, domain=moments_obj.domain)
+        result = distr_obj.estimate_density_minimize(tol, reg_param)
+        return distr_obj, info, result, moments_obj
+
+    def get_level_samples(self, level_id, n_samples=None):
+        """Level chunk through the quantity: [M, N, 1|2]."""
+        if n_samples is not None:
+            n_samples = int(n_samples)
+        chunk_spec = next(self._sample_storage.chunks(level_id=level_id, n_samples=n_samples))
+        return self._quantity.samples(chunk_spec=chunk_spec)
+
+
+def estimate_domain(quantity, sample_storage, quantile=None):
+    """Module-level alias of Estimate.estimate_domain (reference :344-363)."""
+    return Estimate.estimate_domain(quantity, sample_storage, quantile)
+
+
+def estimate_n_samples_for_target_variance(target_variance, prescribe_vars, n_ops, n_levels):
+    """Variance-optimal level allocation (reference :366-385).
+
+    :param prescribe_vars: [L, R] level variances per moment
+    :param n_ops: per-level cost C_l
+    :return: [L] optimal sample counts (max over moments)
+    """
+    vars = np.asarray(prescribe_vars, dtype=float)
+    n_ops = np.asarray(n_ops, dtype=float)
+    sqrt_var_n = np.sqrt(vars.T * n_ops)  # moments in rows, levels in cols
+    total = np.sum(sqrt_var_n, axis=1)
+    n_samples_estimate = np.round((sqrt_var_n / n_ops).T * total / target_variance).astype(int)
+    n_samples_estimate_safe = np.maximum(
+        np.minimum(n_samples_estimate, vars * n_levels / target_variance), 2
+    )
+    return np.max(n_samples_estimate_safe, axis=1).astype(int)
+
+
+def calc_level_params(step_range, n_levels):
+    assert step_range[0] > step_range[1]
+    level_parameters = []
+    for i_level in range(n_levels):
+        if n_levels == 1:
+            level_param = 1
+        else:
+            level_param = i_level / (n_levels - 1)
+        level_parameters.append([step_range[0] ** (1 - level_param) * step_range[1] ** level_param])
+    return level_parameters
+
+
+def determine_level_parameters(n_levels, step_range):
+    """Geometric interpolation of simulation steps (reference :409-426)."""
+    return calc_level_params(step_range, n_levels)
+
+
+def determine_sample_vec(n_collected_samples, n_levels, sample_vector=None):
+    if sample_vector is None:
+        sample_vector = n_collected_samples
+    if len(sample_vector) > n_levels:
+        sample_vector = sample_vector[:n_levels]
+    return np.array(sample_vector)
+
+
+def determine_n_samples(n_levels, n_samples=None):
+    """Per-level target counts from [n0, nL] (reference :429-450)."""
+    if n_samples is None:
+        n_samples = [100, 3]
+    n_samples = np.atleast_1d(n_samples)
+    if len(n_samples) == 1:
+        n_samples = np.array([n_samples[0], 3])
+    if len(n_samples) == 2:
+        n0, nL = n_samples
+        n_samples = np.round(np.exp2(np.linspace(np.log2(n0), np.log2(nL), n_levels))).astype(int)
+    return n_samples

