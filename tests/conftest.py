@@ -3,15 +3,20 @@
 Multi-chip sharding is validated on the forced host-platform device mesh
 (no TPU pod needed); numerical parity tests against the reference algorithms
 require float64, hence jax_enable_x64.
+
+The driver environment pre-sets ``JAX_PLATFORMS=axon`` (the real TPU tunnel);
+that plugin ignores later overrides, so the variable must be REMOVED before
+jax import and the platform forced via jax.config.
 """
 import os
 
-# must be set before jax import
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must run before jax import
+os.environ.pop("JAX_PLATFORMS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
