@@ -137,6 +137,30 @@ class Moments:
     def _eval_ref(self, t, size):
         raise NotImplementedError
 
+    # ------------------------------------------------------------------ #
+    # numpy evaluation path — host-side consumers (maxent quadrature,
+    # plots) that would otherwise dispatch thousands of tiny ops to the
+    # device. Semantics identical to the jnp path.
+    # ------------------------------------------------------------------ #
+    def transform_np(self, value):
+        value = np.asarray(value, dtype=float)
+        if self._is_log:
+            value = np.log(value)
+        value = (value - self._linear_shift) * self._linear_scale + self.ref_domain[0]
+        if self._is_clip:
+            lo, hi = self.ref_domain
+            value = np.where((value < lo) | (value > hi), np.nan, value)
+        return value
+
+    def eval_all_np(self, value, size=None):
+        if size is None:
+            size = self.size
+        t = self.transform_np(np.atleast_1d(value))
+        return self._eval_ref_np(t, size)
+
+    def _eval_ref_np(self, t, size):
+        raise NotImplementedError
+
 
 def _atleast_1d(value):
     value = jnp.asarray(value)
@@ -196,6 +220,9 @@ class Monomial(Moments):
     def _eval_ref(self, t, size):
         return polyvander(t, size - 1)
 
+    def _eval_ref_np(self, t, size):
+        return np.polynomial.polynomial.polyvander(t, size - 1)
+
     def _eval_all(self, value, size):
         t = self.transform(_atleast_1d(value))
         return polyvander(t, size - 1)
@@ -224,6 +251,17 @@ class Fourier(Moments):
         out = out.at[..., 2::2].set(jnp.sin(kx[..., : R - shorter_sin]))
         return out
 
+    def _eval_ref_np(self, t, size):
+        R = size // 2
+        shorter_sin = 1 - size % 2
+        k = np.arange(1, R + 1, dtype=float)
+        kx = t[..., None] * k
+        out = np.empty(t.shape + (size,), dtype=float)
+        out[..., 0] = 1.0
+        out[..., 1::2] = np.cos(kx)
+        out[..., 2::2] = np.sin(kx[..., : R - shorter_sin])
+        return out
+
     def _eval_all(self, value, size):
         t = self.transform(_atleast_1d(value))
         return self._eval_ref(t, size)
@@ -250,6 +288,9 @@ class Legendre(Moments):
 
     def _eval_ref(self, t, size):
         return legvander(t, size - 1)
+
+    def _eval_ref_np(self, t, size):
+        return np.polynomial.legendre.legvander(t, size - 1)
 
     def _eval_all(self, value, size):
         t = self.transform(_atleast_1d(value))
@@ -301,6 +342,12 @@ class TransformedMoments(Moments):
     def _eval_ref(self, t, size):
         orig = self._origin._eval_ref(t, self._origin.size)
         return self._apply(orig)[..., :size]
+
+    def eval_all_np(self, value, size=None):
+        if size is None:
+            size = self.size
+        orig = self._origin.eval_all_np(value, self._origin.size)
+        return (orig @ self._transform_mat.T)[..., :size]
 
     def _eval_all(self, value, size):
         orig = self._origin._eval_all(value, self._origin.size)

@@ -1,0 +1,2 @@
+from mlmc_tpu.parallel.mesh import SampleMesh, sample_mesh
+from mlmc_tpu.parallel.sharded_estimate import sharded_mlmc_step

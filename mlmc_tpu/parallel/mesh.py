@@ -1,0 +1,60 @@
+"""Device-mesh plumbing for sample-axis data parallelism.
+
+MLMC's only communication pattern is embarrassingly-parallel sample fan-out
+plus small psum reductions of per-level accumulators (SURVEY.md §2
+"Parallelism-strategy checklist"). The mesh therefore has ONE axis,
+``samples``; collectives ride ICI within a slice and DCN across slices —
+all inserted by XLA from sharding annotations / shard_map.
+
+This replaces the reference's PBS cluster backend (sampling_pool_pbs.py:48-437):
+a PBS job packing N samples becomes a shard of the batch axis; qstat polling
+becomes a blocking collective; YAML file handoff becomes device arrays.
+"""
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class SampleMesh:
+    """1-D mesh over all (or given) devices with a ``samples`` axis."""
+
+    AXIS = "samples"
+
+    def __init__(self, devices=None, axis_name: str = AXIS):
+        if devices is None:
+            devices = jax.devices()
+        self.axis_name = axis_name
+        self.mesh = Mesh(np.array(devices), (axis_name,))
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.size
+
+    def batch_sharding(self) -> NamedSharding:
+        """Shard the leading (sample) axis across devices."""
+        return NamedSharding(self.mesh, P(self.axis_name))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def pad_to_shards(self, n: int) -> int:
+        """Round n up to a multiple of the device count."""
+        d = self.n_devices
+        return -(-n // d) * d
+
+    def shard_batch(self, array):
+        """Place a host batch with the leading axis sharded over devices."""
+        return jax.device_put(array, self.batch_sharding())
+
+
+def sample_mesh(n_devices: Optional[int] = None) -> SampleMesh:
+    """Mesh over the first ``n_devices`` devices (None = all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                "requested {} devices, only {} available".format(n_devices, len(devices)))
+        devices = devices[:n_devices]
+    return SampleMesh(devices)

@@ -1,0 +1,63 @@
+"""Multi-chip MLMC estimation step: shard_map over the ``samples`` axis.
+
+The full "training step" of this framework — draw every level's sample
+batch, push it through the fused moment/covariance pipeline, and reduce the
+accumulators across the pod with psum — as ONE jitted program over a
+``jax.sharding.Mesh``. This is what the reference spreads over PBS jobs +
+YAML files + qstat polling (reference mlmc/sampling_pool_pbs.py:48-437,
+mlmc/tool/pbs_job.py:14-384), collapsed into XLA collectives over ICI/DCN.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from mlmc_tpu.ops.fused_estimate import fused_mlmc_moments
+from mlmc_tpu.parallel.mesh import SampleMesh
+
+
+def sharded_mlmc_step(
+    sample_mesh: SampleMesh,
+    sim_chunk_fns,
+    moments_fn,
+    n_samples_per_level,
+    chunk_size: int = 65536,
+    acc_dtype=None,
+):
+    """Build the jitted multi-chip MLMC step.
+
+    :param sample_mesh: SampleMesh over the participating devices
+    :param sim_chunk_fns: per-level ``f(keys [C]) -> (fine, coarse, failed)``
+    :param moments_fn: moment basis
+    :param n_samples_per_level: static per-level sample counts
+    :return: ``step(root_key) -> list[MomentAccumulators]`` (jitted); the
+        accumulators come back replicated (already psum-reduced).
+
+    Chunks are strided over the mesh axis inside ``fused_level_moments`` so
+    sample index -> PRNG key mapping is identical for any device count —
+    results are bitwise mesh-shape-independent (up to reduction order).
+    """
+    axis = sample_mesh.axis_name
+    mesh = sample_mesh.mesh
+
+    def _step(root_key):
+        return fused_mlmc_moments(
+            sim_chunk_fns,
+            moments_fn,
+            root_key,
+            n_samples_per_level,
+            chunk_size=chunk_size,
+            acc_dtype=acc_dtype,
+            axis_name=axis,
+        )
+
+    sharded = shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(P(),),      # replicated key
+        out_specs=P(),        # psum-reduced accumulators, replicated
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -151,6 +151,30 @@ class SynthSimulation(Simulation):
         one = lambda k, a: SynthSimulation._calculate_one(config, k, a)
         return jax.vmap(one)(keys, attempts)
 
+    @staticmethod
+    def scalar_batch_fn(fine_step, coarse_step, distr, nan_fraction=0.0):
+        """Scalar-QoI batch simulation for the fused estimation pipeline.
+
+        :return: ``f(keys [C]) -> (fine [C], coarse [C], failed [C])`` pure
+            jnp, suitable for ops.fused_estimate / parallel.sharded_mlmc_step.
+        """
+
+        def one(key):
+            value_key, fail_key = jax.random.split(key)
+            y = distr.sample(value_key, ())
+            fine = SynthSimulation.sample_fn(y, fine_step)
+            if coarse_step == 0:
+                coarse = jnp.zeros_like(fine)
+            else:
+                coarse = SynthSimulation.sample_fn(y, coarse_step)
+            if nan_fraction > 0:
+                failed = jax.random.uniform(fail_key, ()) < nan_fraction
+            else:
+                failed = jnp.asarray(False)
+            return fine, coarse, failed
+
+        return jax.vmap(one)
+
     # ------------------------------------------------------------------ #
     def n_ops_estimate(self, step):
         return (1 / step) ** self.config["complexity"] * np.log(max(1 / step, 2.0))

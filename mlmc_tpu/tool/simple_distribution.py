@@ -197,6 +197,59 @@ def _newton_solve(q_mom, q_weights, mu_scaled, lam0, tol, max_iter=40):
     return lam, gnorm, n_it
 
 
+def _newton_solve_np(q_mom, q_weights, mu_scaled, lam0, tol, max_iter=40):
+    """Host-numpy mirror of ``_newton_solve`` (identical math).
+
+    Used when the default device has no native f64 (TPU emulates it, and
+    the R<=40-sized problem is far below device-dispatch granularity).
+    """
+    R = q_mom.shape[1]
+    eye = np.eye(R)
+
+    def density_w(lam):
+        power = np.clip(-(q_mom @ lam), -200.0, 200.0)
+        return np.exp(power) * q_weights
+
+    def functional(lam):
+        return mu_scaled @ lam + np.sum(density_w(lam))
+
+    def gradient(lam):
+        return mu_scaled - q_mom.T @ density_w(lam)
+
+    def hessian(lam):
+        rho_w = density_w(lam)
+        return (q_mom.T * rho_w[None, :]) @ q_mom
+
+    lam = np.array(lam0, dtype=float)
+    gnorm = np.linalg.norm(gradient(lam))
+    it = 0
+    while gnorm > tol and it < max_iter:
+        g = gradient(lam)
+        H = hessian(lam)
+        nu = 1e-13 * np.trace(H) / R + 1e-300
+        d = np.linalg.solve(H + nu * eye, -g)
+        f0 = functional(lam)
+        slope = g @ d
+        alpha = 1.0
+        for _ in range(40):
+            if functional(lam + alpha * d) <= f0 + 1e-4 * alpha * slope:
+                break
+            alpha *= 0.5
+        else:
+            alpha = 0.0
+        lam = lam + alpha * d
+        gnorm = np.linalg.norm(gradient(lam))
+        it += 1
+    return lam, gnorm, it
+
+
+def _device_has_native_f64():
+    try:
+        return jax.default_backend() not in ("tpu",)
+    except Exception:
+        return True
+
+
 class SimpleDistribution:
     """Maxent density from (moment means, moment variances).
 
@@ -206,7 +259,7 @@ class SimpleDistribution:
     """
 
     def __init__(self, moments_obj, moment_data, domain=None, force_decay=(True, True),
-                 verbose=False):
+                 verbose=False, solver_backend="auto"):
         """
         :param moments_obj: moment basis (mlmc_tpu.moments.Moments)
         :param moment_data: array [R, 2] of (moment mean, moment var)
@@ -232,11 +285,20 @@ class SimpleDistribution:
         self._penalty_coef = 0  # reference default: endpoint penalty off
         self._max_newton_iter = 40
         self._max_panels = 256
+        # 'jax' = jitted device Newton; 'numpy' = host mirror; 'auto' picks
+        # numpy when the default device emulates f64 (TPU) — the R<=40-sized
+        # solve is far below device-dispatch granularity there
+        if solver_backend == "auto":
+            solver_backend = "jax" if _device_has_native_f64() else "numpy"
+        self._solver_backend = solver_backend
 
     # ------------------------------------------------------------------ #
     def eval_moments(self, x):
-        return np.asarray(self.moments_fn.eval_all(np.asarray(x, dtype=float),
-                                                   self.approx_size))
+        # numpy path: the adaptive quadrature calls this with many small
+        # batches; host evaluation avoids device round-trips (the Newton
+        # solve itself runs on device over the assembled grid)
+        return np.asarray(self.moments_fn.eval_all_np(np.asarray(x, dtype=float),
+                                                      self.approx_size))
 
     def density(self, value):
         """Density rho(x) = exp(-sum lambda_i phi_i(x) / sigma_i)."""
@@ -429,14 +491,19 @@ class SimpleDistribution:
             q_mom_p[:q] = q_mom
             w_p = np.zeros(bucket)
             w_p[:q] = self._quad_weights
-            lam_j, gnorm_j, nit = _newton_solve(
-                jnp.asarray(q_mom_p),
-                jnp.asarray(w_p),
-                jnp.asarray(mu_scaled),
-                jnp.asarray(lam),
-                tol,
-                max_iter=self._max_newton_iter,
-            )
+            if self._solver_backend == "numpy":
+                lam_j, gnorm_j, nit = _newton_solve_np(
+                    q_mom, self._quad_weights, mu_scaled, lam, tol,
+                    max_iter=self._max_newton_iter)
+            else:
+                lam_j, gnorm_j, nit = _newton_solve(
+                    jnp.asarray(q_mom_p),
+                    jnp.asarray(w_p),
+                    jnp.asarray(mu_scaled),
+                    jnp.asarray(lam),
+                    tol,
+                    max_iter=self._max_newton_iter,
+                )
             lam = np.array(lam_j)
             gnorm = float(gnorm_j)
             total_nit += int(nit)
@@ -480,7 +547,7 @@ def compute_exact_moments(moments_fn, density, tol=1e-10):
     integral = np.zeros(moments_fn.size)
     for i in range(moments_fn.size):
         def fn(x, i=i):
-            return np.asarray(moments_fn.eval_all(np.atleast_1d(x)))[..., i][0] * density(x)
+            return np.asarray(moments_fn.eval_all_np(np.atleast_1d(x)))[..., i][0] * density(x)
 
         integral[i] = integrate.quad(fn, a, b, epsabs=tol, limit=EXACT_QUAD_LIMIT)[0]
     return integral
@@ -491,12 +558,12 @@ def compute_semiexact_moments(moments_fn, density, tol=1e-10):
     a, b = moments_fn.domain
 
     def driver(x):
-        moms = np.asarray(moments_fn.eval_all(x))
+        moms = np.asarray(moments_fn.eval_all_np(x))
         return density(x) * np.abs(moms[..., -1])
 
     breaks, _ = adaptive_panels(driver, a, b, tol=tol, max_panels=256)
     pts, wts = panels_to_quadrature(breaks)
-    quad_moments = np.asarray(moments_fn.eval_all(pts))
+    quad_moments = np.asarray(moments_fn.eval_all_np(pts))
     q_density_w = density(pts) * wts
     return q_density_w @ quad_moments
 
@@ -508,7 +575,7 @@ def compute_exact_cov(moments_fn, density, tol=1e-10):
     for i in range(moments_fn.size):
         for j in range(i + 1):
             def fn(x, i=i, j=j):
-                m = np.asarray(moments_fn.eval_all(np.atleast_1d(x)))[0]
+                m = np.asarray(moments_fn.eval_all_np(np.atleast_1d(x)))[0]
                 return m[i] * m[j] * density(x)
 
             integral[j][i] = integral[i][j] = integrate.quad(
@@ -521,12 +588,12 @@ def compute_semiexact_cov(moments_fn, density, tol=1e-10):
     a, b = moments_fn.domain
 
     def driver(x):
-        moms = np.asarray(moments_fn.eval_all(x))
+        moms = np.asarray(moments_fn.eval_all_np(x))
         return density(x) * moms[..., -1] ** 2
 
     breaks, _ = adaptive_panels(driver, a, b, tol=tol, max_panels=256)
     pts, wts = panels_to_quadrature(breaks)
-    quad_moments = np.asarray(moments_fn.eval_all(pts))
+    quad_moments = np.asarray(moments_fn.eval_all_np(pts))
     q_density_w = density(pts) * wts
     return (quad_moments.T * q_density_w) @ quad_moments
 
