@@ -29,6 +29,7 @@ from mlmc_tpu.quantity.quantity_types import (
     DictType,
 )
 from mlmc_tpu.sample_storage import SampleStorage, Memory
+from mlmc_tpu.sample_storage_hdf import SampleStorageHDF
 from mlmc_tpu.level_simulation import LevelSimulation
 from mlmc_tpu.sampling_pool import (
     SamplingPool,

@@ -1,0 +1,196 @@
+"""HDF5-backed sample storage (checkpoint/resume).
+
+Re-design of reference mlmc/sample_storage_hdf.py:11-280 over the schema
+layer in mlmc_tpu/tool/hdf5.py. Contract identical to ``Memory``:
+chunked ``[M, N, 2]`` reads (level 0 stripped to ``[M, N, 1]``), scheduled /
+failed bookkeeping, per-level cost attr, result-format guard on resume
+(reference sample_storage_hdf.py:88-99).
+"""
+import os
+from typing import List
+
+import numpy as np
+
+from mlmc_tpu.sample_storage import SampleStorage
+from mlmc_tpu.quantity.quantity_spec import QuantitySpec
+import mlmc_tpu.tool.hdf5 as hdf
+
+
+class SampleStorageHDF(SampleStorage):
+    """Samples persisted in an HDF5 file (reference-compatible schema)."""
+
+    def __init__(self, file_path):
+        """:param file_path: hdf5 file path (existing file -> resume)"""
+        super().__init__()
+        load_from_file = os.path.exists(file_path)
+        self._hdf_object = hdf.HDF5(file_path=file_path, load_from_file=load_from_file)
+        self._level_groups = []
+        if load_from_file:
+            for i_level in range(len(self._hdf_object.level_parameters)):
+                self._level_groups.append(self._hdf_object.add_level_group(str(i_level)))
+
+    def close(self):
+        self._hdf_object.close()
+
+    # ------------------------------------------------------------------ #
+    def _hdf_result_format(self, locations, times):
+        """Structured dtype for QuantitySpec marshalling (reference :36-56)."""
+        if len(locations[0]) == 3 and not isinstance(locations[0], str):
+            tuple_dtype = np.dtype((float, (3,)))
+            loc_dtype = np.dtype((tuple_dtype, (len(locations),)))
+        else:
+            loc_dtype = np.dtype(("S50", (len(locations),)))
+        return {
+            "names": ("name", "unit", "shape", "times", "locations"),
+            "formats": (
+                "S50",
+                "S50",
+                np.dtype((np.int32, (2,))),
+                np.dtype((float, (len(times),))),
+                loc_dtype,
+            ),
+        }
+
+    def save_global_data(self, result_format: List[QuantitySpec], level_parameters=None):
+        res_dtype = self._hdf_result_format(result_format[0].locations,
+                                            result_format[0].times)
+        self._hdf_object.create_file_structure(level_parameters)
+        if len(self._level_groups) != len(level_parameters):
+            self._level_groups = []
+            for i_level in range(len(level_parameters)):
+                self._level_groups.append(self._hdf_object.add_level_group(str(i_level)))
+        self.save_result_format(result_format, res_dtype)
+
+    def save_result_format(self, result_format: List[QuantitySpec], res_dtype=None):
+        if res_dtype is None:
+            res_dtype = self._hdf_result_format(result_format[0].locations,
+                                                result_format[0].times)
+        try:
+            if self.load_result_format() != result_format:
+                raise ValueError(
+                    "You are setting a new different result format for an existing sample storage")
+        except AttributeError:
+            pass
+        self._hdf_object.save_result_format(result_format, res_dtype)
+
+    def load_result_format(self) -> List[QuantitySpec]:
+        results_format = self._hdf_object.load_result_format()
+        quantities = []
+        for res_format in results_format:
+            locations = [
+                loc.decode() if isinstance(loc, bytes) else tuple(loc)
+                for loc in res_format[4]
+            ]
+            spec = QuantitySpec(
+                res_format[0].decode(),
+                res_format[1].decode(),
+                tuple(int(s) for s in res_format[2]),
+                list(res_format[3]),
+                locations,
+            )
+            quantities.append(spec)
+        return quantities
+
+    # ------------------------------------------------------------------ #
+    def save_samples(self, successful, failed):
+        self._save_successful(successful)
+        self._save_failed(failed)
+        self._hdf_object.flush()
+
+    def _save_successful(self, successful_samples):
+        for level, samples in successful_samples.items():
+            if len(samples) > 0:
+                ids = [sid for sid, _ in samples]
+                values = np.array(
+                    [np.stack([np.ravel(f), np.ravel(c)]) for _, (f, c) in samples],
+                    dtype=np.float64)  # [N, 2, M]
+                self._level_groups[level].append_successful(ids, values)
+
+    def _save_failed(self, failed_samples):
+        for level, samples in failed_samples.items():
+            if len(samples) > 0:
+                self._level_groups[int(level)].append_failed(list(samples))
+
+    def save_scheduled_samples(self, level_id, samples: List[str]):
+        self._level_groups[level_id].append_scheduled(samples)
+
+    def load_scheduled_samples(self):
+        return {
+            int(level.level_id): [s[0].decode() for s in level.scheduled()]
+            for level in self._level_groups
+        }
+
+    # ------------------------------------------------------------------ #
+    def _level_chunks(self, level_id, n_samples=None):
+        return self._level_groups[level_id].chunks(n_samples)
+
+    def sample_pairs(self):
+        levels_results = [None] * len(self._level_groups)
+        for level in self._level_groups:
+            lid = int(level.level_id)
+            n = self.get_n_collected()[lid]
+            if n == 0:
+                levels_results[lid] = []
+                continue
+            chunk_spec = next(self.chunks(level_id=lid, n_samples=int(n)))
+            levels_results[lid] = self.sample_pairs_level(chunk_spec)
+        return levels_results
+
+    def sample_pairs_level(self, chunk_spec):
+        """:return: np.ndarray [M, N, 2] ([M, N, 1] on level 0)"""
+        level_id = chunk_spec.level_id or 0
+        chunk = self._level_groups[int(level_id)].collected(chunk_spec.chunk_slice)
+        if level_id == 0:
+            chunk = chunk[:, :1, :]
+        return chunk.transpose((2, 0, 1))
+
+    # ------------------------------------------------------------------ #
+    def n_finished(self):
+        n_finished = np.zeros(len(self._level_groups))
+        for level in self._level_groups:
+            n_finished[int(level.level_id)] += len(level.get_finished_ids())
+        return n_finished
+
+    def unfinished_ids(self):
+        unfinished = []
+        for level in self._level_groups:
+            unfinished.extend(level.get_unfinished_ids())
+        return unfinished
+
+    def failed_samples(self):
+        return {str(level.level_id): list(level.get_failed_ids())
+                for level in self._level_groups}
+
+    def clear_failed(self):
+        for level in self._level_groups:
+            level.clear_failed_dataset()
+
+    def save_n_ops(self, n_ops):
+        for level_id, (time, n_samples) in n_ops:
+            if self._level_groups[level_id].n_ops_estimate is None:
+                self._level_groups[level_id].n_ops_estimate = [0.0, 0.0]
+            if n_samples > 0:
+                saved = self._level_groups[level_id].n_ops_estimate
+                saved[0] += time
+                saved[1] += n_samples
+                self._level_groups[level_id].n_ops_estimate = saved
+
+    def get_n_ops(self):
+        n_ops = [0.0] * len(self._level_groups)
+        for level in self._level_groups:
+            est = level.n_ops_estimate
+            if est is not None and est[1] > 0:
+                n_ops[int(level.level_id)] = est[0] / est[1]
+        return n_ops
+
+    def get_level_ids(self):
+        return [int(level.level_id) for level in self._level_groups]
+
+    def get_level_parameters(self):
+        return self._hdf_object.load_level_parameters()
+
+    def get_n_collected(self):
+        return [level.collected_n_items() for level in self._level_groups]
+
+    def get_n_levels(self):
+        return len(self._level_groups)

@@ -1,0 +1,160 @@
+"""Storage round-trip matrix (mirrors reference test/test_storage.py:47-94
+and test/test_hdf.py): {memory, hdf} x n_levels, write successful + failed
+samples, read back sample_pairs / formats / n_ops; HDF reopen-and-append
+covers resume.
+"""
+import numpy as np
+import pytest
+
+from mlmc_tpu.sample_storage import Memory
+from mlmc_tpu.sample_storage_hdf import SampleStorageHDF
+from mlmc_tpu.quantity.quantity_spec import QuantitySpec, ChunkSpec
+
+
+def _make_storage(kind, tmp_path, name="st.hdf5"):
+    if kind == "memory":
+        return Memory()
+    return SampleStorageHDF(file_path=str(tmp_path / name))
+
+
+def _result_format():
+    return [
+        QuantitySpec(name="length", unit="m", shape=(2, 1), times=[1, 2, 3],
+                     locations=["10", "20"]),
+        QuantitySpec(name="width", unit="mm", shape=(2, 1), times=[1, 2, 3],
+                     locations=["30", "40"]),
+    ]
+
+
+def _fill(storage, n_levels, rng, n=13, start=0):
+    fmt = _result_format()
+    M = int(sum(np.prod(q.shape) * len(q.times) * len(q.locations) for q in fmt))
+    successful = {}
+    failed = {}
+    for lvl in range(n_levels):
+        res = []
+        for i in range(n):
+            fine = rng.normal(size=M)
+            coarse = np.zeros(M) if lvl == 0 else rng.normal(size=M)
+            res.append(("L{:02d}_S{:07d}".format(lvl, start + i), (fine, coarse)))
+        successful[lvl] = res
+        failed[lvl] = [("L{:02d}_S{:07d}".format(lvl, start + n), "err msg")]
+    storage.save_samples(successful, failed)
+    return successful
+
+
+@pytest.mark.parametrize("kind", ["memory", "hdf"])
+@pytest.mark.parametrize("n_levels", [1, 2, 5])
+def test_storage_roundtrip(tmp_path, kind, n_levels):
+    rng = np.random.default_rng(123)
+    storage = _make_storage(kind, tmp_path)
+    level_params = [[0.5 ** (l + 1)] for l in range(n_levels)]
+    storage.save_global_data(result_format=_result_format(),
+                             level_parameters=level_params)
+
+    for lvl in range(n_levels):
+        storage.save_scheduled_samples(
+            lvl, ["L{:02d}_S{:07d}".format(lvl, i) for i in range(14)])
+    successful = _fill(storage, n_levels, rng)
+
+    # formats
+    fmt = storage.load_result_format()
+    assert [q.name for q in fmt] == ["length", "width"]
+    assert list(fmt[0].times) == [1, 2, 3]
+    assert fmt[0].locations == ["10", "20"] or tuple(fmt[0].locations) == ("10", "20")
+
+    # level params
+    assert np.allclose(np.asarray(storage.get_level_parameters(), dtype=float),
+                       np.asarray(level_params))
+
+    # sample pairs: [M, N, 2], level 0 stripped to [M, N, 1]
+    pairs = storage.sample_pairs()
+    assert len(pairs) == n_levels
+    M = successful[0][0][1][0].size
+    assert pairs[0].shape == (M, 13, 1)
+    for lvl in range(1, n_levels):
+        assert pairs[lvl].shape == (M, 13, 2)
+        fine_expected = successful[lvl][0][1][0]
+        assert np.allclose(pairs[lvl][:, 0, 0], fine_expected)
+
+    # counters
+    assert storage.get_n_levels() == n_levels
+    assert storage.get_n_collected() == [13] * n_levels
+    assert np.all(storage.n_finished() == 14)  # 13 ok + 1 failed
+
+    # failed bookkeeping + renew
+    failed = storage.failed_samples()
+    assert all(len(v) == 1 for v in failed.values())
+    storage.clear_failed()
+    assert all(len(v) == 0 for v in storage.failed_samples().values())
+
+    # unfinished = scheduled - finished (1 failed cleared is still finished
+    # for hdf? reference clears failed from failed dataset -> becomes
+    # unfinished again); memory backend returns [] by design
+    unfinished = storage.unfinished_ids()
+    assert isinstance(unfinished, list)
+
+    # n_ops accounting
+    storage.save_n_ops([(lvl, [2.0, 10]) for lvl in range(n_levels)])
+    n_ops = storage.get_n_ops()
+    assert np.allclose(n_ops, 0.2)
+
+    # chunked reads concatenate to the full level
+    for lvl in range(n_levels):
+        chunks = [storage.sample_pairs_level(cs) for cs in storage.chunks(level_id=lvl)]
+        whole = np.concatenate(chunks, axis=1)
+        assert whole.shape[1] == 13
+
+
+def test_hdf_append_resume(tmp_path):
+    """Close, reopen, append — the resume path (reference test_hdf_append)."""
+    rng = np.random.default_rng(7)
+    path = tmp_path / "resume.hdf5"
+    storage = SampleStorageHDF(file_path=str(path))
+    storage.save_global_data(result_format=_result_format(),
+                             level_parameters=[[0.5], [0.25]])
+    _fill(storage, 2, rng, n=5)
+    storage.close()
+
+    # reopen: schema + data must be there, appends must extend
+    storage2 = SampleStorageHDF(file_path=str(path))
+    assert storage2.get_n_collected() == [5, 5]
+    fmt = storage2.load_result_format()
+    assert [q.name for q in fmt] == ["length", "width"]
+    _fill(storage2, 2, rng, n=3, start=100)
+    assert storage2.get_n_collected() == [8, 8]
+    pairs = storage2.sample_pairs()
+    assert pairs[1].shape[1] == 8
+
+    # result-format guard: incompatible format must be refused
+    bad_fmt = [QuantitySpec(name="other", unit="m", shape=(1, 1), times=[1],
+                            locations=["1"])]
+    with pytest.raises(ValueError):
+        storage2.save_result_format(bad_fmt)
+    storage2.close()
+
+
+def test_hdf_end_to_end_with_sampler(tmp_path):
+    """Full adaptive run against HDF storage + device pool."""
+    from mlmc_tpu import SynthSimulation, DeviceBatchPool, Sampler, Legendre
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = SampleStorageHDF(file_path=str(tmp_path / "e2e.hdf5"))
+    sampler = Sampler(storage, DeviceBatchPool(seed=3), sim, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([200, 50])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    quantity = make_root_quantity(storage, q_specs=sim.result_format())
+    value_q = quantity["length"][1]["10"][0]
+    mfn = Legendre(5, distr.ppf([0.001, 0.999]))
+    est = est_mod.Estimate(value_q, storage, mfn)
+    means, variances = est.estimate_moments(mfn)
+    assert means[0] == 1
+    assert variances[0] == 0
+    assert abs(means[1]) < 0.2
+    storage.close()
