@@ -23,6 +23,11 @@ class LevelSimulation:
     task_size: float = 0
     # Relative size of one sample at this level (batch-packing heuristic).
 
+    nan_result_is_failure: bool = True
+    # True (reference SynthSimulation: raise on NaN) -> NaN results become
+    # failed samples. False (reference shooting sims: NaN = out-of-domain
+    # QoI) -> NaN results are stored and masked during estimation.
+
     # --- set by Sampler; users do not touch these ------------------------
     calculate: Any = None
     # single-sample calculate(config, seed) -> (fine, coarse)

@@ -1,0 +1,438 @@
+"""Correlated Gaussian random field generators — TPU-native.
+
+Re-design of reference mlmc/random/correlated_field.py:12-755. Same field
+model: stationary covariance ``c(X) = sigma^2 exp(-|X^T K X|^(alpha/2))``
+with ``K = (1/L^2) I`` (or an anisotropy tensor), alpha=2 'gauss' / 1 'exp',
+optional log-field. Three generators:
+
+* ``SpatialCorrelatedField`` — dense covariance + truncated SVD (KL
+  expansion), sample = ``L @ N(0,1)`` (reference :390-498). Decomposition on
+  host (scipy/sklearn randomized SVD for large N), sampling is a single
+  device matmul, vmappable over keys.
+* ``SpectralCorrelatedField`` — random-Fourier-feature (randomization)
+  method, the native replacement for the gstools wrapper (reference
+  :501-553): ``F(x) = sigma*sqrt(2/M) sum_m cos(k_m . x + phi_m)`` with
+  ``k_m`` drawn from the spectral measure of the covariance (Gaussian for
+  alpha=2, multivariate Student-t(1) for alpha=1). Evaluation is one
+  ``[N_pts, d] @ [d, M]`` matmul + cos — MXU-friendly, works for arbitrary
+  point sets, O(N*M) with no decomposition.
+  ``GSToolsSpatialCorrelatedField`` and ``FourierSpatialCorrelatedField``
+  are API aliases of this class.
+* ``CirculantEmbeddingField`` — EXACT stationary GRF on regular grids via
+  d-dimensional FFT circulant embedding; the workhorse for the cond_field
+  diffusion benchmark (BASELINE.json config 5). O(N log N) per sample, all
+  on device.
+
+All generators support key-driven pure sampling (``sample(key)``) for jit/
+vmap pipelines; calling ``sample()`` without a key uses a stateful host
+counter (reference-compatible convenience).
+"""
+import copy
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def kozeny_carman(porosity, m, factor, viscosity):
+    """Kozeny-Carman porosity->conductivity law (reference :12-31)."""
+    assert np.all(np.asarray(viscosity) > 1e-10)
+    xp = jnp if isinstance(porosity, jnp.ndarray) else np
+    porosity = xp.clip(porosity, 1e-10, 1 - 1e-10)
+    cond = factor * porosity ** (2 + m) / (1 - porosity) ** 2 / viscosity
+    return xp.maximum(cond, 1e-15)
+
+
+def positive_to_range(exp, a, b):
+    """Map a positive parameter to the interval (a, b) (reference :34-41)."""
+    return b * (1 - (b - a) / (b + (b - a) * exp))
+
+
+class RandomFieldBase:
+    """Common stationary-covariance machinery (reference :234-366)."""
+
+    def __init__(self, corr_exp="gauss", dim=2, corr_length=1.0,
+                 aniso_correlation=None, mu=0.0, sigma=1.0, log=False, **kwargs):
+        self.dim = dim
+        self.log = log
+
+        if corr_exp == "gauss":
+            self.correlation_exponent = 2.0
+        elif corr_exp == "exp":
+            self.correlation_exponent = 1.0
+        else:
+            self.correlation_exponent = float(corr_exp)
+
+        self._corr_length = corr_length
+        if aniso_correlation is None:
+            assert corr_length > np.finfo(float).eps
+            self.correlation_tensor = np.eye(dim) * (1 / corr_length ** 2)
+            self._max_corr_length = corr_length
+        else:
+            self.correlation_tensor = np.asarray(aniso_correlation)
+            self._max_corr_length = np.linalg.norm(aniso_correlation, ord=2)
+
+        self.points = None
+        self.mu = mu
+        self.sigma = sigma
+        self._host_key = jax.random.key(np.random.randint(0, 2 ** 31))
+        self._initialize(**kwargs)
+
+    def _initialize(self, **kwargs):
+        pass
+
+    def set_points(self, points, mu=None, sigma=None):
+        points = np.array(points, dtype=float)
+        if points.ndim == 1:
+            points = points[:, None]
+        assert points.shape[1] == self.dim
+        self.n_points, self.dimension = points.shape
+        self.points = points
+        if mu is not None:
+            self.mu = mu
+        self.mu = np.array(self.mu, dtype=float)
+        assert self.mu.shape in ((), (len(points),))
+        if sigma is not None:
+            self.sigma = sigma
+        self.sigma = np.array(self.sigma, dtype=float)
+        assert self.sigma.shape in ((), (len(points),))
+        self._set_points()
+
+    def _set_points(self):
+        pass
+
+    def _next_host_key(self):
+        self._host_key, sub = jax.random.split(self._host_key)
+        return sub
+
+    def sample(self, key=None):
+        """Field realization at the set points. Pure given an explicit key."""
+        if key is None:
+            key = self._next_host_key()
+        field = self._sample(key)
+        field = jnp.asarray(self.sigma) * field + jnp.asarray(self.mu)
+        if self.log:
+            field = jnp.exp(field)
+        return field
+
+    def _sample(self, key):
+        raise NotImplementedError
+
+    # shared helper: anisotropic squared distance |X^T K X|
+    def _sq_distance_matrix(self, points):
+        d = points[:, None, :] - points[None, :, :]  # [N, N, dim]
+        return np.einsum("ijk,kl,ijl->ij", d, self.correlation_tensor, d)
+
+
+class SpatialCorrelatedField(RandomFieldBase):
+    """Dense-covariance KL/SVD generator (reference :369-498)."""
+
+    def _initialize(self, **kwargs):
+        self.cov_mat = None
+        self._n_approx_terms = None
+        self._cov_l_factor = None
+        self._sqrt_ev = None
+
+    def _set_points(self):
+        self.cov_mat = None
+        self._cov_l_factor = None
+
+    def cov_matrix(self):
+        """Dense covariance matrix at the set points (reference :390-412)."""
+        assert self.points is not None
+        sq = self._sq_distance_matrix(self.points)
+        # c(X) = exp(-(X^T K X)^(alpha/2)) with sq = X^T K X
+        self.cov_mat = np.exp(-np.abs(sq) ** (self.correlation_exponent / 2.0))
+        return self.cov_mat
+
+    def _eigen_value_estimate(self, m):
+        """Schwab-Todor decay estimate of the m-th eigenvalue (:414-428)."""
+        vol = np.prod(np.max(self.points, axis=0) - np.min(self.points, axis=0)) \
+            + np.finfo(float).eps
+        lam = self._max_corr_length
+        alpha = lam / (2 * vol ** (1 / self.dim))
+        return vol * (1.0 / alpha) ** (m ** (1 / self.dim)) if alpha > 1 else \
+            vol * np.exp(-alpha * m ** (1 / self.dim) * np.log(m + 1))
+
+    def svd_dcmp(self, precision=0.01, n_terms_range=(1, np.inf), random_state=None):
+        """Truncated SVD of the covariance -> KL factor (reference :430-488).
+
+        Keeps the smallest number of terms with relative singular-value
+        tail below ``precision`` within ``n_terms_range``.
+        """
+        if self.cov_mat is None:
+            self.cov_matrix()
+        n = self.cov_mat.shape[0]
+        hi = int(min(n_terms_range[1], n))
+        lo = int(max(1, n_terms_range[0]))
+
+        if hi < n // 2:
+            from sklearn.utils.extmath import randomized_svd
+
+            U, s, _ = randomized_svd(self.cov_mat, n_components=hi, n_iter=3,
+                                     random_state=random_state)
+        else:
+            U, s, _ = np.linalg.svd(self.cov_mat)
+            U, s = U[:, :hi], s[:hi]
+
+        total = np.sum(s)
+        tail = total - np.cumsum(s)
+        keep = int(np.searchsorted(-tail, -precision * total)) + 1
+        keep = int(np.clip(keep, lo, hi))
+
+        self._sqrt_ev = np.sqrt(s[:keep])
+        self._cov_l_factor = U[:, :keep] * self._sqrt_ev[None, :]
+        self._n_approx_terms = keep
+        return self._cov_l_factor, self._sqrt_ev
+
+    @property
+    def n_approx_terms(self):
+        return self._n_approx_terms
+
+    def _sample(self, key):
+        if self._cov_l_factor is None:
+            self.svd_dcmp()
+        z = jax.random.normal(key, (self._n_approx_terms,))
+        return jnp.asarray(self._cov_l_factor) @ z
+
+
+class SpectralCorrelatedField(RandomFieldBase):
+    """Random-Fourier-feature generator (gstools 'randomization' analogue).
+
+    F(x) = sqrt(2/M) sum_m cos(k_m . x + phi_m); k_m drawn from the spectral
+    measure of the covariance: N(0, 2/L^2 I) for alpha=2 (gauss),
+    multivariate Student-t(nu=1)/L for alpha=1 (exp). Replaces the gstools
+    SRF wrapper (reference :501-553) natively.
+    """
+
+    def _initialize(self, mode_no=1000, seed=None, **kwargs):
+        self.mode_no = int(mode_no)
+        key = jax.random.key(seed if seed is not None else np.random.randint(0, 2 ** 31))
+        kk, kp = jax.random.split(key)
+        d = self.dim
+        alpha = self.correlation_exponent
+        L = self._corr_length
+        if alpha == 2.0:
+            # FT of exp(-r^2/L^2): k ~ N(0, 2/L^2 I)
+            k = jax.random.normal(kk, (self.mode_no, d)) * (np.sqrt(2.0) / L)
+        elif alpha == 1.0:
+            # FT of exp(-r/L): multivariate Student-t with nu=1, scale 1/L
+            y = jax.random.normal(kk, (self.mode_no, d))
+            w = jax.random.chisquare(jax.random.fold_in(kk, 1), 1.0, (self.mode_no, 1))
+            k = y / jnp.sqrt(w) / L
+        else:
+            raise NotImplementedError(
+                "spectral sampling implemented for alpha in {1, 2}, got {}".format(alpha))
+        self._wave_vectors = k                       # [M, d]
+        self._phases_key = kp
+
+    def _sample(self, key):
+        phases = jax.random.uniform(key, (self.mode_no,), maxval=2 * np.pi)
+        proj = jnp.asarray(self.points) @ self._wave_vectors.T   # [N, M]
+        return jnp.sqrt(2.0 / self.mode_no) * jnp.sum(
+            jnp.cos(proj + phases[None, :]), axis=1)
+
+
+# API aliases for reference parity
+GSToolsSpatialCorrelatedField = SpectralCorrelatedField
+FourierSpatialCorrelatedField = SpectralCorrelatedField
+
+
+class CirculantEmbeddingField(RandomFieldBase):
+    """Exact stationary GRF on a regular grid via FFT circulant embedding.
+
+    The TPU-first generator (SURVEY.md §2 'Correlated random fields' row):
+    eigenvalues of the embedded circulant = FFT of one covariance row; a
+    sample is ``real(IFFT(sqrt(eig) * W))`` with complex white noise W.
+    O(N log N), exact covariance, fully on device, vmappable over keys.
+
+    :param grid_shape: points per dimension, e.g. (256, 256)
+    :param grid_step: spacing per dimension (scalar or per-dim)
+    """
+
+    def _initialize(self, grid_shape=None, grid_step=1.0, pad_factor=2, **kwargs):
+        assert grid_shape is not None, "CirculantEmbeddingField needs grid_shape"
+        self.grid_shape = tuple(int(s) for s in grid_shape)
+        step = np.broadcast_to(np.asarray(grid_step, dtype=float), (self.dim,))
+        self.grid_step = step
+        self._pad_factor = pad_factor
+        self._build_eigenvalues()
+        # implicit point set = the grid itself
+        axes = [np.arange(s) * st for s, st in zip(self.grid_shape, step)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        self.points = np.stack([m.ravel() for m in mesh], axis=1)
+        self.n_points = self.points.shape[0]
+        self.mu = np.array(self.mu, dtype=float)
+        self.sigma = np.array(self.sigma, dtype=float)
+
+    def _build_eigenvalues(self):
+        """FFT of the covariance kernel on the embedding torus."""
+        emb_shape = tuple(self._pad_factor * s for s in self.grid_shape)
+        # signed torus distances per axis
+        axes = []
+        for s, st in zip(emb_shape, self.grid_step):
+            ix = np.arange(s)
+            ix = np.minimum(ix, s - ix)  # wrap-around distance
+            axes.append(ix * st)
+        mesh = np.meshgrid(*axes, indexing="ij")
+        d = np.stack([m.ravel() for m in mesh], axis=1)  # [prod(emb), dim]
+        sq = np.einsum("ik,kl,il->i", d, self.correlation_tensor, d)
+        cov = np.exp(-np.abs(sq) ** (self.correlation_exponent / 2.0))
+        cov = cov.reshape(emb_shape)
+        eig = np.fft.fftn(cov).real
+        # tiny negative eigenvalues from imperfect embedding -> clip
+        # (relative magnitude is ~1e-12 for pad_factor 2 with smooth covs)
+        self._neg_fraction = float(np.abs(eig[eig < 0]).sum() / np.abs(eig).sum()) \
+            if np.any(eig < 0) else 0.0
+        eig = np.maximum(eig, 0.0)
+        self._eig = jnp.asarray(eig)
+        self._emb_shape = emb_shape
+        self._emb_size = int(np.prod(emb_shape))
+
+    def set_points(self, points=None, mu=None, sigma=None):
+        """Points are fixed to the grid; only mu/sigma may be updated."""
+        if points is not None:
+            raise ValueError(
+                "CirculantEmbeddingField samples on its regular grid; "
+                "use SpatialCorrelatedField / SpectralCorrelatedField for "
+                "arbitrary point sets")
+        if mu is not None:
+            self.mu = np.array(mu, dtype=float)
+        if sigma is not None:
+            self.sigma = np.array(sigma, dtype=float)
+
+    def _sample(self, key):
+        # X = Re(F sqrt(Lambda) xi)/sqrt(M), xi complex with unit-variance
+        # real+imag parts (E[xi xi^H] = 2I)  =>  Cov(X) = C exactly
+        kr, ki = jax.random.split(key)
+        shape = self._emb_shape
+        w = jax.random.normal(kr, shape) + 1j * jax.random.normal(ki, shape)
+        field = jnp.fft.fftn(jnp.sqrt(self._eig) * w).real / jnp.sqrt(self._emb_size)
+        # crop embedding torus back to the grid
+        slices = tuple(slice(0, s) for s in self.grid_shape)
+        return field[slices].reshape(-1)
+
+    def sample_grid(self, key=None):
+        """Sample shaped as the grid (not flattened)."""
+        return self.sample(key).reshape(self.grid_shape)
+
+
+class Field:
+    """Named field: const / random / derived-callable (reference :44-109)."""
+
+    def __init__(self, name, field=None, param_fields=[], regions=[]):
+        self.correlated_field = None
+        self.const = None
+        self._func = field
+        self.is_outer = True
+
+        if isinstance(regions, str):
+            regions = [regions]
+        self.name = name
+        if type(field) in [float, int]:
+            self.const = field
+            assert len(param_fields) == 0
+        elif isinstance(field, RandomFieldBase):
+            self.correlated_field = field
+            assert len(param_fields) == 0
+        else:
+            assert len(param_fields) > 0, field
+            try:
+                params = [np.ones(2) for _ in range(len(param_fields))]
+                field(*params)
+            except Exception:
+                raise Exception("Invalid field function for field: {}".format(name))
+            self._func = field
+
+        self.regions = regions
+        self.param_fields = param_fields
+
+    def set_points(self, points):
+        if self.const is not None:
+            self._sample = self.const * np.ones(len(points))
+        elif self.correlated_field is not None:
+            self.correlated_field.set_points(points)
+            if type(self.correlated_field) is SpatialCorrelatedField:
+                self.correlated_field.svd_dcmp(n_terms_range=(10, 100))
+
+    def sample(self, key=None):
+        if self.const is not None:
+            return self._sample
+        elif self.correlated_field is not None:
+            self._sample = np.asarray(self.correlated_field.sample(key))
+        else:
+            params = [pf._sample for pf in self.param_fields]
+            self._sample = self._func(*params)
+        return self._sample
+
+
+class Fields:
+    """Set of cross-dependent named fields over mesh regions (reference :111-231)."""
+
+    def __init__(self, fields):
+        self.fields_orig = fields
+        self.fields_dict = {}
+        self.fields = []
+        for field in self.fields_orig:
+            new_field = copy.copy(field)
+            if new_field.param_fields:
+                new_field.param_fields = [
+                    self._get_field_obj(f, new_field.regions)
+                    for f in new_field.param_fields
+                ]
+            self.fields_dict[new_field.name] = new_field
+            self.fields.append(new_field)
+        self._host_key = jax.random.key(np.random.randint(0, 2 ** 31))
+
+    def _get_field_obj(self, field_name, regions):
+        if type(field_name) in [float, int]:
+            const_field = Field("const_{}".format(field_name), field_name, regions=regions)
+            self.fields.insert(0, const_field)
+            self.fields_dict[const_field.name] = const_field
+            return const_field
+        assert field_name in self.fields_dict, \
+            "name: {} dict: {}".format(field_name, self.fields_dict)
+        return self.fields_dict[field_name]
+
+    @property
+    def names(self):
+        return self.fields_dict.keys()
+
+    def set_outer_fields(self, outer):
+        outer_set = set(outer)
+        for f in self.fields:
+            f.is_outer = f.name in outer_set
+
+    def set_points(self, points, region_ids=[], region_map={}):
+        self.n_elements = len(points)
+        if len(region_ids) == 0:
+            region_ids = [0] * self.n_elements
+            region_map = {r: 0 for f in self.fields for r in f.regions}
+        assert len(points) == len(region_ids)
+        reg_points = {}
+        for i, reg_id in enumerate(region_ids):
+            reg_points.setdefault(reg_id, []).append(i)
+
+        for field in self.fields:
+            if field.regions:
+                point_ids = []
+                for reg in field.regions:
+                    reg_id = region_map[reg]
+                    point_ids.extend(reg_points.get(reg_id, []))
+                field.set_points(points[point_ids])
+                field.full_sample_ids = point_ids
+            else:
+                field.set_points(points)
+                field.full_sample_ids = np.arange(self.n_elements)
+
+    def sample(self, key=None):
+        """:return: {field_name: sample over all elements}"""
+        if key is None:
+            self._host_key, key = jax.random.split(self._host_key)
+        result = {}
+        for i, field in enumerate(self.fields):
+            sample = field.sample(jax.random.fold_in(key, i))
+            if field.is_outer:
+                result[field.name] = np.zeros(self.n_elements)
+                result[field.name][field.full_sample_ids] = np.asarray(sample)
+        return result

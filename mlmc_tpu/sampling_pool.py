@@ -372,8 +372,11 @@ class DeviceBatchPool(SamplingPool):
         fine = np.asarray(fine)[:n]
         coarse = np.asarray(coarse)[:n]
         failed = np.asarray(failed)[:n]
-        # NaN results are failures too (parity with reference raise-on-nan)
-        failed = failed | np.any(np.isnan(fine), axis=1) | np.any(np.isnan(coarse), axis=1)
+        if getattr(level_sim, "nan_result_is_failure", True):
+            # parity with simulations that raise on NaN (SynthSimulation);
+            # sims with NaN-as-QoI (shooting) store NaNs and mask later
+            failed = failed | np.any(np.isnan(fine), axis=1) \
+                | np.any(np.isnan(coarse), axis=1)
 
         successful = []
         failed_out = []
