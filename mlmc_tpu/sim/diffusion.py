@@ -1,0 +1,191 @@
+"""Darcy-flow diffusion simulation with GRF conductivity — device-native.
+
+Re-design of the reference cond_field workflow (FlowSim,
+reference mlmc/tool/flow_mc.py:91-455 + test/01_cond_field/process_simple.py):
+there, each sample shells out to gmsh for a mesh and to the external
+flow123d FEM binary, with conductivity from a correlated random field
+evaluated at element centers. Here the whole sample is ONE jitted program
+(BASELINE.json config 5):
+
+* unit square, regular n x n cell grid (n = 1/step),
+* log-normal conductivity ``K = exp(sigma * G)`` with G a stationary GRF
+  evaluated at cell centers by the random-Fourier-feature method — fine and
+  coarse grids of one sample share modes AND phases, giving the same
+  underlying field realization (the reference couples levels by sampling
+  one field on concatenated fine+coarse centers, flow_mc.py:279-335),
+* pressure solve ``-div(K grad p) = 0`` with p=1 on the left edge, p=0 on
+  the right, no-flux top/bottom: 5-point finite volumes with harmonic face
+  conductivities, solved by Jacobi-preconditioned conjugate gradients
+  (jax.scipy.sparse.linalg.cg) — matvec is a stencil, so the whole solve
+  lives in Vv/MXU land and vmaps over the sample batch,
+* QoI = total outflow flux through the right edge (the reference extracts
+  ``.bc_outflow`` from flow123d's water_balance.yaml, flow_mc.py:412-445),
+  which estimates the effective conductivity of the medium.
+"""
+import copy
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.sim.simulation import Simulation
+from mlmc_tpu.quantity.quantity_spec import QuantitySpec
+from mlmc_tpu.level_simulation import LevelSimulation
+from mlmc_tpu.sim.shooting import _spectral_wave_numbers  # 1-D helper
+
+
+def _wave_vectors_2d(model, corr_length, mode_no, seed=0):
+    """2-D spectral-measure wave vectors (see SpectralCorrelatedField)."""
+    key = jax.random.key(seed)
+    if model == "exp":
+        y = jax.random.normal(key, (mode_no, 2))
+        w = jax.random.chisquare(jax.random.fold_in(key, 1), 1.0, (mode_no, 1))
+        k = y / jnp.sqrt(w) / corr_length
+    else:
+        k = jax.random.normal(key, (mode_no, 2)) * (np.sqrt(2.0) / corr_length)
+    return k
+
+
+class DiffusionSimulation(Simulation):
+    """2-D Darcy flow with random log-normal conductivity."""
+
+    N_MODES = 256
+    CG_TOL = 1e-9
+
+    def __init__(self, config=None):
+        """:param config: dict with keys
+        sigma (log-field std, default 1), corr_length (default 0.2),
+        model ('gauss'|'exp'), n_modes, cg_maxiter_factor
+        """
+        super().__init__()
+        self._config = dict(config or {})
+        self.need_workspace = False
+
+    def level_instance(self, fine_level_params: List[float],
+                       coarse_level_params: List[float]) -> LevelSimulation:
+        config = copy.deepcopy(self._config)
+        fine_step = float(fine_level_params[0])
+        coarse_step = float(coarse_level_params[0])
+        config["fine_n"] = max(int(round(1.0 / fine_step)), 2)
+        config["coarse_n"] = max(int(round(1.0 / coarse_step)), 2) if coarse_step > 0 else 0
+        config["res_format"] = self.result_format()
+        config["_wave_vectors"] = _wave_vectors_2d(
+            config.get("model", "gauss"), config.get("corr_length", 0.2),
+            config.get("n_modes", self.N_MODES), seed=config.get("seed", 0))
+        return LevelSimulation(config_dict=config,
+                               task_size=self.n_ops_estimate(fine_step))
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def _conductivity(cls, config, key, n):
+        """K = exp(sigma * G) at cell centers of an n x n grid."""
+        k_vec = config["_wave_vectors"]          # [M, 2]
+        sigma = config.get("sigma", 1.0)
+        h = 1.0 / n
+        centers = (jnp.arange(n) + 0.5) * h
+        X, Y = jnp.meshgrid(centers, centers, indexing="ij")
+        pts = jnp.stack([X.ravel(), Y.ravel()], axis=1)      # [n*n, 2]
+        phases = jax.random.uniform(key, (k_vec.shape[0],), maxval=2 * np.pi)
+        g = jnp.sqrt(2.0 / k_vec.shape[0]) * jnp.sum(
+            jnp.cos(pts @ k_vec.T + phases[None, :]), axis=1)
+        return jnp.exp(sigma * g).reshape(n, n)
+
+    @staticmethod
+    def _face_conductivities(K):
+        """Harmonic averages on interior faces + boundary half-cell faces."""
+        # x-direction faces between columns j and j+1: [n, n-1]
+        Kx = 2.0 * K[:, :-1] * K[:, 1:] / (K[:, :-1] + K[:, 1:])
+        # y-direction faces between rows i and i+1: [n-1, n]
+        Ky = 2.0 * K[:-1, :] * K[1:, :] / (K[:-1, :] + K[1:, :])
+        return Kx, Ky
+
+    @classmethod
+    def _solve_pressure(cls, config, K):
+        """CG solve of the 5-point finite-volume system on the n x n grid.
+
+        Unknowns = cell pressures p [n, n]; Dirichlet p=1 at x=0 edge and
+        p=0 at x=1 edge enter through half-cell transmissibilities; no-flux
+        top/bottom. All transmissibilities are per unit h (the common h^0
+        factor cancels in the flux QoI scaling below).
+        """
+        n = K.shape[0]
+        Kx, Ky = cls._face_conductivities(K)
+        # boundary half-faces (distance h/2 -> transmissibility 2K)
+        Kleft = 2.0 * K[:, 0]     # [n]
+        Kright = 2.0 * K[:, -1]   # [n]
+
+        def matvec(p):
+            p = p.reshape(n, n)
+            # interior x-fluxes
+            fx = Kx * (p[:, 1:] - p[:, :-1])          # [n, n-1]
+            fy = Ky * (p[1:, :] - p[:-1, :])          # [n-1, n]
+            div = jnp.zeros_like(p)
+            div = div.at[:, :-1].add(fx)
+            div = div.at[:, 1:].add(-fx)
+            div = div.at[:-1, :].add(fy)
+            div = div.at[1:, :].add(-fy)
+            # Dirichlet boundaries: flux to ghost values (folded into rhs)
+            div = div.at[:, 0].add(Kleft * (0.0 - p[:, 0]))
+            div = div.at[:, -1].add(Kright * (0.0 - p[:, -1]))
+            return (-div).reshape(-1)
+
+        b = jnp.zeros((n, n))
+        b = b.at[:, 0].add(Kleft * 1.0)    # p=1 on the left edge
+        b = b.reshape(-1)
+
+        diag = jnp.zeros((n, n))
+        diag = diag.at[:, :-1].add(Kx)
+        diag = diag.at[:, 1:].add(Kx)
+        diag = diag.at[:-1, :].add(Ky)
+        diag = diag.at[1:, :].add(Ky)
+        diag = diag.at[:, 0].add(Kleft)
+        diag = diag.at[:, -1].add(Kright)
+        M = lambda r: r / diag.reshape(-1)
+
+        maxiter = config.get("cg_maxiter_factor", 10) * n
+        p, _ = jax.scipy.sparse.linalg.cg(
+            matvec, b, tol=cls.CG_TOL, maxiter=maxiter, M=M)
+        return p.reshape(n, n)
+
+    @classmethod
+    def _sample_flux(cls, config, key, n):
+        """Total outflow through the right edge == effective conductivity.
+
+        Transmissibility of a boundary half-face is 2K (face length h over
+        distance h/2, the h's cancel), so flux = sum_i 2 K_i (p_i - 0).
+        Homogeneous check: K=k0 gives linear p with p_last = h/2 and
+        flux = n * 2 k0 h/2 = k0 — the Darcy value for a unit square.
+        """
+        K = cls._conductivity(config, key, n)
+        p = cls._solve_pressure(config, K)
+        return jnp.sum(2.0 * K[:, -1] * p[:, -1])
+
+    @classmethod
+    def _calculate_one(cls, config, key):
+        fine = cls._sample_flux(config, key, config["fine_n"])
+        if config["coarse_n"] > 0:
+            coarse = cls._sample_flux(config, key, config["coarse_n"])
+        else:
+            coarse = jnp.zeros_like(fine)
+        return fine[None], coarse[None]
+
+    @classmethod
+    def calculate(cls, config, seed):
+        key = jax.random.key(np.uint32(seed))
+        fine, coarse = cls._calculate_one(config, key)
+        return np.asarray(fine), np.asarray(coarse)
+
+    @classmethod
+    def calculate_batch(cls, config, keys, attempts=None):
+        fine, coarse = jax.vmap(lambda k: cls._calculate_one(config, k))(keys)
+        failed = jnp.zeros(keys.shape[0], dtype=bool)
+        return fine, coarse, failed
+
+    def n_ops_estimate(self, step):
+        n = 1.0 / step
+        return n * n * np.log(max(n, 2.0))
+
+    def result_format(self) -> List[QuantitySpec]:
+        return [QuantitySpec(name="flux", unit="m^3/s", shape=(1,), times=[0],
+                             locations=["outflow"])]

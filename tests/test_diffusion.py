@@ -1,0 +1,65 @@
+"""Diffusion (cond_field) simulation tests — BASELINE.json config 5.
+
+Homogeneous-limit exactness, lognormal effective-conductivity statistics
+(2-D geometric-mean law), fine/coarse coupling, full MLMC loop.
+"""
+import numpy as np
+import jax
+
+from mlmc_tpu import Memory, DeviceBatchPool, Sampler, Legendre
+from mlmc_tpu import estimator as est_mod
+from mlmc_tpu.quantity.quantity import make_root_quantity
+from mlmc_tpu.sim.diffusion import DiffusionSimulation
+
+
+def test_homogeneous_limit():
+    """sigma=0 -> K=1 -> flux = 1 exactly (Darcy on the unit square)."""
+    sim = DiffusionSimulation(dict(sigma=0.0, corr_length=0.2))
+    level_sim = sim.level_instance([1 / 16], [0])
+    fine, coarse = DiffusionSimulation.calculate(level_sim.config_dict, seed=7)
+    assert abs(float(fine[0]) - 1.0) < 1e-6, fine
+
+
+def test_effective_conductivity_statistics():
+    """2-D lognormal medium: effective K ~= geometric mean = exp(0) = 1
+    (classic duality result for sigma not too large)."""
+    sim = DiffusionSimulation(dict(sigma=0.5, corr_length=0.3, n_modes=128))
+    level_sim = sim.level_instance([1 / 32], [0])
+    keys = jax.random.split(jax.random.key(0), 64)
+    fine, _, _ = DiffusionSimulation.calculate_batch(level_sim.config_dict, keys)
+    fluxes = np.asarray(fine)[:, 0]
+    assert np.all(fluxes > 0)
+    mean = fluxes.mean()
+    sem = fluxes.std() / np.sqrt(len(fluxes))
+    assert abs(mean - 1.0) < max(5 * sem, 0.1), (mean, sem)
+
+
+def test_fine_coarse_coupling():
+    """Shared field realization -> strongly correlated fine/coarse fluxes."""
+    sim = DiffusionSimulation(dict(sigma=1.0, corr_length=0.3, n_modes=128))
+    level_sim = sim.level_instance([1 / 32], [1 / 8])
+    keys = jax.random.split(jax.random.key(3), 48)
+    fine, coarse, _ = DiffusionSimulation.calculate_batch(level_sim.config_dict, keys)
+    f, c = np.asarray(fine)[:, 0], np.asarray(coarse)[:, 0]
+    assert np.var(f - c) < 0.3 * np.var(f), (np.var(f - c), np.var(f))
+
+
+def test_diffusion_mlmc_loop():
+    sim = DiffusionSimulation(dict(sigma=0.7, corr_length=0.3, n_modes=64))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=5, min_bucket=32), sim,
+                      [[1 / 4], [1 / 16]])
+    sampler.set_initial_n_samples([64, 16])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    quantity = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = quantity["flux"][0]["outflow"][0]
+    domain = est_mod.Estimate.estimate_domain(vq, storage, quantile=0.01)
+    mfn = Legendre(4, domain)
+    est = est_mod.Estimate(vq, storage, mfn)
+    means, variances = est.estimate_moments(mfn)
+    assert means[0] == 1 and variances[0] == 0
+    # n_ops recorded per level (allocation inputs)
+    n_ops = storage.get_n_ops()
+    assert len(n_ops) == 2 and all(c > 0 for c in n_ops)
