@@ -205,6 +205,22 @@ class Estimate:
         var_plot.add_variances(self.mean_bs_l_vars, sample_vec, ref_level_vars=self._bs_level_mean_variance)
         var_plot.show(None)
 
+    def plot_bs_var_log(self, sample_vec=None):
+        """Bootstrap variance diagnostics (reference estimator.py:231-247)."""
+        from mlmc_tpu.plot import plots
+
+        sample_vec = determine_sample_vec(
+            n_collected_samples=self._sample_storage.get_n_collected(),
+            n_levels=self._sample_storage.get_n_levels(),
+            sample_vector=sample_vec,
+        )
+        self.est_bootstrap(n_subsamples=100, sample_vector=sample_vec)
+        bs_plot = plots.BSplots(
+            n_samples=sample_vec, bs_n_samples=sample_vec,
+            n_moments=self.n_moments, ref_level_var=self.mean_bs_l_vars)
+        bs_plot.plot_bs_variances(self.var_bs_l_vars)
+        return bs_plot
+
     def fine_coarse_violinplot(self):
         import pandas as pd
         from mlmc_tpu.plot import violinplot

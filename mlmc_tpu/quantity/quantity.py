@@ -13,6 +13,7 @@ Differences from the reference:
 * sample memoization is an explicit dict keyed like the reference
   (level, chunk, size, node-id) with a global ``cache_clear()``.
 """
+import itertools
 import operator
 import numpy as np
 import jax.numpy as jnp
@@ -24,8 +25,11 @@ from mlmc_tpu.quantity.quantity_spec import QuantitySpec, ChunkSpec
 _RNG = np.random.default_rng()
 
 # global memoization of Quantity.samples evaluations (reference uses
-# @cached with custom key (level_id, chunk_id, chunk_size, id(self)))
+# @cached with custom key (level_id, chunk_id, chunk_size, id(self));
+# we use a monotonic per-node uid instead of id() — CPython reuses ids
+# after GC, which would let stale cache entries alias new nodes)
 _SAMPLE_CACHE = {}
+_UID_COUNTER = itertools.count()
 
 
 def cache_clear():
@@ -62,6 +66,7 @@ class Quantity:
         self._operation = operation
         self._input_quantities = input_quantities
         self._traceable = traceable
+        self._uid = next(_UID_COUNTER)
         self._storage = self.get_quantity_storage()
         self._selection_id = self.set_selection_id()
         self._check_selection_ids()
@@ -106,7 +111,7 @@ class Quantity:
             return self._selection_id
         if self._storage is None:
             self._storage = self.get_quantity_storage()
-        return id(self._storage)
+        return None if self._storage is None else self._storage._uid
 
     def size(self) -> int:
         return self.qtype.size()
@@ -122,7 +127,7 @@ class Quantity:
         chunk_size = None
         if chunk_spec.chunk_slice is not None:
             chunk_size = chunk_spec.chunk_slice.stop - chunk_spec.chunk_slice.start
-        return (chunk_spec.level_id, chunk_spec.chunk_id, chunk_size, id(self))
+        return (chunk_spec.level_id, chunk_spec.chunk_id, chunk_size, self._uid)
 
     def samples(self, chunk_spec):
         """Evaluate this node's chunk for one ChunkSpec (memoized)."""
@@ -188,7 +193,7 @@ class Quantity:
         q = Quantity(
             quantity_type=self.qtype, input_quantities=[self, masks], operation=op, traceable=False
         )
-        q._selection_id = id(q)
+        q._selection_id = q._uid
         return q
 
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
@@ -500,6 +505,7 @@ class _SubsampleParamsQuantity:
 class QuantityConst(Quantity):
     def __init__(self, quantity_type, value):
         self.qtype = quantity_type
+        self._uid = next(_UID_COUNTER)
         self._value = self._process_value(value)
         self._input_quantities = []
         self._selection_id = None
@@ -597,6 +603,7 @@ class QuantityStorage(Quantity):
     def __init__(self, storage, qtype):
         self._storage = storage
         self.qtype = qtype
+        self._uid = next(_UID_COUNTER)
         self._input_quantities = []
         self._operation = None
         self._traceable = True
@@ -606,7 +613,7 @@ class QuantityStorage(Quantity):
         return self._storage.get_level_ids()
 
     def selection_id(self):
-        return id(self)
+        return self._uid
 
     def get_quantity_storage(self):
         return self

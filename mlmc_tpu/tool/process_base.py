@@ -1,0 +1,192 @@
+"""CLI application driver.
+
+Re-design of reference mlmc/tool/process_base.py:8-394: the same verbs
+``run | collect | renew | process`` over a work dir, as a subclassable
+driver. Subclasses implement ``setup_config(n_levels, clean)`` returning a
+(sampler, estimator-inputs) bundle and optionally ``process_analysis``.
+
+The PBS environment switcheroo of the reference (:105-138) is replaced by
+device selection: samples execute on whatever jax.devices() provides
+(TPU chip(s) or the CPU mesh) through DeviceBatchPool.
+"""
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+from mlmc_tpu.sample_storage_hdf import SampleStorageHDF
+from mlmc_tpu.sampling_pool import DeviceBatchPool
+from mlmc_tpu.sampler import Sampler
+from mlmc_tpu import estimator as est_mod
+
+
+class ProcessBase:
+    """Subclassable CLI driver with run/collect/renew/process verbs."""
+
+    def __init__(self, argv=None):
+        args = ProcessBase.get_arguments(
+            sys.argv[1:] if argv is None else argv)
+        self.step_range = (1, 0.01)
+        self.n_levels = 2
+        self.n_moments = 25
+        self.work_dir = os.path.abspath(args.work_dir)
+        self.append = False
+        self.clean = args.clean
+        self.debug = args.debug
+
+        if args.command == "run":
+            self.run()
+        elif args.command == "renew":
+            self.append = True
+            self.clean = False
+            self.run(renew=True)
+        elif args.command == "collect":
+            self.append = True
+            self.clean = False
+            self.run()
+        else:  # process
+            self.process()
+
+    @staticmethod
+    def get_arguments(arguments):
+        parser = argparse.ArgumentParser()
+        parser.add_argument(
+            "command", choices=["run", "collect", "renew", "process"],
+            help="run - new execution; collect - append existing HDF file; "
+                 "renew - re-run failed samples (same ids => same seeds); "
+                 "process - analyze collected data")
+        parser.add_argument("work_dir", help="Work directory")
+        parser.add_argument("-c", "--clean", default=False, action="store_true",
+                            help="Clean before run (only with 'run')")
+        parser.add_argument("-d", "--debug", default=False, action="store_true",
+                            help="Keep sample directories")
+        return parser.parse_args(arguments)
+
+    # ------------------------------------------------------------------ #
+    # subclass hooks
+    # ------------------------------------------------------------------ #
+    def create_simulation(self):
+        """:return: Simulation factory. Subclasses must override."""
+        raise NotImplementedError
+
+    def create_moments_fn(self, quantity, storage):
+        from mlmc_tpu.moments import Legendre
+
+        domain = est_mod.Estimate.estimate_domain(quantity, storage,
+                                                  quantile=0.001)
+        return Legendre(self.n_moments, domain)
+
+    def get_quantity(self, storage, sim_factory):
+        from mlmc_tpu.quantity.quantity import make_root_quantity
+
+        return make_root_quantity(storage, q_specs=sim_factory.result_format())
+
+    def initial_n_samples(self):
+        return [100, 10]
+
+    def target_var(self):
+        return 1e-3
+
+    # ------------------------------------------------------------------ #
+    def setup_config(self, n_levels, clean):
+        """Build (sampler, sim_factory) over HDF storage in the work dir."""
+        os.makedirs(self.work_dir, mode=0o775, exist_ok=True)
+        hdf_path = os.path.join(self.work_dir,
+                                "mlmc_{}.hdf5".format(n_levels))
+        if clean and os.path.exists(hdf_path):
+            os.remove(hdf_path)
+        sim_factory = self.create_simulation()
+        storage = SampleStorageHDF(file_path=hdf_path)
+        pool = DeviceBatchPool(work_dir=self.work_dir if self.debug else None,
+                               debug=self.debug)
+        level_parameters = est_mod.determine_level_parameters(
+            n_levels, self.step_range)
+        sampler = Sampler(sample_storage=storage, sampling_pool=pool,
+                          sim_factory=sim_factory,
+                          level_parameters=level_parameters)
+        return sampler, sim_factory
+
+    def run(self, renew=False):
+        os.makedirs(self.work_dir, mode=0o775, exist_ok=True)
+        sampler_list = []
+        for nl in [self.n_levels]:
+            sampler, sim_factory = self.setup_config(nl, clean=self.clean)
+            if renew:
+                sampler.ask_sampling_pool_for_samples()
+                sampler.renew_failed_samples()
+                sampler.ask_sampling_pool_for_samples()
+            else:
+                self.generate_jobs(sampler, sim_factory,
+                                   n_samples=self.initial_n_samples())
+            sampler_list.append((sampler, sim_factory))
+        self.all_collect(sampler_list)
+        return sampler_list
+
+    def generate_jobs(self, sampler, sim_factory, n_samples=None):
+        """Initial scheduling + adaptive refinement to the target variance."""
+        if n_samples is not None:
+            sampler.set_initial_n_samples(n_samples)
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+
+        quantity = self.get_quantity(sampler.sample_storage, sim_factory)
+        q_scalar = self.scalar_quantity(quantity)
+        moments_fn = self.create_moments_fn(q_scalar, sampler.sample_storage)
+        estimator = est_mod.Estimate(q_scalar, sampler.sample_storage,
+                                     moments_fn)
+        target_var = self.target_var()
+        variances, n_ops = estimator.estimate_diff_vars_regression(
+            sampler._n_scheduled_samples)
+        n_estimated = est_mod.estimate_n_samples_for_target_variance(
+            target_var, variances, n_ops, n_levels=sampler.n_levels)
+        while not sampler.process_adding_samples(n_estimated, 0, 0.1):
+            variances, n_ops = estimator.estimate_diff_vars_regression(
+                sampler._n_scheduled_samples)
+            n_estimated = est_mod.estimate_n_samples_for_target_variance(
+                target_var, variances, n_ops, n_levels=sampler.n_levels)
+
+    def scalar_quantity(self, root_quantity):
+        """First scalar component; subclasses pick their QoI."""
+        spec = root_quantity.qtype
+        # walk Dict -> TimeSeries -> Field -> Array -> scalar
+        q = root_quantity
+        import mlmc_tpu.quantity.quantity_types as qt
+
+        while not isinstance(q.qtype, qt.ScalarType):
+            t = q.qtype
+            if isinstance(t, qt.DictType):
+                q = q[next(iter(t._dict.keys()))]
+            elif isinstance(t, qt.TimeSeriesType):
+                q = q[t._times[0]]
+            elif isinstance(t, qt.FieldType):
+                q = q[next(iter(t._dict.keys()))]
+            elif isinstance(t, qt.ArrayType):
+                q = q[(0,) * len(t._shape)]
+            else:
+                break
+        return q
+
+    def all_collect(self, sampler_list):
+        """Wait for all samplers to drain (reference :218-229)."""
+        running = 1
+        while running > 0:
+            running = 0
+            for sampler, _ in sampler_list:
+                running += sampler.ask_sampling_pool_for_samples()
+            print("N running: ", running)
+
+    def process(self):
+        """Analyze collected data (subclass hook; default: print moments)."""
+        assert os.path.isdir(self.work_dir)
+        sampler, sim_factory = self.setup_config(self.n_levels, clean=False)
+        quantity = self.get_quantity(sampler.sample_storage, sim_factory)
+        q_scalar = self.scalar_quantity(quantity)
+        moments_fn = self.create_moments_fn(q_scalar, sampler.sample_storage)
+        estimator = est_mod.Estimate(q_scalar, sampler.sample_storage,
+                                     moments_fn)
+        means, variances = estimator.estimate_moments(moments_fn)
+        print("moment means:", np.asarray(means))
+        print("moment vars: ", np.asarray(variances))
+        return means, variances

@@ -1,0 +1,139 @@
+"""Plot layer, CLI driver, stats-test helpers — smoke + behavior tests."""
+import os
+import numpy as np
+import pytest
+
+import mlmc_tpu
+from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler, Legendre
+from mlmc_tpu import estimator as est_mod
+from mlmc_tpu.quantity.quantity import make_root_quantity
+from mlmc_tpu.random.distributions import Norm
+from mlmc_tpu.tool.stats_tests import t_test, chi2_test, anova
+
+
+@pytest.fixture(scope="module")
+def run_small_mlmc():
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=8, min_bucket=64), sim,
+                      [[0.1], [0.01]])
+    sampler.set_initial_n_samples([300, 80])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    quantity = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = quantity["length"][1]["10"][0]
+    mfn = Legendre(5, distr.ppf([0.001, 0.999]))
+    est = est_mod.Estimate(vq, storage, mfn)
+    return storage, est, mfn, vq
+
+
+def test_stats_helpers():
+    rng = np.random.default_rng(0)
+    samples = rng.normal(2.0, 1.5, size=5000)
+    t_test(2.0, samples)
+    chi2_test(1.5 ** 2, samples)
+    with pytest.raises(AssertionError):
+        t_test(3.0, samples)
+    # ANOVA: same-mean groups accepted, different-mean rejected
+    assert anova([rng.normal(0, 1, 200) for _ in range(4)])
+    assert not anova([rng.normal(i, 1, 200) for i in range(4)])
+
+
+def test_plots_smoke(tmp_path, run_small_mlmc):
+    """Every plot class renders + saves without error."""
+    import scipy.stats as stats
+    from mlmc_tpu.plot import plots
+    import mlmc_tpu.tool.simple_distribution as sd
+
+    storage, est, mfn, vq = run_small_mlmc
+
+    # Distribution plot with a reconstructed density
+    distr_obj, info, result, _ = est.construct_density(tol=1e-7)
+    dp = plots.Distribution(exact_distr=stats.norm(), title="test")
+    dp.add_distribution(distr_obj)
+    dp.add_raw_samples(np.asarray(
+        est.get_level_samples(level_id=0))[0, :, 0])
+    dp.show(file=str(tmp_path / "distribution"))
+
+    # Eigenvalues
+    ev = plots.Eigenvalues(title="eigs")
+    ev.add_values(info[0], threshold=info[1], label="cov spectrum")
+    ev.add_linear_fit(np.abs(info[0]))
+    ev.show(file=str(tmp_path / "eigs"))
+
+    # moments basis
+    plots.moments(mfn, title="moments", file=str(tmp_path / "moments"))
+
+    # variance breakdown + level variances
+    l_vars, n_samples = est.estimate_diff_vars(mfn)
+    vb = plots.VarianceBreakdown()
+    vb.add_variances(l_vars, n_samples)
+    vb.show(file=str(tmp_path / "varbreak"))
+
+    var_plot = plots.Variance()
+    var_plot.add_level_variances(
+        np.squeeze(np.asarray(storage.get_level_parameters())), l_vars)
+    var_plot.show(file=str(tmp_path / "vars"))
+
+    # BSplots
+    est.est_bootstrap(n_subsamples=10, sample_vector=[100, 40])
+    bs = plots.BSplots(n_samples=[300, 80], bs_n_samples=[100, 40],
+                       n_moments=5, ref_level_var=l_vars)
+    bs.plot_bootstrap_variance_compare(est.mean_bs_l_vars,
+                                       file=str(tmp_path / "bscmp"))
+    bs.plot_means_and_vars(est.mean_bs_mean, est.var_bs_mean, 2,
+                           file=str(tmp_path / "bsmv"))
+    bs.plot_var_regression(est, 2, mfn, file=str(tmp_path / "bsreg"))
+
+    # module-level plots
+    plots.plot_vars(est.mean_bs_mean, est.var_bs_mean, 2,
+                    file=str(tmp_path / "pv"))
+    plots.plot_diff_var(l_vars, 5, np.squeeze(
+        np.asarray(storage.get_level_parameters())), file=str(tmp_path / "pdv"))
+
+    for f in ["distribution.pdf", "eigs.pdf", "moments.pdf", "varbreak.pdf",
+              "vars.pdf", "bscmp.pdf", "bsmv.pdf", "bsreg.pdf"]:
+        assert (tmp_path / f).exists(), f
+
+
+def test_violinplot(tmp_path, run_small_mlmc):
+    storage, est, mfn, vq = run_small_mlmc
+    import pandas as pd
+    from mlmc_tpu.plot import violinplot
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({
+        "samples": rng.normal(size=200),
+        "type": ["fine", "coarse"] * 100,
+        "level": ["0 F  1 C"] * 200,
+    })
+    out = str(tmp_path / "violin.pdf")
+    violinplot.fine_coarse_violinplot(df, file=out)
+    assert os.path.exists(out)
+
+
+def test_process_base_cli(tmp_path):
+    """run + renew + process verbs against a synthetic simulation."""
+    from mlmc_tpu.tool.process_base import ProcessBase
+
+    class SynthProcess(ProcessBase):
+        def create_simulation(self):
+            return SynthSimulation(dict(distr=Norm(), complexity=2))
+
+        def initial_n_samples(self):
+            return [50, 10]
+
+        def target_var(self):
+            return 5e-2
+
+    work_dir = str(tmp_path / "cli_run")
+    p = SynthProcess(argv=["run", work_dir, "--clean"])
+    assert os.path.exists(os.path.join(work_dir, "mlmc_2.hdf5"))
+
+    means, variances = SynthProcess(
+        argv=["process", work_dir]).process()
+    assert np.asarray(means)[0] == 1.0
+
+    # renew on the existing storage
+    SynthProcess(argv=["renew", work_dir])
