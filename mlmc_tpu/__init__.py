@@ -42,5 +42,8 @@ from mlmc_tpu.sampler import Sampler
 from mlmc_tpu.estimator import Estimate
 from mlmc_tpu.sim.simulation import Simulation
 from mlmc_tpu.sim.synth_simulation import SynthSimulation
+from mlmc_tpu.sim.synth_simulation_workspace import SynthSimulationWorkspace
+from mlmc_tpu.sim.shooting import ShootingSimulation1D, ShootingSimulation2D
+from mlmc_tpu.sim.diffusion import DiffusionSimulation
 
 __version__ = "0.1.0"

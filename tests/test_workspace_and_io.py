@@ -1,0 +1,94 @@
+"""Workspace simulation path, GmshIO round-trip, legacy Distribution."""
+import os
+import numpy as np
+import pytest
+import scipy.stats as stats
+import yaml
+
+from mlmc_tpu import (Memory, OneProcessPool, ThreadPool, Sampler, Legendre,
+                      SynthSimulationWorkspace)
+from mlmc_tpu import estimator as est_mod
+from mlmc_tpu.quantity.quantity import make_root_quantity
+
+
+@pytest.mark.parametrize("pool_factory", [OneProcessPool, lambda **kw: ThreadPool(2, **kw)])
+def test_workspace_simulation(tmp_path, pool_factory):
+    """Workspace sims: config YAML copied into per-sample dirs, chdir path
+    (mirrors reference test_sampling_pools / SynthSimulationWorkspace)."""
+    cfg_file = tmp_path / "synth_sim_config.yaml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump({"distr": "norm", "nan_fraction": 0.1}, f)
+
+    sim = SynthSimulationWorkspace(dict(config_yaml=str(cfg_file)))
+    storage = Memory()
+    pool = pool_factory(work_dir=str(tmp_path / "work"), debug=False)
+    sampler = Sampler(storage, pool, sim, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([30, 10])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    n_collected = storage.get_n_collected()
+    n_failed = sum(len(v) for v in storage.failed_samples().values())
+    assert n_collected[0] + n_collected[1] + n_failed == 40
+    assert n_failed > 0  # nan_fraction injects failures
+
+    quantity = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = quantity["length"][1]["10"][0]
+    mfn = Legendre(4, stats.norm(1, 2).ppf([0.001, 0.999]))
+    means, _ = est_mod.Estimate(vq, storage, mfn).estimate_moments(mfn)
+    assert means[0] == 1
+
+
+def test_gmsh_io_roundtrip(tmp_path):
+    from mlmc_tpu.tool.gmsh_io import GmshIO
+
+    io = GmshIO()
+    io.nodes = {1: (0.0, 0.0, 0.0), 2: (1.0, 0.0, 0.0), 3: (0.0, 1.0, 0.0)}
+    io.elements = {1: (2, [1, 1], [1, 2, 3])}  # one triangle
+    io.physical = {"domain": (1, 2)}
+
+    path = str(tmp_path / "mesh.msh")
+    io.write_ascii(path)
+    io2 = GmshIO(path)
+    assert io2.nodes == io.nodes
+    assert io2.elements == io.elements
+    assert io2.physical == io.physical
+
+    # fields write + read back
+    fields_path = str(tmp_path / "fields.msh")
+    io.write_fields(fields_path, [1], {"conductivity": np.array([[2.5]])})
+    io3 = GmshIO(fields_path)
+    data = io3.read_element_data()
+    assert "conductivity" in data
+    assert data["conductivity"][0.0][1] == [2.5]
+
+
+def test_legacy_distribution_continuation():
+    from mlmc_tpu.moments import Legendre as Leg
+    from mlmc_tpu.tool.distribution import Distribution
+    import mlmc_tpu.tool.simple_distribution as sd
+    from tests.test_distribution import CutDistribution
+
+    cut = CutDistribution(stats.norm(0, 1), quantile=0.001)
+    n_moments = 21
+    mfn = Leg(n_moments, cut.domain, safe_eval=False)
+    exact_moments = sd.compute_semiexact_moments(mfn, cut.pdf, tol=1e-13)
+    moments_data = np.stack((exact_moments, np.ones(n_moments)), axis=1)
+    d = Distribution(mfn, moments_data, domain=cut.domain,
+                     force_decay=cut.force_decay)
+    result = d.estimate_density_minimize(tol=1e-8)
+    assert result.success
+    kl = sd.KL_divergence(cut.pdf, d.density, *cut.domain)
+    assert kl < 1e-6, kl
+    # schedule is geometric, odd, ends exactly at the final size
+    sched = Distribution.size_schedule(21)
+    assert sched[-1] == 21
+    assert all(s % 2 == 1 for s in sched[:-1])
+    assert sched == sorted(set(sched))
+
+
+def test_frac_geom_gated():
+    from mlmc_tpu.random import frac_geom
+
+    with pytest.raises(ImportError):
+        frac_geom.make_frac_mesh(None, 0.1, [], 0.1)
