@@ -1,19 +1,22 @@
 """Benchmark: moment+covariance estimation throughput (samples/s/chip).
 
 Workload = BASELINE.json config 1: 5-level SynthSimulation, 25 Legendre
-moments, full mean/variance/covariance estimate over 10^8 telescoped samples,
-via the fused on-device pipeline (mlmc_tpu.ops.fused_estimate) — samples are
-generated, pushed through the Legendre Vandermonde, and reduced without ever
-touching HBM as a stored batch. Afterwards a maxent PDF is reconstructed from
-the estimated covariance (config 3 flavor) and its solve time reported.
+moments, full mean/variance/covariance estimate over 10^8 telescoped
+samples. Headline path = the fused Pallas kernel
+(mlmc_tpu.ops.pallas_kernels): sample generation, QoI evaluation, Legendre
+Vandermonde, and all reductions run in VMEM, one kernel per level. The
+XLA-fused pipeline (mlmc_tpu.ops.fused_estimate) is timed as a secondary
+number. Afterwards a maxent PDF is reconstructed from the estimated
+covariance (config 3 flavor) and its solve time reported.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "samples/s/chip", "vs_baseline": N}
 
-vs_baseline compares against the reference numpy pipeline measured on one
-CPU host (see BASELINE.md "measured" section): the same per-sample work
-(sample gen + legvander(25) + diff + sum/sum2 + outer-product accumulation)
-in vectorized numpy.
+vs_baseline compares against the strongest single-host numpy pipeline
+measured on this machine (BASELINE.md "measured" section): the same math
+(gen + legvander(25) + diff sums + phi^T phi) vectorized and chunked —
+6.98e5 samples/s. The reference's actual code path (lazy Quantity DAG)
+measures 2.35e3 samples/s with covariance.
 """
 import json
 import time
@@ -26,25 +29,53 @@ from mlmc_tpu.moments import Legendre
 from mlmc_tpu.random.distributions import Norm
 from mlmc_tpu.sim.synth_simulation import SynthSimulation
 from mlmc_tpu.ops.fused_estimate import fused_mlmc_moments, accumulators_to_estimates
+from mlmc_tpu.ops.pallas_kernels import synth_moment_pipeline
 
-# Baseline: best-case single-host numpy doing the same math (gen +
-# legvander(25) + diff sums + phi^T phi accumulation), measured on this
-# machine — 6.98e5 samples/s. The reference's ACTUAL code path (lazy
-# Quantity DAG, estimate_mean + covariance, reference
-# mlmc/quantity/quantity_estimate.py:43-65) measures 2.35e3 samples/s;
-# we compare against the far stronger idealized kernel. See BASELINE.md.
 BASELINE_SAMPLES_PER_S = 6.98e5
 
 N_MOMENTS = 25
 LEVEL_STEPS = [0.5, 0.25, 0.125, 0.0625, 0.03125]
-# 10^8 samples, MLMC-style geometric decay across 5 levels
 N_PER_LEVEL = [64_000_000, 24_000_000, 8_000_000, 3_000_000, 1_000_000]
-CHUNK = 1 << 19  # 512k samples per fori_loop step
+DOMAIN = (-4.0, 4.0)
+PALLAS_CHUNK = 32768
+XLA_CHUNK = 1 << 19
 
 
-def build_step():
+def run_pallas(seed):
+    """All 5 levels through the fused Pallas kernel; returns accumulators."""
+    out = []
+    for lvl, (h, n) in enumerate(zip(LEVEL_STEPS, N_PER_LEVEL)):
+        coarse = 0.0 if lvl == 0 else LEVEL_STEPS[lvl - 1]
+        out.append(synth_moment_pipeline(
+            seed * 1000 + lvl, N_MOMENTS, n,
+            fine_step=h, coarse_step=coarse, domain=DOMAIN,
+            chunk=PALLAS_CHUNK, is_level0=(lvl == 0)))
+    return out
+
+
+def pallas_estimates(accs):
+    """Combine per-level kernel accumulators into MLMC estimates."""
+    l_means, l_vars, ns, covs = [], [], [], []
+    for lvl, a in enumerate(accs):
+        s = np.asarray(a.sums, dtype=np.float64)
+        s2 = np.asarray(a.sums2, dtype=np.float64)
+        n = float(a.n_valid)
+        ns.append(n)
+        l_means.append(s / n)
+        l_vars.append((s2 - s * s / n) / (n - 1))
+        cf = np.asarray(a.cov_fine, dtype=np.float64) / n
+        cc = np.asarray(a.cov_coarse, dtype=np.float64) / n
+        covs.append(cf - cc if lvl > 0 else cf)
+    l_means = np.stack(l_means)
+    ns = np.asarray(ns)
+    return dict(mean=l_means.sum(axis=0),
+                var=(np.stack(l_vars) / ns[:, None]).sum(axis=0),
+                cov=np.sum(covs, axis=0), n_samples=ns)
+
+
+def build_xla_step():
     distr = Norm()
-    moments_fn = Legendre(N_MOMENTS, (-4.0, 4.0))
+    moments_fn = Legendre(N_MOMENTS, DOMAIN)
     fns = []
     for lvl, h in enumerate(LEVEL_STEPS):
         coarse = 0.0 if lvl == 0 else LEVEL_STEPS[lvl - 1]
@@ -52,42 +83,56 @@ def build_step():
 
     def step(root_key):
         return fused_mlmc_moments(
-            fns, moments_fn, root_key, N_PER_LEVEL, chunk_size=CHUNK,
+            fns, moments_fn, root_key, N_PER_LEVEL, chunk_size=XLA_CHUNK,
             acc_dtype=jnp.float32)
 
     return jax.jit(step), moments_fn
 
 
 def main():
-    step, moments_fn = build_step()
-    key = jax.random.key(2024)
+    total = float(sum(N_PER_LEVEL))
+    moments_fn = Legendre(N_MOMENTS, DOMAIN)
 
-    # compile warm-up
-    accs = step(key)
-    jax.block_until_ready(accs)
-
-    n_runs = 3
+    # ---------------- Pallas fused kernel (headline) -------------------- #
+    # 10 repetitions (1e9 samples total) so the wall time dominates any
+    # remote-dispatch latency — small-N timings over the device tunnel are
+    # unreliable (async completion markers)
+    accs = run_pallas(0)
+    _ = float(accs[-1].n_valid)
+    n_runs = 10
     t0 = time.perf_counter()
     for i in range(n_runs):
-        accs = step(jax.random.fold_in(key, i))
-        jax.block_until_ready(accs)
-    elapsed = (time.perf_counter() - t0) / n_runs
+        accs = run_pallas(i + 1)
+        # force a device->host transfer: block_until_ready over the remote
+        # device tunnel acknowledges enqueue, not completion
+        _ = float(accs[-1].n_valid)
+    pallas_s = (time.perf_counter() - t0) / n_runs
+    pallas_thr = total / pallas_s
+    est = pallas_estimates(accs)
 
-    total = float(sum(N_PER_LEVEL))
-    throughput = total / elapsed
+    # ---------------- XLA fused pipeline (secondary) -------------------- #
+    step, _ = build_xla_step()
+    key = jax.random.key(2024)
+    xla_accs = step(key)
+    _ = float(xla_accs[-1].n_valid)
+    t0 = time.perf_counter()
+    xla_accs = step(jax.random.fold_in(key, 1))
+    _ = float(xla_accs[-1].n_valid)
+    xla_s = time.perf_counter() - t0
+    est_xla = accumulators_to_estimates(jax.tree.map(np.asarray, xla_accs))
 
-    est = accumulators_to_estimates(jax.tree.map(np.asarray, accs))
+    # cross-check: Pallas and XLA paths agree to MC tolerance
+    tol = 6 * np.sqrt(est_xla["var"] + est["var"]) + 1e-4
+    agree = bool(np.all(np.abs(est["mean"] - est_xla["mean"]) < tol))
 
-    # maxent PDF reconstruction from the estimated moments (config 3 flavor)
+    # ---------------- maxent PDF from the estimate (config 3) ----------- #
     import mlmc_tpu.tool.simple_distribution as sd
 
     t1 = time.perf_counter()
     with jax.enable_x64(True):
         orto, info = sd.construct_ortogonal_moments(
             moments_fn, est["cov"], tol=1e-7)
-        # means in the orthogonal basis: mu_orto = L @ mu
-        L = info[2]
-        mu = L @ est["mean"]
+        mu = info[2] @ est["mean"]
         moments_data = np.stack((mu, np.ones(orto.size)), axis=1)
         d = sd.SimpleDistribution(orto, moments_data, domain=moments_fn.domain)
         result = d.estimate_density_minimize(tol=1e-9)
@@ -95,11 +140,14 @@ def main():
 
     out = {
         "metric": "fused 5-level moment+cov estimate, 25 Legendre moments, 1e8 samples",
-        "value": round(throughput, 1),
+        "value": round(pallas_thr, 1),
         "unit": "samples/s/chip",
-        "vs_baseline": round(throughput / BASELINE_SAMPLES_PER_S, 2),
+        "vs_baseline": round(pallas_thr / BASELINE_SAMPLES_PER_S, 2),
         "extras": {
-            "wall_s": round(elapsed, 4),
+            "pallas_wall_s": round(pallas_s, 4),
+            "xla_wall_s": round(xla_s, 4),
+            "xla_samples_per_s": round(total / xla_s, 1),
+            "paths_agree": agree,
             "maxent_solve_s": round(maxent_s, 3),
             "maxent_converged": bool(result.success),
             "mean_p1": float(est["mean"][1]),

@@ -1,0 +1,311 @@
+"""Pallas TPU kernel: fused synthetic-sample -> Legendre-moment pipeline.
+
+SURVEY.md §7 kernel #1. One kernel generates a chunk of samples, evaluates
+fine/coarse QoIs, builds the Legendre Vandermonde, and accumulates
+
+    sums   [R]    Σ (phi_f - phi_c)            (VPU row-reduce)
+    sums2  [R]    Σ (phi_f - phi_c)^2          (VPU)
+    cov_f  [R, R] Σ phi_f phi_f^T              (MXU: [R, C] @ [C, R])
+    cov_c  [R, R] Σ phi_c phi_c^T              (MXU)
+
+entirely in VMEM — the XLA version materializes two [C, R] operands to HBM
+per chunk and re-reads them for every consumer, which measures ~3.6e8
+samples/s/chip; keeping the tile resident removes that traffic.
+
+Layout: moments live in the SUBLANE dimension ([R_pad, C] with R_pad=32),
+samples in lanes, so the covariance is a single MXU ``dot(phi, phi^T)``.
+The Legendre recurrence writes successive rows of a [32, C] VMEM scratch.
+Out-of-domain samples (safe_eval clipping) are handled by zeroing the P0/P1
+rows — the three-term recurrence then propagates exact zero columns, so
+invalid samples contribute nothing to any accumulator (no NaN plumbing).
+
+RNG: the on-core PRNG (``pltpu.prng_random_bits``) seeded per
+(seed, chunk index); Box-Muller for normals. This is a different stream
+than jax.random's threefry — the fast path is statistically equivalent,
+not bitwise-reproducible against the stored-sample pools.
+"""
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R_PAD = 32  # sublane-aligned moment count (supports R <= 32)
+_TWO_PI = 6.283185307179586
+
+
+class SynthMomentResult(NamedTuple):
+    sums: jax.Array     # [R]
+    sums2: jax.Array    # [R]
+    cov_fine: jax.Array    # [R, R]
+    cov_coarse: jax.Array  # [R, R]
+    n_valid: jax.Array  # []
+
+
+def _normal_pair(shape):
+    """Two standard-normal arrays via Box-Muller from on-core PRNG bits."""
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits as positive int32 (Mosaic lacks uint32->f32 casts),
+    # scaled to uniform in (0, 1), offset away from zero
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = i2.astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
+
+
+def _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                      n_valid_ref, phi_f, phi_c,
+                      *, n_moments, chunk, fine_step, coarse_step,
+                      t_scale, t_shift, n_total, is_level0=False):
+    """Deterministic kernel body: x [1, chunk] -> accumulator updates.
+
+    Shared by the on-core-RNG kernel (TPU fast path) and the noise-input
+    kernel (exactly testable in interpret mode / against numpy).
+    """
+    # synthetic QoI (reference synth_simulation.py:38-46)
+    err = jnp.sqrt(1e-4 + jnp.abs(x))
+    fine = x + fine_step * err
+    coarse = x + coarse_step * err
+
+    # domain transform + validity (safe_eval clip; tail of last chunk off)
+    t_f = (fine - t_shift) * t_scale
+    t_c = (coarse - t_shift) * t_scale
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    in_range = (i * chunk + lane) < n_total
+    valid = (t_f >= -1.0) & (t_f <= 1.0) & in_range
+    if not is_level0:
+        # reference semantics: a sample is dropped if EITHER part clips
+        valid = valid & (t_c >= -1.0) & (t_c <= 1.0)
+    vf = valid.astype(jnp.float32)
+
+    # Legendre recurrence into [R_PAD, chunk] scratch rows; zeroed P0/P1 for
+    # invalid samples propagate zero columns through the recurrence
+    def build(phi, t):
+        t = jnp.where(valid, t, 0.0)
+        phi[0, :] = vf[0]
+        if n_moments > 1:
+            phi[1, :] = t[0]
+        prev2, prev1 = vf[0], t[0]
+        for n in range(2, n_moments):
+            cur = ((2 * n - 1) * t[0] * prev1 - (n - 1) * prev2) / n
+            phi[n, :] = cur
+            prev2, prev1 = prev1, cur
+        for n in range(n_moments, R_PAD):
+            phi[n, :] = jnp.zeros_like(t[0])
+
+    build(phi_f, t_f)
+    pf = phi_f[...]
+    if is_level0:
+        # level 0 has no coarse contribution (reference strips the slot)
+        dphi = pf
+    else:
+        build(phi_c, t_c)
+        pc = phi_c[...]
+        dphi = pf - pc
+    sums_ref[:, 0:1] += jnp.sum(dphi, axis=1, keepdims=True)
+    sums2_ref[:, 0:1] += jnp.sum(dphi * dphi, axis=1, keepdims=True)
+    cov_f_ref[...] += jax.lax.dot_general(
+        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if not is_level0:
+        cov_c_ref[...] += jax.lax.dot_general(
+            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    n_valid_ref[0, 0] += jnp.sum(vf)
+
+
+def _synth_moment_kernel(seed_ref, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                         n_valid_ref, phi_f, phi_c, **params):
+    """RNG kernel: one grid step generates + accumulates one chunk."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], i)
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+        sums2_ref[...] = jnp.zeros_like(sums2_ref)
+        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
+        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
+        n_valid_ref[0, 0] = jnp.float32(0.0)
+
+    chunk = params["chunk"]
+    x, _ = _normal_pair((8, chunk // 8))
+    x = x.reshape(1, chunk)
+    _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                      n_valid_ref, phi_f, phi_c, **params)
+
+
+def _synth_moment_kernel_noise(seed_ref, noise_ref, sums_ref, sums2_ref,
+                               cov_f_ref, cov_c_ref, n_valid_ref,
+                               phi_f, phi_c, **params):
+    """Noise-input kernel: x comes from HBM (testing / external samples)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+        sums2_ref[...] = jnp.zeros_like(sums2_ref)
+        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
+        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
+        n_valid_ref[0, 0] = jnp.float32(0.0)
+
+    x = noise_ref[...]
+    _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                      n_valid_ref, phi_f, phi_c, **params)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_moments", "n_samples", "chunk", "fine_step",
+                     "coarse_step", "domain", "interpret", "is_level0"))
+def synth_moment_pipeline(seed, n_moments, n_samples, *, fine_step,
+                          coarse_step, domain, chunk=32768, interpret=False,
+                          is_level0=False):
+    """Fused Pallas pipeline for the synthetic benchmark level.
+
+    :param seed: int32 scalar (device or host)
+    :param n_moments: R <= 32 Legendre moments
+    :param n_samples: total samples this level (tail-masked)
+    :param fine_step/coarse_step: sample_fn steps (coarse 0 => level 0)
+    :param domain: moment domain (a, b) mapped onto [-1, 1]
+    :return: SynthMomentResult with f32 accumulators
+    """
+    assert n_moments <= R_PAD
+    assert chunk % 1024 == 0
+    # two [R_PAD, chunk] f32 scratch buffers must fit in 16 MB VMEM
+    assert chunk <= 32768, "chunk > 32768 exceeds VMEM scratch budget"
+    n_chunks = -(-n_samples // chunk)
+    a, b = domain
+    t_scale = 2.0 / (b - a)
+    t_shift = (a + b) / 2.0
+
+    kernel = functools.partial(
+        _synth_moment_kernel,
+        n_moments=n_moments, chunk=chunk,
+        fine_step=fine_step, coarse_step=coarse_step,
+        t_scale=t_scale, t_shift=t_shift, n_total=n_samples,
+        is_level0=is_level0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[],
+        out_specs=[
+            pl.BlockSpec((R_PAD, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, R_PAD), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, R_PAD), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+        ],
+    )
+
+    sums, sums2, cov_f, cov_c, n_valid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.atleast_1d(jnp.asarray(seed, dtype=jnp.int32)))
+
+    R = n_moments
+    return SynthMomentResult(
+        sums=sums[:R, 0],
+        sums2=sums2[:R, 0],
+        cov_fine=cov_f[:R, :R],
+        cov_coarse=cov_c[:R, :R],
+        n_valid=n_valid[0, 0],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_moments", "chunk", "fine_step", "coarse_step",
+                     "domain", "interpret"))
+def synth_moment_pipeline_from_noise(noise, n_moments, *, fine_step,
+                                     coarse_step, domain, chunk=8192,
+                                     interpret=False):
+    """Noise-input variant: x values come from HBM (deterministic body only).
+
+    Exactly testable (feed known normals, compare against numpy); also the
+    hook for externally generated samples. ``noise`` length must be a
+    multiple of ``chunk``.
+    """
+    assert n_moments <= R_PAD
+    assert chunk % 1024 == 0 and chunk <= 32768
+    n_samples = noise.shape[0]
+    assert n_samples % chunk == 0
+    n_chunks = n_samples // chunk
+    a, b = domain
+    kernel = functools.partial(
+        _synth_moment_kernel_noise,
+        n_moments=n_moments, chunk=chunk,
+        fine_step=fine_step, coarse_step=coarse_step,
+        t_scale=2.0 / (b - a), t_shift=(a + b) / 2.0, n_total=n_samples)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R_PAD, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, R_PAD), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, R_PAD), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+        ],
+    )
+
+    sums, sums2, cov_f, cov_c, n_valid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.zeros(1, dtype=jnp.int32),
+      jnp.asarray(noise, dtype=jnp.float32).reshape(1, n_samples))
+
+    R = n_moments
+    return SynthMomentResult(
+        sums=sums[:R, 0],
+        sums2=sums2[:R, 0],
+        cov_fine=cov_f[:R, :R],
+        cov_coarse=cov_c[:R, :R],
+        n_valid=n_valid[0, 0],
+    )
