@@ -30,6 +30,10 @@ from mlmc_tpu.quantity.quantity_types import (
 )
 from mlmc_tpu.sample_storage import SampleStorage, Memory
 from mlmc_tpu.sample_storage_hdf import SampleStorageHDF
+try:  # native engine is optional (needs a C++ toolchain at first use)
+    from mlmc_tpu.sample_storage_bin import SampleStorageBin
+except Exception:  # pragma: no cover
+    SampleStorageBin = None
 from mlmc_tpu.level_simulation import LevelSimulation
 from mlmc_tpu.sampling_pool import (
     SamplingPool,

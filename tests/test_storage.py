@@ -14,6 +14,10 @@ from mlmc_tpu.quantity.quantity_spec import QuantitySpec, ChunkSpec
 def _make_storage(kind, tmp_path, name="st.hdf5"):
     if kind == "memory":
         return Memory()
+    if kind == "bin":
+        from mlmc_tpu.sample_storage_bin import SampleStorageBin
+
+        return SampleStorageBin(dir_path=str(tmp_path / "binstore"))
     return SampleStorageHDF(file_path=str(tmp_path / name))
 
 
@@ -43,7 +47,7 @@ def _fill(storage, n_levels, rng, n=13, start=0):
     return successful
 
 
-@pytest.mark.parametrize("kind", ["memory", "hdf"])
+@pytest.mark.parametrize("kind", ["memory", "hdf", "bin"])
 @pytest.mark.parametrize("n_levels", [1, 2, 5])
 def test_storage_roundtrip(tmp_path, kind, n_levels):
     rng = np.random.default_rng(123)
@@ -157,4 +161,49 @@ def test_hdf_end_to_end_with_sampler(tmp_path):
     assert means[0] == 1
     assert variances[0] == 0
     assert abs(means[1]) < 0.2
+    storage.close()
+
+
+def test_bin_storage_resume(tmp_path):
+    """Native binary storage: close, reopen, append (resume)."""
+    from mlmc_tpu.sample_storage_bin import SampleStorageBin
+
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "bin_resume")
+    st = SampleStorageBin(dir_path=path)
+    st.save_global_data(result_format=_result_format(),
+                        level_parameters=[[0.5], [0.25]])
+    _fill(st, 2, rng, n=7)
+    st.close()
+
+    st2 = SampleStorageBin(dir_path=path)
+    assert st2.get_n_collected() == [7, 7]
+    assert [q.name for q in st2.load_result_format()] == ["length", "width"]
+    _fill(st2, 2, rng, n=4, start=100)
+    assert st2.get_n_collected() == [11, 11]
+    pairs = st2.sample_pairs()
+    assert pairs[1].shape[1] == 11
+    st2.close()
+
+
+def test_bin_storage_end_to_end(tmp_path):
+    from mlmc_tpu.sample_storage_bin import SampleStorageBin
+    from mlmc_tpu import SynthSimulation, DeviceBatchPool, Sampler, Legendre
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = SampleStorageBin(dir_path=str(tmp_path / "bin_e2e"))
+    sampler = Sampler(storage, DeviceBatchPool(seed=3), sim, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([200, 50])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    quantity = make_root_quantity(storage, q_specs=sim.result_format())
+    value_q = quantity["length"][1]["10"][0]
+    mfn = Legendre(5, distr.ppf([0.001, 0.999]))
+    means, variances = est_mod.Estimate(value_q, storage, mfn).estimate_moments(mfn)
+    assert means[0] == 1 and variances[0] == 0
     storage.close()
