@@ -12,7 +12,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from mlmc_tpu.ops.fused_estimate import fused_mlmc_moments
 from mlmc_tpu.parallel.mesh import SampleMesh
@@ -58,6 +61,6 @@ def sharded_mlmc_step(
         mesh=mesh,
         in_specs=(P(),),      # replicated key
         out_specs=P(),        # psum-reduced accumulators, replicated
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -338,9 +338,15 @@ class DeviceBatchPool(SamplingPool):
         if cache_key not in self._jit_cache:
             config = level_sim.config_dict
             calc_batch = level_sim.calculate_batch
-            self._jit_cache[cache_key] = jax.jit(
-                lambda keys, attempts: calc_batch(config, keys, attempts)
-            )
+            fn = lambda keys, attempts: calc_batch(config, keys, attempts)
+            if self._sharding is not None:
+                # data-parallel over the sample mesh: batch axis sharded,
+                # XLA partitions the vmapped computation across devices
+                in_sh = self._sharding.batch_sharding()
+                self._jit_cache[cache_key] = jax.jit(
+                    fn, in_shardings=(in_sh, in_sh))
+            else:
+                self._jit_cache[cache_key] = jax.jit(fn)
         return self._jit_cache[cache_key]
 
     def execute_level(self, level_id):
@@ -351,6 +357,10 @@ class DeviceBatchPool(SamplingPool):
         level_sim = self._level_sims[level_id]
         n = len(pending)
         bucket = _round_up_bucket(n, self._min_bucket)
+        if self._sharding is not None:
+            # bucket must tile evenly over the mesh's sample axis
+            d = self._sharding.n_devices
+            bucket = -(-bucket // d) * d
 
         ids = [sid for sid, _ in pending]
         idxs = np.array([self.parse_sample_id(sid)[1] for sid in ids], dtype=np.uint32)

@@ -1,0 +1,83 @@
+"""End-to-end statistical validation of the estimator stack
+(the working MLMCTest-fixture equivalent)."""
+import numpy as np
+import pytest
+import scipy.integrate as integrate
+
+from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler, Legendre
+from mlmc_tpu import estimator as est_mod
+from mlmc_tpu.quantity.quantity import make_root_quantity
+from mlmc_tpu.random.distributions import Norm
+from mlmc_tpu.tool import validation
+
+
+@pytest.fixture(scope="module")
+def mlmc_run():
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=17, min_bucket=64),
+                      sim, [[0.1], [0.02], [0.004]])
+    sampler.set_initial_n_samples([4000, 1000, 200])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    quantity = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = quantity["length"][1]["10"][0]
+    mfn = Legendre(6, distr.ppf([1e-6, 1 - 1e-6]))
+    est = est_mod.Estimate(vq, storage, mfn)
+    return distr, sampler, storage, est, mfn
+
+
+def _exact_moments(mfn, distr, h):
+    """Quadrature moments of sample_fn(x, h) under N(0,1)."""
+    def fn(x, i):
+        q = x + h * np.sqrt(1e-4 + abs(x))
+        return np.asarray(mfn.eval_all_np(np.array([q])))[0, i] * distr.pdf(x)
+
+    return np.array([
+        integrate.quad(lambda x, i=i: fn(x, i), -6, 6)[0]
+        for i in range(mfn.size)
+    ])
+
+
+def test_moment_means_validation(mlmc_run):
+    distr, sampler, storage, est, mfn = mlmc_run
+    # telescoped estimate converges to the FINEST level's exact moments
+    exact = _exact_moments(mfn, distr, 0.004)
+    validation.validate_moment_means(est, mfn, exact)
+
+
+def test_variance_regression_validation(mlmc_run):
+    distr, sampler, storage, est, mfn = mlmc_run
+    rms = validation.validate_variance_regression(
+        est, sampler._n_scheduled_samples)
+    assert rms >= 0
+
+
+def test_variance_of_variance_validation(mlmc_run):
+    distr, sampler, storage, est, mfn = mlmc_run
+    est._n_created_samples = sampler._n_scheduled_samples
+    validation.validate_variance_of_variance(est, n_samples=[200, 100, 50])
+
+
+def test_total_variance_validation():
+    """Repeated estimates scatter like the claimed variance."""
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    mfn = Legendre(4, distr.ppf([1e-6, 1 - 1e-6]))
+    reps = []
+    claimed = None
+    for rep in range(20):
+        storage = Memory()
+        sampler = Sampler(storage, DeviceBatchPool(seed=100 + rep,
+                                                   min_bucket=64),
+                          sim, [[0.1], [0.02]])
+        sampler.set_initial_n_samples([400, 100])
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+        q = make_root_quantity(storage, q_specs=sim.result_format())
+        vq = q["length"][1]["10"][0]
+        means, variances = est_mod.Estimate(vq, storage, mfn).estimate_moments(mfn)
+        reps.append(np.asarray(means))
+        claimed = np.asarray(variances)
+    validation.validate_total_variance(np.stack(reps), claimed)
