@@ -11,6 +11,10 @@ The public facade mirrors the reference package facade
 """
 
 from mlmc_tpu.moments import Moments, Legendre, Monomial, Fourier, TransformedMoments
+# NOTE: quantity_estimate's functions (estimate_mean, moments, covariance)
+# are NOT re-exported at package level: `moments` would shadow the
+# mlmc_tpu.moments module attribute. Import them from
+# mlmc_tpu.quantity.quantity_estimate (same path as the reference).
 from mlmc_tpu.quantity.quantity import (
     Quantity,
     QuantityConst,
@@ -43,6 +47,30 @@ from mlmc_tpu.sampling_pool import (
     DeviceBatchPool,
 )
 from mlmc_tpu.sampler import Sampler
+
+
+class SamplingPoolPBS(DeviceBatchPool):
+    """API-parity shim for reference PBS-cluster scripts.
+
+    The PBS batch backend (reference mlmc/sampling_pool_pbs.py:48) has no
+    TPU analogue — cluster fan-out is a device-mesh axis here. Scripts that
+    constructed ``SamplingPoolPBS(work_dir, clean=...)`` get a
+    DeviceBatchPool sharded over all available devices; see
+    mlmc_tpu.parallel.multihost for multi-host pods.
+    """
+
+    def __init__(self, work_dir=None, clean=None, debug=False, **pbs_kwargs):
+        import warnings
+
+        from mlmc_tpu.parallel import SampleMesh
+
+        warnings.warn(
+            "SamplingPoolPBS is a compatibility shim: samples run as a "
+            "sharded device batch, PBS options are ignored",
+            DeprecationWarning, stacklevel=2)
+        del clean, pbs_kwargs
+        super().__init__(work_dir=work_dir, debug=debug,
+                         sharding=SampleMesh())
 from mlmc_tpu.estimator import Estimate
 from mlmc_tpu.sim.simulation import Simulation
 from mlmc_tpu.sim.synth_simulation import SynthSimulation
