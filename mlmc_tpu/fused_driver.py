@@ -1,0 +1,200 @@
+"""Fully-fused adaptive MLMC driver — storage-free estimation at TPU speed.
+
+The reference algorithm (reference mlmc/sampler.py + estimator.py:
+geometric initial counts, level-variance estimation, variance-optimal
+allocation ``n_l ∝ sqrt(V_l/C_l)``, iterate until the target variance is
+met) executed entirely over streaming moment accumulators: samples are
+generated, pushed through the moment pipeline, and reduced on device —
+never stored. Additional rounds CONTINUE each level's accumulators from
+``start_index`` (the (level, index) -> key mapping is stable), so no work
+is repeated and the final estimate uses every sample drawn.
+
+Use this for moment/covariance/density workloads; use Sampler + storage
+when you need the Quantity algebra over raw samples.
+"""
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.ops.fused_estimate import (
+    MomentAccumulators, fused_level_moments)
+from mlmc_tpu import estimator as est_mod
+
+
+def level_sim_chunk_fn(level_sim, component=0, calc_batch=None):
+    """Adapt any LevelSimulation with a batch path to the scalar-QoI
+    contract ``f(keys) -> (fine [C], coarse [C], failed [C])``.
+
+    :param component: index into the flattened result vector
+    :param calc_batch: override when the level_sim was built outside a
+        Sampler (which is what wires ``calculate_batch``)
+    """
+    config = level_sim.config_dict
+    calc = calc_batch or level_sim.calculate_batch
+    assert calc is not None, \
+        "LevelSimulation has no device batch path; pass calc_batch="
+
+    def f(keys):
+        fine, coarse, failed = calc(config, keys)
+        return fine[..., component], coarse[..., component], failed
+
+    return f
+
+
+def sim_level_chunk_fns(sim_factory, level_parameters, component=0):
+    """Build per-level scalar chunk fns straight from a Simulation factory
+    (the storage-free analogue of Sampler._create_level_sim_objects)."""
+    fns = []
+    for level_id, params in enumerate(level_parameters):
+        coarse = [0] if level_id == 0 else level_parameters[level_id - 1]
+        level_sim = sim_factory.level_instance(params, coarse)
+        fns.append(level_sim_chunk_fn(
+            level_sim, component=component,
+            calc_batch=getattr(sim_factory, "calculate_batch", None)))
+    return fns
+
+
+class FusedMLMC:
+    """Adaptive MLMC over fused accumulators (no sample storage).
+
+    :param sim_chunk_fns: per-level ``f(keys) -> (fine, coarse, failed)``
+    :param moments_fn: moment basis
+    :param root_key: PRNG key; per-level streams are fold_in(key, level)
+    :param chunk_size: samples per device loop step
+    :param axis_name/mesh: optional sharding (see parallel.sharded_mlmc_step
+        for the shard_map variant; here single-program multi-chunk)
+    """
+
+    def __init__(self, sim_chunk_fns, moments_fn, root_key=None,
+                 chunk_size=65536, acc_dtype=None):
+        self._fns = list(sim_chunk_fns)
+        self._moments_fn = moments_fn
+        self._key = root_key if root_key is not None else jax.random.key(0)
+        self._chunk = int(chunk_size)
+        self._acc_dtype = acc_dtype
+        self.n_levels = len(self._fns)
+        # per-level state
+        self._n_drawn = [0] * self.n_levels
+        self._accs = [None] * self.n_levels
+        self._cost_per_sample = [0.0] * self.n_levels
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------ #
+    def _run_level(self, level, n_new):
+        """Draw n_new more samples on a level, continuing its stream.
+
+        The executable is compiled per (level, pow2 allocation bound) with
+        the ACTUAL count and start index passed dynamically — adaptive
+        rounds reuse executables instead of recompiling per round, counts
+        stay exact, and cost measurements stay clean.
+        """
+        if n_new <= 0:
+            return
+        n_alloc = 1 << (max(int(n_new), 64) - 1).bit_length()
+        acc_dtype = self._acc_dtype
+        if acc_dtype is None:
+            acc_dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                         else jnp.float32)
+        chunk = min(self._chunk, n_alloc)
+        cache_key = (level, n_alloc, chunk)
+        if cache_key not in self._jit_cache:
+            fn = self._fns[level]
+            mfn = self._moments_fn
+            is_l0 = level == 0
+
+            def step(level_key, n, start):
+                return fused_level_moments(
+                    fn, mfn, level_key, n, chunk,
+                    is_level0=is_l0, acc_dtype=acc_dtype,
+                    start_index=start, n_alloc=n_alloc)
+
+            self._jit_cache[cache_key] = jax.jit(step)
+
+        level_key = jax.random.fold_in(self._key, level)
+        t0 = time.perf_counter()
+        acc = self._jit_cache[cache_key](
+            level_key, jnp.uint32(n_new), jnp.uint32(self._n_drawn[level]))
+        acc = jax.tree.map(np.asarray, acc)  # forces completion
+        elapsed = time.perf_counter() - t0
+
+        if self._accs[level] is None:
+            self._accs[level] = acc
+        else:
+            self._accs[level] = MomentAccumulators(
+                *(a + b for a, b in zip(self._accs[level], acc)))
+        self._n_drawn[level] += int(n_new)
+        # exponential-moving cost estimate (compile excluded is impractical
+        # here; the allocation only needs relative costs)
+        c = elapsed / max(n_new, 1)
+        old = self._cost_per_sample[level]
+        self._cost_per_sample[level] = c if old == 0 else 0.5 * (old + c)
+
+    # ------------------------------------------------------------------ #
+    def estimates(self):
+        """Current MLMC estimates from the accumulated state."""
+        l_means, l_vars, ns, covs = [], [], [], []
+        for lvl, a in enumerate(self._accs):
+            assert a is not None, "level {} has no samples yet".format(lvl)
+            s = np.asarray(a.sums, dtype=np.float64)
+            s2 = np.asarray(a.sums2, dtype=np.float64)
+            n = float(a.n_valid)
+            ns.append(n)
+            l_means.append(s / n)
+            l_vars.append((s2 - s * s / n) / (n - 1))
+            cf = np.asarray(a.cov_fine, dtype=np.float64) / n
+            cc = np.asarray(a.cov_coarse, dtype=np.float64) / n
+            covs.append(cf - cc if lvl > 0 else cf)
+        l_means = np.stack(l_means)
+        l_vars = np.stack(l_vars)
+        ns = np.asarray(ns)
+        return dict(mean=l_means.sum(axis=0),
+                    var=(l_vars / ns[:, None]).sum(axis=0),
+                    l_means=l_means, l_vars=l_vars,
+                    cov=np.sum(covs, axis=0), n_samples=ns)
+
+    def run(self, target_var, initial_n=(1000, 100), add_coeff=0.1,
+            max_rounds=50):
+        """Adaptive loop to the target variance (reference sampler.py:195-252
+        add-10% semantics on the fused path).
+
+        :return: estimates dict (see ``estimates``) + 'history' of per-round
+            (n_samples, max moment variance)
+        """
+        n0, nL = initial_n
+        init = np.round(np.exp2(np.linspace(
+            np.log2(n0), np.log2(nL), self.n_levels))).astype(int)
+        for lvl, n in enumerate(init):
+            self._run_level(lvl, int(n))
+
+        history = []
+        for _round in range(max_rounds):
+            est = self.estimates()
+            history.append((est["n_samples"].copy(),
+                            float(np.max(est["var"][1:]))))
+            if np.max(est["var"][1:]) <= target_var:
+                break
+            n_opt = est_mod.estimate_n_samples_for_target_variance(
+                target_var, est["l_vars"],
+                np.maximum(self._cost_per_sample, 1e-12), self.n_levels)
+            drawn = np.asarray(self._n_drawn)
+            gap = np.maximum(n_opt - drawn, 0)
+            add = np.where(gap <= add_coeff * n_opt, gap,
+                           np.ceil(gap * add_coeff)).astype(int)
+            if not np.any(add > 0):
+                # noisy wall-time costs can stall the allocation while the
+                # variance target is unmet: force progress on the level
+                # contributing the largest variance share
+                contrib = est["l_vars"][:, 1:].max(axis=1) / np.maximum(
+                    est["n_samples"], 1)
+                worst = int(np.argmax(contrib))
+                add[worst] = max(int(0.5 * drawn[worst]), 64)
+            for lvl in range(self.n_levels):
+                self._run_level(lvl, int(add[lvl]))
+
+        est = self.estimates()
+        est["history"] = history
+        est["cost_per_sample"] = list(self._cost_per_sample)
+        return est

@@ -63,13 +63,14 @@ def fused_level_moments(
     sample_chunk_fn,
     moments_fn,
     level_key,
-    n_samples: int,
+    n_samples,
     chunk_size: int,
     *,
     is_level0: bool,
     acc_dtype=jnp.float64,
     axis_name: Optional[str] = None,
-    start_index: int = 0,
+    start_index=0,
+    n_alloc: Optional[int] = None,
 ):
     """Stream one level's samples through the fused moment pipeline.
 
@@ -82,7 +83,11 @@ def fused_level_moments(
     :param is_level0: True -> coarse contributions are zero
     :param acc_dtype: cross-chunk accumulator dtype
     :param axis_name: mesh axis to psum accumulators over (None = single chip)
-    :param start_index: first sample index (for reproducible continuation)
+    :param start_index: first sample index (for reproducible continuation);
+        may be a traced value
+    :param n_alloc: static upper bound on n_samples (sets the loop bound so
+        one executable serves any smaller dynamic n_samples); defaults to
+        n_samples, which must then be a static int
     :return: MomentAccumulators (already psum-reduced if axis_name given)
 
     Sample seeds mirror the pool scheme: ``fold_in(level_key, sample_index)``
@@ -90,7 +95,11 @@ def fused_level_moments(
     mesh layout (reference md5(sample_id) scheme, sampling_pool.py:75-84).
     """
     R = moments_fn.size
-    n_chunks = -(-n_samples // chunk_size)
+    if n_alloc is None:
+        n_alloc = int(n_samples)
+    n_chunks = -(-n_alloc // chunk_size)
+    n_samples = jnp.asarray(n_samples, dtype=jnp.uint32)
+    start_index = jnp.asarray(start_index, dtype=jnp.uint32)
 
     if axis_name is not None:
         shard_ix = jax.lax.axis_index(axis_name)
@@ -103,9 +112,11 @@ def fused_level_moments(
         # global chunk index = i * n_shards + shard (stride layout keeps the
         # per-index key mapping identical regardless of mesh size)
         chunk_ix = i * n_shards + shard_ix
-        base = start_index + chunk_ix * chunk_size
+        base = start_index + (chunk_ix * chunk_size).astype(jnp.uint32)
         idx = base + jnp.arange(chunk_size, dtype=jnp.uint32)
         in_range = idx < (start_index + n_samples)
+        # entire chunk out of range still executes (static loop bound);
+        # its contributions are masked to zero below
         keys = jax.vmap(lambda j: jax.random.fold_in(level_key, j))(idx)
         fine, coarse, failed = sample_chunk_fn(keys)
         valid = in_range & ~failed & ~jnp.isnan(fine) & ~jnp.isnan(coarse)

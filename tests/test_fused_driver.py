@@ -1,0 +1,90 @@
+"""Storage-free adaptive MLMC driver: convergence to target variance,
+accumulator continuation, LevelSimulation adapter."""
+import numpy as np
+import pytest
+import scipy.integrate as integrate
+import jax
+
+from mlmc_tpu import Legendre
+from mlmc_tpu.fused_driver import FusedMLMC, level_sim_chunk_fn
+from mlmc_tpu.random.distributions import Norm
+from mlmc_tpu.sim.synth_simulation import SynthSimulation
+from mlmc_tpu.sim.diffusion import DiffusionSimulation
+
+
+STEPS = [0.5, 0.125, 0.03125]
+
+
+def _fns(distr):
+    return [SynthSimulation.scalar_batch_fn(
+        h, 0.0 if i == 0 else STEPS[i - 1], distr)
+        for i, h in enumerate(STEPS)]
+
+
+def test_adaptive_to_target_variance():
+    distr = Norm()
+    mfn = Legendre(6, (-4.0, 4.0))
+    driver = FusedMLMC(_fns(distr), mfn, jax.random.key(1), chunk_size=2048)
+    target = 2e-5
+    est = driver.run(target, initial_n=(512, 64))
+    assert np.max(est["var"][1:]) <= target
+    assert len(est["history"]) >= 1
+    # counts increased beyond the initial allocation on at least one level
+    assert est["n_samples"].sum() > 512 + 64
+
+    # accuracy: telescoped mean matches finest-level quadrature moments.
+    # clipped samples are masked out of the estimate, so the exact value is
+    # the conditional expectation over {x : QoI(x) in domain}
+    import scipy.stats as st
+    from scipy.optimize import brentq
+
+    h = STEPS[-1]
+    qoi = lambda x: x + h * np.sqrt(1e-4 + abs(x))
+    xc_hi = brentq(lambda x: qoi(x) - 4.0, 3.0, 4.0)
+    xc_lo = brentq(lambda x: qoi(x) + 4.0, -5.0, -3.5)
+    p_valid = st.norm.cdf(xc_hi) - st.norm.cdf(xc_lo)
+    mfn_raw = Legendre(6, (-4.0, 4.0), safe_eval=False)
+
+    def exact(i):
+        f = lambda x: np.asarray(
+            mfn_raw.eval_all_np(np.array([qoi(x)]))[0, i]) * st.norm.pdf(x)
+        return integrate.quad(f, xc_lo, xc_hi)[0] / p_valid
+
+    for i in range(1, 6):
+        tol = 6 * np.sqrt(est["var"][i]) + 1e-4
+        assert abs(est["mean"][i] - exact(i)) < tol, i
+
+
+def test_continuation_equals_single_shot():
+    """Drawing 256 then 256 more == drawing 512 at once (same key stream)."""
+    distr = Norm()
+    mfn = Legendre(5, (-4.0, 4.0))
+
+    d1 = FusedMLMC(_fns(distr), mfn, jax.random.key(9), chunk_size=128)
+    for lvl in range(3):
+        d1._run_level(lvl, 256)
+        d1._run_level(lvl, 256)
+
+    d2 = FusedMLMC(_fns(distr), mfn, jax.random.key(9), chunk_size=128)
+    for lvl in range(3):
+        d2._run_level(lvl, 512)
+
+    e1, e2 = d1.estimates(), d2.estimates()
+    assert np.allclose(e1["mean"], e2["mean"], atol=1e-12)
+    assert np.allclose(e1["cov"], e2["cov"], atol=1e-10)
+    assert e1["n_samples"].tolist() == e2["n_samples"].tolist()
+
+
+def test_level_sim_adapter_diffusion():
+    """Any LevelSimulation with a batch path plugs into the fused driver."""
+    from mlmc_tpu.fused_driver import sim_level_chunk_fns
+
+    sim = DiffusionSimulation(dict(sigma=0.5, corr_length=0.3, n_modes=48))
+    fns = sim_level_chunk_fns(sim, [[1 / 4], [1 / 8]])
+    mfn = Legendre(4, (0.2, 3.0))
+    driver = FusedMLMC(fns, mfn, jax.random.key(2), chunk_size=32)
+    driver._run_level(0, 64)
+    driver._run_level(1, 32)
+    est = driver.estimates()
+    assert np.isfinite(est["mean"]).all()
+    assert abs(est["mean"][0] - 1.0) < 1e-10  # P0 telescopes to 1
