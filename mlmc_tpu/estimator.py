@@ -52,6 +52,56 @@ class Estimate:
         cov_mean = qe.estimate_mean(qe.covariance(self._quantity, moments_fn))
         return cov_mean.mean, cov_mean.var
 
+    def estimate_moments_fast(self, moments_fn=None):
+        """Pallas fast path: moment means/vars for a SCALAR quantity with a
+        Legendre basis, streaming stored level chunks through the fused
+        on-device kernel (ops/pallas_kernels.moment_pipeline_from_samples).
+
+        Semantically equivalent to estimate_moments (NaN/clip masking
+        identical); use on TPU for large stored-sample sets.
+
+        :return: (moment means [R], variances of those estimates [R])
+        """
+        from mlmc_tpu.quantity.quantity_types import ScalarType
+        from mlmc_tpu.ops.pallas_kernels import moment_pipeline_from_samples
+        import jax
+
+        if moments_fn is None:
+            moments_fn = self._moments_fn
+        if not isinstance(self._quantity.qtype, ScalarType):
+            raise NotImplementedError(
+                "fast path supports ScalarType quantities; use "
+                "estimate_moments for structured quantities")
+        interpret = jax.default_backend() != "tpu"
+
+        n_levels = self._sample_storage.get_n_levels()
+        l_means, l_vars, ns = [], [], []
+        for level_id in range(n_levels):
+            sums = None
+            for chunk_spec in self._sample_storage.chunks(level_id=level_id):
+                chunk = np.asarray(self._quantity.samples(chunk_spec))
+                fine = chunk[0, :, 0]
+                coarse = (np.zeros_like(fine) if chunk.shape[2] == 1
+                          else chunk[0, :, 1])
+                r = moment_pipeline_from_samples(
+                    fine, coarse, moments_fn.size,
+                    domain=tuple(moments_fn.domain),
+                    is_level0=(level_id == 0), interpret=interpret)
+                r = jax.tree.map(lambda x: np.asarray(x, dtype=np.float64), r)
+                if sums is None:
+                    sums = [r.sums, r.sums2, float(r.n_valid)]
+                else:
+                    sums = [sums[0] + r.sums, sums[1] + r.sums2,
+                            sums[2] + float(r.n_valid)]
+            s, sp, n = sums
+            l_means.append(s / n)
+            l_vars.append((sp - s * s / n) / (n - 1) if n > 1
+                          else np.full_like(s, np.inf))
+            ns.append(n)
+        mean = np.sum(l_means, axis=0)
+        var = np.sum(np.stack(l_vars) / np.asarray(ns)[:, None], axis=0)
+        return mean, var
+
     def estimate_diff_vars(self, moments_fn=None):
         """:return: (level diff variances [L, R], n_samples [L])"""
         if moments_fn is None:

@@ -160,6 +160,73 @@ def _synth_moment_kernel_noise(seed_ref, noise_ref, sums_ref, sums2_ref,
                       n_valid_ref, phi_f, phi_c, **params)
 
 
+def _accumulate_qoi_chunk(fine, coarse, i, sums_ref, sums2_ref, cov_f_ref,
+                          cov_c_ref, n_valid_ref, phi_f, phi_c,
+                          *, n_moments, chunk, t_scale, t_shift, n_total,
+                          is_level0=False):
+    """Kernel body for PRE-COMPUTED QoIs (fine, coarse) [1, chunk]:
+    the generic stored-samples estimation path (any simulation)."""
+    t_f = (fine - t_shift) * t_scale
+    t_c = (coarse - t_shift) * t_scale
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    in_range = (i * chunk + lane) < n_total
+    # NaN QoIs (masked results) fail these comparisons -> invalid
+    valid = (t_f >= -1.0) & (t_f <= 1.0) & in_range
+    if not is_level0:
+        valid = valid & (t_c >= -1.0) & (t_c <= 1.0)
+    vf = valid.astype(jnp.float32)
+
+    def build(phi, t):
+        t = jnp.where(valid, t, 0.0)
+        phi[0, :] = vf[0]
+        if n_moments > 1:
+            phi[1, :] = t[0]
+        prev2, prev1 = vf[0], t[0]
+        for n in range(2, n_moments):
+            cur = ((2 * n - 1) * t[0] * prev1 - (n - 1) * prev2) / n
+            phi[n, :] = cur
+            prev2, prev1 = prev1, cur
+        for n in range(n_moments, R_PAD):
+            phi[n, :] = jnp.zeros_like(t[0])
+
+    build(phi_f, t_f)
+    pf = phi_f[...]
+    if is_level0:
+        dphi = pf
+    else:
+        build(phi_c, t_c)
+        pc = phi_c[...]
+        dphi = pf - pc
+    sums_ref[:, 0:1] += jnp.sum(dphi, axis=1, keepdims=True)
+    sums2_ref[:, 0:1] += jnp.sum(dphi * dphi, axis=1, keepdims=True)
+    cov_f_ref[...] += jax.lax.dot_general(
+        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if not is_level0:
+        cov_c_ref[...] += jax.lax.dot_general(
+            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    n_valid_ref[0, 0] += jnp.sum(vf)
+
+
+def _samples_moment_kernel(seed_ref, fine_ref, coarse_ref, sums_ref,
+                           sums2_ref, cov_f_ref, cov_c_ref, n_valid_ref,
+                           phi_f, phi_c, **params):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+        sums2_ref[...] = jnp.zeros_like(sums2_ref)
+        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
+        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
+        n_valid_ref[0, 0] = jnp.float32(0.0)
+
+    _accumulate_qoi_chunk(fine_ref[...], coarse_ref[...], i, sums_ref,
+                          sums2_ref, cov_f_ref, cov_c_ref, n_valid_ref,
+                          phi_f, phi_c, **params)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_moments", "n_samples", "chunk", "fine_step",
@@ -300,6 +367,88 @@ def synth_moment_pipeline_from_noise(noise, n_moments, *, fine_step,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(jnp.zeros(1, dtype=jnp.int32),
       jnp.asarray(noise, dtype=jnp.float32).reshape(1, n_samples))
+
+    R = n_moments
+    return SynthMomentResult(
+        sums=sums[:R, 0],
+        sums2=sums2[:R, 0],
+        cov_fine=cov_f[:R, :R],
+        cov_coarse=cov_c[:R, :R],
+        n_valid=n_valid[0, 0],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_moments", "chunk", "domain", "is_level0",
+                     "interpret"))
+def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
+                                 chunk=16384, is_level0=False,
+                                 interpret=False):
+    """Generic stored-samples fast path: Legendre moment sums + covariance
+    from PRE-COMPUTED scalar QoIs of ANY simulation (e.g. read back from a
+    SampleStorage). NaN entries (masked results) are dropped per the
+    reference semantics; the tail past len(fine) is padded with NaN.
+
+    :param fine/coarse: [N] float arrays (coarse ignored for level 0)
+    :return: SynthMomentResult (f32 accumulators)
+    """
+    assert n_moments <= R_PAD
+    assert chunk % 1024 == 0 and chunk <= 16384
+    n = fine.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    pad = n_pad - n
+    fine = jnp.pad(jnp.asarray(fine, jnp.float32), (0, pad),
+                   constant_values=jnp.nan).reshape(1, n_pad)
+    coarse = jnp.pad(jnp.asarray(coarse, jnp.float32), (0, pad),
+                     constant_values=jnp.nan).reshape(1, n_pad)
+    n_chunks = n_pad // chunk
+    a, b = domain
+    kernel = functools.partial(
+        _samples_moment_kernel,
+        n_moments=n_moments, chunk=chunk,
+        t_scale=2.0 / (b - a), t_shift=(a + b) / 2.0, n_total=n,
+        is_level0=is_level0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R_PAD, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, R_PAD), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_PAD, R_PAD), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+        ],
+    )
+
+    sums, sums2, cov_f, cov_c, n_valid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.zeros(1, dtype=jnp.int32), fine, coarse)
 
     R = n_moments
     return SynthMomentResult(

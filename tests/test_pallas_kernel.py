@@ -77,3 +77,71 @@ def test_kernel_rng_statistics():
     n = float(r.n_valid)
     assert n > 0.99 * (1 << 20)
     assert abs(r.cov_fine[0, 0] / n - 1) < 1e-6
+
+
+def test_from_samples_generic():
+    """Generic stored-samples kernel vs numpy on arbitrary QoIs with NaNs."""
+    from mlmc_tpu.ops.pallas_kernels import moment_pipeline_from_samples
+
+    rng = np.random.default_rng(5)
+    n = 10000  # non-multiple of chunk -> tail padding path
+    fine = rng.normal(0, 1.5, size=n)
+    coarse = fine + rng.normal(0, 0.1, size=n)
+    fine[::97] = np.nan  # masked results
+    coarse[::131] = np.nan
+
+    r = jax.tree.map(np.asarray, moment_pipeline_from_samples(
+        fine, coarse, R, domain=DOMAIN, chunk=2048, interpret=True))
+
+    mfn = Legendre(R, DOMAIN, safe_eval=False)
+    t_f, t_c = fine / 4.0, coarse / 4.0
+    valid = (~np.isnan(fine)) & (~np.isnan(coarse)) \
+        & (np.abs(t_f) <= 1) & (np.abs(t_c) <= 1)
+    pf = np.polynomial.legendre.legvander(np.nan_to_num(t_f), R - 1) \
+        * valid[:, None]
+    pc = np.polynomial.legendre.legvander(np.nan_to_num(t_c), R - 1) \
+        * valid[:, None]
+    d = pf - pc
+    assert float(r.n_valid) == valid.sum()
+    assert np.allclose(r.sums, d.sum(0), rtol=1e-4, atol=1e-3)
+    assert np.allclose(r.cov_fine, pf.T @ pf, rtol=1e-4, atol=2e-2)
+
+
+def test_from_samples_level0():
+    from mlmc_tpu.ops.pallas_kernels import moment_pipeline_from_samples
+
+    rng = np.random.default_rng(8)
+    fine = rng.normal(size=4096)
+    r = jax.tree.map(np.asarray, moment_pipeline_from_samples(
+        fine, np.zeros_like(fine), R, domain=DOMAIN, chunk=2048,
+        is_level0=True, interpret=True))
+    mfn_v = np.polynomial.legendre.legvander(fine / 4.0, R - 1)
+    assert np.allclose(r.sums, mfn_v.sum(0), rtol=1e-4, atol=1e-3)
+    assert np.allclose(r.cov_coarse, 0.0)
+
+
+def test_estimate_moments_fast_matches_regular():
+    """Fast path == regular estimate_mean on the same stored samples."""
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=13, min_bucket=64),
+                      sim, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([300, 80])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = q["length"][1]["10"][0]
+    mfn = Legendre(6, distr.ppf([0.001, 0.999]))
+    est = est_mod.Estimate(vq, storage, mfn)
+    means_ref, vars_ref = est.estimate_moments(mfn)
+    means_fast, vars_fast = est.estimate_moments_fast(mfn)
+    # fast path computes in f32 -> tolerance accordingly
+    assert np.allclose(np.asarray(means_ref), means_fast, atol=5e-5)
+    assert np.allclose(np.asarray(vars_ref), vars_fast, rtol=1e-3, atol=1e-7)
