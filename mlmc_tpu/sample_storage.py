@@ -25,6 +25,13 @@ class SampleStorage(metaclass=ABCMeta):
     def save_samples(self, successful_samples, failed_samples):
         """Write results to storage."""
 
+    def save_samples_bulk(self, level_id, ids, fine, coarse):
+        """Bulk write path: whole level batch as arrays (no per-sample
+        tuples). Default adapter wraps into the tuple contract; array-native
+        backends override. fine/coarse: [N, M]."""
+        res = [(sid, (f, c)) for sid, f, c in zip(ids, fine, coarse)]
+        self.save_samples({level_id: res}, {})
+
     @abstractmethod
     def save_result_format(self, res_spec: List[QuantitySpec]):
         """Save result format."""
@@ -113,6 +120,17 @@ class Memory(SampleStorage):
     def save_samples(self, successful_samples, failed_samples):
         self._save_successful(successful_samples)
         self._save_failed(failed_samples)
+
+    def save_samples_bulk(self, level_id, ids, fine, coarse):
+        pairs = np.stack([np.asarray(fine, dtype=np.float64),
+                          np.asarray(coarse, dtype=np.float64)], axis=1)
+        self._successful_sample_ids.setdefault(level_id, []).extend(ids)
+        self._n_finished[level_id] = self._n_finished.get(level_id, 0) + len(ids)
+        if level_id not in self._results:
+            self._results[level_id] = pairs
+        else:
+            self._results[level_id] = np.concatenate(
+                (self._results[level_id], pairs), axis=0)
 
     def save_global_data(self, result_format, level_parameters=None):
         self.save_result_format(result_format)

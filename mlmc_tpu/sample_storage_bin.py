@@ -167,6 +167,13 @@ class SampleStorageBin(SampleStorage):
             w.flush()
         self._save_meta()
 
+    def save_samples_bulk(self, level_id, ids, fine, coarse):
+        values = np.stack([np.asarray(fine, dtype=np.float64),
+                           np.asarray(coarse, dtype=np.float64)], axis=1)
+        self._writer(int(level_id)).append(values)
+        self._writers[int(level_id)].flush()
+        self._append_ids(level_id, list(ids))
+
     def save_scheduled_samples(self, level_id, samples):
         self._meta["scheduled"].setdefault(str(int(level_id)), []).extend(
             list(samples))

@@ -111,6 +111,12 @@ class SampleStorageHDF(SampleStorage):
             if len(samples) > 0:
                 self._level_groups[int(level)].append_failed(list(samples))
 
+    def save_samples_bulk(self, level_id, ids, fine, coarse):
+        values = np.stack([np.asarray(fine, dtype=np.float64),
+                           np.asarray(coarse, dtype=np.float64)], axis=1)
+        self._level_groups[level_id].append_successful(list(ids), values)
+        self._hdf_object.flush()
+
     def save_scheduled_samples(self, level_id, samples: List[str]):
         self._level_groups[level_id].append_scheduled(samples)
 

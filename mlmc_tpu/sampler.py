@@ -136,7 +136,17 @@ class Sampler:
         return n_running
 
     def _store_samples(self, successful_samples, failed_samples, n_ops):
-        self.sample_storage.save_samples(successful_samples, failed_samples)
+        from mlmc_tpu.sampling_pool import BulkResults
+
+        tupled = {}
+        for level_id, res in successful_samples.items():
+            if isinstance(res, BulkResults):
+                self.sample_storage.save_samples_bulk(
+                    level_id, res.ids, res.fine, res.coarse)
+            else:
+                tupled[level_id] = res
+        if tupled or failed_samples:
+            self.sample_storage.save_samples(tupled, failed_samples)
         self.sample_storage.save_n_ops(n_ops)
 
     def process_adding_samples(self, n_estimated, sleep=0, add_coeff=0.1, timeout=ADDING_SAMPLES_TIMEOUT):

@@ -15,6 +15,7 @@ but the center of gravity moves on-device:
   binaries, workspace simulations), matching reference semantics including
   md5(sample_id) seeding (reference sampling_pool.py:75-84).
 """
+import collections
 import os
 import queue
 import shutil
@@ -29,6 +30,11 @@ from abc import ABC, abstractmethod
 from typing import List
 
 from mlmc_tpu.level_simulation import LevelSimulation
+
+
+# bulk level results: arrays instead of per-sample tuples (storages with
+# save_samples_bulk consume these without marshalling)
+BulkResults = collections.namedtuple("BulkResults", ["ids", "fine", "coarse"])
 
 
 def _round_up_bucket(n, min_bucket=256):
@@ -297,8 +303,10 @@ class DeviceBatchPool(SamplingPool):
     batch axis across devices with psum-free independent evaluation.
     """
 
-    def __init__(self, work_dir=None, debug=False, seed=0, min_bucket=256, sharding=None):
+    def __init__(self, work_dir=None, debug=False, seed=0, min_bucket=256,
+                 sharding=None, bulk=True):
         super().__init__(work_dir=work_dir, debug=debug)
+        self._bulk = bulk
         self._root_key = jax.random.key(seed)
         self._pending = {}  # level_id -> list[(sample_id, attempt)]
         self._attempts = {}  # sample_id -> attempt count
@@ -388,22 +396,25 @@ class DeviceBatchPool(SamplingPool):
             failed = failed | np.any(np.isnan(fine), axis=1) \
                 | np.any(np.isnan(coarse), axis=1)
 
-        successful = []
-        failed_out = []
-        for i, sid in enumerate(ids):
-            if failed[i]:
-                failed_out.append((sid, "result is nan"))
-            else:
-                successful.append((sid, (fine[i], coarse[i])))
+        failed_out = [(sid, "result is nan")
+                      for i, sid in enumerate(ids) if failed[i]]
+        ok = ~failed
+        if self._bulk:
+            ok_ids = [sid for i, sid in enumerate(ids) if ok[i]]
+            successful = BulkResults(ok_ids, fine[ok], coarse[ok]) \
+                if ok_ids else []
+        else:
+            successful = [(sid, (fine[i], coarse[i]))
+                          for i, sid in enumerate(ids) if ok[i]]
 
-        n_ok = len(successful)
+        n_ok = int(np.count_nonzero(ok))
         if level_id not in self.times:
             self.times[level_id] = [0, 0]
         if n_ok:
             # charge wall time only to successful samples (reference semantics)
             self.times[level_id][0] += elapsed * n_ok / max(n, 1)
             self.times[level_id][1] += n_ok
-        return ({level_id: successful} if successful else {}), (
+        return ({level_id: successful} if n_ok else {}), (
             {level_id: failed_out} if failed_out else {}
         )
 
