@@ -155,6 +155,36 @@ class FusedMLMC:
                     l_means=l_means, l_vars=l_vars,
                     cov=np.sum(covs, axis=0), n_samples=ns)
 
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume (the storage-free analogue of the HDF5 resume
+    # path — the state is just per-level accumulators + stream positions)
+    # ------------------------------------------------------------------ #
+    def save_state(self, path):
+        """Checkpoint accumulators + stream positions to an .npz file."""
+        state = {"n_drawn": np.asarray(self._n_drawn),
+                 "cost": np.asarray(self._cost_per_sample)}
+        for lvl, acc in enumerate(self._accs):
+            if acc is None:
+                continue
+            for field, value in acc._asdict().items():
+                state["acc{}_{}".format(lvl, field)] = np.asarray(value)
+        np.savez(path, **state)
+
+    def load_state(self, path):
+        """Resume from a checkpoint; sample streams continue seamlessly
+        (the (level, index) -> key mapping is position-based)."""
+        data = np.load(path)
+        self._n_drawn = [int(v) for v in data["n_drawn"]]
+        self._cost_per_sample = [float(v) for v in data["cost"]]
+        fields = MomentAccumulators._fields
+        for lvl in range(self.n_levels):
+            key0 = "acc{}_{}".format(lvl, fields[0])
+            if key0 in data:
+                self._accs[lvl] = MomentAccumulators(
+                    *(data["acc{}_{}".format(lvl, f)] for f in fields))
+            else:
+                self._accs[lvl] = None
+
     def run(self, target_var, initial_n=(1000, 100), add_coeff=0.1,
             max_rounds=50):
         """Adaptive loop to the target variance (reference sampler.py:195-252

@@ -88,3 +88,26 @@ def test_level_sim_adapter_diffusion():
     est = driver.estimates()
     assert np.isfinite(est["mean"]).all()
     assert abs(est["mean"][0] - 1.0) < 1e-10  # P0 telescopes to 1
+
+
+def test_checkpoint_resume(tmp_path):
+    """save_state/load_state: a resumed driver continues the same streams."""
+    distr = Norm()
+    mfn = Legendre(5, (-4.0, 4.0))
+
+    d1 = FusedMLMC(_fns(distr), mfn, jax.random.key(4), chunk_size=128)
+    for lvl in range(3):
+        d1._run_level(lvl, 256)
+    ckpt = str(tmp_path / "state.npz")
+    d1.save_state(ckpt)
+    for lvl in range(3):
+        d1._run_level(lvl, 128)
+
+    d2 = FusedMLMC(_fns(distr), mfn, jax.random.key(4), chunk_size=128)
+    d2.load_state(ckpt)
+    for lvl in range(3):
+        d2._run_level(lvl, 128)
+
+    e1, e2 = d1.estimates(), d2.estimates()
+    assert np.allclose(e1["mean"], e2["mean"], atol=1e-12)
+    assert e1["n_samples"].tolist() == e2["n_samples"].tolist()
