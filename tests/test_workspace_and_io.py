@@ -92,3 +92,45 @@ def test_frac_geom_gated():
 
     with pytest.raises(ImportError):
         frac_geom.make_frac_mesh(None, 0.1, [], 0.1)
+
+
+def test_external_command_simulation(tmp_path):
+    """FlowSim-pattern: template render -> subprocess solver -> extraction,
+    full MLMC over ThreadPool workspaces (solver = python one-liner that
+    deterministically maps (step, seed) -> value)."""
+    from mlmc_tpu.sim.external import ExternalCommandSimulation
+    from mlmc_tpu.quantity.quantity_spec import QuantitySpec
+    import sys
+
+    template = tmp_path / "input.tmpl"
+    template.write_text("step={step}\nseed={seed}\n")
+
+    def extract(output_file, config):
+        with open(output_file) as f:
+            return np.array([float(f.read().strip())])
+
+    solver = ("import sys\n"
+              "lines = open(sys.argv[1]).read().split()\n"
+              "step = float(lines[0].split('=')[1]); seed = int(lines[1].split('=')[1])\n"
+              "import random; random.seed(seed)\n"
+              "open(sys.argv[2], 'w').write(str(random.gauss(0, 1) + step))\n")
+
+    sim = ExternalCommandSimulation(dict(
+        command=[sys.executable, "-c", solver, "{input_file}", "{output_file}"],
+        template_file=str(template),
+        extract_result=extract,
+        result_format=[QuantitySpec(name="val", unit="", shape=(1,),
+                                    times=[0], locations=["0"])],
+    ))
+    storage = Memory()
+    pool = ThreadPool(2, work_dir=str(tmp_path / "work"))
+    sampler = Sampler(storage, pool, sim, [[0.5], [0.125]])
+    sampler.set_initial_n_samples([12, 4])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    assert storage.get_n_collected() == [12, 4]
+    pairs = storage.sample_pairs()
+    # same seed => same random.gauss draw => fine - coarse == step difference
+    diff = pairs[1][0, :, 0] - pairs[1][0, :, 1]
+    assert np.allclose(diff, 0.125 - 0.5, atol=1e-12)
