@@ -29,7 +29,7 @@ from mlmc_tpu.moments import Legendre
 from mlmc_tpu.random.distributions import Norm
 from mlmc_tpu.sim.synth_simulation import SynthSimulation
 from mlmc_tpu.ops.fused_estimate import fused_mlmc_moments, accumulators_to_estimates
-from mlmc_tpu.ops.pallas_kernels import synth_moment_pipeline
+from mlmc_tpu.ops.pallas_kernels import synth_mlmc_pipeline
 
 BASELINE_SAMPLES_PER_S = 6.98e5
 
@@ -42,15 +42,10 @@ XLA_CHUNK = 1 << 19
 
 
 def run_pallas(seed):
-    """All 5 levels through the fused Pallas kernel; returns accumulators."""
-    out = []
-    for lvl, (h, n) in enumerate(zip(LEVEL_STEPS, N_PER_LEVEL)):
-        coarse = 0.0 if lvl == 0 else LEVEL_STEPS[lvl - 1]
-        out.append(synth_moment_pipeline(
-            seed * 1000 + lvl, N_MOMENTS, n,
-            fine_step=h, coarse_step=coarse, domain=DOMAIN,
-            chunk=PALLAS_CHUNK, is_level0=(lvl == 0)))
-    return out
+    """All 5 levels in ONE kernel dispatch; returns accumulators."""
+    return synth_mlmc_pipeline(
+        seed, N_MOMENTS, tuple(N_PER_LEVEL), tuple(LEVEL_STEPS),
+        domain=DOMAIN, chunk=PALLAS_CHUNK)
 
 
 def pallas_estimates(accs):

@@ -135,8 +135,10 @@ def _synth_moment_kernel(seed_ref, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
         n_valid_ref[0, 0] = jnp.float32(0.0)
 
     chunk = params["chunk"]
-    x, _ = _normal_pair((8, chunk // 8))
-    x = x.reshape(1, chunk)
+    # both Box-Muller outputs are independent normals: generate chunk/2
+    # uniform pairs and use cos+sin halves (halves RNG + transcendentals)
+    z1, z2 = _normal_pair((8, chunk // 16))
+    x = jnp.concatenate([z1, z2], axis=1).reshape(1, chunk)
     _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
                       n_valid_ref, phi_f, phi_c, **params)
 
@@ -458,3 +460,180 @@ def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
         cov_coarse=cov_c[:R, :R],
         n_valid=n_valid[0, 0],
     )
+
+
+def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
+                       fstep_ref, cstep_ref, hascoarse_ref,
+                       sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                       phi_f, phi_c, *, n_moments, chunk, t_scale, t_shift):
+    """One grid step = one chunk of ONE level; all levels share the grid.
+
+    Per-chunk scalars are prefetched: level id (drives the output block
+    index maps), first-chunk flag (accumulator init), the level's sample
+    count/base index (tail masking), fine/coarse steps and a has-coarse
+    multiplier (level 0 compiles as a masked coarse, not a branch).
+    """
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[i], base_ref[i] // chunk)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+        sums2_ref[...] = jnp.zeros_like(sums2_ref)
+        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
+        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
+
+    z1, z2 = _normal_pair((8, chunk // 16))
+    x = jnp.concatenate([z1, z2], axis=1).reshape(1, chunk)
+
+    fine_step = fstep_ref[i]
+    coarse_step = cstep_ref[i]
+    has_coarse = hascoarse_ref[i]
+
+    err = jnp.sqrt(1e-4 + jnp.abs(x))
+    fine = x + fine_step * err
+    coarse = x + coarse_step * err
+
+    t_f = (fine - t_shift) * t_scale
+    t_c = (coarse - t_shift) * t_scale
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    in_range = (base_ref[i] + lane) < nsamp_ref[i]
+    valid_f = (t_f >= -1.0) & (t_f <= 1.0) & in_range
+    # level 0 (has_coarse=0): coarse validity doesn't constrain the sample
+    valid = valid_f & (((t_c >= -1.0) & (t_c <= 1.0)) | (has_coarse < 1))
+    vf = valid.astype(jnp.float32)
+
+    def build(phi, t):
+        t = jnp.where(valid, t, 0.0)
+        phi[0, :] = vf[0]
+        if n_moments > 1:
+            phi[1, :] = t[0]
+        prev2, prev1 = vf[0], t[0]
+        for n in range(2, n_moments):
+            cur = ((2 * n - 1) * t[0] * prev1 - (n - 1) * prev2) / n
+            phi[n, :] = cur
+            prev2, prev1 = prev1, cur
+        for n in range(n_moments, R_PAD):
+            phi[n, :] = jnp.zeros_like(t[0])
+
+    build(phi_f, t_f)
+    pf = phi_f[...]
+    # output blocks carry a leading level dim selected by the index map
+    cov_f_ref[0] += jax.lax.dot_general(
+        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # coarse side only where the level has one (level 0 = 64% of samples
+    # skips the second recurrence + MXU pass entirely)
+    @pl.when(has_coarse == 1)
+    def _():
+        build(phi_c, t_c)
+        pc = phi_c[...]
+        dphi = pf - pc
+        sums_ref[0, :, 0:1] += jnp.sum(dphi, axis=1, keepdims=True)
+        sums2_ref[0, :, 0:1] += jnp.sum(dphi * dphi, axis=1, keepdims=True)
+        cov_c_ref[0] += jax.lax.dot_general(
+            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(has_coarse == 0)
+    def _():
+        sums_ref[0, :, 0:1] += jnp.sum(pf, axis=1, keepdims=True)
+        sums2_ref[0, :, 0:1] += jnp.sum(pf * pf, axis=1, keepdims=True)
+    # n_valid is implicit: cov_fine[0, 0] = sum(P0^2) = sum(vf) = n_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_moments", "n_per_level", "level_steps", "domain",
+                     "chunk"))
+def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
+                        domain, chunk=32768):
+    """The WHOLE multi-level benchmark in ONE kernel dispatch.
+
+    All levels share one sequential grid; per-chunk level ids prefetched
+    from SMEM drive the output block index maps, so each level accumulates
+    into its own [R, R] covariance / [R] sums slots. Removes the per-level
+    dispatch + device->host round trips of calling synth_moment_pipeline
+    per level (~15-20 ms at 1e8-sample scale over the device tunnel).
+
+    :param n_per_level: tuple of per-level sample counts (static)
+    :param level_steps: tuple of fine steps; coarse step of level l is
+        level_steps[l-1] (level 0 has no coarse part)
+    :return: list of SynthMomentResult, one per level
+    """
+    assert n_moments <= R_PAD
+    assert chunk % 1024 == 0 and chunk <= 32768
+    L = len(n_per_level)
+    a, b = domain
+
+    level_ids, firsts, nsamps, bases, fsteps, csteps, hasc = \
+        [], [], [], [], [], [], []
+    for lvl, (n, h) in enumerate(zip(n_per_level, level_steps)):
+        n_chunks = -(-int(n) // chunk)
+        for c in range(n_chunks):
+            level_ids.append(lvl)
+            firsts.append(1 if c == 0 else 0)
+            nsamps.append(int(n))
+            bases.append(c * chunk)
+            fsteps.append(float(h))
+            csteps.append(float(level_steps[lvl - 1]) if lvl > 0 else 0.0)
+            hasc.append(0 if lvl == 0 else 1)
+    grid = (len(level_ids),)
+
+    kernel = functools.partial(
+        _synth_mlmc_kernel, n_moments=n_moments, chunk=chunk,
+        t_scale=2.0 / (b - a), t_shift=(a + b) / 2.0)
+
+    lev_block = lambda i, lev, *_: (lev[i], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=grid,
+        in_specs=[],
+        out_specs=[
+            pl.BlockSpec((1, R_PAD, 128), lev_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_PAD, 128), lev_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_PAD, R_PAD), lev_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_PAD, R_PAD), lev_block,
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+        ],
+    )
+
+    sums, sums2, cov_f, cov_c = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((L, R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((L, R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((L, R_PAD, R_PAD), jnp.float32),
+        ],
+    )(
+        jnp.asarray(level_ids, jnp.int32),
+        # per-chunk PRNG seed stream: decorrelated across runs and levels
+        jnp.asarray(level_ids, jnp.int32)
+        + jnp.asarray(seed, jnp.int32) * 1009,
+        jnp.asarray(firsts, jnp.int32),
+        jnp.asarray(nsamps, jnp.int32),
+        jnp.asarray(bases, jnp.int32),
+        jnp.asarray(fsteps, jnp.float32),
+        jnp.asarray(csteps, jnp.float32),
+        jnp.asarray(hasc, jnp.int32),
+    )
+
+    R = n_moments
+    out = []
+    for lvl in range(L):
+        out.append(SynthMomentResult(
+            sums=sums[lvl, :R, 0],
+            sums2=sums2[lvl, :R, 0],
+            cov_fine=cov_f[lvl, :R, :R],
+            cov_coarse=cov_c[lvl, :R, :R],
+            n_valid=cov_f[lvl, 0, 0],  # sum(P0^2) == valid count
+        ))
+    return out
