@@ -53,8 +53,11 @@ def _moment_chunk(phi_f, phi_c, valid, acc_dtype):
     dphi = phi_f - phi_c
     sums = jnp.sum(dphi, axis=0).astype(acc_dtype)
     sums2 = jnp.sum(dphi * dphi, axis=0).astype(acc_dtype)
-    cov_f = jnp.dot(phi_f.T, phi_f, preferred_element_type=jnp.float32).astype(acc_dtype)
-    cov_c = jnp.dot(phi_c.T, phi_c, preferred_element_type=jnp.float32).astype(acc_dtype)
+    # accumulate matmuls at least in f32 (TPU MXU); full acc_dtype when f64
+    # parity runs are requested (x64 mode)
+    pet = acc_dtype if jnp.dtype(acc_dtype).itemsize > 4 else jnp.float32
+    cov_f = jnp.dot(phi_f.T, phi_f, preferred_element_type=pet).astype(acc_dtype)
+    cov_c = jnp.dot(phi_c.T, phi_c, preferred_element_type=pet).astype(acc_dtype)
     n_valid = jnp.sum(valid).astype(acc_dtype)
     return sums, sums2, cov_f, cov_c, n_valid
 
