@@ -405,7 +405,8 @@ class Quantity:
             def _ufunc_call(*input_chunks):
                 return getattr(ufunc, method)(*[np.asarray(ch) for ch in input_chunks], **kwargs)
 
-            traceable = True  # still pure & shape-static for elementwise/reduce ops
+            # numpy fallback converts chunks with np.asarray -> cannot trace
+            traceable = False
 
         quantities = [Quantity.wrap(arg) for arg in args]
         result_qtype = Quantity._result_qtype(_ufunc_call, quantities)

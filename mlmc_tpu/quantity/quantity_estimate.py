@@ -42,8 +42,7 @@ def _accum_dtype():
     return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
 
-@jax.jit
-def _chunk_sums(chunk):
+def _chunk_sums_impl(chunk):
     """Per-chunk masked accumulation: (sum, sum_sq, n_valid, n_removed).
 
     chunk: [M, N, C] with C==1 (level 0) or C==2. NaN-poisoned samples are
@@ -66,8 +65,18 @@ def _chunk_sums(chunk):
     return s, sp, n_valid, valid.shape[0] - n_valid
 
 
+_chunk_sums = jax.jit(_chunk_sums_impl)
+
+
 def estimate_mean(quantity):
     """MLMC mean estimator (streaming over chunks, device accumulation).
+
+    When the quantity's DAG is fully traceable (shape-static jnp ops), the
+    WHOLE per-chunk pipeline — DAG evaluation, NaN mask, fine-coarse diff,
+    sum / sum-of-squares — is composed via ``Quantity.build_eval`` and
+    compiled ONCE per chunk shape, so XLA fuses the moment Vandermonde and
+    the reductions into a single program per chunk instead of dispatching
+    each DAG node separately.
 
     :param quantity: Quantity
     :return: QuantityMean holding per-level means/vars and combined estimate
@@ -83,7 +92,42 @@ def estimate_mean(quantity):
     sums = None
     sums_of_squares = None
 
+    fused_eval = None
+    # fusing the whole DAG costs one XLA compile per (DAG, chunk shape);
+    # worth it for real sample volumes, not for tiny interactive queries
+    try:
+        n_collected = max(quantity_storage.n_collected())
+    except Exception:
+        n_collected = 0
+    if quantity.traceable() and n_collected >= 8192:
+        # cache the jitted composition on the node: repeated estimates over
+        # the same DAG reuse the executable (jit caches per function object)
+        fused_eval = getattr(quantity, "_fused_eval", None)
+        if fused_eval is None:
+            dag_eval = quantity.build_eval()
+            fused_eval = jax.jit(lambda leaf: _chunk_sums_impl(dag_eval(leaf)))
+            quantity._fused_eval = fused_eval
+
     for chunk_spec in quantity_storage.chunks():
+        if fused_eval is not None:
+            leaf = jnp.asarray(quantity_storage.samples(chunk_spec))
+            if not jnp.issubdtype(leaf.dtype, jnp.floating):
+                raise TypeError(
+                    "estimate_mean supports float-valued quantities, "
+                    "got dtype {}".format(leaf.dtype))
+            s, sp, n_valid, n_rm = fused_eval(leaf)
+            samples = None
+            lid = chunk_spec.level_id
+            n_samples[lid] += int(n_valid)
+            n_rm_samples[lid] += int(n_rm)
+            if sums is None:
+                sums = [np.zeros(quantity_vec_size, dtype=np.float64)
+                        for _ in range(n_levels)]
+                sums_of_squares = [np.zeros(quantity_vec_size, dtype=np.float64)
+                                   for _ in range(n_levels)]
+            sums[lid] += np.asarray(s, dtype=np.float64)
+            sums_of_squares[lid] += np.asarray(sp, dtype=np.float64)
+            continue
         samples = quantity.samples(chunk_spec)
         samples = jnp.asarray(samples)
         if not jnp.issubdtype(samples.dtype, jnp.floating):
