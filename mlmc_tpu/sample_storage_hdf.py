@@ -33,8 +33,10 @@ class SampleStorageHDF(SampleStorage):
         self._hdf_object.close()
 
     # ------------------------------------------------------------------ #
-    def _hdf_result_format(self, locations, times):
-        """Structured dtype for QuantitySpec marshalling (reference :36-56)."""
+    def _hdf_result_format(self, locations, times, shape=(2, 1)):
+        """Structured dtype for QuantitySpec marshalling (reference :36-56;
+        unlike the reference, the shape slot length follows the spec so
+        non-2-D result shapes round-trip)."""
         if len(locations[0]) == 3 and not isinstance(locations[0], str):
             tuple_dtype = np.dtype((float, (3,)))
             loc_dtype = np.dtype((tuple_dtype, (len(locations),)))
@@ -45,7 +47,7 @@ class SampleStorageHDF(SampleStorage):
             "formats": (
                 "S50",
                 "S50",
-                np.dtype((np.int32, (2,))),
+                np.dtype((np.int32, (max(len(shape), 1),))),
                 np.dtype((float, (len(times),))),
                 loc_dtype,
             ),
@@ -53,7 +55,8 @@ class SampleStorageHDF(SampleStorage):
 
     def save_global_data(self, result_format: List[QuantitySpec], level_parameters=None):
         res_dtype = self._hdf_result_format(result_format[0].locations,
-                                            result_format[0].times)
+                                            result_format[0].times,
+                                            result_format[0].shape)
         self._hdf_object.create_file_structure(level_parameters)
         if len(self._level_groups) != len(level_parameters):
             self._level_groups = []
@@ -64,7 +67,8 @@ class SampleStorageHDF(SampleStorage):
     def save_result_format(self, result_format: List[QuantitySpec], res_dtype=None):
         if res_dtype is None:
             res_dtype = self._hdf_result_format(result_format[0].locations,
-                                                result_format[0].times)
+                                                result_format[0].times,
+                                                result_format[0].shape)
         try:
             if self.load_result_format() != result_format:
                 raise ValueError(

@@ -28,9 +28,10 @@ class ProcessBase:
     def __init__(self, argv=None):
         args = ProcessBase.get_arguments(
             sys.argv[1:] if argv is None else argv)
-        self.step_range = (1, 0.01)
-        self.n_levels = 2
-        self.n_moments = 25
+        # defaults only if the subclass did not set them before super().__init__
+        self.step_range = getattr(self, "step_range", (1, 0.01))
+        self.n_levels = getattr(self, "n_levels", 2)
+        self.n_moments = getattr(self, "n_moments", 25)
         self.work_dir = os.path.abspath(args.work_dir)
         self.append = False
         self.clean = args.clean
