@@ -106,32 +106,43 @@ def main():
     est = pallas_estimates(accs)
 
     # ---------------- XLA fused pipeline (secondary) -------------------- #
-    step, _ = build_xla_step()
-    key = jax.random.key(2024)
-    xla_accs = step(key)
-    _ = float(xla_accs[-1].n_valid)
-    t0 = time.perf_counter()
-    xla_accs = step(jax.random.fold_in(key, 1))
-    _ = float(xla_accs[-1].n_valid)
-    xla_s = time.perf_counter() - t0
-    est_xla = accumulators_to_estimates(jax.tree.map(np.asarray, xla_accs))
-
-    # cross-check: Pallas and XLA paths agree to MC tolerance
-    tol = 6 * np.sqrt(est_xla["var"] + est["var"]) + 1e-4
-    agree = bool(np.all(np.abs(est["mean"] - est_xla["mean"]) < tol))
+    # secondary paths must never sink the headline (the device tunnel is
+    # occasionally flaky); degrade to null fields on failure
+    xla_s = None
+    agree = None
+    try:
+        step, _ = build_xla_step()
+        key = jax.random.key(2024)
+        xla_accs = step(key)
+        _ = float(xla_accs[-1].n_valid)
+        t0 = time.perf_counter()
+        xla_accs = step(jax.random.fold_in(key, 1))
+        _ = float(xla_accs[-1].n_valid)
+        xla_s = time.perf_counter() - t0
+        est_xla = accumulators_to_estimates(jax.tree.map(np.asarray, xla_accs))
+        tol = 6 * np.sqrt(est_xla["var"] + est["var"]) + 1e-4
+        agree = bool(np.all(np.abs(est["mean"] - est_xla["mean"]) < tol))
+    except Exception:
+        pass
 
     # ---------------- maxent PDF from the estimate (config 3) ----------- #
-    import mlmc_tpu.tool.simple_distribution as sd
+    maxent_s = None
+    result = None
+    try:
+        import mlmc_tpu.tool.simple_distribution as sd
 
-    t1 = time.perf_counter()
-    with jax.enable_x64(True):
-        orto, info = sd.construct_ortogonal_moments(
-            moments_fn, est["cov"], tol=1e-7)
-        mu = info[2] @ est["mean"]
-        moments_data = np.stack((mu, np.ones(orto.size)), axis=1)
-        d = sd.SimpleDistribution(orto, moments_data, domain=moments_fn.domain)
-        result = d.estimate_density_minimize(tol=1e-9)
-    maxent_s = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        with jax.enable_x64(True):
+            orto, info = sd.construct_ortogonal_moments(
+                moments_fn, est["cov"], tol=1e-7)
+            mu = info[2] @ est["mean"]
+            moments_data = np.stack((mu, np.ones(orto.size)), axis=1)
+            d = sd.SimpleDistribution(orto, moments_data,
+                                      domain=moments_fn.domain)
+            result = d.estimate_density_minimize(tol=1e-9)
+        maxent_s = time.perf_counter() - t1
+    except Exception:
+        pass
 
     out = {
         "metric": "fused 5-level moment+cov estimate, 25 Legendre moments, 1e8 samples",
@@ -140,11 +151,11 @@ def main():
         "vs_baseline": round(pallas_thr / BASELINE_SAMPLES_PER_S, 2),
         "extras": {
             "pallas_wall_s": round(pallas_s, 4),
-            "xla_wall_s": round(xla_s, 4),
-            "xla_samples_per_s": round(total / xla_s, 1),
+            "xla_wall_s": round(xla_s, 4) if xla_s else None,
+            "xla_samples_per_s": round(total / xla_s, 1) if xla_s else None,
             "paths_agree": agree,
-            "maxent_solve_s": round(maxent_s, 3),
-            "maxent_converged": bool(result.success),
+            "maxent_solve_s": round(maxent_s, 3) if maxent_s else None,
+            "maxent_converged": bool(result.success) if result else None,
             "mean_p1": float(est["mean"][1]),
             "n_valid": est["n_samples"].tolist(),
         },

@@ -163,3 +163,47 @@ def test_inexact_convergence():
     assert result.success
     kl = sd.KL_divergence(cut.pdf, d.density, *cut.domain)
     assert kl < 1e-3, kl
+
+
+@pytest.mark.parametrize("basis", ["legendre", "fourier"])
+def test_exact_convergence_basis_families(basis):
+    """Maxent with different moment families (reference parametrizes over
+    moment classes, test_distribution.py:374-380)."""
+    from mlmc_tpu.moments import Fourier
+
+    cut = CutDistribution(stats.norm(0, 1), quantile=0.001)
+    n_moments = 15
+    if basis == "legendre":
+        mfn = Legendre(n_moments, cut.domain, safe_eval=False)
+    else:
+        mfn = Fourier(n_moments, cut.domain, safe_eval=False)
+    exact_moments = sd.compute_semiexact_moments(mfn, cut.pdf, tol=1e-13)
+    moments_data = np.stack((exact_moments, np.ones(n_moments)), axis=1)
+    d = sd.SimpleDistribution(mfn, moments_data, domain=cut.domain,
+                              force_decay=cut.force_decay)
+    result = d.estimate_density_minimize(tol=1e-8)
+    assert result.success
+    kl = sd.KL_divergence(cut.pdf, d.density, *cut.domain)
+    assert kl < 1e-4, kl
+
+
+def test_config3_two_gaussians_35_moments():
+    """BASELINE.json config 3 verbatim: 35 moments, two-Gaussian target."""
+    cut = CutDistribution(_two_gaussians_pdf(), quantile=1e-4)
+    n_moments = 35
+    mfn = Legendre(n_moments, cut.domain, safe_eval=False)
+    exact_moments = sd.compute_semiexact_moments(mfn, cut.pdf, tol=1e-13)
+    moments_data = np.stack((exact_moments, np.ones(n_moments)), axis=1)
+    d = sd.SimpleDistribution(mfn, moments_data, domain=cut.domain,
+                              force_decay=cut.force_decay)
+    import time
+    t0 = time.perf_counter()
+    result = d.estimate_density_minimize(tol=1e-9)
+    solve_s = time.perf_counter() - t0
+    assert result.success, result.message
+    kl = sd.KL_divergence(cut.pdf, d.density, *cut.domain)
+    assert kl < 5e-5, kl
+    # both modes resolved
+    dens = d.density(np.array([0.0, 2.5, 5.0]))
+    assert dens[0] > dens[1] and dens[2] > dens[1]
+    assert solve_s < 60
