@@ -226,6 +226,96 @@ class Estimate:
             self.var_bs_l_means * np.array(self._sample_storage.get_n_collected())[:, None]
         )
 
+    def est_bootstrap_fast(self, n_subsamples=100, sample_vector=None,
+                           moments_fn=None, seed=0):
+        """Device-side bootstrap: all replicates as ONE vmapped program.
+
+        SURVEY.md §7 step 9 ("vmapped bootstrap subsampling"): per level the
+        moment diff matrix ``dphi [N, R]`` is built once on device; each
+        replicate gathers a without-replacement subsample (sorted-Gumbel
+        top-k, matching the reference's hypergeometric no-replacement
+        semantics) and reduces — one jit, ``n_subsamples`` replicates in
+        parallel. Sets the same attributes as ``est_bootstrap``.
+
+        Scalar quantities only (the general path covers structured ones).
+        """
+        import jax
+        import jax.numpy as jnp
+        from mlmc_tpu.quantity.quantity_types import ScalarType
+
+        if moments_fn is not None:
+            self._moments_fn = moments_fn
+        else:
+            moments_fn = self._moments_fn
+        if not isinstance(self._quantity.qtype, ScalarType):
+            raise NotImplementedError(
+                "est_bootstrap_fast supports ScalarType quantities")
+
+        sample_vector = determine_sample_vec(
+            n_collected_samples=self._sample_storage.get_n_collected(),
+            n_levels=self._sample_storage.get_n_levels(),
+            sample_vector=sample_vector,
+        )
+        n_levels = self._sample_storage.get_n_levels()
+        R = moments_fn.size
+        B = int(n_subsamples)
+        key = jax.random.key(seed)
+
+        # [B, L, R] per-level bootstrap means/vars
+        bs_l_means = np.empty((B, n_levels, R))
+        bs_l_vars = np.empty((B, n_levels, R))
+        ns = np.empty(n_levels, dtype=int)
+        for lvl in range(n_levels):
+            chunk = np.asarray(self.get_level_samples(
+                lvl, n_samples=int(self._sample_storage.get_n_collected()[lvl])))
+            fine = chunk[0, :, 0]
+            coarse = chunk[0, :, 1] if chunk.shape[2] > 1 else None
+            valid = ~np.isnan(fine)
+            if coarse is not None:
+                valid &= ~np.isnan(coarse)
+            fine = fine[valid]
+            phi_f = np.asarray(moments_fn.eval_all_np(fine))
+            if coarse is not None:
+                phi_c = np.asarray(moments_fn.eval_all_np(coarse[valid]))
+                dphi_np = np.nan_to_num(phi_f) - np.nan_to_num(phi_c)
+            else:
+                dphi_np = np.nan_to_num(phi_f)
+            N = dphi_np.shape[0]
+            n_sub = int(min(sample_vector[lvl], N))
+            ns[lvl] = n_sub
+            dphi = jnp.asarray(dphi_np)
+
+            def replicate(rep_key, dphi=dphi, N=N, n_sub=n_sub):
+                # without-replacement subsample via Gumbel top-k
+                g = jax.random.gumbel(rep_key, (N,))
+                _, idx = jax.lax.top_k(g, n_sub)
+                sub = dphi[idx]
+                s = jnp.sum(sub, axis=0)
+                sp = jnp.sum(sub * sub, axis=0)
+                mean = s / n_sub
+                var = (sp - s * s / n_sub) / (n_sub - 1)
+                return mean, var
+
+            keys = jax.random.split(jax.random.fold_in(key, lvl), B)
+            means_l, vars_l = jax.jit(jax.vmap(replicate))(keys)
+            bs_l_means[:, lvl, :] = np.asarray(means_l)
+            bs_l_vars[:, lvl, :] = np.asarray(vars_l)
+
+        bs_mean = bs_l_means.sum(axis=1)                      # [B, R]
+        bs_var = (bs_l_vars / ns[None, :, None]).sum(axis=1)  # [B, R]
+
+        self.mean_bs_mean = bs_mean.mean(axis=0)
+        self.mean_bs_var = bs_var.mean(axis=0)
+        self.mean_bs_l_means = bs_l_means.mean(axis=0)
+        self.mean_bs_l_vars = bs_l_vars.mean(axis=0)
+        self.var_bs_mean = bs_mean.var(axis=0, ddof=1)
+        self.var_bs_var = bs_var.var(axis=0, ddof=1)
+        self.var_bs_l_means = bs_l_means.var(axis=0, ddof=1)
+        self.var_bs_l_vars = bs_l_vars.var(axis=0, ddof=1)
+        self._bs_level_mean_variance = (
+            self.var_bs_l_means
+            * np.array(self._sample_storage.get_n_collected())[:, None])
+
     def bs_target_var_n_estimated(self, target_var, sample_vec=None):
         """Estimate n_l for a target variance from bootstrapped level vars."""
         sample_vec = determine_sample_vec(

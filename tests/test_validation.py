@@ -81,3 +81,26 @@ def test_total_variance_validation():
         reps.append(np.asarray(means))
         claimed = np.asarray(variances)
     validation.validate_total_variance(np.stack(reps), claimed)
+
+
+def test_bootstrap_fast_matches_general(mlmc_run):
+    """Device-vmapped bootstrap agrees statistically with the general
+    (eager subsample) bootstrap path."""
+    distr, sampler, storage, est, mfn = mlmc_run
+    sv = [1000, 300, 80]
+
+    est.est_bootstrap(n_subsamples=60, sample_vector=sv)
+    gen = dict(mean=est.mean_bs_mean.copy(), var_mean=est.var_bs_mean.copy(),
+               l_vars=est.mean_bs_l_vars.copy())
+
+    est.est_bootstrap_fast(n_subsamples=60, sample_vector=sv, seed=3)
+    fast = dict(mean=est.mean_bs_mean, var_mean=est.var_bs_mean,
+                l_vars=est.mean_bs_l_vars)
+
+    # both estimate the same quantities; agree within bootstrap scatter
+    tol = 6 * np.sqrt(gen["var_mean"] / 60 + fast["var_mean"] / 60) + 1e-8
+    assert np.all(np.abs(gen["mean"] - fast["mean"]) < tol)
+    # bootstrap variance magnitudes in the same ballpark (factor 3)
+    nz = gen["var_mean"][1:] > 0
+    ratio = fast["var_mean"][1:][nz] / gen["var_mean"][1:][nz]
+    assert np.all(ratio < 5) and np.all(ratio > 0.2), ratio
