@@ -304,9 +304,10 @@ class DeviceBatchPool(SamplingPool):
     """
 
     def __init__(self, work_dir=None, debug=False, seed=0, min_bucket=256,
-                 sharding=None, bulk=True):
+                 sharding=None, bulk=True, max_batch=65536):
         super().__init__(work_dir=work_dir, debug=debug)
         self._bulk = bulk
+        self._max_batch = int(max_batch)
         self._root_key = jax.random.key(seed)
         self._pending = {}  # level_id -> list[(sample_id, attempt)]
         self._attempts = {}  # sample_id -> attempt count
@@ -358,10 +359,34 @@ class DeviceBatchPool(SamplingPool):
         return self._jit_cache[cache_key]
 
     def execute_level(self, level_id):
-        """Run all pending samples of one level as a padded device batch."""
+        """Run all pending samples of one level as padded device batches.
+
+        Batches larger than ``max_batch`` execute in slices so executable
+        sizes (compile time, device memory) stay bounded and the bucket
+        executables are reused across slices and adaptive rounds.
+        """
         pending = self._pending.pop(level_id, [])
         if not pending:
             return {}, {}
+        if len(pending) > self._max_batch:
+            succ_all, fail_all = {}, {}
+            for start in range(0, len(pending), self._max_batch):
+                self._pending[level_id] = pending[start:start + self._max_batch]
+                s, f = self.execute_level(level_id)
+                for k, v in s.items():
+                    if k in succ_all and self._bulk:
+                        prev = succ_all[k]
+                        succ_all[k] = BulkResults(
+                            prev.ids + v.ids,
+                            np.concatenate([prev.fine, v.fine]),
+                            np.concatenate([prev.coarse, v.coarse]))
+                    elif k in succ_all:
+                        succ_all[k].extend(v)
+                    else:
+                        succ_all[k] = v
+                for k, v in f.items():
+                    fail_all.setdefault(k, []).extend(v)
+            return succ_all, fail_all
         level_sim = self._level_sims[level_id]
         n = len(pending)
         bucket = _round_up_bucket(n, self._min_bucket)

@@ -69,3 +69,23 @@ def test_sample_range():
     assert rng[0] == 1000 and rng[-1] == 10
     ratios = rng[:-1] / rng[1:]
     assert np.allclose(ratios, ratios[0], rtol=0.1)  # geometric
+
+
+def test_device_pool_max_batch_slicing():
+    """Batches beyond max_batch execute in slices with identical results."""
+    import numpy as np
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm(), complexity=2))
+    results = []
+    for max_batch in [10_000, 128]:
+        storage = Memory()
+        pool = DeviceBatchPool(seed=6, min_bucket=64, max_batch=max_batch)
+        sampler = Sampler(storage, pool, sim, [[0.1], [0.01]])
+        sampler.set_initial_n_samples([500, 100])
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+        results.append(storage.sample_pairs())
+    for a, b in zip(*results):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-14)
