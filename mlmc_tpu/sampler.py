@@ -13,6 +13,9 @@ from typing import List
 from mlmc_tpu.sample_storage import SampleStorage
 from mlmc_tpu.sampling_pool import SamplingPool
 from mlmc_tpu.sim.simulation import Simulation
+from mlmc_tpu.tool.log import get_logger, event
+
+_log = get_logger("sampler")
 
 
 class Sampler:
@@ -113,6 +116,7 @@ class Sampler:
                 samples.append(sample_id)
             if samples:
                 self.sample_storage.save_scheduled_samples(level_id, samples)
+                event(_log, "scheduled", level=level_id, n=len(samples))
 
     def _check_failed_samples(self):
         unfinished_sample_ids = self.sample_storage.unfinished_ids()
@@ -137,6 +141,14 @@ class Sampler:
 
     def _store_samples(self, successful_samples, failed_samples, n_ops):
         from mlmc_tpu.sampling_pool import BulkResults
+
+        for level_id, res in successful_samples.items():
+            n = len(res.ids) if isinstance(res, BulkResults) else len(res)
+            if n:
+                event(_log, "collected", level=level_id, n=n)
+        for level_id, res in failed_samples.items():
+            if len(res):
+                event(_log, "failed", level=level_id, n=len(res))
 
         tupled = {}
         for level_id, res in successful_samples.items():

@@ -137,3 +137,38 @@ def test_process_base_cli(tmp_path):
 
     # renew on the existing storage
     SynthProcess(argv=["renew", work_dir])
+
+
+def test_config_front_end(tmp_path):
+    from mlmc_tpu.tool.config import load_config, validate_config, apply_overrides
+
+    base = tmp_path / "base.yaml"
+    base.write_text("sim:\n  sigma: 1.0\n  corr_length: 0.2\nlevels: 3\n")
+    main = tmp_path / "main.yaml"
+    main.write_text(
+        "include: base.yaml\nsim:\n  sigma: 0.5\ntarget_var: 1.0e-4\n")
+
+    cfg = load_config(str(main), overrides=["sim.corr_length=0.3",
+                                            "levels=5"])
+    assert cfg["sim"]["sigma"] == 0.5          # include overridden by file
+    assert cfg["sim"]["corr_length"] == 0.3    # dotted override
+    assert cfg["levels"] == 5
+    assert cfg["target_var"] == 1e-4
+
+    validate_config(cfg, {"sim": {"sigma": float, "corr_length": float},
+                          "levels": int, "missing?": int})
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        validate_config(cfg, {"nonexistent": int})
+
+
+def test_structured_logging(capsys):
+    import io
+    from mlmc_tpu.tool import log as mlog
+
+    buf = io.StringIO()
+    logger = mlog.configure(stream=buf)
+    lg = mlog.get_logger("test")
+    mlog.event(lg, "collected", level=1, n=512)
+    out = buf.getvalue()
+    assert "collected" in out and "level=1" in out and "n=512" in out
