@@ -67,7 +67,7 @@ def test_total_variance_validation():
     mfn = Legendre(4, distr.ppf([1e-6, 1 - 1e-6]))
     reps = []
     claimed = None
-    for rep in range(20):
+    for rep in range(12):
         storage = Memory()
         sampler = Sampler(storage, DeviceBatchPool(seed=100 + rep,
                                                    min_bucket=64),
