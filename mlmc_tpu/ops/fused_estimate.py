@@ -96,6 +96,7 @@ def fused_level_moments(
     Sample seeds mirror the pool scheme: ``fold_in(level_key, sample_index)``
     so the same (level, index) always produces the same draw, on any chip or
     mesh layout (reference md5(sample_id) scheme, sampling_pool.py:75-84).
+    Indices are uint32: a level's stream supports up to 2^32 samples.
     """
     R = moments_fn.size
     if n_alloc is None:
