@@ -38,7 +38,7 @@ LEVEL_STEPS = [0.5, 0.25, 0.125, 0.0625, 0.03125]
 N_PER_LEVEL = [64_000_000, 24_000_000, 8_000_000, 3_000_000, 1_000_000]
 DOMAIN = (-4.0, 4.0)
 PALLAS_CHUNK = 32768
-XLA_CHUNK = 1 << 19
+XLA_CHUNK = 1 << 15  # measured optimum (BASELINE.md)
 
 
 def run_pallas(seed):

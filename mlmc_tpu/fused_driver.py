@@ -69,7 +69,7 @@ class FusedMLMC:
     """
 
     def __init__(self, sim_chunk_fns, moments_fn, root_key=None,
-                 chunk_size=65536, acc_dtype=None):
+                 chunk_size=32768, acc_dtype=None):
         self._fns = list(sim_chunk_fns)
         self._moments_fn = moments_fn
         self._key = root_key if root_key is not None else jax.random.key(0)

@@ -201,7 +201,7 @@ def fused_mlmc_moments(
     moments_fn,
     root_key,
     n_samples_per_level,
-    chunk_size: int = 65536,
+    chunk_size: int = 32768,
     acc_dtype=None,
     axis_name: Optional[str] = None,
 ):
