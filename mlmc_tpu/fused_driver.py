@@ -155,6 +155,26 @@ class FusedMLMC:
                     l_means=l_means, l_vars=l_vars,
                     cov=np.sum(covs, axis=0), n_samples=ns)
 
+    def construct_density(self, tol=1e-8, orth_moments_tol=1e-7):
+        """Maxent PDF from the accumulated moment/covariance state — the
+        storage-free analogue of Estimate.construct_density (reference
+        estimator.py:304-331): orthogonalize the basis against the sampled
+        covariance, rotate the mean estimates, solve.
+
+        :return: (SimpleDistribution, info, solver result, orthogonal basis)
+        """
+        import mlmc_tpu.tool.simple_distribution as sd
+
+        est = self.estimates()
+        orto, info = sd.construct_ortogonal_moments(
+            self._moments_fn, est["cov"], tol=orth_moments_tol)
+        mu = info[2] @ est["mean"]
+        moments_data = np.stack((mu[:orto.size], np.ones(orto.size)), axis=1)
+        distr_obj = sd.SimpleDistribution(orto, moments_data,
+                                          domain=orto.domain)
+        result = distr_obj.estimate_density_minimize(tol)
+        return distr_obj, info, result, orto
+
     # ------------------------------------------------------------------ #
     # checkpoint / resume (the storage-free analogue of the HDF5 resume
     # path — the state is just per-level accumulators + stream positions)

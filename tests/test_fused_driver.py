@@ -111,3 +111,23 @@ def test_checkpoint_resume(tmp_path):
     e1, e2 = d1.estimates(), d2.estimates()
     assert np.allclose(e1["mean"], e2["mean"], atol=1e-12)
     assert e1["n_samples"].tolist() == e2["n_samples"].tolist()
+
+
+def test_storage_free_density():
+    """End-to-end storage-free workflow: adaptive run -> maxent PDF.
+
+    Single level, tiny step error: reconstructed density must approximate
+    the standard normal.
+    """
+    import scipy.stats as st
+
+    distr = Norm()
+    mfn = Legendre(15, (-5.0, 5.0))
+    fns = [SynthSimulation.scalar_batch_fn(1e-4, 0.0, distr)]
+    driver = FusedMLMC(fns, mfn, jax.random.key(6), chunk_size=8192)
+    driver._run_level(0, 200_000)
+    d, info, result, orto = driver.construct_density(tol=1e-8)
+    assert result.success
+    x = np.linspace(-3, 3, 13)
+    err = np.max(np.abs(d.density(x) - st.norm.pdf(x)))
+    assert err < 0.02, err
