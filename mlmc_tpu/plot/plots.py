@@ -550,3 +550,40 @@ def plot_mlmc_conv(n_moments, vars_est, exact_mean, means_est, target_var,
     ax.set_ylabel("|error|")
     ax.legend()
     _show_and_save(fig, file, "mlmc_conv")
+
+
+def plot_diff_var_subsample(level_variance_diff, n_levels, file=""):
+    """Subsampled level-variance differences (reference :1066-1095)."""
+    fig, ax = plt.subplots(figsize=(10, 7))
+    ax.set_yscale("log")
+    level_variance_diff = np.atleast_2d(np.asarray(level_variance_diff))
+    X = np.arange(level_variance_diff.shape[-1])
+    for i, diff in enumerate(level_variance_diff):
+        ax.plot(X, np.maximum(np.abs(diff), 1e-30), "o-",
+                label="subsample {}".format(i), lw=0.7, ms=3)
+    ax.set_xlabel("moment")
+    ax.set_ylabel("|level variance difference|")
+    ax.legend()
+    _show_and_save(fig, file, "diff_var_subsample")
+
+
+def plot_error(errors, file="", title="errors"):
+    """Histogram of estimate errors (reference plot_error)."""
+    fig, ax = plt.subplots(figsize=(10, 7))
+    ax.hist(np.asarray(errors).ravel(), bins=40)
+    ax.set_xlabel("error")
+    ax.set_ylabel("count")
+    _show_and_save(fig, file, title)
+
+
+def plot_regression_diffs(all_diffs, n_moments, file=""):
+    """Regression-vs-raw variance differences per moment (reference :1207-1224)."""
+    fig, ax = plt.subplots(figsize=(10, 7))
+    ax.set_yscale("log")
+    cmap = create_color_bar(n_moments, "moments", ax)
+    for m, diffs in enumerate(np.atleast_2d(np.asarray(all_diffs))):
+        ax.plot(np.arange(len(diffs)), np.maximum(np.abs(diffs), 1e-30),
+                "o-", color=cmap(m + 1), lw=0.6, ms=3)
+    ax.set_xlabel("level")
+    ax.set_ylabel("|regression - raw|")
+    _show_and_save(fig, file, "regression_diffs")

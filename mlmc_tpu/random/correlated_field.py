@@ -233,9 +233,26 @@ class SpectralCorrelatedField(RandomFieldBase):
             jnp.cos(proj + phases[None, :]), axis=1)
 
 
-# API aliases for reference parity
-GSToolsSpatialCorrelatedField = SpectralCorrelatedField
-FourierSpatialCorrelatedField = SpectralCorrelatedField
+class GSToolsSpatialCorrelatedField(SpectralCorrelatedField):
+    """API-parity subclass of the spectral generator (reference :501-553
+    wraps gstools.SRF's randomization method — the same algorithm this
+    class implements natively). Accepts a gstools-like model object with
+    ``len_scale``/``dim`` attributes or plain kwargs."""
+
+    def __init__(self, model=None, **kwargs):
+        if model is not None:
+            kwargs.setdefault("corr_length", getattr(model, "len_scale", 1.0))
+            kwargs.setdefault("dim", getattr(model, "dim", 2))
+            name = type(model).__name__.lower()
+            kwargs.setdefault("corr_exp",
+                              "exp" if "exponential" in name else "gauss")
+        super().__init__(**kwargs)
+
+
+class FourierSpatialCorrelatedField(SpectralCorrelatedField):
+    """API-parity subclass: the reference's deprecated in-repo spectral
+    method (:556-755) is subsumed by the random-Fourier-feature generator."""
+
 
 
 class CirculantEmbeddingField(RandomFieldBase):

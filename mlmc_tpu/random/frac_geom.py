@@ -26,3 +26,28 @@ def make_frac_mesh(box, mesh_step, fractures, frac_step):
         "geomop present but mlmc_tpu bridge not implemented; "
         "use the reference tooling to produce the mesh, then load it "
         "with mlmc_tpu.tool.gmsh_io.GmshIO")
+
+
+def make_decomposition(box, fractures):
+    """Gated (reference frac_geom.py): needs geomop's polygon decomposition."""
+    _require_geomop()
+
+
+def make_regions(decomp):
+    """Gated (reference frac_geom.py)."""
+    _require_geomop()
+
+
+def add_reg(regions, name, dim, **kwargs):
+    """Gated (reference frac_geom.py)."""
+    _require_geomop()
+
+
+def fill_lg(decomp, regions):
+    """Gated (reference frac_geom.py)."""
+    _require_geomop()
+
+
+def make_mesh(geometry, mesh_step, mesh_file):
+    """Gated (reference frac_geom.py): needs geomop + the gmsh binary."""
+    _require_geomop()

@@ -67,6 +67,13 @@ class SynthSimulation(Simulation):
             config_dict=config, task_size=self.n_ops_estimate(fine_level_params[0])
         )
 
+    @staticmethod
+    def generate_random_samples(distr, seed, size):
+        """Host RNG draw shared by fine and coarse (reference :70-92)."""
+        key = jax.random.key(np.uint32(seed))
+        y = as_jax_distr(distr).sample(key, (int(size),))
+        return y, y
+
     # ------------------------------------------------------------------ #
     # host single-sample path (parity with the reference contract)
     # ------------------------------------------------------------------ #

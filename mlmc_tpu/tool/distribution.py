@@ -82,6 +82,18 @@ class Distribution:
     def estimate_density(self, tol=1e-7):
         return self.estimate_density_minimize(tol)
 
+    def eval_moments(self, x):
+        assert self._inner is not None, "call estimate_density_minimize first"
+        return self._inner.eval_moments(x)
+
+    def end_point_derivatives(self):
+        assert self._inner is not None, "call estimate_density_minimize first"
+        return self._inner.end_point_derivatives()
+
+    def extend_size(self, multipliers, new_size):
+        """Warm-start padding (reference :234-250)."""
+        return self._extend_size(multipliers, new_size)
+
     def density(self, value):
         assert self._inner is not None, "call estimate_density_minimize first"
         return self._inner.density(value)

@@ -99,6 +99,26 @@ class GmshIO:
         """:return: {field_name: {time: {ele_id: [values]}}}"""
         return self.element_data
 
+    def read_element_data_head(self, mshfile):
+        """Parse one $ElementData header from an open file positioned after
+        the section tag (reference gmsh_io.py:48-71).
+
+        :return: (name, time, time_idx, n_components, n_entries)
+        """
+        lines = iter(mshfile)
+        n_str = int(next(lines))
+        strings = [next(lines).strip().strip('"') for _ in range(n_str)]
+        n_real = int(next(lines))
+        reals = [float(next(lines)) for _ in range(n_real)]
+        n_int = int(next(lines))
+        ints = [int(next(lines)) for _ in range(n_int)]
+        name = strings[0] if strings else ""
+        time = reals[0] if reals else 0.0
+        time_idx = ints[0] if ints else 0
+        n_comp = ints[1] if len(ints) > 1 else 1
+        n_entries = ints[2] if len(ints) > 2 else 0
+        return name, time, time_idx, n_comp, n_entries
+
     # ------------------------------------------------------------------ #
     def write_ascii(self, mshfile=None):
         """Write $MeshFormat/$PhysicalNames/$Nodes/$Elements."""
@@ -128,6 +148,37 @@ class GmshIO:
         mshfile.write("$EndElements\n")
         if close:
             mshfile.close()
+
+    def write_binary(self, filename=None):
+        """Write Gmsh v2.2 BINARY msh (nodes + elements), little-endian
+        (reference gmsh_io.py:219-248)."""
+        import struct
+
+        if filename is None:
+            filename = self.filename
+        with open(filename, "wb") as f:
+            f.write(b"$MeshFormat\n2.2 1 8\n")
+            f.write(struct.pack("<i", 1))
+            f.write(b"\n$EndMeshFormat\n")
+            f.write(b"$Nodes\n")
+            f.write(str(len(self.nodes)).encode() + b"\n")
+            for node_id, xyz in self.nodes.items():
+                f.write(struct.pack("<i3d", node_id, *xyz))
+            f.write(b"\n$EndNodes\n")
+            f.write(b"$Elements\n")
+            f.write(str(len(self.elements)).encode() + b"\n")
+            # group elements by (type, n_tags) headers
+            from collections import defaultdict
+            groups = defaultdict(list)
+            for elm_id, (etype, tags, node_ids) in self.elements.items():
+                groups[(etype, len(tags))].append((elm_id, tags, node_ids))
+            for (etype, n_tags), elems in groups.items():
+                f.write(struct.pack("<3i", etype, len(elems), n_tags))
+                for elm_id, tags, node_ids in elems:
+                    f.write(struct.pack(
+                        "<{}i".format(1 + n_tags + len(node_ids)),
+                        elm_id, *tags, *node_ids))
+            f.write(b"\n$EndElements\n")
 
     def write_element_data(self, f, ele_ids, name, values):
         """Append one $ElementData block (reference gmsh_io.py:250-287).

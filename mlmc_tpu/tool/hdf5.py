@@ -83,6 +83,10 @@ class HDF5:
             self.file["Levels"].create_group(level_id)
         return LevelGroup(self, path, level_id)
 
+    @property
+    def result_format_dset_name(self):
+        return "result_format"
+
     def save_result_format(self, result_format, res_dtype):
         """Result format as a structured dataset (reference hdf5.py:122-150)."""
         data = np.empty(len(result_format), dtype=res_dtype)
@@ -113,6 +117,19 @@ class LevelGroup:
 
     SCHEDULED_DTYPE = {"names": ["sample_id"], "formats": ["S100"]}
     FAILED_DTYPE = {"names": ("sample_id", "message"), "formats": ("S100", "S1000")}
+
+    # dataset-name properties (reference hdf5.py:270-295 API)
+    @property
+    def scheduled_dset(self):
+        return "scheduled"
+
+    @property
+    def collected_ids_dset(self):
+        return "collected_ids"
+
+    @property
+    def failed_dset(self):
+        return "failed"
 
     def __init__(self, hdf: HDF5, hdf_group_path, level_id, loaded_from_file=False):
         self._hdf = hdf

@@ -178,6 +178,58 @@ class ProcessBase:
                 running += sampler.ask_sampling_pool_for_samples()
             print("N running: ", running)
 
+    # ------------------------------------------------------------------ #
+    # analysis recipes (reference process_base.py:231-394)
+    # ------------------------------------------------------------------ #
+    def set_moments(self, quantity, storage, n_moments=None, quantile=0.001):
+        """Build the Legendre basis from the sampled domain (reference API)."""
+        from mlmc_tpu.moments import Legendre
+
+        domain = est_mod.Estimate.estimate_domain(quantity, storage,
+                                                  quantile=quantile)
+        return Legendre(n_moments or self.n_moments, domain)
+
+    def n_sample_estimate(self, sampler, estimator, target_var=None):
+        """Variance-optimal n_l for the target variance (reference API)."""
+        variances, n_ops = estimator.estimate_diff_vars_regression(
+            sampler._n_scheduled_samples)
+        return est_mod.estimate_n_samples_for_target_variance(
+            target_var or self.target_var(), variances, n_ops,
+            n_levels=sampler.n_levels)
+
+    def analyze_error_of_variance(self, estimator, sampler, out_file=None):
+        """Bootstrap spread of the level variances (reference :231-290)."""
+        estimator.est_bootstrap(n_subsamples=50)
+        from mlmc_tpu.plot import plots
+
+        raw_vars, n_samples = estimator.estimate_diff_vars()
+        bs = plots.BSplots(
+            n_samples=n_samples, bs_n_samples=n_samples,
+            n_moments=estimator.n_moments, ref_level_var=raw_vars)
+        bs.plot_bs_variances(estimator.var_bs_l_vars, file=out_file or "")
+        return estimator.var_bs_l_vars
+
+    def analyze_pdf_approx(self, estimator, out_file=None, tol=1e-7):
+        """Maxent PDF reconstruction + diagnostic plot (reference :330-394)."""
+        from mlmc_tpu.plot import plots
+
+        distr_obj, info, result, orto = estimator.construct_density(tol=tol)
+        dp = plots.Distribution(title="pdf_approx")
+        dp.add_distribution(distr_obj)
+        dp.show(file=out_file or "")
+        return distr_obj, result
+
+    def rm_files(self, work_dir):
+        """Clean a work dir (reference rm_files)."""
+        import shutil
+
+        if os.path.isdir(work_dir):
+            shutil.rmtree(work_dir)
+        os.makedirs(work_dir, mode=0o775, exist_ok=True)
+
+    def process_analysis(self, *args, **kwargs):
+        """Subclass hook for custom analyses (reference :100-101)."""
+
     def process(self):
         """Analyze collected data (subclass hook; default: print moments)."""
         assert os.path.isdir(self.work_dir)

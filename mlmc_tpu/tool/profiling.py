@@ -34,3 +34,11 @@ def section_timer(name="section", results=None):
             results.append((name, elapsed))
         else:
             print("[{}] {:.4f} s".format(name, elapsed))
+
+
+@contextlib.contextmanager
+def stat_profiler():
+    """API-parity alias of the reference's statprof context
+    (context_statprof.py:8-13): yields a section timer printing on exit."""
+    with section_timer("stat_profiler"):
+        yield
