@@ -172,3 +172,25 @@ def test_structured_logging(capsys):
     mlog.event(lg, "collected", level=1, n=512)
     out = buf.getvalue()
     assert "collected" in out and "level=1" in out and "n=512" in out
+
+
+def test_new_plot_functions(tmp_path, run_small_mlmc):
+    from mlmc_tpu.plot import plots, violinplot
+
+    plots.plot_diff_var_subsample(np.abs(np.random.default_rng(0).normal(
+        size=(3, 5))), 2, file=str(tmp_path / "dvs"))
+    plots.plot_error(np.random.default_rng(0).normal(size=100),
+                     file=str(tmp_path / "err"))
+    plots.plot_regression_diffs(np.abs(np.random.default_rng(0).normal(
+        size=(4, 3))), 5, file=str(tmp_path / "rd"))
+    for f in ["dvs.pdf", "err.pdf", "rd.pdf"]:
+        assert (tmp_path / f).exists()
+
+    vp = violinplot.ViolinPlotter()
+    rng = np.random.default_rng(1)
+    vp.add_level("0 F  1 C", rng.normal(size=50), rng.normal(size=50))
+    out = str(tmp_path / "vp.pdf")
+    vp.show(file=out)
+    assert os.path.exists(out)
+    violinplot.violinplot(rng.normal(size=80), file=str(tmp_path / "v1.pdf"))
+    assert (tmp_path / "v1.pdf").exists()

@@ -134,3 +134,57 @@ def test_external_command_simulation(tmp_path):
     # same seed => same random.gauss draw => fine - coarse == step difference
     diff = pairs[1][0, :, 0] - pairs[1][0, :, 1]
     assert np.allclose(diff, 0.125 - 0.5, atol=1e-12)
+
+
+def test_flow_utils(tmp_path):
+    from mlmc_tpu.tool.flow_utils import (create_corr_field,
+                                          substitute_placeholders,
+                                          force_mkdir)
+    import jax
+
+    # model zoo produces a sampling Fields instance
+    fields = create_corr_field(model="exp", corr_length=0.5, dim=2,
+                               log=True, mode_no=64)
+    pts = np.random.default_rng(0).uniform(0, 1, size=(10, 2))
+    fields.set_points(pts)
+    out = fields.sample(jax.random.key(0))
+    assert out["conductivity"].shape == (10,)
+    assert np.all(out["conductivity"] > 0)  # log field
+
+    # placeholder substitution
+    tmpl = tmp_path / "in.tmpl"
+    tmpl.write_text("mesh: <mesh_file>\nstep: <step>\nkeep: <unknown>\n")
+    used = substitute_placeholders(str(tmpl), str(tmp_path / "out.txt"),
+                                   {"mesh_file": "m.msh", "step": 0.25})
+    text = (tmp_path / "out.txt").read_text()
+    assert "m.msh" in text and "0.25" in text and "<unknown>" in text
+    assert used == {"mesh_file", "step"}
+
+    # force_mkdir semantics
+    d = tmp_path / "wd"
+    force_mkdir(str(d))
+    (d / "junk").write_text("x")
+    force_mkdir(str(d), force=True)
+    assert not (d / "junk").exists()
+
+
+def test_gmsh_binary_writer(tmp_path):
+    from mlmc_tpu.tool.gmsh_io import GmshIO
+
+    io = GmshIO()
+    io.nodes = {1: (0.0, 0.0, 0.0), 2: (1.0, 0.0, 0.0), 3: (0.0, 1.0, 0.0)}
+    io.elements = {1: (2, [1, 1], [1, 2, 3])}
+    path = str(tmp_path / "bin.msh")
+    io.write_binary(path)
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"$MeshFormat\n2.2 1 8\n")
+    assert b"$EndElements" in raw
+
+
+def test_element_data_head(tmp_path):
+    import io as _io
+    from mlmc_tpu.tool.gmsh_io import GmshIO
+
+    body = "1\n\"conductivity\"\n1\n0.5\n3\n0\n1\n2\n"
+    head = GmshIO().read_element_data_head(_io.StringIO(body))
+    assert head == ("conductivity", 0.5, 0, 1, 2)
