@@ -13,6 +13,8 @@ Differences from the reference:
 * sample memoization is an explicit dict keyed like the reference
   (level, chunk, size, node-id) with a global ``cache_clear()``.
 """
+import collections
+import functools
 import itertools
 import operator
 import numpy as np
@@ -27,8 +29,11 @@ _RNG = np.random.default_rng()
 # global memoization of Quantity.samples evaluations (reference uses
 # @cached with custom key (level_id, chunk_id, chunk_size, id(self));
 # we use a monotonic per-node uid instead of id() — CPython reuses ids
-# after GC, which would let stale cache entries alias new nodes)
-_SAMPLE_CACHE = {}
+# after GC, which would let stale cache entries alias new nodes).
+# LRU-bounded: long interactive sessions chaining select/subsample would
+# otherwise accumulate chunk arrays without limit.
+_SAMPLE_CACHE = collections.OrderedDict()
+_SAMPLE_CACHE_MAX = 512
 _UID_COUNTER = itertools.count()
 
 
@@ -133,10 +138,13 @@ class Quantity:
         """Evaluate this node's chunk for one ChunkSpec (memoized)."""
         key = self._cache_key(chunk_spec)
         if key in _SAMPLE_CACHE:
+            _SAMPLE_CACHE.move_to_end(key)
             return _SAMPLE_CACHE[key]
         chunks_quantity_level = [q.samples(chunk_spec) for q in self._input_quantities]
         result = self._operation(*chunks_quantity_level)
         _SAMPLE_CACHE[key] = result
+        while len(_SAMPLE_CACHE) > _SAMPLE_CACHE_MAX:
+            _SAMPLE_CACHE.popitem(last=False)
         return result
 
     def build_eval(self):
@@ -363,12 +371,9 @@ class Quantity:
         return Quantity(quantity_type=new_qtype, input_quantities=[self], operation=_make_getitem_op)
 
     def __getattr__(self, name):
-        static_fun = getattr(self.qtype, name)  # only static-function forwarding
-
-        def apply_on_quantity(*attr, **d_attr):
-            return static_fun(self, *attr, **d_attr)
-
-        return apply_on_quantity
+        # unknown attributes forward to static QType helpers applied to
+        # this quantity (e.g. q.time_interpolation(t))
+        return functools.partial(getattr(self.qtype, name), self)
 
     @staticmethod
     def _concatenate(quantities, qtype, axis=0):
@@ -379,11 +384,12 @@ class Quantity:
 
     @staticmethod
     def _get_base_qtype(args_quantities):
-        for quantity in args_quantities:
-            if isinstance(quantity, Quantity):
-                if type(quantity.qtype.base_qtype()) == qt.ScalarType:
-                    return qt.ScalarType()
-        return qt.BoolType()
+        """ScalarType if any quantity input carries scalars, else BoolType."""
+        has_scalar = any(
+            type(q.qtype.base_qtype()) is qt.ScalarType
+            for q in args_quantities if isinstance(q, Quantity)
+        )
+        return qt.ScalarType() if has_scalar else qt.BoolType()
 
     @staticmethod
     def _method(ufunc, method, *args, **kwargs):
@@ -419,67 +425,77 @@ class Quantity:
 
     @staticmethod
     def wrap(value):
+        """Lift a host value into a QuantityConst; Quantities pass through."""
         if isinstance(value, Quantity):
             return value
-        elif isinstance(value, bool):
-            quantity = QuantityConst(quantity_type=qt.BoolType(), value=value)
-        elif isinstance(value, (int, float, np.integer, np.floating)):
-            quantity = QuantityConst(quantity_type=qt.ScalarType(), value=value)
-        elif isinstance(value, (list, np.ndarray, jnp.ndarray)):
-            value = np.array(value)
-            qtype = qt.ArrayType(shape=value.shape, qtype=qt.ScalarType())
-            quantity = QuantityConst(quantity_type=qtype, value=value)
-        else:
-            raise ValueError("Values {} are not flat, bool or array (list)".format(value))
-        return quantity
+        if isinstance(value, (bool, np.bool_)):
+            return QuantityConst(quantity_type=qt.BoolType(), value=value)
+        if isinstance(value, (int, float, np.integer, np.floating)):
+            return QuantityConst(quantity_type=qt.ScalarType(), value=value)
+        if isinstance(value, (list, tuple, np.ndarray, jnp.ndarray)):
+            arr = np.asarray(value)
+            return QuantityConst(
+                quantity_type=qt.ArrayType(shape=arr.shape, qtype=qt.ScalarType()),
+                value=arr,
+            )
+        raise ValueError("Values {} are not flat, bool or array (list)".format(value))
+
+    @staticmethod
+    def _probe_chunk(quantity):
+        """First stored chunk of a quantity (constants get a dummy spec)."""
+        storage = quantity.get_quantity_storage()
+        spec = ChunkSpec() if storage is None else next(storage.chunks())
+        return quantity.samples(spec)
 
     @staticmethod
     def _result_qtype(method, quantities):
-        """Determine result QType by probing one chunk (reference quantity.py:459-479)."""
-        chunks_quantity_level = []
-        for q in quantities:
-            quantity_storage = q.get_quantity_storage()
-            if quantity_storage is None:
-                chunk_spec = ChunkSpec()
-            else:
-                chunk_spec = next(quantity_storage.chunks())
-            chunks_quantity_level.append(q.samples(chunk_spec))
-        result = method(*chunks_quantity_level)
-        return qt.ArrayType(shape=result.shape[0], qtype=Quantity._get_base_qtype(quantities))
+        """Result QType found by running the op on one probe chunk per input
+        (reference quantity.py:459-479 semantics)."""
+        probe = method(*(Quantity._probe_chunk(q) for q in quantities))
+        base = Quantity._get_base_qtype(quantities)
+        return qt.ArrayType(shape=probe.shape[0], qtype=base)
 
+    # -------------------------------------------------------------- #
+    # composite constructors: children stacked along the flat M axis
+    # under the matching structural QType
+    # -------------------------------------------------------------- #
     @staticmethod
     def QArray(quantities):
-        flat_quantities = np.array(quantities).flatten()
-        qtype = Quantity._check_same_qtype(flat_quantities)
-        array_type = qt.ArrayType(np.array(quantities).shape, qtype)
-        return Quantity._concatenate(flat_quantities, qtype=array_type)
+        """(Nested) lists of same-typed quantities -> ArrayType quantity."""
+        grid = np.asarray(quantities, dtype=object)
+        children = list(grid.ravel())
+        elem_type = Quantity._check_same_qtype(children)
+        return Quantity._concatenate(children, qt.ArrayType(grid.shape, elem_type))
 
     @staticmethod
     def QDict(key_quantity):
-        dict_type = qt.DictType([(key, quantity.qtype) for key, quantity in key_quantity])
-        return Quantity._concatenate(np.array(key_quantity)[:, 1], qtype=dict_type)
+        pairs = list(key_quantity)
+        dict_type = qt.DictType([(key, q.qtype) for key, q in pairs])
+        return Quantity._concatenate([q for _, q in pairs], dict_type)
 
     @staticmethod
     def QTimeSeries(time_quantity):
-        qtype = Quantity._check_same_qtype(np.array(time_quantity)[:, 1])
-        times = np.array(time_quantity)[:, 0]
-        return Quantity._concatenate(
-            np.array(time_quantity)[:, 1], qtype=qt.TimeSeriesType(times=times, qtype=qtype)
-        )
+        pairs = list(time_quantity)
+        children = [q for _, q in pairs]
+        elem_type = Quantity._check_same_qtype(children)
+        ts_type = qt.TimeSeriesType(times=[t for t, _ in pairs], qtype=elem_type)
+        return Quantity._concatenate(children, ts_type)
 
     @staticmethod
     def QField(key_quantity):
-        Quantity._check_same_qtype(np.array(key_quantity)[:, 1])
-        field_type = qt.FieldType([(key, quantity.qtype) for key, quantity in key_quantity])
-        return Quantity._concatenate(np.array(key_quantity)[:, 1], qtype=field_type)
+        pairs = list(key_quantity)
+        children = [q for _, q in pairs]
+        Quantity._check_same_qtype(children)
+        field_type = qt.FieldType([(key, q.qtype) for key, q in pairs])
+        return Quantity._concatenate(children, field_type)
 
     @staticmethod
     def _check_same_qtype(quantities):
-        qtype = quantities[0].qtype
-        for quantity in quantities[1:]:
-            if qtype != quantity.qtype:
-                raise ValueError("Quantities don't have same QType")
-        return qtype
+        """All children must share one QType; return it."""
+        first = quantities[0].qtype
+        if any(q.qtype != first for q in quantities[1:]):
+            raise ValueError("Quantities don't have same QType")
+        return first
 
 
 class _SubsampleParamsQuantity:

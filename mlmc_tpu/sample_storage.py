@@ -122,9 +122,11 @@ class Memory(SampleStorage):
         self._save_failed(failed_samples)
 
     def save_samples_bulk(self, level_id, ids, fine, coarse):
+        from mlmc_tpu.tags import TagChain
+
         pairs = np.stack([np.asarray(fine, dtype=np.float64),
                           np.asarray(coarse, dtype=np.float64)], axis=1)
-        self._successful_sample_ids.setdefault(level_id, []).extend(ids)
+        self._successful_sample_ids.setdefault(level_id, TagChain()).extend(ids)
         self._n_finished[level_id] = self._n_finished.get(level_id, 0) + len(ids)
         if level_id not in self._results:
             self._results[level_id] = pairs
@@ -141,10 +143,12 @@ class Memory(SampleStorage):
         for level_id, res in samples.items():
             if len(res) == 0:
                 continue
+            from mlmc_tpu.tags import TagChain
+
             ids = [s_id for s_id, _ in res]
             pairs = np.array([np.stack([np.ravel(f), np.ravel(c)]) for s_id, (f, c) in res],
                              dtype=np.float64)  # [N, 2, M]
-            self._successful_sample_ids.setdefault(level_id, []).extend(ids)
+            self._successful_sample_ids.setdefault(level_id, TagChain()).extend(ids)
             self._n_finished[level_id] = self._n_finished.get(level_id, 0) + pairs.shape[0]
             if level_id not in self._results:
                 self._results[level_id] = pairs
@@ -172,7 +176,9 @@ class Memory(SampleStorage):
         return self._result_specification
 
     def save_scheduled_samples(self, level_id, samples):
-        self._scheduled.setdefault(level_id, []).extend(samples)
+        from mlmc_tpu.tags import TagChain
+
+        self._scheduled.setdefault(level_id, TagChain()).extend(samples)
 
     def load_scheduled_samples(self):
         return self._scheduled

@@ -1,10 +1,15 @@
-"""Sample scheduling / collection driver.
+"""Sample scheduling / collection driver — vectorized host orchestration.
 
-Re-design of reference mlmc/sampler.py:9-287. The Sampler stays a host-side
-driver (the only Python loop in the framework): it decides per-level target
-counts, hands sample ids to the pool, and stores finished results. With the
-DeviceBatchPool, "scheduling" is just building index vectors — the actual
-execution is one jitted batch per level inside ``pool.get_finished()``.
+Covers the same API surface as reference mlmc/sampler.py:9-287 but with a
+different engine, per SURVEY §7 step 4: sample identity is the integer pair
+``(level, index)`` (see mlmc_tpu.tags), per-level target/scheduled counts
+are int64 vectors, and scheduling a level is one O(1) dispatch — a
+``TagRange`` handed to the pool's batch hook (``schedule_level_batch``) and
+to the storage — instead of the reference's per-sample Python loop building
+one ``"L%02d_S%07d"`` string and one pool call per sample
+(reference sampler.py:122-150). Host pools without a batch hook receive the
+per-sample fallback, which is where the reference semantics (inline
+execution per ``schedule_sample``) actually require a loop.
 """
 import time
 import numpy as np
@@ -13,13 +18,14 @@ from typing import List
 from mlmc_tpu.sample_storage import SampleStorage
 from mlmc_tpu.sampling_pool import SamplingPool
 from mlmc_tpu.sim.simulation import Simulation
+from mlmc_tpu.tags import TagRange, parse_tags
 from mlmc_tpu.tool.log import get_logger, event
 
 _log = get_logger("sampler")
 
 
 class Sampler:
-    """Manages sample scheduling, result collection and storage."""
+    """Decides per-level sample counts, dispatches work, stores results."""
 
     ADDING_SAMPLES_TIMEOUT = 1e-15
 
@@ -33,7 +39,7 @@ class Sampler:
     ):
         """
         :param sample_storage: stores scheduled ids, results, result format
-        :param sampling_pool: calculates samples
+        :param sampling_pool: executes samples
         :param sim_factory: simulation factory creating level instances
         :param level_parameters: per-level simulation steps
         :param seed: global seed for host-side randomness
@@ -42,23 +48,22 @@ class Sampler:
         self.sample_storage = sample_storage
         self._sampling_pool = sampling_pool
 
-        self._n_target_samples = np.zeros(len(level_parameters))
-        self._level_sim_objects = []
-        self._create_level_sim_objects(level_parameters, sim_factory)
+        n_levels = len(level_parameters)
+        self._n_target_samples = np.zeros(n_levels, dtype=np.int64)
+        self._level_sim_objects = self._make_level_sims(level_parameters, sim_factory)
 
         sample_storage.save_global_data(
             level_parameters=level_parameters, result_format=sim_factory.result_format()
         )
 
-        self._n_scheduled_samples = [
-            len(level_scheduled)
-            for level_id, level_scheduled in sample_storage.load_scheduled_samples().items()
-        ]
-        if not self._n_scheduled_samples:
-            self._n_scheduled_samples = np.zeros(len(level_parameters))
+        # resume: scheduled counters continue from the stored schedule log
+        self._n_scheduled_samples = np.zeros(n_levels, dtype=np.int64)
+        for level_id, tags in sample_storage.load_scheduled_samples().items():
+            self._n_scheduled_samples[int(level_id)] = len(tags)
 
         self._check_failed_samples()
 
+    # ------------------------------------------------------------------ #
     @property
     def n_levels(self):
         return len(self._level_sim_objects)
@@ -67,144 +72,172 @@ class Sampler:
     def n_finished_samples(self):
         return self.sample_storage.n_finished()
 
+    @staticmethod
+    def _make_level_sims(level_parameters, sim_factory):
+        """One LevelSimulation per level; level 0 gets the sentinel coarse
+        step [0] (reference sampler.py:62-80)."""
+        coarse_params = [[0], *level_parameters[:-1]]
+        sims = []
+        for level_id, (fine, coarse) in enumerate(zip(level_parameters, coarse_params)):
+            sim = sim_factory.level_instance(fine, coarse)
+            sim.calculate = sim_factory.calculate
+            sim.calculate_batch = getattr(sim_factory, "calculate_batch", None)
+            sim.result_format = sim_factory.result_format()
+            sim.level_id = level_id
+            sims.append(sim)
+        return sims
+
+    # compatibility alias (reference name)
     def _create_level_sim_objects(self, level_parameters, sim_factory):
-        n_levels = len(level_parameters)
-        for level_id in range(n_levels):
-            if level_id == 0:
-                level_sim = sim_factory.level_instance(level_parameters[level_id], [0])
-            else:
-                level_sim = sim_factory.level_instance(
-                    level_parameters[level_id], level_parameters[level_id - 1]
-                )
-            level_sim.calculate = sim_factory.calculate
-            level_sim.calculate_batch = getattr(sim_factory, "calculate_batch", None)
-            level_sim.result_format = sim_factory.result_format()
-            level_sim.level_id = level_id
-            self._level_sim_objects.append(level_sim)
+        self._level_sim_objects = self._make_level_sims(level_parameters, sim_factory)
 
     def sample_range(self, n0, nL):
         """Geometric sequence of length n_levels decreasing from n0 to nL."""
-        return np.round(np.exp2(np.linspace(np.log2(n0), np.log2(nL), self.n_levels))).astype(int)
+        return np.round(np.geomspace(n0, nL, self.n_levels)).astype(np.int64)
 
     def set_initial_n_samples(self, n_samples=None):
-        """Set per-level target sample counts (geometric fill from [n0, nL])."""
-        if n_samples is None:
-            n_samples = [100, 10]
-        n_samples = np.atleast_1d(n_samples)
-        if len(n_samples) == 1:
-            n_samples = np.array([n_samples[0], 10])
-        if len(n_samples) == 2:
-            n0, nL = n_samples
-            n_samples = self.sample_range(n0, nL)
-        self._n_target_samples = n_samples
+        """Seed per-level targets; 1 or 2 values expand to a geometric fill."""
+        counts = [100, 10] if n_samples is None else list(np.atleast_1d(n_samples))
+        if len(counts) == 1:
+            counts.append(10)
+        if len(counts) == 2:
+            counts = self.sample_range(counts[0], counts[1])
+        self._n_target_samples = np.ceil(np.asarray(counts)).astype(np.int64)
 
-    def _get_sample_tag(self, level_id):
-        return "L{:02d}_S{:07d}".format(level_id, int(self._n_scheduled_samples[level_id]))
-
+    # ------------------------------------------------------------------ #
+    # dispatch
+    # ------------------------------------------------------------------ #
     def schedule_samples(self, timeout=None):
-        """Schedule the gap between target and scheduled counts per level."""
+        """Dispatch the gap between target and scheduled counts per level."""
         self.ask_sampling_pool_for_samples(timeout=timeout)
-        plan_samples = self._n_target_samples - self._n_scheduled_samples
+        gap = self._n_target_samples - self._n_scheduled_samples
+        for level_id in np.flatnonzero(gap > 0):
+            self._dispatch_level(int(level_id), int(gap[level_id]))
 
-        for level_id, n_samples in enumerate(plan_samples):
-            samples = []
-            for _ in range(int(n_samples)):
-                sample_id = self._get_sample_tag(level_id)
-                level_sim = self._level_sim_objects[level_id]
-                self._sampling_pool.schedule_sample(sample_id, level_sim)
-                self._n_scheduled_samples[level_id] += 1
-                samples.append(sample_id)
-            if samples:
-                self.sample_storage.save_scheduled_samples(level_id, samples)
-                event(_log, "scheduled", level=level_id, n=len(samples))
+    def _dispatch_level(self, level_id, count):
+        """Schedule ``count`` fresh samples on one level: a single TagRange
+        to batch-capable pools + an O(1) schedule-log append."""
+        level_sim = self._level_sim_objects[level_id]
+        start = int(self._n_scheduled_samples[level_id])
+        tags = TagRange(level_id, start, start + count)
+
+        batch_hook = getattr(self._sampling_pool, "schedule_level_batch", None)
+        if batch_hook is not None:
+            batch_hook(level_sim, tags.indices)
+        else:
+            for tag in tags:
+                self._sampling_pool.schedule_sample(tag, level_sim)
+
+        self._n_scheduled_samples[level_id] += count
+        self.sample_storage.save_scheduled_samples(level_id, tags)
+        event(_log, "scheduled", level=level_id, n=count)
+
+    def renew_failed_samples(self):
+        """Re-dispatch every failed sample id, then clear the failed store.
+
+        Same id => replayable base seed; the DeviceBatchPool additionally
+        salts retries with an attempt counter so injected random failures
+        do not repeat deterministically.
+        """
+        batch_hook = getattr(self._sampling_pool, "schedule_level_batch", None)
+        for level_id, tags in self.sample_storage.failed_samples().items():
+            level_id = int(level_id)
+            level_sim = self._level_sim_objects[level_id]
+            if batch_hook is not None:
+                batch_hook(level_sim, parse_tags(list(tags)), renew=True)
+            else:
+                for tag in tags:
+                    self._sampling_pool.schedule_sample(tag, level_sim)
+        self.sample_storage.clear_failed()
 
     def _check_failed_samples(self):
-        unfinished_sample_ids = self.sample_storage.unfinished_ids()
-        self._sampling_pool.have_permanent_samples(unfinished_sample_ids)
+        """Hand scheduled-but-unfinished ids to the pool (resume support)."""
+        self._sampling_pool.have_permanent_samples(self.sample_storage.unfinished_ids())
 
+    # ------------------------------------------------------------------ #
+    # collection
+    # ------------------------------------------------------------------ #
     def ask_sampling_pool_for_samples(self, sleep=0, timeout=None):
-        """Collect finished samples; block until none running (or timeout)."""
-        if timeout is None:
-            timeout = 0
-        elif timeout <= 0:
-            return 1
+        """Drain finished samples from the pool into storage.
 
-        n_running = 1
-        t0 = time.perf_counter()
-        while n_running > 0:
-            successful_samples, failed_samples, n_running, n_ops = self._sampling_pool.get_finished()
-            self._store_samples(successful_samples, failed_samples, n_ops)
+        ``timeout=None`` blocks until the pool is idle; ``timeout<=0``
+        returns immediately; ``timeout>0`` drains for at most that long.
+        :return: number of still-running samples (0 when drained)
+        """
+        if timeout is not None and timeout <= 0:
+            return 1
+        deadline = None if timeout is None else time.perf_counter() + timeout
+        while True:
+            done, dead, n_running, costs = self._sampling_pool.get_finished()
+            self._store_samples(done, dead, costs)
+            if n_running == 0:
+                return 0
+            if deadline is not None and time.perf_counter() >= deadline:
+                return n_running
             time.sleep(sleep)
-            if 0 < timeout < (time.perf_counter() - t0):
-                break
-        return n_running
 
     def _store_samples(self, successful_samples, failed_samples, n_ops):
         from mlmc_tpu.sampling_pool import BulkResults
 
-        for level_id, res in successful_samples.items():
-            n = len(res.ids) if isinstance(res, BulkResults) else len(res)
-            if n:
-                event(_log, "collected", level=level_id, n=n)
-        for level_id, res in failed_samples.items():
-            if len(res):
-                event(_log, "failed", level=level_id, n=len(res))
-
         tupled = {}
         for level_id, res in successful_samples.items():
             if isinstance(res, BulkResults):
+                event(_log, "collected", level=level_id, n=len(res.ids))
                 self.sample_storage.save_samples_bulk(
                     level_id, res.ids, res.fine, res.coarse)
-            else:
+            elif len(res):
+                event(_log, "collected", level=level_id, n=len(res))
                 tupled[level_id] = res
+        for level_id, res in failed_samples.items():
+            if len(res):
+                event(_log, "failed", level=level_id, n=len(res))
         if tupled or failed_samples:
             self.sample_storage.save_samples(tupled, failed_samples)
         self.sample_storage.save_n_ops(n_ops)
 
-    def process_adding_samples(self, n_estimated, sleep=0, add_coeff=0.1, timeout=ADDING_SAMPLES_TIMEOUT):
-        """Adaptive add: schedule add_coeff of the gap towards n_estimated.
+    # ------------------------------------------------------------------ #
+    # adaptive enlargement
+    # ------------------------------------------------------------------ #
+    def process_adding_samples(self, n_estimated, sleep=0, add_coeff=0.1,
+                               timeout=ADDING_SAMPLES_TIMEOUT):
+        """One adaptive round toward ``n_estimated`` per-level counts.
 
-        :return: True when scheduled == estimated on all levels
+        Each level moves a fraction ``add_coeff`` of its remaining gap —
+        jumping straight to the goal once the gap falls below ``add_coeff``
+        of it — then waits for half of the newly scheduled work
+        (reference sampler.py:195-229 semantics).
+
+        :return: True when scheduled == estimated on all growing levels
         """
         self.ask_sampling_pool_for_samples(timeout=timeout)
-        n_scheduled = self.l_scheduled_samples()
+        n_estimated = np.asarray(n_estimated)
+        scheduled = np.asarray(self.l_scheduled_samples(), dtype=float)
 
-        new_scheduled = np.where(
-            (n_estimated * add_coeff) > (n_estimated - n_scheduled),
-            n_estimated,
-            n_scheduled + (n_estimated - n_scheduled) * add_coeff,
-        )
-        n_scheduled = np.ceil(np.where(n_estimated < n_scheduled, n_scheduled, new_scheduled))
+        gap = n_estimated - scheduled
+        step = np.where(add_coeff * n_estimated > gap, gap, add_coeff * gap)
+        grown = np.ceil(scheduled + np.maximum(step, 0))
 
-        greater_items = np.where(np.greater(n_estimated, n_scheduled))[0]
-        self.set_scheduled_and_wait(n_scheduled, greater_items, sleep, timeout=timeout)
+        growing = np.flatnonzero(n_estimated > grown)
+        self.set_scheduled_and_wait(grown, growing, sleep, timeout=timeout)
+        return bool(np.all(n_estimated[growing] == grown[growing]))
 
-        return np.all(n_estimated[greater_items] == n_scheduled[greater_items])
-
-    def set_scheduled_and_wait(self, n_scheduled, greater_items, sleep, fin_sample_coef=0.5, timeout=1e-7):
-        """Schedule and wait until at least half the samples are done."""
+    def set_scheduled_and_wait(self, n_scheduled, greater_items, sleep,
+                               fin_sample_coef=0.5, timeout=1e-7):
+        """Raise targets to ``n_scheduled``, dispatch, and block until at
+        least ``fin_sample_coef`` of each growing level has finished."""
         self.set_level_target_n_samples(n_scheduled)
         self.schedule_samples(timeout=timeout)
 
-        n_finished = self.n_finished_samples
-        while np.any(n_finished[greater_items] < fin_sample_coef * np.asarray(n_scheduled)[greater_items]):
+        goal = fin_sample_coef * np.asarray(n_scheduled)
+        while np.any(self.n_finished_samples[greater_items] < goal[greater_items]):
             time.sleep(sleep)
             self.ask_sampling_pool_for_samples(timeout=timeout)
-            n_finished = self.n_finished_samples
 
     def set_level_target_n_samples(self, n_samples):
-        for level, n in enumerate(n_samples):
-            self._n_target_samples[level] = max(self._n_target_samples[level], n)
+        """Targets only ever grow (monotone schedule)."""
+        counts = np.ceil(np.asarray(n_samples)).astype(np.int64)
+        n = min(len(counts), len(self._n_target_samples))
+        self._n_target_samples[:n] = np.maximum(self._n_target_samples[:n], counts[:n])
 
     def l_scheduled_samples(self):
         return self._n_scheduled_samples
-
-    def renew_failed_samples(self):
-        """Reschedule failed sample ids and clear the failed store."""
-        failed_samples = self.sample_storage.failed_samples()
-        for level_id, sample_ids in failed_samples.items():
-            level_id = int(level_id)
-            for sample_id in sample_ids:
-                level_sim = self._level_sim_objects[level_id]
-                self._sampling_pool.schedule_sample(sample_id, level_sim)
-        self.sample_storage.clear_failed()

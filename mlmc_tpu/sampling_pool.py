@@ -309,8 +309,8 @@ class DeviceBatchPool(SamplingPool):
         self._bulk = bulk
         self._max_batch = int(max_batch)
         self._root_key = jax.random.key(seed)
-        self._pending = {}  # level_id -> list[(sample_id, attempt)]
-        self._attempts = {}  # sample_id -> attempt count
+        self._pending = {}  # level_id -> list[(index array, attempt array)]
+        self._attempts = {}  # level_id -> {index: times scheduled}
         self._level_sims = {}
         self.times = {}
         self._min_bucket = min_bucket
@@ -321,24 +321,48 @@ class DeviceBatchPool(SamplingPool):
     @staticmethod
     def parse_sample_id(sample_id):
         """'L02_S0000123' -> (2, 123)."""
-        lpart, spart = sample_id.split("_")
-        return int(lpart[1:]), int(spart[1:])
+        from mlmc_tpu.tags import parse_tag
+        return parse_tag(sample_id)
 
     def sample_key(self, level_id, sample_index):
         return jax.random.fold_in(jax.random.fold_in(self._root_key, level_id), sample_index)
 
-    def schedule_sample(self, sample_id, level_sim):
+    def schedule_level_batch(self, level_sim, indices, renew=False):
+        """Queue a whole index array for one level — the Sampler's O(1)
+        dispatch path (no per-sample strings). ``renew=True`` salts each
+        index with its retry count so failed samples re-run with fresh
+        randomness while staying replayable."""
         level_id = level_sim.level_id
         self._level_sims[level_id] = level_sim
-        attempt = self._attempts.get(sample_id, 0)
-        self._attempts[sample_id] = attempt + 1
-        self._pending.setdefault(level_id, []).append((sample_id, attempt))
+        indices = np.asarray(indices, dtype=np.int64)
+        if renew:
+            att_map = self._attempts.setdefault(level_id, {})
+            attempts = np.empty(len(indices), dtype=np.uint32)
+            for k, i in enumerate(indices.tolist()):
+                n_prev = att_map.get(i, 1)  # scheduled at least once before
+                att_map[i] = n_prev + 1
+                attempts[k] = n_prev
+        else:
+            attempts = np.zeros(len(indices), dtype=np.uint32)
+        self._pending.setdefault(level_id, []).append((indices, attempts))
+
+    def schedule_sample(self, sample_id, level_sim):
+        from mlmc_tpu.tags import parse_tag
+
+        _, idx = parse_tag(sample_id)
+        level_id = level_sim.level_id
+        att_map = self._attempts.setdefault(level_id, {})
+        attempt = att_map.get(idx, 0)
+        att_map[idx] = attempt + 1
+        self._level_sims[level_id] = level_sim
+        self._pending.setdefault(level_id, []).append(
+            (np.array([idx], dtype=np.int64), np.array([attempt], dtype=np.uint32)))
 
     def have_permanent_samples(self, sample_ids):
         return False
 
     def n_pending(self):
-        return sum(len(v) for v in self._pending.values())
+        return sum(sum(len(seg[0]) for seg in v) for v in self._pending.values())
 
     def _batch_fn(self, level_id, bucket):
         """jit-compiled batch executable, cached per (level, bucket size)."""
@@ -365,39 +389,45 @@ class DeviceBatchPool(SamplingPool):
         sizes (compile time, device memory) stay bounded and the bucket
         executables are reused across slices and adaptive rounds.
         """
-        pending = self._pending.pop(level_id, [])
-        if not pending:
+        segments = self._pending.pop(level_id, None)
+        if not segments:
             return {}, {}
-        if len(pending) > self._max_batch:
-            succ_all, fail_all = {}, {}
-            for start in range(0, len(pending), self._max_batch):
-                self._pending[level_id] = pending[start:start + self._max_batch]
-                s, f = self.execute_level(level_id)
-                for k, v in s.items():
-                    if k in succ_all and self._bulk:
-                        prev = succ_all[k]
-                        succ_all[k] = BulkResults(
-                            prev.ids + v.ids,
-                            np.concatenate([prev.fine, v.fine]),
-                            np.concatenate([prev.coarse, v.coarse]))
-                    elif k in succ_all:
-                        succ_all[k].extend(v)
-                    else:
-                        succ_all[k] = v
-                for k, v in f.items():
-                    fail_all.setdefault(k, []).extend(v)
-            return succ_all, fail_all
+        idxs = np.concatenate([seg[0] for seg in segments])
+        attempts = np.concatenate([seg[1] for seg in segments])
+
+        succ_all, fail_all = {}, {}
+        for start in range(0, len(idxs), self._max_batch):
+            s, f = self._run_batch(level_id,
+                                   idxs[start:start + self._max_batch],
+                                   attempts[start:start + self._max_batch])
+            for k, v in s.items():
+                if k in succ_all and self._bulk:
+                    prev = succ_all[k]
+                    succ_all[k] = BulkResults(
+                        prev.ids + v.ids,
+                        np.concatenate([prev.fine, v.fine]),
+                        np.concatenate([prev.coarse, v.coarse]))
+                elif k in succ_all:
+                    succ_all[k].extend(v)
+                else:
+                    succ_all[k] = v
+            for k, v in f.items():
+                fail_all.setdefault(k, []).extend(v)
+        return succ_all, fail_all
+
+    def _run_batch(self, level_id, idxs, attempts):
+        """One padded device batch: keys from (level, index, attempt)."""
+        from mlmc_tpu.tags import TagArray, format_tags
+
         level_sim = self._level_sims[level_id]
-        n = len(pending)
+        n = len(idxs)
         bucket = _round_up_bucket(n, self._min_bucket)
         if self._sharding is not None:
             # bucket must tile evenly over the mesh's sample axis
             d = self._sharding.n_devices
             bucket = -(-bucket // d) * d
 
-        ids = [sid for sid, _ in pending]
-        idxs = np.array([self.parse_sample_id(sid)[1] for sid in ids], dtype=np.uint32)
-        attempts = np.array([att for _, att in pending], dtype=np.uint32)
+        idxs = idxs.astype(np.uint32)
         # pad to bucket with repeats of the last sample (discarded later)
         pad = bucket - n
         idxs_p = np.concatenate([idxs, np.full(pad, idxs[-1] if n else 0, dtype=np.uint32)])
@@ -421,16 +451,18 @@ class DeviceBatchPool(SamplingPool):
             failed = failed | np.any(np.isnan(fine), axis=1) \
                 | np.any(np.isnan(coarse), axis=1)
 
-        failed_out = [(sid, "result is nan")
-                      for i, sid in enumerate(ids) if failed[i]]
         ok = ~failed
+        failed_out = [(sid, "result is nan")
+                      for sid in format_tags(level_id, idxs[failed]).tolist()]
         if self._bulk:
-            ok_ids = [sid for i, sid in enumerate(ids) if ok[i]]
+            ok_ids = TagArray(level_id, idxs[ok])
             successful = BulkResults(ok_ids, fine[ok], coarse[ok]) \
-                if ok_ids else []
+                if len(ok_ids) else []
         else:
+            ok_pos = np.flatnonzero(ok)
+            ok_ids = format_tags(level_id, idxs[ok_pos]).tolist()
             successful = [(sid, (fine[i], coarse[i]))
-                          for i, sid in enumerate(ids) if ok[i]]
+                          for sid, i in zip(ok_ids, ok_pos)]
 
         n_ok = int(np.count_nonzero(ok))
         if level_id not in self.times:

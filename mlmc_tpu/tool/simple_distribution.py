@@ -620,108 +620,141 @@ def L2_distance(prior_density, posterior_density, a, b):
 # eigenvalue threshold detection + orthogonalization
 # ===================================================================== #
 def best_fit_all(values, range_a, range_b):
-    """Best linear fit over candidate index windows (:556-578)."""
-    best_fit = None
-    best_fit_value = np.inf
-    for a in range_a:
-        for b in range_b:
-            if 0 <= a and a + 2 < b < len(values):
-                Y = values[a:b]
-                X = np.arange(a, b)
-                fit, res, _, _, _ = np.polyfit(X, Y, deg=1, full=1)
-                fit_value = res / ((b - a) ** 2)
-                if fit_value < best_fit_value:
-                    best_fit = (a, b, fit)
-                    best_fit_value = fit_value
-    return best_fit
+    """Best linear fit over candidate index windows [a, b).
+
+    Same selection criterion as the reference (:556-578): residual sum of
+    squares divided by (b-a)^2 — but evaluated for ALL candidate windows at
+    once with closed-form least-squares from prefix sums instead of one
+    np.polyfit call per window.
+
+    :return: (a, b, [slope, intercept]) of the best window, or None
+    """
+    values = np.asarray(values, dtype=float)
+    n = len(values)
+    a_cand = np.asarray(list(range_a), dtype=int)
+    b_cand = np.asarray(list(range_b), dtype=int)
+    a = np.repeat(a_cand, len(b_cand))
+    b = np.tile(b_cand, len(a_cand))
+    ok = (a >= 0) & (a + 2 < b) & (b < n)
+    if not ok.any():
+        return None
+    a, b = a[ok], b[ok]
+
+    # prefix sums with a leading zero: S[b] - S[a] sums over [a, b)
+    x = np.arange(n, dtype=float)
+    zero = np.zeros(1)
+    cy, cyy = (np.concatenate([zero, np.cumsum(v)]) for v in (values, values**2))
+    cx, cxx, cxy = (np.concatenate([zero, np.cumsum(v)])
+                    for v in (x, x * x, x * values))
+
+    m = (b - a).astype(float)
+    sy, syy = cy[b] - cy[a], cyy[b] - cyy[a]
+    sx, sxx, sxy = cx[b] - cx[a], cxx[b] - cxx[a], cxy[b] - cxy[a]
+    var_x = sxx - sx * sx / m
+    cov_xy = sxy - sx * sy / m
+    slope = cov_xy / var_x
+    sse = np.maximum(syy - sy * sy / m - slope * cov_xy, 0.0)
+
+    k = int(np.argmin(sse / (m * m)))
+    intercept = (sy[k] - slope[k] * sx[k]) / m[k]
+    return int(a[k]), int(b[k]), np.array([slope[k], intercept])
 
 
 def best_p1_fit(values):
-    """Longest low-residual linear fit, recursive downscale (:560-580)."""
-    if len(values) > 12:
-        end = len(values) - len(values) % 2
-        avg_vals = np.mean(values[:end].reshape((-1, 2)), axis=1)
-        a, b, fit = best_p1_fit(avg_vals)
-        a, b = 2 * a, 2 * b
-        return best_fit_all(values, [a - 1, a, a + 1], [b - 1, b, b + 1])
-    else:
-        v_range = range(len(values))
-        return best_fit_all(values, v_range, v_range)
+    """Longest low-residual linear window via hierarchical coarsening:
+    average point pairs while >12 points remain, then refine the coarse
+    window boundaries +-1 at full resolution (reference :560-580)."""
+    if len(values) <= 12:
+        every = range(len(values))
+        return best_fit_all(values, every, every)
+    paired = values[: len(values) // 2 * 2].reshape(-1, 2).mean(axis=1)
+    a2, b2, _ = best_p1_fit(paired)
+    a, b = 2 * a2, 2 * b2
+    return best_fit_all(values, (a - 1, a, a + 1), (b - 1, b, b + 1))
 
 
 def detect_treshold_slope_change(values, log=True):
-    """Detect eigenvalue cut by slope change of the sorted spectrum (:584-608)."""
-    values = np.array(values)
-    i_first_positive = 0
-    if log:
-        i_first_positive = int(np.argmax(values > 0))
-        values[i_first_positive:] = np.log(values[i_first_positive:])
+    """Index where the sorted spectrum leaves its dominant linear trend.
 
-    a, b, fit = best_p1_fit(values[i_first_positive:])
-    p = np.poly1d(fit)
-    i_treshold = int(a) + i_first_positive
-    mod_vals = values.copy()
-    mod_vals[:i_treshold] = p(np.arange(-i_first_positive, a))
+    Fits the longest low-residual line to the (log-)spectrum and
+    extrapolates it below the window start; entries under the extrapolated
+    trend count as noise (reference :584-608).
+
+    :return: (threshold index, trend-repaired spectrum)
+    """
+    values = np.asarray(values, dtype=float)
+    first_pos = int(np.argmax(values > 0)) if log else 0
+    work = np.log(values[first_pos:]) if log else values[first_pos:].copy()
+
+    a, _b, fit = best_p1_fit(work)
+    threshold = first_pos + int(a)
+    trend = np.polyval(fit, np.arange(-first_pos, a))
+    repaired = np.concatenate([trend, work[int(a):]])
     if log:
-        mod_vals = np.exp(mod_vals)
-    return i_treshold, mod_vals
+        repaired = np.exp(repaired)
+    return threshold, repaired
 
 
 def lsq_reconstruct(cov, eval, evec, treshold):
-    """Least-squares re-orthogonalization of the cut eigenbasis (:725-752)."""
-    Q1 = evec[:, :treshold]
-    Q20 = evec[:, treshold:]
-    C = cov
-    D = np.diag(eval)
-    q_shape = Q20.shape
-    I = np.eye(q_shape[0])
+    """Re-fit the cut eigenvector block so the completed basis stays
+    orthogonal and diagonalizes cov (L1 penalties, reference :725-752)."""
+    keep = evec[:, :treshold]
+    free0 = evec[:, treshold:]
+    target = np.diag(eval)
+    eye = np.eye(cov.shape[0])
+    orto_weight = 2.0
 
-    def fun(x):
-        alpha_orto = 2
-        Q2 = x.reshape(q_shape)
-        Q = np.concatenate((Q1, Q2), axis=1)
-        return (np.sum(np.abs(np.ravel(Q.T @ C @ Q - D)))
-                + alpha_orto * np.sum(np.abs(np.ravel(Q @ Q.T - I))))
+    def residual(flat):
+        basis = np.hstack([keep, flat.reshape(free0.shape)])
+        diag_err = np.abs(basis.T @ cov @ basis - target).sum()
+        orto_err = np.abs(basis @ basis.T - eye).sum()
+        return diag_err + orto_weight * orto_err
 
-    result = scipy.optimize.least_squares(fun, np.ravel(Q20))
-    Q2 = result.x.reshape(q_shape)
-    return np.concatenate((Q1, Q2), axis=1)
+    sol = scipy.optimize.least_squares(residual, free0.ravel())
+    return np.hstack([keep, sol.x.reshape(free0.shape)])
+
+
+def _rq(mat):
+    """RQ decomposition mat = R @ Q via QR of the row-flipped transpose
+    (replaces scipy.linalg.rq; same triangular structure)."""
+    q1, r1 = np.linalg.qr(np.flipud(mat).T)
+    return np.flipud(r1.T)[:, ::-1], np.flipud(q1.T)
 
 
 def construct_ortogonal_moments(moments, cov, tol=None):
-    """Orthogonalize the moment basis w.r.t. a sampled covariance (:756-841).
+    """Orthogonalize the moment basis w.r.t. a sampled covariance.
 
-    1. center: M = I with first column -cov[:, 0]; cov_center = M cov M^T
-    2. eigh, threshold small eigenvalues (slope-change detection or tol)
-    3. icov_sqrt_t = M^T evec_flipped / sqrt(eval_flipped)
-    4. RQ decomposition -> lower-triangular L (sign-fixed)
-    5. TransformedMoments(moments, L)
+    Procedure (the math is the spec, reference :756-841):
 
-    :return: (orthogonal moments object, info=(eval, threshold, L))
+    1. fold the mean into the basis so the zeroth function stays ~1
+       (center = I with first column -cov[:, 0])
+    2. eigendecompose the centered covariance; cut the noise floor of the
+       spectrum (slope-change detection, or an explicit ``tol``)
+    3. whiten with the kept spectrum, largest eigenvalues first
+    4. triangularize by RQ so each new function mixes only lower-order
+       originals; fix the overall sign via L[0, 0] > 0
+
+    :return: (orthogonal moments object, info=(eigenvalues, threshold, L))
     """
     cov = np.asarray(cov, dtype=float)
-    M = np.eye(moments.size)
-    M[:, 0] = -cov[:, 0]
-    cov_center = M @ cov @ M.T
-    eval_, evec = np.linalg.eigh(cov_center)
+    center = np.eye(moments.size)
+    center[:, 0] = -cov[:, 0]
+    cov_centered = center @ cov @ center.T
+    eigvals, eigvecs = np.linalg.eigh(cov_centered)  # ascending order
 
     if tol is None:
-        threshold, fixed_eval = detect_treshold_slope_change(eval_, log=True)
-        threshold = int(np.argmax(eval_ - fixed_eval[0] > 0))
+        cut, trend = detect_treshold_slope_change(eigvals, log=True)
+        cut = int(np.argmax(eigvals - trend[0] > 0))
     else:
-        threshold = int(np.argmax(eval_ > tol))
+        cut = int(np.argmax(eigvals > tol))
 
-    new_eval = eval_[threshold:]
-    new_evec = evec[:, threshold:]
+    lead_vals = eigvals[cut:][::-1]  # descending, noise floor dropped
+    lead_vecs = eigvecs[:, cut:][:, ::-1]
+    whitener = center.T @ (lead_vecs / np.sqrt(lead_vals)[None, :])
+    r_tri, _q = _rq(whitener)
+    L = r_tri.T
+    if L[0, 0] < 0:
+        L = -L
 
-    eval_flipped = np.flip(new_eval, axis=0)
-    evec_flipped = np.flip(new_evec, axis=1)
-    icov_sqrt_t = M.T @ evec_flipped * (1 / np.sqrt(eval_flipped))[None, :]
-    R_nm, Q_mm = scipy.linalg.rq(icov_sqrt_t, mode="full")
-    L_mn = R_nm.T
-    if L_mn[0, 0] < 0:
-        L_mn = -L_mn
-
-    ortogonal_moments = mlmc_tpu.moments.TransformedMoments(moments, L_mn)
-    info = (eval_, threshold, L_mn)
-    return ortogonal_moments, info
+    ortogonal_moments = mlmc_tpu.moments.TransformedMoments(moments, L)
+    return ortogonal_moments, (eigvals, cut, L)
