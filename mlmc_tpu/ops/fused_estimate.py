@@ -46,8 +46,11 @@ class MomentAccumulators(NamedTuple):
 
 
 def _moment_chunk(phi_f, phi_c, valid, acc_dtype):
-    """One chunk's contributions. phi_*: [C, R]; valid: [C] bool."""
-    vf = valid[:, None]
+    """One chunk's contributions. phi_*: [C, ..., R] (scalar QoI: [C, R];
+    M-component QoI: [C, M, R]); valid: [C] bool (a sample is dropped as a
+    whole if ANY component is invalid — reference mask_nan semantics,
+    quantity_estimate.py:6-14)."""
+    vf = valid.reshape(valid.shape + (1,) * (phi_f.ndim - 1))
     phi_f = jnp.where(vf, phi_f, 0.0)
     phi_c = jnp.where(vf, phi_c, 0.0)
     dphi = phi_f - phi_c
@@ -56,8 +59,10 @@ def _moment_chunk(phi_f, phi_c, valid, acc_dtype):
     # accumulate matmuls at least in f32 (TPU MXU); full acc_dtype when f64
     # parity runs are requested (x64 mode)
     pet = acc_dtype if jnp.dtype(acc_dtype).itemsize > 4 else jnp.float32
-    cov_f = jnp.dot(phi_f.T, phi_f, preferred_element_type=pet).astype(acc_dtype)
-    cov_c = jnp.dot(phi_c.T, phi_c, preferred_element_type=pet).astype(acc_dtype)
+    cov_f = jnp.einsum("c...r,c...s->...rs", phi_f, phi_f,
+                       preferred_element_type=pet).astype(acc_dtype)
+    cov_c = jnp.einsum("c...r,c...s->...rs", phi_c, phi_c,
+                       preferred_element_type=pet).astype(acc_dtype)
     n_valid = jnp.sum(valid).astype(acc_dtype)
     return sums, sums2, cov_f, cov_c, n_valid
 
@@ -77,8 +82,12 @@ def fused_level_moments(
 ):
     """Stream one level's samples through the fused moment pipeline.
 
-    :param sample_chunk_fn: ``f(keys [C]) -> (fine [C], coarse [C], failed [C])``
-        pure jnp batch simulation (scalar QoI per sample)
+    :param sample_chunk_fn: ``f(keys [C]) -> (fine, coarse, failed [C])``
+        pure jnp batch simulation; fine/coarse are [C] for a scalar QoI or
+        [C, M] for an M-component (vector / time-series) QoI — the QoI
+        shape is probed via ``jax.eval_shape`` and the accumulators become
+        [M, R] / [M, R, R] (reference treats M>1 as the normal case,
+        quantity_estimate.py:105-110)
     :param moments_fn: moment basis (Moments instance)
     :param level_key: PRNG key for this level
     :param n_samples: total samples to draw on this level (static)
@@ -102,6 +111,11 @@ def fused_level_moments(
     if n_alloc is None:
         n_alloc = int(n_samples)
     n_chunks = -(-n_alloc // chunk_size)
+    # probe the QoI trailing shape (scalar () or vector (M,)) without tracing
+    key_struct = jax.eval_shape(lambda: jax.random.split(
+        jax.random.key(0), chunk_size))
+    fine_struct = jax.eval_shape(sample_chunk_fn, key_struct)[0]
+    qoi_shape = tuple(fine_struct.shape[1:])
     n_samples = jnp.asarray(n_samples, dtype=jnp.uint32)
     start_index = jnp.asarray(start_index, dtype=jnp.uint32)
 
@@ -123,17 +137,21 @@ def fused_level_moments(
         # its contributions are masked to zero below
         keys = jax.vmap(lambda j: jax.random.fold_in(level_key, j))(idx)
         fine, coarse, failed = sample_chunk_fn(keys)
-        valid = in_range & ~failed & ~jnp.isnan(fine) & ~jnp.isnan(coarse)
+        comp_axes = tuple(range(1, fine.ndim))  # QoI component axes, if any
+        valid = (in_range & ~failed
+                 & ~jnp.any(jnp.isnan(fine), axis=comp_axes)
+                 & ~jnp.any(jnp.isnan(coarse), axis=comp_axes))
 
-        phi_f = moments_fn.eval_all(fine)       # [C, R]
+        phi_f = moments_fn.eval_all(fine)       # [C, ..., R]
         if is_level0:
             phi_c = jnp.zeros_like(phi_f)
         else:
             phi_c = moments_fn.eval_all(coarse)
         # moment-domain clipping produces NaN lanes -> invalid sample
-        valid = valid & ~jnp.any(jnp.isnan(phi_f), axis=-1)
+        phi_axes = tuple(range(1, phi_f.ndim))
+        valid = valid & ~jnp.any(jnp.isnan(phi_f), axis=phi_axes)
         if not is_level0:
-            valid = valid & ~jnp.any(jnp.isnan(phi_c), axis=-1)
+            valid = valid & ~jnp.any(jnp.isnan(phi_c), axis=phi_axes)
         phi_f = jnp.nan_to_num(phi_f)
         phi_c = jnp.nan_to_num(phi_c)
 
@@ -150,10 +168,10 @@ def fused_level_moments(
     # shards process interleaved chunks; ceil so every chunk is covered
     n_local_chunks = -(-n_chunks // n_shards)
     init = MomentAccumulators(
-        sums=jnp.zeros(R, acc_dtype),
-        sums2=jnp.zeros(R, acc_dtype),
-        cov_fine=jnp.zeros((R, R), acc_dtype),
-        cov_coarse=jnp.zeros((R, R), acc_dtype),
+        sums=jnp.zeros(qoi_shape + (R,), acc_dtype),
+        sums2=jnp.zeros(qoi_shape + (R,), acc_dtype),
+        cov_fine=jnp.zeros(qoi_shape + (R, R), acc_dtype),
+        cov_coarse=jnp.zeros(qoi_shape + (R, R), acc_dtype),
         n_valid=jnp.zeros((), acc_dtype),
         n_total=jnp.zeros((), acc_dtype),
     )

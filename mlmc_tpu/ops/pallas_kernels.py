@@ -59,8 +59,68 @@ def _normal_pair(shape):
     return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
 
 
+def _basis_rows(phi, t, valid, vf, n_moments, basis):
+    """Write basis-function rows phi[0:n_moments] of a [R_PAD, chunk] VMEM
+    scratch from transformed values t [1, chunk]; rows above n_moments are
+    zero-padded. Invalid columns produce exact zero rows (t is zeroed and
+    row 0 carries the valid mask, which every recurrence propagates), so
+    invalid samples contribute nothing to any accumulator.
+
+    Bases (reference mlmc/moments.py:111-229):
+      legendre  three-term recurrence on t in [-1, 1]
+      monomial  powers of t in [0, 1]
+      fourier   [1, cos kt, sin kt] interleaved, t in [0, 2pi]
+    """
+    t = jnp.where(valid, t, 0.0)
+    phi[0, :] = vf[0]
+    if basis == "legendre":
+        if n_moments > 1:
+            phi[1, :] = t[0]
+        prev2, prev1 = vf[0], t[0]
+        for n in range(2, n_moments):
+            cur = ((2 * n - 1) * t[0] * prev1 - (n - 1) * prev2) / n
+            phi[n, :] = cur
+            prev2, prev1 = prev1, cur
+    elif basis == "monomial":
+        power = vf[0]
+        for n in range(1, n_moments):
+            power = power * t[0]
+            phi[n, :] = power
+    elif basis == "fourier":
+        # angle-addition recurrence; c1/s1 masked so products propagate zero
+        c1 = jnp.cos(t[0]) * vf[0]
+        s1 = jnp.sin(t[0]) * vf[0]
+        ck, sk = c1, s1
+        for i in range(1, n_moments):
+            if i % 2 == 1:
+                phi[i, :] = ck
+            else:
+                phi[i, :] = sk
+                ck, sk = ck * c1 - sk * s1, sk * c1 + ck * s1
+    else:
+        raise ValueError("unknown basis %r" % (basis,))
+    for n in range(n_moments, R_PAD):
+        phi[n, :] = jnp.zeros_like(t[0])
+
+
+def _kahan_into(acc_ref, comp_ref, delta):
+    """Compensated (Kahan) accumulation ``acc += delta`` with a running
+    error-carry buffer. Cross-chunk accumulation error stays at one f32
+    rounding of the FINAL value instead of O(n_chunks) roundings — the
+    measured 1e8-sample deviation from an f64 reference drops from ~1e-5
+    to the within-chunk reduction floor (see tests/test_pallas_kernel.py
+    precision bound)."""
+    acc = acc_ref[...]
+    comp = comp_ref[...]
+    y = delta - comp
+    t = acc + y
+    comp_ref[...] = (t - acc) - y
+    acc_ref[...] = t
+
+
 def _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
                       n_valid_ref, phi_f, phi_c,
+                      c_sums, c_sums2, c_cov_f, c_cov_c,
                       *, n_moments, chunk, fine_step, coarse_step,
                       t_scale, t_shift, n_total, is_level0=False):
     """Deterministic kernel body: x [1, chunk] -> accumulator updates.
@@ -108,31 +168,46 @@ def _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
         build(phi_c, t_c)
         pc = phi_c[...]
         dphi = pf - pc
-    sums_ref[:, 0:1] += jnp.sum(dphi, axis=1, keepdims=True)
-    sums2_ref[:, 0:1] += jnp.sum(dphi * dphi, axis=1, keepdims=True)
-    cov_f_ref[...] += jax.lax.dot_general(
+    lanes = sums_ref.shape[1]
+    _kahan_into(sums_ref, c_sums,
+                jnp.broadcast_to(jnp.sum(dphi, axis=1, keepdims=True),
+                                 (R_PAD, lanes)))
+    _kahan_into(sums2_ref, c_sums2,
+                jnp.broadcast_to(jnp.sum(dphi * dphi, axis=1, keepdims=True),
+                                 (R_PAD, lanes)))
+    _kahan_into(cov_f_ref, c_cov_f, jax.lax.dot_general(
         pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32))
     if not is_level0:
-        cov_c_ref[...] += jax.lax.dot_general(
+        _kahan_into(cov_c_ref, c_cov_c, jax.lax.dot_general(
             pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    n_valid_ref[0, 0] += jnp.sum(vf)
+            preferred_element_type=jnp.float32))
+    # exact integer count (f32 loses integers past 2^24 ~ 1.7e7 samples)
+    n_valid_ref[0, 0] += jnp.sum(vf).astype(jnp.int32)
+
+
+def _zero_accumulators(sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                       n_valid_ref, comps):
+    sums_ref[...] = jnp.zeros_like(sums_ref)
+    sums2_ref[...] = jnp.zeros_like(sums2_ref)
+    cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
+    cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
+    n_valid_ref[0, 0] = jnp.int32(0)
+    for c in comps:
+        c[...] = jnp.zeros_like(c)
 
 
 def _synth_moment_kernel(seed_ref, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
-                         n_valid_ref, phi_f, phi_c, **params):
+                         n_valid_ref, phi_f, phi_c,
+                         c_sums, c_sums2, c_cov_f, c_cov_c, **params):
     """RNG kernel: one grid step generates + accumulates one chunk."""
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], i)
 
     @pl.when(i == 0)
     def _():
-        sums_ref[...] = jnp.zeros_like(sums_ref)
-        sums2_ref[...] = jnp.zeros_like(sums2_ref)
-        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
-        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
-        n_valid_ref[0, 0] = jnp.float32(0.0)
+        _zero_accumulators(sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                           n_valid_ref, (c_sums, c_sums2, c_cov_f, c_cov_c))
 
     chunk = params["chunk"]
     # both Box-Muller outputs are independent normals: generate chunk/2
@@ -140,93 +215,88 @@ def _synth_moment_kernel(seed_ref, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
     z1, z2 = _normal_pair((8, chunk // 16))
     x = jnp.concatenate([z1, z2], axis=1).reshape(1, chunk)
     _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
-                      n_valid_ref, phi_f, phi_c, **params)
+                      n_valid_ref, phi_f, phi_c,
+                      c_sums, c_sums2, c_cov_f, c_cov_c, **params)
 
 
 def _synth_moment_kernel_noise(seed_ref, noise_ref, sums_ref, sums2_ref,
                                cov_f_ref, cov_c_ref, n_valid_ref,
-                               phi_f, phi_c, **params):
+                               phi_f, phi_c,
+                               c_sums, c_sums2, c_cov_f, c_cov_c, **params):
     """Noise-input kernel: x comes from HBM (testing / external samples)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        sums_ref[...] = jnp.zeros_like(sums_ref)
-        sums2_ref[...] = jnp.zeros_like(sums2_ref)
-        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
-        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
-        n_valid_ref[0, 0] = jnp.float32(0.0)
+        _zero_accumulators(sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                           n_valid_ref, (c_sums, c_sums2, c_cov_f, c_cov_c))
 
     x = noise_ref[...]
     _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
-                      n_valid_ref, phi_f, phi_c, **params)
+                      n_valid_ref, phi_f, phi_c,
+                      c_sums, c_sums2, c_cov_f, c_cov_c, **params)
 
 
 def _accumulate_qoi_chunk(fine, coarse, i, sums_ref, sums2_ref, cov_f_ref,
                           cov_c_ref, n_valid_ref, phi_f, phi_c,
+                          c_sums, c_sums2, c_cov_f, c_cov_c,
                           *, n_moments, chunk, t_scale, t_shift, n_total,
+                          ref_lo=-1.0, ref_hi=1.0, basis="legendre",
                           is_level0=False):
     """Kernel body for PRE-COMPUTED QoIs (fine, coarse) [1, chunk]:
-    the generic stored-samples estimation path (any simulation)."""
-    t_f = (fine - t_shift) * t_scale
-    t_c = (coarse - t_shift) * t_scale
+    the generic stored-samples estimation path (any simulation, any of the
+    legendre/monomial/fourier bases). The value transform mirrors
+    Moments.linear: t = (x - domain_lo) * scale + ref_lo."""
+    t_f = (fine - t_shift) * t_scale + ref_lo
+    t_c = (coarse - t_shift) * t_scale + ref_lo
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     in_range = (i * chunk + lane) < n_total
     # NaN QoIs (masked results) fail these comparisons -> invalid
-    valid = (t_f >= -1.0) & (t_f <= 1.0) & in_range
+    valid = (t_f >= ref_lo) & (t_f <= ref_hi) & in_range
     if not is_level0:
-        valid = valid & (t_c >= -1.0) & (t_c <= 1.0)
+        valid = valid & (t_c >= ref_lo) & (t_c <= ref_hi)
     vf = valid.astype(jnp.float32)
 
-    def build(phi, t):
-        t = jnp.where(valid, t, 0.0)
-        phi[0, :] = vf[0]
-        if n_moments > 1:
-            phi[1, :] = t[0]
-        prev2, prev1 = vf[0], t[0]
-        for n in range(2, n_moments):
-            cur = ((2 * n - 1) * t[0] * prev1 - (n - 1) * prev2) / n
-            phi[n, :] = cur
-            prev2, prev1 = prev1, cur
-        for n in range(n_moments, R_PAD):
-            phi[n, :] = jnp.zeros_like(t[0])
-
-    build(phi_f, t_f)
+    _basis_rows(phi_f, t_f, valid, vf, n_moments, basis)
     pf = phi_f[...]
     if is_level0:
         dphi = pf
     else:
-        build(phi_c, t_c)
+        _basis_rows(phi_c, t_c, valid, vf, n_moments, basis)
         pc = phi_c[...]
         dphi = pf - pc
-    sums_ref[:, 0:1] += jnp.sum(dphi, axis=1, keepdims=True)
-    sums2_ref[:, 0:1] += jnp.sum(dphi * dphi, axis=1, keepdims=True)
-    cov_f_ref[...] += jax.lax.dot_general(
+    lanes = sums_ref.shape[1]
+    _kahan_into(sums_ref, c_sums,
+                jnp.broadcast_to(jnp.sum(dphi, axis=1, keepdims=True),
+                                 (R_PAD, lanes)))
+    _kahan_into(sums2_ref, c_sums2,
+                jnp.broadcast_to(jnp.sum(dphi * dphi, axis=1, keepdims=True),
+                                 (R_PAD, lanes)))
+    _kahan_into(cov_f_ref, c_cov_f, jax.lax.dot_general(
         pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32))
     if not is_level0:
-        cov_c_ref[...] += jax.lax.dot_general(
+        _kahan_into(cov_c_ref, c_cov_c, jax.lax.dot_general(
             pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    n_valid_ref[0, 0] += jnp.sum(vf)
+            preferred_element_type=jnp.float32))
+    n_valid_ref[0, 0] += jnp.sum(vf).astype(jnp.int32)
 
 
 def _samples_moment_kernel(seed_ref, fine_ref, coarse_ref, sums_ref,
                            sums2_ref, cov_f_ref, cov_c_ref, n_valid_ref,
-                           phi_f, phi_c, **params):
+                           phi_f, phi_c,
+                           c_sums, c_sums2, c_cov_f, c_cov_c, **params):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        sums_ref[...] = jnp.zeros_like(sums_ref)
-        sums2_ref[...] = jnp.zeros_like(sums2_ref)
-        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
-        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
-        n_valid_ref[0, 0] = jnp.float32(0.0)
+        _zero_accumulators(sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
+                           n_valid_ref, (c_sums, c_sums2, c_cov_f, c_cov_c))
 
     _accumulate_qoi_chunk(fine_ref[...], coarse_ref[...], i, sums_ref,
                           sums2_ref, cov_f_ref, cov_c_ref, n_valid_ref,
-                          phi_f, phi_c, **params)
+                          phi_f, phi_c,
+                          c_sums, c_sums2, c_cov_f, c_cov_c, **params)
 
 
 @functools.partial(
@@ -280,6 +350,11 @@ def synth_moment_pipeline(seed, n_moments, n_samples, *, fine_step,
         scratch_shapes=[
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            # Kahan compensation buffers (sums, sums2, cov_f, cov_c)
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
         ],
     )
 
@@ -291,7 +366,7 @@ def synth_moment_pipeline(seed, n_moments, n_samples, *, fine_step,
             jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
             jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
             jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(jnp.atleast_1d(jnp.asarray(seed, dtype=jnp.int32)))
@@ -353,6 +428,11 @@ def synth_moment_pipeline_from_noise(noise, n_moments, *, fine_step,
         scratch_shapes=[
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            # Kahan compensation buffers (sums, sums2, cov_f, cov_c)
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
         ],
     )
 
@@ -364,7 +444,7 @@ def synth_moment_pipeline_from_noise(noise, n_moments, *, fine_step,
             jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
             jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
             jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(jnp.zeros(1, dtype=jnp.int32),
@@ -382,17 +462,21 @@ def synth_moment_pipeline_from_noise(noise, n_moments, *, fine_step,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_moments", "chunk", "domain", "is_level0",
-                     "interpret"))
+    static_argnames=("n_moments", "chunk", "domain", "ref_domain", "basis",
+                     "is_level0", "interpret"))
 def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
+                                 ref_domain=(-1.0, 1.0), basis="legendre",
                                  chunk=16384, is_level0=False,
                                  interpret=False):
-    """Generic stored-samples fast path: Legendre moment sums + covariance
-    from PRE-COMPUTED scalar QoIs of ANY simulation (e.g. read back from a
-    SampleStorage). NaN entries (masked results) are dropped per the
-    reference semantics; the tail past len(fine) is padded with NaN.
+    """Generic stored-samples fast path: moment sums + covariance from
+    PRE-COMPUTED scalar QoIs of ANY simulation (e.g. read back from a
+    SampleStorage), for any of the legendre/monomial/fourier bases
+    (reference mlmc/moments.py:111-229). NaN entries (masked results) are
+    dropped per the reference semantics; the tail past len(fine) is padded
+    with NaN.
 
     :param fine/coarse: [N] float arrays (coarse ignored for level 0)
+    :param ref_domain: the basis' reference domain (clip bounds)
     :return: SynthMomentResult (f32 accumulators)
     """
     assert n_moments <= R_PAD
@@ -406,10 +490,12 @@ def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
                      constant_values=jnp.nan).reshape(1, n_pad)
     n_chunks = n_pad // chunk
     a, b = domain
+    ref_lo, ref_hi = ref_domain
     kernel = functools.partial(
         _samples_moment_kernel,
         n_moments=n_moments, chunk=chunk,
-        t_scale=2.0 / (b - a), t_shift=(a + b) / 2.0, n_total=n,
+        t_scale=(ref_hi - ref_lo) / (b - a), t_shift=a, n_total=n,
+        ref_lo=ref_lo, ref_hi=ref_hi, basis=basis,
         is_level0=is_level0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -436,6 +522,11 @@ def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
         scratch_shapes=[
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            # Kahan compensation buffers (sums, sums2, cov_f, cov_c)
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
         ],
     )
 
@@ -447,7 +538,7 @@ def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
             jax.ShapeDtypeStruct((R_PAD, 128), jnp.float32),
             jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
             jax.ShapeDtypeStruct((R_PAD, R_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(jnp.zeros(1, dtype=jnp.int32), fine, coarse)
@@ -464,8 +555,10 @@ def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
 
 def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
                        fstep_ref, cstep_ref, hascoarse_ref,
-                       sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
-                       phi_f, phi_c, *, n_moments, chunk, t_scale, t_shift):
+                       sums_ref, sums2_ref, cov_f_ref, cov_c_ref, nv_ref,
+                       phi_f, phi_c,
+                       c_sums, c_sums2, c_cov_f, c_cov_c,
+                       *, n_moments, chunk, t_scale, t_shift, n_levels):
     """One grid step = one chunk of ONE level; all levels share the grid.
 
     Per-chunk scalars are prefetched: level id (drives the output block
@@ -476,12 +569,23 @@ def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[i], base_ref[i] // chunk)
 
+    @pl.when(i == 0)
+    def _():
+        # the n_valid block spans all levels (SMEM blocks can't be
+        # level-indexed): zero once at the very first grid step
+        for lvl in range(n_levels):
+            nv_ref[lvl, 0] = jnp.int32(0)
+
     @pl.when(first_ref[i] == 1)
     def _():
+        # level chunks are contiguous in the grid, so the shared Kahan
+        # compensation scratch resets exactly at each level boundary
         sums_ref[...] = jnp.zeros_like(sums_ref)
         sums2_ref[...] = jnp.zeros_like(sums2_ref)
         cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
         cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
+        for c in (c_sums, c_sums2, c_cov_f, c_cov_c):
+            c[...] = jnp.zeros_like(c)
 
     z1, z2 = _normal_pair((8, chunk // 16))
     x = jnp.concatenate([z1, z2], axis=1).reshape(1, chunk)
@@ -516,12 +620,26 @@ def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
         for n in range(n_moments, R_PAD):
             phi[n, :] = jnp.zeros_like(t[0])
 
+    def kadd(acc_ref, comp_ref, delta):
+        # Kahan into the [0]-indexed level output block
+        acc = acc_ref[0]
+        comp = comp_ref[...]
+        y = delta - comp
+        t = acc + y
+        comp_ref[...] = (t - acc) - y
+        acc_ref[0] = t
+
+    def krow(acc_ref, comp_ref, row):
+        kadd(acc_ref, comp_ref,
+             jnp.broadcast_to(jnp.sum(row, axis=1, keepdims=True),
+                              (R_PAD, acc_ref.shape[2])))
+
     build(phi_f, t_f)
     pf = phi_f[...]
     # output blocks carry a leading level dim selected by the index map
-    cov_f_ref[0] += jax.lax.dot_general(
+    kadd(cov_f_ref, c_cov_f, jax.lax.dot_general(
         pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32))
 
     # coarse side only where the level has one (level 0 = 64% of samples
     # skips the second recurrence + MXU pass entirely)
@@ -530,17 +648,19 @@ def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
         build(phi_c, t_c)
         pc = phi_c[...]
         dphi = pf - pc
-        sums_ref[0, :, 0:1] += jnp.sum(dphi, axis=1, keepdims=True)
-        sums2_ref[0, :, 0:1] += jnp.sum(dphi * dphi, axis=1, keepdims=True)
-        cov_c_ref[0] += jax.lax.dot_general(
+        krow(sums_ref, c_sums, dphi)
+        krow(sums2_ref, c_sums2, dphi * dphi)
+        kadd(cov_c_ref, c_cov_c, jax.lax.dot_general(
             pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32))
 
     @pl.when(has_coarse == 0)
     def _():
-        sums_ref[0, :, 0:1] += jnp.sum(pf, axis=1, keepdims=True)
-        sums2_ref[0, :, 0:1] += jnp.sum(pf * pf, axis=1, keepdims=True)
-    # n_valid is implicit: cov_fine[0, 0] = sum(P0^2) = sum(vf) = n_valid
+        krow(sums_ref, c_sums, pf)
+        krow(sums2_ref, c_sums2, pf * pf)
+    # exact integer valid count per level
+    lvl = level_ref[i]
+    nv_ref[lvl, 0] += jnp.sum(vf).astype(jnp.int32)
 
 
 @functools.partial(
@@ -583,7 +703,7 @@ def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
 
     kernel = functools.partial(
         _synth_mlmc_kernel, n_moments=n_moments, chunk=chunk,
-        t_scale=2.0 / (b - a), t_shift=(a + b) / 2.0)
+        t_scale=2.0 / (b - a), t_shift=(a + b) / 2.0, n_levels=L)
 
     lev_block = lambda i, lev, *_: (lev[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -597,14 +717,21 @@ def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R_PAD, R_PAD), lev_block,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
             pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            # Kahan compensation buffers (sums, sums2, cov_f, cov_c)
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
         ],
     )
 
-    sums, sums2, cov_f, cov_c = pl.pallas_call(
+    sums, sums2, cov_f, cov_c, n_valid = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -612,6 +739,7 @@ def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
             jax.ShapeDtypeStruct((L, R_PAD, 128), jnp.float32),
             jax.ShapeDtypeStruct((L, R_PAD, R_PAD), jnp.float32),
             jax.ShapeDtypeStruct((L, R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1), jnp.int32),
         ],
     )(
         jnp.asarray(level_ids, jnp.int32),
@@ -634,6 +762,6 @@ def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
             sums2=sums2[lvl, :R, 0],
             cov_fine=cov_f[lvl, :R, :R],
             cov_coarse=cov_c[lvl, :R, :R],
-            n_valid=cov_f[lvl, 0, 0],  # sum(P0^2) == valid count
+            n_valid=n_valid[lvl, 0],
         ))
     return out
