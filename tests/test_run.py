@@ -1,74 +1,190 @@
-"""End-to-end adaptive MLMC loop (mirrors reference test/test_run.py:43-107).
+"""End-to-end adaptive MLMC matrix (mirrors reference test/test_run.py:43-107).
 
-Matrix: {Memory} x {OneProcessPool, DeviceBatchPool}; HDF storage joins the
-matrix in test_storage_hdf once that backend lands. Asserts the trivial
-moment invariants (means[0]==1, vars[0]==0) plus statistical closeness of
-the estimated mean to the true distribution mean.
+The reference runs {SynthSimulation, SynthSimulationWorkspace} x
+{Memory, SampleStorageHDF} x {OneProcessPool, ProcessPool(4)} through the
+full target-variance loop. This matrix additionally covers the TPU-native
+DeviceBatchPool and the native binary storage: every storage backend
+{Memory, HDF, Bin}, every pool {OneProcessPool, ProcessPool(4),
+DeviceBatchPool} and both simulations appear in the curated combinations
+below, plus an HDF kill-and-resume pass and a renew-failed pass through the
+adaptive loop.
 """
 import numpy as np
 import pytest
+import yaml
 
 import mlmc_tpu
-from mlmc_tpu import Memory, SynthSimulation, OneProcessPool, DeviceBatchPool, Sampler, Legendre
+from mlmc_tpu import (Memory, SynthSimulation, SynthSimulationWorkspace,
+                      OneProcessPool, ProcessPool, DeviceBatchPool, Sampler,
+                      Legendre)
 from mlmc_tpu import estimator as est_mod
 from mlmc_tpu.quantity.quantity import make_root_quantity
 from mlmc_tpu.random.distributions import Norm
+from mlmc_tpu.sample_storage_hdf import SampleStorageHDF
+from mlmc_tpu.sample_storage_bin import SampleStorageBin
 
 
-@pytest.mark.parametrize("pool_factory", [OneProcessPool, DeviceBatchPool])
-def test_mlmc_adaptive(pool_factory):
+def _make_storage(kind, tmp_path):
+    if kind == "memory":
+        return Memory()
+    if kind == "hdf":
+        return SampleStorageHDF(file_path=str(tmp_path / "mlmc.hdf5"))
+    if kind == "bin":
+        return SampleStorageBin(dir_path=str(tmp_path / "binstore"))
+    raise ValueError(kind)
+
+
+def _make_pool(kind, tmp_path, need_workspace):
+    work = dict(work_dir=str(tmp_path / "work")) if need_workspace else {}
+    if kind == "one":
+        return OneProcessPool(**work)
+    if kind == "process4":
+        return ProcessPool(4, **work)
+    if kind == "device":
+        return DeviceBatchPool(min_bucket=64, **work)
+    raise ValueError(kind)
+
+
+def _make_sim(kind, tmp_path):
+    if kind == "synth":
+        return SynthSimulation(dict(distr="norm", complexity=2)), False
+    if kind == "workspace":
+        cfg = tmp_path / "synth_sim_config.yaml"
+        with open(cfg, "w") as f:
+            yaml.safe_dump({"distr": "norm", "nan_fraction": 0.0}, f)
+        return SynthSimulationWorkspace(dict(config_yaml=str(cfg))), True
+    raise ValueError(kind)
+
+
+def _adaptive_loop(sampler, estimator, target_var=1e-3, max_rounds=100):
+    variances, n_ops = estimator.estimate_diff_vars_regression(
+        sampler._n_scheduled_samples)
+    n_estimated = est_mod.estimate_n_samples_for_target_variance(
+        target_var, variances, n_ops, n_levels=sampler.n_levels)
+    n_rounds = 0
+    while not sampler.process_adding_samples(n_estimated, 0, 0.1):
+        variances, n_ops = estimator.estimate_diff_vars_regression(
+            sampler._n_scheduled_samples)
+        n_estimated = est_mod.estimate_n_samples_for_target_variance(
+            target_var, variances, n_ops, n_levels=sampler.n_levels)
+        n_rounds += 1
+        assert n_rounds < max_rounds
+    return n_estimated
+
+
+# curated combinations: every storage, every pool, both sims appear
+MATRIX = [
+    ("memory", "one", "synth"),
+    ("memory", "device", "synth"),
+    ("hdf", "device", "synth"),
+    ("hdf", "process4", "synth"),
+    ("bin", "device", "synth"),
+    ("bin", "one", "synth"),
+    ("memory", "one", "workspace"),
+    ("hdf", "one", "workspace"),
+]
+
+
+@pytest.mark.parametrize("storage_kind,pool_kind,sim_kind", MATRIX)
+def test_mlmc_adaptive(tmp_path, storage_kind, pool_kind, sim_kind):
     np.random.seed(1234)
     n_moments = 5
     step_range = [[0.1], [0.001]]
-    distr = Norm()
 
-    simulation_factory = SynthSimulation(dict(distr=distr, complexity=2, nan_fraction=0.05))
-    sample_storage = Memory()
-    sampling_pool = pool_factory()
+    sim, need_workspace = _make_sim(sim_kind, tmp_path)
+    sample_storage = _make_storage(storage_kind, tmp_path)
+    sampling_pool = _make_pool(pool_kind, tmp_path, need_workspace)
 
     sampler = Sampler(
         sample_storage=sample_storage,
         sampling_pool=sampling_pool,
-        sim_factory=simulation_factory,
+        sim_factory=sim,
         level_parameters=step_range,
     )
 
-    true_domain = distr.ppf([0.0001, 0.9999])
-    moments_fn = Legendre(n_moments, true_domain)
+    # workspace sim draws from norm(1, 2); plain synth from norm(0, 1)
+    import scipy.stats as stats
+    base = stats.norm(1, 2) if sim_kind == "workspace" else stats.norm(0, 1)
+    moments_fn = Legendre(n_moments, base.ppf([0.0001, 0.9999]))
 
     sampler.set_initial_n_samples([50, 50])
     sampler.schedule_samples()
     sampler.ask_sampling_pool_for_samples()
 
-    target_var = 1e-3
-    quantity = make_root_quantity(sample_storage, q_specs=simulation_factory.result_format())
-    length = quantity["length"]
-    time = length[1]
-    location = time["10"]
-    value_quantity = location[0]
-
+    quantity = make_root_quantity(sample_storage, q_specs=sim.result_format())
+    value_quantity = quantity["length"][1]["10"][0]
     estimator = est_mod.Estimate(value_quantity, sample_storage, moments_fn)
 
-    variances, n_ops = estimator.estimate_diff_vars_regression(sampler._n_scheduled_samples)
-    n_estimated = est_mod.estimate_n_samples_for_target_variance(
-        target_var, variances, n_ops, n_levels=sampler.n_levels
-    )
-
-    n_rounds = 0
-    while not sampler.process_adding_samples(n_estimated, 0, 0.1):
-        variances, n_ops = estimator.estimate_diff_vars_regression(sampler._n_scheduled_samples)
-        n_estimated = est_mod.estimate_n_samples_for_target_variance(
-            target_var, variances, n_ops, n_levels=sampler.n_levels
-        )
-        n_rounds += 1
-        assert n_rounds < 100
+    _adaptive_loop(sampler, estimator, target_var=1e-3)
 
     means, vars = estimator.estimate_moments(moments_fn)
     assert means[0] == 1
     assert vars[0] == 0
-    # statistical sanity: first Legendre moment is a linear map of the mean;
-    # true mean of sample_fn(x, h) is ~ h*E[sqrt(1e-4+|x|)] ~ small
     assert np.abs(means[1]) < 0.1
+    # the adaptive loop actually grew the schedule beyond the initial 50
+    assert np.any(np.asarray(sampler._n_scheduled_samples) > 50)
+
+
+def test_hdf_kill_and_resume_adaptive(tmp_path):
+    """Run the initial round, 'kill' the process (drop all objects), reopen
+    the HDF file and finish the adaptive loop from the stored schedule
+    (reference checkpoint semantics: the HDF5 file IS the checkpoint)."""
+    path = str(tmp_path / "resume.hdf5")
+    sim = SynthSimulation(dict(distr="norm", complexity=2))
+    step_range = [[0.1], [0.001]]
+
+    storage = SampleStorageHDF(file_path=path)
+    sampler = Sampler(storage, DeviceBatchPool(min_bucket=64), sim, step_range)
+    sampler.set_initial_n_samples([60, 40])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    n_before = np.array(storage.get_n_collected())
+    del sampler, storage  # "kill"
+
+    storage2 = SampleStorageHDF(file_path=path)
+    assert list(storage2.get_n_collected()) == list(n_before)
+    sampler2 = Sampler(storage2, DeviceBatchPool(min_bucket=64), sim, step_range)
+    # resume: scheduled counters continue from the stored schedule log
+    assert np.all(np.asarray(sampler2._n_scheduled_samples) == [60, 40])
+
+    distr = Norm()
+    moments_fn = Legendre(5, distr.ppf([0.0001, 0.9999]))
+    quantity = make_root_quantity(storage2, q_specs=sim.result_format())
+    vq = quantity["length"][1]["10"][0]
+    estimator = est_mod.Estimate(vq, storage2, moments_fn)
+    _adaptive_loop(sampler2, estimator, target_var=1e-3)
+
+    means, vars = estimator.estimate_moments(moments_fn)
+    assert means[0] == 1 and vars[0] == 0
+    assert np.array(storage2.get_n_collected()).sum() > n_before.sum()
+
+
+def test_renew_failed_through_adaptive(tmp_path):
+    """Failure injection + renewal inside the adaptive run (HDF storage):
+    failed samples are re-dispatched with attempt salts until none remain."""
+    storage = SampleStorageHDF(file_path=str(tmp_path / "renew.hdf5"))
+    sim = SynthSimulation(dict(distr="norm", complexity=2, nan_fraction=0.2))
+    sampler = Sampler(storage, DeviceBatchPool(seed=5, min_bucket=64), sim,
+                      [[0.1], [0.001]])
+    sampler.set_initial_n_samples([80, 40])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    assert sum(len(v) for v in storage.failed_samples().values()) > 0
+
+    for _ in range(25):
+        sampler.renew_failed_samples()
+        sampler.ask_sampling_pool_for_samples()
+        if sum(len(v) for v in storage.failed_samples().values()) == 0:
+            break
+    assert sum(len(v) for v in storage.failed_samples().values()) == 0
+    assert storage.get_n_collected() == [80, 40]
+
+    # estimates over the renewed store still satisfy the invariants
+    mfn = Legendre(4, Norm().ppf([0.0001, 0.9999]))
+    quantity = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = quantity["length"][1]["10"][0]
+    means, vars = est_mod.Estimate(vq, storage, mfn).estimate_moments(mfn)
+    assert means[0] == 1 and vars[0] == 0
 
 
 def test_moment_accuracy_large_batch():
