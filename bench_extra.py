@@ -1,10 +1,12 @@
-"""Secondary benchmarks: BASELINE configs 2 (shooting) and 5 (diffusion)
-on the real chip. Not part of the driver's bench contract (bench.py stays
-the single-line headline); run manually, numbers recorded in BASELINE.md.
+"""Secondary benchmarks: BASELINE configs 2 (shooting), 3 (35-moment
+two-Gaussian maxent), 4 (Quantity-algebra workload) and 5 (diffusion).
+Not part of the driver's bench contract (bench.py stays the single-line
+headline); run manually, numbers recorded in BASELINE.md.
 
-Usage: python bench_extra.py
+Usage: python bench_extra.py [config ...]
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -57,12 +59,159 @@ def bench_diffusion():
                 samples_per_s=round(B / dt, 1), wall_s=round(dt, 4))
 
 
+def bench_maxent35():
+    """BASELINE config 3: maxent PDF from 35 moments of a two-Gaussian
+    mixture (reference harness: test/test_distribution.py:262-354 pattern —
+    semiexact moments + covariance, orthogonalize, solve, KL vs exact)."""
+    import scipy.stats as stats
+    import mlmc_tpu.tool.simple_distribution as sd
+    from mlmc_tpu.moments import Legendre
+
+    w = (0.5, 0.5)
+    comps = (stats.norm(-1.5, 0.6), stats.norm(2.0, 1.0))
+
+    def pdf(x):
+        return sum(wi * c.pdf(x) for wi, c in zip(w, comps))
+
+    # quantile-cut domain like the reference CutDistribution (:36-88)
+    lo = min(c.ppf(1e-8) for c in comps)
+    hi = max(c.ppf(1 - 1e-8) for c in comps)
+    R = 35
+    mfn = Legendre(R, (lo, hi))
+
+    cov = sd.compute_semiexact_cov(mfn, pdf)
+    orto, info = sd.construct_ortogonal_moments(mfn, cov, tol=1e-13)
+    mu = sd.compute_semiexact_moments(orto, pdf)
+    moments_data = np.stack((mu, np.ones(orto.size)), axis=1)
+
+    t0 = time.perf_counter()
+    d = sd.SimpleDistribution(orto, moments_data, domain=mfn.domain)
+    result = d.estimate_density_minimize(tol=1e-10)
+    solve_s = time.perf_counter() - t0
+
+    kl = sd.KL_divergence(pdf, d.density, lo, hi)
+    fitted = sd.compute_semiexact_moments(orto, d.density)
+    residual = float(np.linalg.norm(fitted - mu))
+    return dict(workload="maxent 35 moments, two-Gaussian mixture, tol 1e-10",
+                solve_s=round(solve_s, 4),
+                kl_vs_exact=float(kl),
+                moment_residual=residual,
+                n_orto_moments=int(orto.size),
+                converged=bool(getattr(result, "success", True)))
+
+
+def bench_quantity_algebra():
+    """BASELINE config 4: Quantity-algebra workload — a composite DAG
+    (ufunc + arithmetic + getitem + select + moments) evaluated by
+    estimate_mean over stored samples; reference library timed on the
+    same DAG and data at reduced size for the per-sample comparison."""
+    import mlmc_tpu.quantity.quantity_estimate as qe
+    from mlmc_tpu import (Memory, SynthSimulation, DeviceBatchPool, Sampler,
+                          Legendre, make_root_quantity)
+
+    def run_tpu(n0):
+        from mlmc_tpu import DeviceMemory
+
+        sim = SynthSimulation(dict(distr="norm", complexity=2))
+        # HBM-resident storage + device-resident pool results: the sample
+        # payload never crosses the host<->device link
+        storage = DeviceMemory()
+        sampler = Sampler(storage,
+                          DeviceBatchPool(seed=3, device_results=True), sim,
+                          [[0.1], [0.01], [0.001]])
+        sampler.set_initial_n_samples([n0, n0 // 4, n0 // 16])
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+        total = sum(storage.get_n_collected())
+
+        root = make_root_quantity(storage, sim.result_format())
+        length, width = root["length"], root["width"]
+        expr = np.sin(length[1]["10"]) * 2.0 + width[2]["30"] / 3.0
+        # mask = traceable selection: the whole DAG fuses into one jitted
+        # program per chunk (select would force eager per-node evaluation)
+        sel = expr.mask(expr < 10.0)
+        mq = qe.moments(sel, Legendre(8, (-10, 10)))
+        # one warm pass (trace+compile), then timed passes
+        qe.estimate_mean(mq)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            qe.cache_clear()
+            m = qe.estimate_mean(mq)
+        dt = (time.perf_counter() - t0) / reps
+        return total, dt, np.asarray(m.mean)
+
+    total, dt, mean = run_tpu(1 << 21)
+    out = dict(workload="quantity DAG: sin/mul/add/div/getitem/mask + "
+                        "8 Legendre moments, 3 levels",
+               n_samples=int(total),
+               samples_per_s=round(total / dt, 1),
+               wall_s=round(dt, 4),
+               mean0=float(mean.ravel()[0]))
+
+    # reference on the same DAG, smaller N (pure-numpy host path)
+    try:
+        sys.path.insert(0, "tests")
+        from reference_shim import import_reference
+        mlmc_ref = import_reference()
+        import mlmc.quantity.quantity_estimate as ref_qe
+        from mlmc.quantity.quantity import make_root_quantity as ref_root_fn
+        from mlmc.moments import Legendre as RefLegendre
+        from mlmc.sample_storage import Memory as RefMemory
+
+        # fill with our DeviceBatchPool results at reduced size
+        sim = SynthSimulation(dict(distr="norm", complexity=2))
+        storage = Memory()
+        sampler = Sampler(storage, DeviceBatchPool(seed=3), sim,
+                          [[0.1], [0.01], [0.001]])
+        n0 = 1 << 14
+        sampler.set_initial_n_samples([n0, n0 // 4, n0 // 16])
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+        ref_storage = RefMemory()
+        ref_storage.save_global_data(result_format=[
+            __import__("mlmc.quantity.quantity_spec", fromlist=["QuantitySpec"])
+            .QuantitySpec(name=s.name, unit=s.unit, shape=s.shape,
+                          times=s.times, locations=s.locations)
+            for s in sim.result_format()],
+            level_parameters=[[0.1], [0.01], [0.001]])
+        for lvl, pairs in enumerate(storage.sample_pairs()):
+            arr = np.asarray(pairs)  # [M, N, 2 or 1]
+            n = arr.shape[1]
+            rows = np.empty((n, 2), dtype=object)
+            for i in range(n):
+                fine = arr[:, i, 0]
+                coarse = arr[:, i, 1] if arr.shape[2] > 1 else np.zeros_like(fine)
+                rows[i, 0] = "L%02d_S%07d" % (lvl, i)
+                rows[i, 1] = (fine, coarse)
+            ref_storage.save_samples({lvl: rows}, {})
+        total_ref = sum(storage.get_n_collected())
+
+        root = ref_root_fn(ref_storage, ref_storage.load_result_format())
+        expr = np.sin(root["length"][1]["10"]) * 2.0 + root["width"][2]["30"] / 3.0
+        sel = expr.select(expr < 10.0)
+        mq = ref_qe.moments(sel, RefLegendre(8, (-10, 10)))
+        t0 = time.perf_counter()
+        m_ref = ref_qe.estimate_mean(mq)
+        dt_ref = time.perf_counter() - t0
+        out["reference_samples_per_s"] = round(total_ref / dt_ref, 1)
+        out["reference_n_samples"] = int(total_ref)
+        out["speedup_vs_reference"] = round(
+            out["samples_per_s"] / out["reference_samples_per_s"], 1)
+    except Exception as e:
+        out["reference_error"] = str(e)[:200]
+    return out
+
+
+BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
+           "maxent35": bench_maxent35, "quantity": bench_quantity_algebra}
+
 if __name__ == "__main__":
+    picks = sys.argv[1:] or list(BENCHES)
     results = {}
-    for name, fn in [("shooting", bench_shooting),
-                     ("diffusion", bench_diffusion)]:
+    for name in picks:
         try:
-            results[name] = fn()
+            results[name] = BENCHES[name]()
         except Exception as e:  # tunnel flakiness must not sink the rest
             results[name] = {"error": str(e)[:200]}
     print(json.dumps(results))

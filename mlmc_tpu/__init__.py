@@ -32,7 +32,7 @@ from mlmc_tpu.quantity.quantity_types import (
     FieldType,
     DictType,
 )
-from mlmc_tpu.sample_storage import SampleStorage, Memory
+from mlmc_tpu.sample_storage import SampleStorage, Memory, DeviceMemory
 from mlmc_tpu.sample_storage_hdf import SampleStorageHDF
 try:  # native engine is optional (needs a C++ toolchain at first use)
     from mlmc_tpu.sample_storage_bin import SampleStorageBin

@@ -154,11 +154,16 @@ class Estimate:
         return vars, self._sample_storage.get_n_ops()
 
     def _all_moments_variance_regression(self, raw_vars, sim_steps):
-        reg_vars = np.array(raw_vars, dtype=float, copy=True)
-        n_moments = raw_vars.shape[1]
-        for m in range(1, n_moments):
-            reg_vars[:, m] = self._moment_variance_regression(raw_vars[:, m], sim_steps)
-        assert np.allclose(reg_vars[:, 0], 0.0)
+        """Regress each moment column; structured quantities ([L, ..., R])
+        are flattened to [L, n_cols]. Zeroth-moment columns are exactly
+        zero-variance and pass through untouched."""
+        raw = np.asarray(raw_vars, dtype=float)
+        flat = raw.reshape(raw.shape[0], -1)
+        reg_vars = flat.copy()
+        for m in range(flat.shape[1]):
+            if np.allclose(flat[:, m], 0.0):
+                continue
+            reg_vars[:, m] = self._moment_variance_regression(flat[:, m], sim_steps)
         return reg_vars
 
     @staticmethod

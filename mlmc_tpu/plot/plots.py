@@ -94,6 +94,23 @@ class Distribution:
         if log_density:
             self.ax_pdf.set_yscale("log")
 
+        # dashed error curves on twin axes (reference :141-157): 'kl' plots
+        # the KL integrand exact*log(exact/approx) - exact + approx, anything
+        # else the plain difference; CDF error is always the difference
+        self.ax_pdf_err = self.ax_cdf_err = None
+        if error_plot:
+            self.ax_pdf_err = self.ax_pdf.twinx()
+            self.ax_pdf.set_zorder(10)
+            self.ax_pdf.patch.set_visible(False)
+            self.ax_pdf_err.set_ylabel(
+                "KL-error - dashed" if error_plot == "kl" else "error - dashed")
+            self.ax_pdf_err.set_yscale("log")
+            self.ax_cdf_err = self.ax_cdf.twinx()
+            self.ax_cdf.set_zorder(10)
+            self.ax_cdf.patch.set_visible(False)
+            self.ax_cdf_err.set_ylabel("error - dashed")
+            self.ax_cdf_err.set_yscale("log")
+
     def add_raw_samples(self, samples):
         """Histogram + rug of raw samples (reference :158-183)."""
         samples = np.asarray(samples)
@@ -124,6 +141,20 @@ class Distribution:
         Y_cdf = distr_object.cdf(X)
         self.ax_cdf.plot(X, Y_cdf, color=color)
         self._plot_borders(self.ax_cdf, color, domain)
+
+        if self.ax_pdf_err is not None and self._exact_distr is not None:
+            exact_pdf = self._exact_distr.pdf(X)
+            if self._error_plot == "kl":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    eY_pdf = (exact_pdf * np.log(exact_pdf / Y_pdf)
+                              - exact_pdf + Y_pdf)
+            else:
+                eY_pdf = Y_pdf - exact_pdf
+            self.ax_pdf_err.plot(X, eY_pdf, linestyle="--", color=color,
+                                 linewidth=0.5)
+            eY_cdf = Y_cdf - self._exact_distr.cdf(X)
+            self.ax_cdf_err.plot(X, eY_cdf, linestyle="--", color=color,
+                                 linewidth=0.5)
 
         self.i_plot += 1
         return plots

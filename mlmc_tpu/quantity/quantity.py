@@ -204,6 +204,36 @@ class Quantity:
         q._selection_id = q._uid
         return q
 
+    def mask(self, *args):
+        """Traceable counterpart of ``select`` for estimation workloads.
+
+        Instead of REMOVING non-selected samples (shape-dynamic — forces
+        eager per-node evaluation), the samples are NaN-poisoned in place:
+        shapes stay static, the whole DAG fuses under jit, and
+        ``estimate_mean``'s NaN masking drops them with identical estimates
+        (they are counted in ``n_rm_samples``). Use ``select`` when you need
+        the raw surviving samples; use ``mask`` when you only estimate.
+        """
+        masks = args[0]
+        for quantity in args:
+            if not isinstance(quantity.qtype.base_qtype(), qt.BoolType):
+                raise Exception(
+                    "Quantity: {} doesn't have BoolType, instead it has QType: {}".format(
+                        quantity, quantity.qtype.base_qtype()
+                    )
+                )
+        if len(args) > 1:
+            for m in args[1:]:
+                masks = np.logical_and(masks, m)
+
+        def op(x, mask):
+            x = jnp.asarray(x)
+            return jnp.where(jnp.asarray(mask)[None, :, None], x, jnp.nan)
+
+        return Quantity(
+            quantity_type=self.qtype, input_quantities=[self, masks], operation=op
+        )
+
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
         return Quantity._method(ufunc, method, *args, **kwargs)
 
@@ -269,10 +299,11 @@ class Quantity:
     # ------------------------------------------------------------------ #
     @staticmethod
     def _process_mask(x, y, op):
-        """All values of a sample (and both fine+coarse) must meet the condition."""
-        mask = op(x, y)
-        mask = jnp.asarray(mask)
-        return np.asarray(mask.all(axis=tuple(range(mask.ndim - 2))).all(axis=1))
+        """All values of a sample (and both fine+coarse) must meet the
+        condition -> [N] bool. Pure jnp (shape-static), so condition DAGs
+        stay traceable; only ``select``'s row removal breaks tracing."""
+        mask = jnp.asarray(op(x, y))
+        return mask.all(axis=tuple(range(mask.ndim - 2))).all(axis=-1)
 
     def _mask_quantity(self, other, op):
         bool_type = qt.BoolType()
@@ -286,7 +317,7 @@ class Quantity:
                 "ones that support comparison".format(self.qtype.base_qtype())
             )
         return Quantity(
-            quantity_type=new_qtype, input_quantities=[self, other], operation=op, traceable=False
+            quantity_type=new_qtype, input_quantities=[self, other], operation=op
         )
 
     def __lt__(self, other):

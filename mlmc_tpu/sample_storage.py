@@ -249,3 +249,52 @@ class Memory(SampleStorage):
 
     def get_level_parameters(self):
         return self._level_parameters
+
+
+class DeviceMemory(Memory):
+    """HBM-resident storage: per-level results stay DEVICE arrays end to end.
+
+    SURVEY §2's designated TPU equivalent of the reference Memory storage
+    ("HBM-resident per-level ring buffers"). With a DeviceBatchPool running
+    ``device_results=True``, samples are produced, stored, and estimated
+    without ever crossing the host<->device link — on a remote-attached TPU
+    the link is the entire cost of stored-sample estimation (a 1e6-sample
+    x 30-component chunk is ~0.1 GB per pass).
+
+    The id/cost/failure bookkeeping stays on host (tiny); only the result
+    payload lives in HBM.
+    """
+
+    def save_samples_bulk(self, level_id, ids, fine, coarse):
+        import jax.numpy as jnp
+        from mlmc_tpu.tags import TagChain
+
+        pairs = jnp.stack([jnp.asarray(fine), jnp.asarray(coarse)], axis=1)
+        self._successful_sample_ids.setdefault(level_id, TagChain()).extend(ids)
+        self._n_finished[level_id] = self._n_finished.get(level_id, 0) + len(ids)
+        if level_id not in self._results:
+            self._results[level_id] = pairs
+        else:
+            self._results[level_id] = jnp.concatenate(
+                (self._results[level_id], pairs), axis=0)
+
+    def _save_successful(self, samples):
+        import jax.numpy as jnp
+
+        for level_id, res in samples.items():
+            if len(res) == 0:
+                continue
+            ids = [s_id for s_id, _ in res]
+            fine = np.stack([np.ravel(f) for _, (f, _c) in res])
+            coarse = np.stack([np.ravel(c) for _, (_f, c) in res])
+            self.save_samples_bulk(level_id, ids, jnp.asarray(fine),
+                                   jnp.asarray(coarse))
+
+    def sample_pairs_level(self, chunk_spec):
+        """:return: DEVICE array [M, chunk, 2] (level 0: [M, chunk, 1])."""
+        results = self._results[int(chunk_spec.level_id)]
+        chunk = (results[chunk_spec.chunk_slice]
+                 if chunk_spec.chunk_slice is not None else results)
+        if chunk_spec.level_id == 0:
+            chunk = chunk[:, :1, :]
+        return chunk.transpose((2, 0, 1))

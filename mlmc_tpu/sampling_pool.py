@@ -304,9 +304,14 @@ class DeviceBatchPool(SamplingPool):
     """
 
     def __init__(self, work_dir=None, debug=False, seed=0, min_bucket=256,
-                 sharding=None, bulk=True, max_batch=65536):
+                 sharding=None, bulk=True, max_batch=65536,
+                 device_results=False):
         super().__init__(work_dir=work_dir, debug=debug)
         self._bulk = bulk
+        # keep result payloads as DEVICE arrays (pair with DeviceMemory to
+        # avoid the host<->device round trip entirely); only the failure
+        # mask crosses the link
+        self._device_results = bool(device_results)
         self._max_batch = int(max_batch)
         self._root_key = jax.random.key(seed)
         self._pending = {}  # level_id -> list[(index array, attempt array)]
@@ -403,10 +408,12 @@ class DeviceBatchPool(SamplingPool):
             for k, v in s.items():
                 if k in succ_all and self._bulk:
                     prev = succ_all[k]
+                    # keep device arrays on device when merging slices
+                    xp = jnp if isinstance(prev.fine, jax.Array) else np
                     succ_all[k] = BulkResults(
                         prev.ids + v.ids,
-                        np.concatenate([prev.fine, v.fine]),
-                        np.concatenate([prev.coarse, v.coarse]))
+                        xp.concatenate([prev.fine, v.fine]),
+                        xp.concatenate([prev.coarse, v.coarse]))
                 elif k in succ_all:
                     succ_all[k].extend(v)
                 else:
@@ -439,17 +446,27 @@ class DeviceBatchPool(SamplingPool):
         t0 = time.perf_counter()
         fn = self._batch_fn(level_id, bucket)
         fine, coarse, failed = fn(keys, jnp.asarray(att_p))
-        fine = jax.block_until_ready(fine)
-        elapsed = time.perf_counter() - t0
-
-        fine = np.asarray(fine)[:n]
-        coarse = np.asarray(coarse)[:n]
-        failed = np.asarray(failed)[:n]
-        if getattr(level_sim, "nan_result_is_failure", True):
-            # parity with simulations that raise on NaN (SynthSimulation);
-            # sims with NaN-as-QoI (shooting) store NaNs and mask later
-            failed = failed | np.any(np.isnan(fine), axis=1) \
-                | np.any(np.isnan(coarse), axis=1)
+        nan_fails = getattr(level_sim, "nan_result_is_failure", True)
+        if self._device_results:
+            # payload stays in HBM; only the [n]-bool mask crosses the link
+            fine = fine[:n]
+            coarse = coarse[:n]
+            if nan_fails:
+                failed = failed[:n] | jnp.any(jnp.isnan(fine), axis=1) \
+                    | jnp.any(jnp.isnan(coarse), axis=1)
+            failed = np.asarray(failed[:n])
+            elapsed = time.perf_counter() - t0
+        else:
+            fine = jax.block_until_ready(fine)
+            elapsed = time.perf_counter() - t0
+            fine = np.asarray(fine)[:n]
+            coarse = np.asarray(coarse)[:n]
+            failed = np.asarray(failed)[:n]
+            if nan_fails:
+                # parity with simulations that raise on NaN (SynthSimulation);
+                # sims with NaN-as-QoI (shooting) store NaNs and mask later
+                failed = failed | np.any(np.isnan(fine), axis=1) \
+                    | np.any(np.isnan(coarse), axis=1)
 
         ok = ~failed
         failed_out = [(sid, "result is nan")

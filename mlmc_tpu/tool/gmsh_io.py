@@ -1,7 +1,7 @@
-"""Gmsh MSH v2 (ASCII) reader/writer.
+"""Gmsh MSH v1/v2 (ASCII) reader, v2 writer.
 
-Re-design of reference mlmc/tool/gmsh_io.py:21-343 with the same public
-surface: ``GmshIO`` holding ``nodes`` {id: (x, y, z)}, ``elements``
+Re-design of reference mlmc/tool/gmsh_io.py:21-343 (v1 $NOD/$ELM sections
+handled like reference :91-133) with the same public surface: ``GmshIO`` holding ``nodes`` {id: (x, y, z)}, ``elements``
 {id: (type, tags, node_ids)}, ``physical`` {name: (id, dim)}, and
 ``element_data`` read from ``$ElementData`` blocks; ``read``,
 ``write_ascii``, ``write_element_data`` / ``write_fields``,
@@ -43,7 +43,7 @@ class GmshIO:
                 continue
             if line.startswith("$"):
                 section = line[1:]
-                if section.startswith("End"):
+                if section.lower().startswith("end"):  # $End... / v1 $END...
                     mode = None
                 else:
                     mode = section
@@ -76,6 +76,24 @@ class GmshIO:
                         mode = None
                     elif mode == "ElementData":
                         self._read_element_data_block(lines)
+                        mode = None
+                    elif mode == "NOD":
+                        # Gmsh v1: $NOD n / 'id x y z' (reference :120-133)
+                        n = int(next(lines))
+                        for _ in range(n):
+                            parts = next(lines).split()
+                            self.nodes[int(parts[0])] = tuple(
+                                float(x) for x in parts[1:4])
+                        mode = None
+                    elif mode == "ELM":
+                        # Gmsh v1: 'id type reg-phys reg-elem n-nodes nodes…'
+                        n = int(next(lines))
+                        for _ in range(n):
+                            parts = [int(x) for x in next(lines).split()]
+                            elm_id, elm_type = parts[0], parts[1]
+                            tags = parts[2:4]
+                            node_ids = parts[5:]
+                            self.elements[elm_id] = (elm_type, tags, node_ids)
                         mode = None
         return self
 

@@ -413,3 +413,36 @@ def test_moments_through_dag():
         chunks_subsamples.append(v.n_samples)
     assert np.allclose(np.mean(chunks_subsamples, axis=0), [30, 15, 10], rtol=0.5)
     assert np.allclose(np.mean(chunks_means, axis=0), values_mean.mean, atol=1e-2)
+
+
+def test_mask_equals_select_estimates():
+    """mask (traceable NaN-poisoning) gives the same estimates as select
+    (row removal), while keeping the DAG fusable."""
+    import numpy as np
+    import mlmc_tpu.quantity.quantity_estimate as qe
+    from mlmc_tpu import (Memory, SynthSimulation, DeviceBatchPool, Sampler,
+                          Legendre, make_root_quantity)
+
+    sim = SynthSimulation(dict(distr="norm", complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=9, min_bucket=64), sim,
+                      [[0.1], [0.01]])
+    sampler.set_initial_n_samples([300, 100])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    root = make_root_quantity(storage, sim.result_format())
+    expr = np.sin(root["length"][1]["10"]) * 2.0
+    cond = expr < 0.5
+    mfn = Legendre(5, (-4, 4))
+
+    m_sel = qe.estimate_mean(qe.moments(expr.select(cond), mfn))
+    m_msk = qe.estimate_mean(qe.moments(expr.mask(cond), mfn))
+    assert np.allclose(np.asarray(m_sel.mean), np.asarray(m_msk.mean),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(m_sel.var), np.asarray(m_msk.var),
+                       atol=1e-12)
+    assert list(m_sel.n_samples) == list(m_msk.n_samples)
+    # and the masked DAG is traceable (fusable) while select is not
+    assert expr.mask(cond).traceable()
+    assert not expr.select(cond).traceable()

@@ -207,3 +207,33 @@ def test_bin_storage_end_to_end(tmp_path):
     means, variances = est_mod.Estimate(value_q, storage, mfn).estimate_moments(mfn)
     assert means[0] == 1 and variances[0] == 0
     storage.close()
+
+
+def test_device_memory_storage():
+    """HBM-resident DeviceMemory + device_results pool produce identical
+    estimates and bookkeeping to the host Memory path."""
+    import numpy as np
+    import mlmc_tpu.quantity.quantity_estimate as qe
+    from mlmc_tpu import (Memory, DeviceMemory, SynthSimulation,
+                          DeviceBatchPool, Sampler, Legendre,
+                          make_root_quantity)
+
+    res = []
+    for storage, pool in [
+            (Memory(), DeviceBatchPool(seed=4, min_bucket=64)),
+            (DeviceMemory(), DeviceBatchPool(seed=4, min_bucket=64,
+                                             device_results=True))]:
+        sim = SynthSimulation(dict(distr="norm", complexity=2,
+                                   nan_fraction=0.05))
+        s = Sampler(storage, pool, sim, [[0.1], [0.01]])
+        s.set_initial_n_samples([200, 100])
+        s.schedule_samples()
+        s.ask_sampling_pool_for_samples()
+        root = make_root_quantity(storage, sim.result_format())
+        q = root["length"][1]["10"][0]
+        m = qe.estimate_mean(qe.moments(q, Legendre(5, (-4, 4))))
+        res.append((np.asarray(m.mean), list(m.n_samples),
+                    storage.get_n_collected(),
+                    {k: list(v) for k, v in storage.failed_samples().items()}))
+    assert np.allclose(res[0][0], res[1][0], atol=1e-12)
+    assert res[0][1:] == res[1][1:]

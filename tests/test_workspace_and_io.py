@@ -188,3 +188,18 @@ def test_element_data_head(tmp_path):
     body = "1\n\"conductivity\"\n1\n0.5\n3\n0\n1\n2\n"
     head = GmshIO().read_element_data_head(_io.StringIO(body))
     assert head == ("conductivity", 0.5, 0, 1, 2)
+
+
+def test_gmsh_v1_read(tmp_path):
+    """Gmsh MSH v1 ($NOD/$ELM) files parse like the reference reader
+    (reference gmsh_io.py:91-133)."""
+    from mlmc_tpu.tool.gmsh_io import GmshIO
+
+    msh = tmp_path / "legacy.msh"
+    msh.write_text(
+        "$NOD\n3\n1 0 0 0\n2 1 0 0\n3 0 1 0\n$ENDNOD\n"
+        "$ELM\n1\n1 2 7 1 3 1 2 3\n$ENDELM\n")
+    gio = GmshIO(str(msh))
+    assert gio.nodes == {1: (0, 0, 0), 2: (1, 0, 0), 3: (0, 1, 0)}
+    elm_type, tags, node_ids = gio.elements[1]
+    assert elm_type == 2 and tags == [7, 1] and node_ids == [1, 2, 3]
