@@ -203,3 +203,33 @@ def test_gmsh_v1_read(tmp_path):
     assert gio.nodes == {1: (0, 0, 0), 2: (1, 0, 0), 3: (0, 1, 0)}
     elm_type, tags, node_ids = gio.elements[1]
     assert elm_type == 2 and tags == [7, 1] and node_ids == [1, 2, 3]
+
+
+def test_legacy_distribution_root_and_hard_target():
+    """Legacy solver on a bimodal target at high moment count (continuation
+    territory) + the root-solver path refining to grad ~ 0."""
+    import numpy as np
+    from mlmc_tpu.moments import Legendre as Leg
+    from mlmc_tpu.tool.distribution import Distribution
+    import mlmc_tpu.tool.simple_distribution as sd
+
+    w, comps = (0.5, 0.5), (stats.norm(-1.5, 0.6), stats.norm(2.0, 1.0))
+
+    def pdf(x):
+        return sum(wi * c.pdf(x) for wi, c in zip(w, comps))
+
+    lo = min(c.ppf(1e-6) for c in comps)
+    hi = max(c.ppf(1 - 1e-6) for c in comps)
+    R = 25
+    mfn = Leg(R, (lo, hi), safe_eval=False)
+    mu = sd.compute_semiexact_moments(mfn, pdf, tol=1e-13)
+    d = Distribution(mfn, np.stack((mu, np.ones(R)), axis=1),
+                     domain=(lo, hi), force_decay=(True, True))
+    res = d.estimate_density_minimize(tol=1e-8)
+    assert res.success, res
+    kl = sd.KL_divergence(pdf, d.density, lo, hi)
+    assert kl < 5e-4, kl  # bimodal, basis-limited at R=25
+
+    sol = d.estimate_density(tol=1e-10)
+    grad_norm = np.linalg.norm(sol.fun)
+    assert grad_norm < 1e-7, grad_norm
