@@ -1,53 +1,178 @@
-"""Fracture-geometry mesh tooling (host-side, optional).
+"""Fracture geometry — device-native fracture networks (+ gated mesh path).
 
 The reference (mlmc/random/frac_geom.py:1-139) builds fractured-domain
-meshes through the external ``geomop`` package + gmsh binary; neither is
-available in this environment and the capability is out of the TPU compute
-scope (SURVEY.md §2: "out of scope for TPU core; keep as optional host
-utility"). The functions are kept as a gated API: they raise a clear
-ImportError describing the required external dependencies.
+UNSTRUCTURED meshes through the external ``geomop`` package and the gmsh
+binary, to be solved by the external flow123d FEM code. Neither external
+exists here, and a TPU-first design does not want an unstructured mesh at
+all: the fracture network is generated ON DEVICE and rasterized into the
+conductivity grid of the device Darcy solver (sim/diffusion.py) — one
+jitted program per coupled fine/coarse sample, vmapped over the batch.
+
+Provided:
+
+* ``sample_fracture_network`` — random fracture set: uniform centers,
+  truncated power-law (Pareto) lengths, uniform or concentrated
+  orientations; pure jnp over a PRNG key (replayable per sample index),
+* ``fracture_min_distance`` / ``fracture_indicator`` — vectorized
+  point-to-segment distances of all grid cell centers to all fractures,
+* ``fracture_conductivity`` — bulk conductivity boosted by a fracture
+  contrast factor where a fracture crosses the cell,
+* ``FracturedDiffusionSimulation`` — Darcy MLMC simulation whose
+  conductivity = log-normal GRF bulk x fracture network; the network and
+  the GRF phases derive from the same per-sample key, so fine and coarse
+  grids of one sample see the SAME geology (level coupling).
+
+The reference's mesh-based entry point ``make_frac_mesh`` is kept as a
+gated API for users who have geomop+gmsh installed externally.
 """
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.quantity.quantity_spec import QuantitySpec
+from mlmc_tpu.sim.diffusion import DiffusionSimulation
 
 
+# ===================================================================== #
+# device fracture networks
+# ===================================================================== #
+def sample_fracture_network(key, n_fractures, box=((0.0, 0.0), (1.0, 1.0)),
+                            size_range=(0.1, 0.6), power=1.8,
+                            mean_angle=0.0, concentration=0.0):
+    """Random fracture set as line segments.
+
+    :param key: PRNG key (per sample -> replayable network)
+    :param n_fractures: static count
+    :param box: ((x0, y0), (x1, y1)) domain
+    :param size_range: (min, max) fracture lengths (truncated Pareto)
+    :param power: Pareto exponent of the length distribution (>1)
+    :param mean_angle: preferred orientation (radians)
+    :param concentration: 0 = isotropic (uniform angles); larger values
+        concentrate angles around ``mean_angle`` (wrapped-normal with
+        std = 1/sqrt(concentration))
+    :return: segments [n_fractures, 2, 2] (endpoint pairs)
+    """
+    (x0, y0), (x1, y1) = box
+    k_c, k_l, k_a = jax.random.split(key, 3)
+
+    centers = jax.random.uniform(
+        k_c, (n_fractures, 2),
+        minval=jnp.array([x0, y0]), maxval=jnp.array([x1, y1]))
+
+    # truncated Pareto via inverse CDF
+    lo, hi = size_range
+    u = jax.random.uniform(k_l, (n_fractures,))
+    a = power - 1.0
+    cdf_hi = 1.0 - (lo / hi) ** a
+    lengths = lo * (1.0 - u * cdf_hi) ** (-1.0 / a)
+
+    if concentration > 0:
+        angles = mean_angle + jax.random.normal(k_a, (n_fractures,)) \
+            / jnp.sqrt(concentration)
+    else:
+        angles = jax.random.uniform(k_a, (n_fractures,), maxval=np.pi)
+
+    half = 0.5 * lengths[:, None] * jnp.stack(
+        [jnp.cos(angles), jnp.sin(angles)], axis=1)
+    return jnp.stack([centers - half, centers + half], axis=1)
+
+
+def fracture_min_distance(segments, points):
+    """Min distance of each point to any segment.
+
+    :param segments: [F, 2, 2]
+    :param points: [P, 2]
+    :return: [P] distances
+    """
+    p0 = segments[:, 0, :]                      # [F, 2]
+    d = segments[:, 1, :] - p0                  # [F, 2]
+    len2 = jnp.maximum(jnp.sum(d * d, axis=1), 1e-30)
+    rel = points[:, None, :] - p0[None, :, :]   # [P, F, 2]
+    t = jnp.clip(jnp.einsum("pfk,fk->pf", rel, d) / len2, 0.0, 1.0)
+    closest = p0[None] + t[..., None] * d[None]
+    return jnp.min(jnp.linalg.norm(points[:, None, :] - closest, axis=-1),
+                   axis=1)
+
+
+def fracture_indicator(segments, n, box=((0.0, 0.0), (1.0, 1.0)),
+                       aperture=0.0):
+    """[n, n] float mask of grid cells crossed by a fracture.
+
+    A cell counts as fractured when its center lies within
+    ``max(aperture, h) / 2`` of a segment (a fracture is always at least
+    one cell wide — the coarse-grid inability to resolve thin fractures is
+    exactly the discretization error MLMC telescopes over).
+    """
+    (x0, y0), (x1, y1) = box
+    h = (x1 - x0) / n
+    cx = x0 + (jnp.arange(n) + 0.5) * h
+    cy = y0 + (jnp.arange(n) + 0.5) * ((y1 - y0) / n)
+    X, Y = jnp.meshgrid(cx, cy, indexing="ij")
+    pts = jnp.stack([X.ravel(), Y.ravel()], axis=1)
+    dist = fracture_min_distance(segments, pts)
+    radius = jnp.maximum(aperture, h) * 0.5
+    return (dist <= radius).astype(jnp.float32).reshape(n, n)
+
+
+def fracture_conductivity(segments, n, bulk_K, contrast,
+                          box=((0.0, 0.0), (1.0, 1.0)), aperture=0.0):
+    """Bulk conductivity boosted multiplicatively inside fractures."""
+    ind = fracture_indicator(segments, n, box=box, aperture=aperture)
+    return bulk_K * jnp.where(ind > 0, contrast, 1.0)
+
+
+# ===================================================================== #
+# MLMC simulation: fractured Darcy flow
+# ===================================================================== #
+class FracturedDiffusionSimulation(DiffusionSimulation):
+    """Darcy flow through a fractured medium — device-native replacement of
+    the reference's geomop+gmsh+flow123d fracture workflow.
+
+    Config keys (on top of DiffusionSimulation's):
+      n_fractures (default 24), frac_contrast (default 1e3),
+      frac_size_range, frac_power, frac_mean_angle, frac_concentration,
+      frac_aperture (physical; cells are at least one h wide).
+    """
+
+    @classmethod
+    def _conductivity(cls, config, key, n):
+        k_field, k_frac = jax.random.split(key)
+        bulk = super()._conductivity(config, k_field, n)
+        segments = sample_fracture_network(
+            k_frac,
+            n_fractures=config.get("n_fractures", 24),
+            size_range=config.get("frac_size_range", (0.1, 0.5)),
+            power=config.get("frac_power", 1.8),
+            mean_angle=config.get("frac_mean_angle", 0.0),
+            concentration=config.get("frac_concentration", 0.0))
+        return fracture_conductivity(
+            segments, n, bulk,
+            contrast=config.get("frac_contrast", 1e3),
+            aperture=config.get("frac_aperture", 0.0))
+
+
+# ===================================================================== #
+# gated external mesh path (reference parity surface)
+# ===================================================================== #
 def _require_geomop():
     try:
         import geomop  # noqa: F401
     except ImportError as e:
         raise ImportError(
-            "frac_geom requires the external 'geomop' package and the gmsh "
-            "binary (reference mlmc/random/frac_geom.py:1-7); install them "
-            "to build fractured-domain meshes") from e
+            "make_frac_mesh requires the external 'geomop' package and the "
+            "gmsh binary (reference mlmc/random/frac_geom.py:1-7). For the "
+            "device-native fracture workflow use "
+            "FracturedDiffusionSimulation instead.") from e
 
 
 def make_frac_mesh(box, mesh_step, fractures, frac_step):
-    """Build a fractured-domain mesh (reference frac_geom.py:17-30)."""
+    """Build a fractured-domain mesh (reference frac_geom.py:17-30);
+    requires external geomop+gmsh. The native path is
+    ``FracturedDiffusionSimulation``."""
     _require_geomop()
     raise NotImplementedError(
         "geomop present but mlmc_tpu bridge not implemented; "
         "use the reference tooling to produce the mesh, then load it "
         "with mlmc_tpu.tool.gmsh_io.GmshIO")
-
-
-def make_decomposition(box, fractures):
-    """Gated (reference frac_geom.py): needs geomop's polygon decomposition."""
-    _require_geomop()
-
-
-def make_regions(decomp):
-    """Gated (reference frac_geom.py)."""
-    _require_geomop()
-
-
-def add_reg(regions, name, dim, **kwargs):
-    """Gated (reference frac_geom.py)."""
-    _require_geomop()
-
-
-def fill_lg(decomp, regions):
-    """Gated (reference frac_geom.py)."""
-    _require_geomop()
-
-
-def make_mesh(geometry, mesh_step, mesh_file):
-    """Gated (reference frac_geom.py): needs geomop + the gmsh binary."""
-    _require_geomop()

@@ -63,3 +63,53 @@ def test_diffusion_mlmc_loop():
     # n_ops recorded per level (allocation inputs)
     n_ops = storage.get_n_ops()
     assert len(n_ops) == 2 and all(c > 0 for c in n_ops)
+
+
+def test_fractured_diffusion():
+    """Device fracture network: rasterization geometry + MLMC coupling +
+    physical sanity (fractures raise the effective conductivity)."""
+    import jax
+    import jax.numpy as jnp
+    from mlmc_tpu.random.frac_geom import (
+        sample_fracture_network, fracture_min_distance, fracture_indicator,
+        FracturedDiffusionSimulation)
+    from mlmc_tpu.sim.diffusion import DiffusionSimulation
+
+    # geometry: distance to a known horizontal segment
+    seg = jnp.array([[[0.2, 0.5], [0.8, 0.5]]])
+    pts = jnp.array([[0.5, 0.5], [0.5, 0.7], [0.1, 0.5], [0.9, 0.9]])
+    d = np.asarray(fracture_min_distance(seg, pts))
+    assert np.allclose(d, [0.0, 0.2, 0.1, np.hypot(0.1, 0.4)], atol=1e-7)
+
+    # the indicator marks exactly the cells along the segment
+    ind = np.asarray(fracture_indicator(seg, 16))
+    assert ind.sum() > 0
+    ys = np.nonzero(ind)[1]
+    assert set(ys) <= {7, 8}  # stays on the y=0.5 row of a 16-grid
+
+    # network sampling is replayable and respects the size range
+    key = jax.random.key(3)
+    net1 = sample_fracture_network(key, 32, size_range=(0.1, 0.4))
+    net2 = sample_fracture_network(key, 32, size_range=(0.1, 0.4))
+    assert np.allclose(np.asarray(net1), np.asarray(net2))
+    lengths = np.linalg.norm(np.asarray(net1[:, 1] - net1[:, 0]), axis=1)
+    assert lengths.min() >= 0.1 - 1e-6 and lengths.max() <= 0.4 + 1e-6
+
+    # coupled MLMC batch: fine/coarse share the network; fractures with a
+    # large contrast must increase the mean outflow vs the unfractured sim
+    cfg = dict(sigma=0.5, corr_length=0.3, n_modes=64, n_fractures=16,
+               frac_contrast=1e3)
+    frac_sim = FracturedDiffusionSimulation(cfg)
+    base_sim = DiffusionSimulation(dict(sigma=0.5, corr_length=0.3,
+                                        n_modes=64))
+    keys = jax.random.split(jax.random.key(7), 32)
+    out_f = []
+    for sim in (frac_sim, base_sim):
+        ls = sim.level_instance([1 / 16], [1 / 8])
+        fine, coarse, failed = jax.jit(
+            lambda k, c=ls.config_dict, s=type(sim): s.calculate_batch(c, k)
+        )(keys)
+        assert not np.any(np.asarray(failed))
+        assert np.all(np.isfinite(np.asarray(fine)))
+        out_f.append(float(np.mean(np.asarray(fine)[:, 0])))
+    assert out_f[0] > 1.5 * out_f[1], out_f  # fractures conduct
