@@ -91,21 +91,43 @@ def main():
     moments_fn = Legendre(N_MOMENTS, DOMAIN)
 
     # ---------------- Pallas fused kernel (headline) -------------------- #
-    # 10 repetitions (1e9 samples total) so the wall time dominates any
-    # remote-dispatch latency — small-N timings over the device tunnel are
-    # unreliable (async completion markers)
+    # Two measurements. (a) single dispatch: one 1e8-sample call + one
+    # device->host transfer — includes the remote tunnel's ~30 ms
+    # round-trip latency, which is an artifact of this test rig, not of
+    # the chip. (b) sustained: 16 pipeline runs inside ONE jitted dispatch
+    # (1.6e9 samples), amortizing the latency — the production number for
+    # locally-attached devices. block_until_ready over the tunnel
+    # acknowledges enqueue, so all timings force a host transfer.
     accs = run_pallas(0)
     _ = float(accs[-1].n_valid)
-    n_runs = 10
+    n_runs = 5
     t0 = time.perf_counter()
     for i in range(n_runs):
         accs = run_pallas(i + 1)
-        # force a device->host transfer: block_until_ready over the remote
-        # device tunnel acknowledges enqueue, not completion
         _ = float(accs[-1].n_valid)
-    pallas_s = (time.perf_counter() - t0) / n_runs
-    pallas_thr = total / pallas_s
+    single_s = (time.perf_counter() - t0) / n_runs
     est = pallas_estimates(accs)
+
+    reps = 16
+
+    @jax.jit
+    def sustained(seed):
+        out = None
+        for r in range(reps):
+            res = synth_mlmc_pipeline(
+                seed + r * 1_000_003, N_MOMENTS, tuple(N_PER_LEVEL),
+                tuple(LEVEL_STEPS), domain=DOMAIN, chunk=PALLAS_CHUNK)
+            acc = (sum(jnp.sum(x.sums) + jnp.sum(x.sums2) for x in res)
+                   + sum(x.n_valid for x in res))
+            out = acc if out is None else out + acc
+        return out
+
+    _ = float(sustained(jnp.int32(0)))
+    t0 = time.perf_counter()
+    for i in range(3):
+        _ = float(sustained(jnp.int32(i + 1)))
+    pallas_s = (time.perf_counter() - t0) / 3 / reps
+    pallas_thr = total / pallas_s
 
     # ---------------- XLA fused pipeline (secondary) -------------------- #
     # secondary paths must never sink the headline (the device tunnel is
@@ -179,6 +201,8 @@ def main():
         "vs_baseline": round(pallas_thr / BASELINE_SAMPLES_PER_S, 2),
         "extras": {
             "pallas_wall_s": round(pallas_s, 4),
+            "single_dispatch_wall_s": round(single_s, 4),
+            "single_dispatch_samples_per_s": round(total / single_s, 1),
             "xla_wall_s": round(xla_s, 4) if xla_s else None,
             "xla_samples_per_s": round(total / xla_s, 1) if xla_s else None,
             "precision_vs_f64": precision,
