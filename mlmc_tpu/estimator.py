@@ -87,7 +87,8 @@ class Estimate:
         :return: (moment means [R] or [M, R], estimator variances same shape)
         """
         from mlmc_tpu.quantity.quantity_types import ScalarType
-        from mlmc_tpu.ops.pallas_kernels import moment_pipeline_from_samples
+        from mlmc_tpu.ops.pallas_kernels import (
+            mlmc_moment_pipeline_from_samples, pack_level_samples)
         import jax
 
         if moments_fn is None:
@@ -97,40 +98,47 @@ class Estimate:
         scalar = isinstance(self._quantity.qtype, ScalarType)
         M = 1 if scalar else self._quantity.qtype.size()
         interpret = jax.default_backend() != "tpu"
+        kernel_chunk = 16384
 
+        # gather per-level QoIs once (host), then ONE kernel dispatch per
+        # component covering every chunk of every level — per-dispatch
+        # latency over a remote-attached chip is ~30 ms, so per-(level,
+        # chunk) calls would dominate the wall time
         n_levels = self._sample_storage.get_n_levels()
-        l_means, l_vars, ns = [], [], []
+        level_chunks = [[] for _ in range(n_levels)]
         for level_id in range(n_levels):
-            sums = None
             for chunk_spec in self._sample_storage.chunks(level_id=level_id):
-                chunk = np.asarray(self._quantity.samples(chunk_spec))
-                for m in range(M):
-                    fine = chunk[m, :, 0]
-                    coarse = (np.zeros_like(fine) if chunk.shape[2] == 1
-                              else chunk[m, :, 1])
-                    r = moment_pipeline_from_samples(
-                        fine, coarse, moments_fn.size,
-                        domain=tuple(moments_fn.domain),
-                        ref_domain=ref_domain, basis=basis,
-                        is_level0=(level_id == 0), interpret=interpret)
-                    r = jax.tree.map(
-                        lambda x: np.asarray(x, dtype=np.float64), r)
-                    if sums is None:
-                        sums = [np.zeros((M, moments_fn.size)),
-                                np.zeros((M, moments_fn.size)),
-                                np.zeros(M)]
-                    sums[0][m] += r.sums
-                    sums[1][m] += r.sums2
-                    sums[2][m] += float(r.n_valid)
-            s, sp, n = sums
-            n = n[:, None]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                l_means.append(np.where(n > 0, s / n, 0.0))
-                l_vars.append(np.where(n > 1, (sp - s * s / np.maximum(n, 1))
-                                       / np.maximum(n - 1, 1), np.inf))
-            ns.append(n[:, 0])
-        mean = np.sum(l_means, axis=0)
-        var = np.sum(np.stack(l_vars) / np.asarray(ns)[:, :, None], axis=0)
+                level_chunks[level_id].append(
+                    np.asarray(self._quantity.samples(chunk_spec)))
+        level_qoi = [np.concatenate(cs, axis=1) for cs in level_chunks]
+
+        R = moments_fn.size
+        sums = np.zeros((n_levels, M, R))
+        sums2 = np.zeros((n_levels, M, R))
+        n_valid = np.zeros((n_levels, M))
+        for m in range(M):
+            fine, coarse, counts = pack_level_samples(
+                [q[m, :, 0] for q in level_qoi],
+                [q[m, :, 1] if q.shape[2] > 1 else None for q in level_qoi],
+                chunk=kernel_chunk)
+            res = mlmc_moment_pipeline_from_samples(
+                fine, coarse, counts, R, domain=tuple(moments_fn.domain),
+                ref_domain=ref_domain, basis=basis, chunk=kernel_chunk,
+                interpret=interpret)
+            for lvl, r in enumerate(res):
+                sums[lvl, m] = np.asarray(r.sums, dtype=np.float64)
+                sums2[lvl, m] = np.asarray(r.sums2, dtype=np.float64)
+                n_valid[lvl, m] = float(r.n_valid)
+
+        n = n_valid[:, :, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l_means = np.where(n > 0, sums / np.maximum(n, 1), 0.0)
+            l_vars = np.where(
+                n > 1,
+                (sums2 - sums * sums / np.maximum(n, 1)) / np.maximum(n - 1, 1),
+                np.inf)
+        mean = l_means.sum(axis=0)
+        var = (l_vars / np.maximum(n, 1)).sum(axis=0)
         if scalar:
             return mean[0], var[0]
         return mean, var

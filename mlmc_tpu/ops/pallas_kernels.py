@@ -765,3 +765,207 @@ def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
             n_valid=n_valid[lvl, 0],
         ))
     return out
+
+
+def _samples_mlmc_kernel(level_ref, first_ref, nsamp_ref, base_ref,
+                         hascoarse_ref, fine_ref, coarse_ref,
+                         sums_ref, sums2_ref, cov_f_ref, cov_c_ref, nv_ref,
+                         phi_f, phi_c, c_sums, c_sums2, c_cov_f, c_cov_c,
+                         *, n_moments, chunk, t_scale, t_shift,
+                         ref_lo, ref_hi, basis, n_levels):
+    """Stored-samples analogue of _synth_mlmc_kernel: one grid step = one
+    chunk of one level; per-level output blocks selected by prefetched
+    level ids, Kahan compensation reset at level boundaries."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for lvl in range(n_levels):
+            nv_ref[lvl, 0] = jnp.int32(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+        sums2_ref[...] = jnp.zeros_like(sums2_ref)
+        cov_f_ref[...] = jnp.zeros_like(cov_f_ref)
+        cov_c_ref[...] = jnp.zeros_like(cov_c_ref)
+        for c in (c_sums, c_sums2, c_cov_f, c_cov_c):
+            c[...] = jnp.zeros_like(c)
+
+    has_coarse = hascoarse_ref[i]
+    fine = fine_ref[...]
+    coarse = coarse_ref[...]
+
+    t_f = (fine - t_shift) * t_scale + ref_lo
+    t_c = (coarse - t_shift) * t_scale + ref_lo
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    in_range = (base_ref[i] + lane) < nsamp_ref[i]
+    # NaN QoIs fail the comparisons -> invalid (reference mask semantics)
+    valid = (t_f >= ref_lo) & (t_f <= ref_hi) & in_range
+    valid = valid & (((t_c >= ref_lo) & (t_c <= ref_hi)) | (has_coarse < 1))
+    vf = valid.astype(jnp.float32)
+
+    def kadd(acc_ref, comp_ref, delta):
+        acc = acc_ref[0]
+        comp = comp_ref[...]
+        y = delta - comp
+        t = acc + y
+        comp_ref[...] = (t - acc) - y
+        acc_ref[0] = t
+
+    def krow(acc_ref, comp_ref, row):
+        kadd(acc_ref, comp_ref,
+             jnp.broadcast_to(jnp.sum(row, axis=1, keepdims=True),
+                              (R_PAD, acc_ref.shape[2])))
+
+    _basis_rows(phi_f, t_f, valid, vf, n_moments, basis)
+    pf = phi_f[...]
+    kadd(cov_f_ref, c_cov_f, jax.lax.dot_general(
+        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32))
+
+    @pl.when(has_coarse == 1)
+    def _():
+        _basis_rows(phi_c, t_c, valid, vf, n_moments, basis)
+        pc = phi_c[...]
+        dphi = pf - pc
+        krow(sums_ref, c_sums, dphi)
+        krow(sums2_ref, c_sums2, dphi * dphi)
+        kadd(cov_c_ref, c_cov_c, jax.lax.dot_general(
+            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+
+    @pl.when(has_coarse == 0)
+    def _():
+        krow(sums_ref, c_sums, pf)
+        krow(sums2_ref, c_sums2, pf * pf)
+
+    lvl = level_ref[i]
+    nv_ref[lvl, 0] += jnp.sum(vf).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_moments", "n_per_level", "chunk", "domain",
+                     "ref_domain", "basis", "interpret"))
+def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
+                                      *, domain, ref_domain=(-1.0, 1.0),
+                                      basis="legendre", chunk=16384,
+                                      interpret=False):
+    """ALL levels of a stored-sample moment estimate in ONE kernel dispatch.
+
+    The per-(level, chunk) variant (moment_pipeline_from_samples) pays one
+    device dispatch per call — ~30 ms over a remote-attached chip. Here the
+    levels' QoIs arrive concatenated and NaN-padded to chunk multiples, one
+    sequential grid covers every chunk of every level, and prefetched level
+    ids select per-level output blocks (same scheme as synth_mlmc_pipeline).
+
+    :param fine/coarse: [sum(padded n_l)] f32 arrays — each level's samples
+        padded with NaN to a multiple of ``chunk`` (level 0's coarse part
+        is ignored); build with ``pack_level_samples``
+    :param n_per_level: true per-level counts (static tuple)
+    :return: list of SynthMomentResult, one per level
+    """
+    assert n_moments <= R_PAD
+    assert chunk % 1024 == 0 and chunk <= 16384
+    L = len(n_per_level)
+    a, b = domain
+    ref_lo, ref_hi = ref_domain
+
+    level_ids, firsts, nsamps, bases, hasc = [], [], [], [], []
+    for lvl, n in enumerate(n_per_level):
+        n_chunks = max(-(-int(n) // chunk), 1)
+        for c in range(n_chunks):
+            level_ids.append(lvl)
+            firsts.append(1 if c == 0 else 0)
+            nsamps.append(int(n))
+            bases.append(c * chunk)
+            hasc.append(0 if lvl == 0 else 1)
+    grid = (len(level_ids),)
+    total_pad = len(level_ids) * chunk
+    assert fine.shape[0] == total_pad, (fine.shape, total_pad)
+
+    kernel = functools.partial(
+        _samples_mlmc_kernel, n_moments=n_moments, chunk=chunk,
+        t_scale=(ref_hi - ref_lo) / (b - a), t_shift=a,
+        ref_lo=ref_lo, ref_hi=ref_hi, basis=basis, n_levels=L)
+
+    lev_block = lambda i, lev, *_: (lev[i], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R_PAD, 128), lev_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_PAD, 128), lev_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_PAD, R_PAD), lev_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R_PAD, R_PAD), lev_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            pltpu.VMEM((R_PAD, chunk), jnp.float32),
+            # Kahan compensation buffers
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, 128), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
+            pltpu.VMEM((R_PAD, R_PAD), jnp.float32),
+        ],
+    )
+
+    sums, sums2, cov_f, cov_c, n_valid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((L, R_PAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((L, R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((L, R_PAD, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1), jnp.int32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray(level_ids, jnp.int32),
+        jnp.asarray(firsts, jnp.int32),
+        jnp.asarray(nsamps, jnp.int32),
+        jnp.asarray(bases, jnp.int32),
+        jnp.asarray(hasc, jnp.int32),
+        jnp.asarray(fine, jnp.float32).reshape(1, total_pad),
+        jnp.asarray(coarse, jnp.float32).reshape(1, total_pad),
+    )
+
+    R = n_moments
+    return [SynthMomentResult(
+        sums=sums[lvl, :R, 0],
+        sums2=sums2[lvl, :R, 0],
+        cov_fine=cov_f[lvl, :R, :R],
+        cov_coarse=cov_c[lvl, :R, :R],
+        n_valid=n_valid[lvl, 0],
+    ) for lvl in range(L)]
+
+
+def pack_level_samples(level_fine, level_coarse, chunk=16384):
+    """Concatenate per-level QoI arrays, NaN-padding each level to a chunk
+    multiple (host helper for mlmc_moment_pipeline_from_samples).
+
+    :return: (fine [total_pad], coarse [total_pad], n_per_level tuple)
+    """
+    f_parts, c_parts, counts = [], [], []
+    for f, c in zip(level_fine, level_coarse):
+        f = np.asarray(f, dtype=np.float32)
+        c = (np.zeros_like(f) if c is None
+             else np.asarray(c, dtype=np.float32))
+        n = f.shape[0]
+        pad = max(-(-n // chunk), 1) * chunk - n
+        f_parts.append(np.pad(f, (0, pad), constant_values=np.nan))
+        c_parts.append(np.pad(c, (0, pad), constant_values=np.nan))
+        counts.append(n)
+    return (np.concatenate(f_parts), np.concatenate(c_parts), tuple(counts))
