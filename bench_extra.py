@@ -16,6 +16,30 @@ from mlmc_tpu.sim.shooting import ShootingSimulation1D
 from mlmc_tpu.sim.diffusion import DiffusionSimulation
 
 
+def _timed_batches(batch_fn, B, reps):
+    """Sustained throughput: ``reps`` coupled batches fused into ONE jitted
+    dispatch (each device call over the remote tunnel costs ~30 ms of
+    round-trip latency regardless of work — see BASELINE.md notes)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(seed):
+        acc = None
+        for r in range(reps):
+            keys = jax.random.split(jax.random.fold_in(seed, r), B)
+            fine, coarse, _ = batch_fn(keys)
+            s = jnp.sum(fine) + jnp.sum(coarse)
+            acc = s if acc is None else acc + s
+        return acc
+
+    seed = jax.random.key(0)
+    _ = float(run(seed))
+    t0 = time.perf_counter()
+    for i in range(3):
+        _ = float(run(jax.random.key(i + 1)))
+    return (time.perf_counter() - t0) / 3 / reps
+
+
 def bench_shooting():
     sim = ShootingSimulation1D(dict(
         start_position=(0.0, 0.0), start_velocity=(10.0, 0.0),
@@ -26,36 +50,23 @@ def bench_shooting():
     level_sim = sim.level_instance([0.02], [0.1])  # fine n=1000 steps
     cfg = level_sim.config_dict
     B = 8192
-    keys = jax.random.split(jax.random.key(0), B)
-    fn = jax.jit(lambda k: ShootingSimulation1D.calculate_batch(cfg, k))
-    out = fn(keys)
-    _ = float(np.asarray(out[0])[0, 0])
-    t0 = time.perf_counter()
-    reps = 5
-    for i in range(reps):
-        out = fn(jax.random.split(jax.random.key(i + 1), B))
-        _ = float(np.asarray(out[0])[0, 0])
-    dt = (time.perf_counter() - t0) / reps
+    dt = _timed_batches(
+        lambda k: ShootingSimulation1D.calculate_batch(cfg, k), B, reps=8)
     return dict(workload="shooting 1D, 1000+200 Euler steps, 256 modes",
                 samples_per_s=round(B / dt, 1), wall_s=round(dt, 4))
 
 
 def bench_diffusion():
-    sim = DiffusionSimulation(dict(sigma=1.0, corr_length=0.3, n_modes=256))
+    # BASELINE config 5 names the circulant-embedding GRF explicitly
+    sim = DiffusionSimulation(dict(sigma=1.0, corr_length=0.3,
+                                   field_method="circulant"))
     level_sim = sim.level_instance([1 / 64], [1 / 16])
     cfg = level_sim.config_dict
     B = 256
-    keys = jax.random.split(jax.random.key(0), B)
-    fn = jax.jit(lambda k: DiffusionSimulation.calculate_batch(cfg, k))
-    out = fn(keys)
-    _ = float(np.asarray(out[0])[0, 0])
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        out = fn(jax.random.split(jax.random.key(i + 1), B))
-        _ = float(np.asarray(out[0])[0, 0])
-    dt = (time.perf_counter() - t0) / reps
-    return dict(workload="Darcy 64^2+16^2 grids, CG solve, 256-mode GRF",
+    dt = _timed_batches(
+        lambda k: DiffusionSimulation.calculate_batch(cfg, k), B, reps=4)
+    return dict(workload="Darcy 64^2+16^2 grids, CG solve, "
+                         "circulant-embedding GRF",
                 samples_per_s=round(B / dt, 1), wall_s=round(dt, 4))
 
 

@@ -70,18 +70,58 @@ class DiffusionSimulation(Simulation):
         config["fine_n"] = max(int(round(1.0 / fine_step)), 2)
         config["coarse_n"] = max(int(round(1.0 / coarse_step)), 2) if coarse_step > 0 else 0
         config["res_format"] = self.result_format()
-        config["_wave_vectors"] = _wave_vectors_2d(
-            config.get("model", "gauss"), config.get("corr_length", 0.2),
-            config.get("n_modes", self.N_MODES), seed=config.get("seed", 0))
+        method = config.get("field_method", "rff")
+        if method == "rff":
+            config["_wave_vectors"] = _wave_vectors_2d(
+                config.get("model", "gauss"), config.get("corr_length", 0.2),
+                config.get("n_modes", self.N_MODES), seed=config.get("seed", 0))
+        elif method == "circulant":
+            # exact-covariance GRF on the FINE grid (BASELINE config 5);
+            # the coarse grid point-samples the same realization, so the
+            # coarse grid size must divide the fine one
+            from mlmc_tpu.random.correlated_field import CirculantEmbeddingField
+
+            if config["coarse_n"]:
+                assert config["fine_n"] % config["coarse_n"] == 0, (
+                    "circulant coupling needs coarse_n | fine_n")
+            n = config["fine_n"]
+            field = CirculantEmbeddingField(
+                corr_exp=config.get("model", "gauss"),
+                corr_length=config.get("corr_length", 0.2),
+                grid_shape=(n, n), grid_step=1.0 / n)
+            config["_circ_eig"] = field._eig
+        else:
+            raise ValueError("unknown field_method %r" % (method,))
         return LevelSimulation(config_dict=config,
                                task_size=self.n_ops_estimate(fine_step))
 
     # ------------------------------------------------------------------ #
     @classmethod
     def _conductivity(cls, config, key, n):
-        """K = exp(sigma * G) at cell centers of an n x n grid."""
-        k_vec = config["_wave_vectors"]          # [M, 2]
+        """K = exp(sigma * G) at cell centers of an n x n grid.
+
+        Fine/coarse coupling: the SAME key produces the same underlying
+        field realization on both grids — RFF shares modes+phases; the
+        circulant method samples the fine grid exactly (FFT embedding) and
+        the coarse grid point-samples that realization."""
         sigma = config.get("sigma", 1.0)
+        if "_circ_eig" in config:
+            eig = config["_circ_eig"]
+            emb = eig.shape[0]
+            kr, ki = jax.random.split(key)
+            w = (jax.random.normal(kr, eig.shape)
+                 + 1j * jax.random.normal(ki, eig.shape))
+            g = (jnp.fft.fftn(jnp.sqrt(eig) * w).real
+                 / jnp.sqrt(emb * eig.shape[1]))
+            fine_n = config["fine_n"]
+            g = g[:fine_n, :fine_n]
+            if n < fine_n:  # coarse grid point-samples the fine realization
+                stride = fine_n // n
+                idx = (jnp.arange(n) + 0.5) * stride - 0.5
+                idx = jnp.clip(jnp.round(idx).astype(jnp.int32), 0, fine_n - 1)
+                g = g[idx][:, idx]
+            return jnp.exp(sigma * g)
+        k_vec = config["_wave_vectors"]          # [M, 2]
         h = 1.0 / n
         centers = (jnp.arange(n) + 0.5) * h
         X, Y = jnp.meshgrid(centers, centers, indexing="ij")

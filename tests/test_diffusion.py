@@ -113,3 +113,41 @@ def test_fractured_diffusion():
         assert np.all(np.isfinite(np.asarray(fine)))
         out_f.append(float(np.mean(np.asarray(fine)[:, 0])))
     assert out_f[0] > 1.5 * out_f[1], out_f  # fractures conduct
+
+
+def test_circulant_field_diffusion():
+    """BASELINE config 5 variant: exact circulant-embedding GRF conductivity.
+    Fine/coarse of one sample share the realization (coupling), and the
+    homogeneous limit sigma->0 recovers flux == 1 (unit conductivity)."""
+    import jax
+    import jax.numpy as jnp
+    from mlmc_tpu.sim.diffusion import DiffusionSimulation
+
+    sim = DiffusionSimulation(dict(sigma=0.8, corr_length=0.3,
+                                   field_method="circulant"))
+    ls = sim.level_instance([1 / 16], [1 / 8])
+    cfg = ls.config_dict
+    keys = jax.random.split(jax.random.key(4), 16)
+    fine, coarse, failed = jax.jit(
+        lambda k: DiffusionSimulation.calculate_batch(cfg, k))(keys)
+    assert not np.any(np.asarray(failed))
+    f, c = np.asarray(fine)[:, 0], np.asarray(coarse)[:, 0]
+    assert np.all(np.isfinite(f)) and np.all(np.isfinite(c))
+    # coupling: fine/coarse fluxes of one sample are strongly correlated
+    corr = np.corrcoef(f, c)[0, 1]
+    assert corr > 0.8, corr
+
+    # homogeneous limit: sigma=0 -> K=1 -> flux=1 on the unit square
+    sim0 = DiffusionSimulation(dict(sigma=0.0, corr_length=0.3,
+                                    field_method="circulant"))
+    cfg0 = sim0.level_instance([1 / 16], [0]).config_dict
+    f0, _, _ = DiffusionSimulation.calculate_batch(
+        cfg0, jax.random.split(jax.random.key(0), 2))
+    assert np.allclose(np.asarray(f0), 1.0, atol=1e-6)
+
+    # exactness of the generator: single-cell variance of log K ~ sigma^2
+    K = DiffusionSimulation._conductivity(cfg, jax.random.key(1), 16)
+    draws = jax.vmap(lambda k: DiffusionSimulation._conductivity(cfg, k, 16))(
+        jax.random.split(jax.random.key(2), 256))
+    logs = np.log(np.asarray(draws))
+    assert abs(logs.std() - 0.8) < 0.08
