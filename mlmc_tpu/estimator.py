@@ -71,6 +71,85 @@ class Estimate:
                 "use estimate_moments")
         return basis
 
+    def _fast_level_results(self, moments_fn, component=0):
+        """Per-level kernel accumulators for one QoI component: gathers the
+        stored level chunks once (host) and makes ONE device dispatch
+        covering every chunk of every level (per-dispatch latency over a
+        remote-attached chip is ~30 ms, so per-(level, chunk) calls would
+        dominate the wall time).
+
+        :return: list of ops.pallas_kernels.SynthMomentResult per level
+        """
+        import jax
+        from mlmc_tpu.ops.pallas_kernels import (
+            mlmc_moment_pipeline_from_samples, pack_level_samples)
+
+        basis = self._fast_basis(moments_fn)
+        ref_domain = tuple(float(v) for v in moments_fn.ref_domain)
+        kernel_chunk = 16384
+        n_levels = self._sample_storage.get_n_levels()
+        level_qoi = []
+        for level_id in range(n_levels):
+            chunks = [np.asarray(self._quantity.samples(cs))
+                      for cs in self._sample_storage.chunks(level_id=level_id)]
+            level_qoi.append(np.concatenate(chunks, axis=1))
+        fine, coarse, counts = pack_level_samples(
+            [q[component, :, 0] for q in level_qoi],
+            [q[component, :, 1] if q.shape[2] > 1 else None
+             for q in level_qoi],
+            chunk=kernel_chunk)
+        return mlmc_moment_pipeline_from_samples(
+            fine, coarse, counts, moments_fn.size,
+            domain=tuple(moments_fn.domain), ref_domain=ref_domain,
+            basis=basis, chunk=kernel_chunk,
+            interpret=jax.default_backend() != "tpu")
+
+    def estimate_covariance_fast(self, moments_fn=None):
+        """Fast-tier telescoped moment covariance [R, R] from the
+        single-dispatch stored-samples kernel (scalar quantities).
+
+        Matches estimate_covariance to the f32 precision tier; feeds the
+        orthogonalization in construct_density_fast.
+        """
+        from mlmc_tpu.quantity.quantity_types import ScalarType
+
+        if moments_fn is None:
+            moments_fn = self._moments_fn
+        if not isinstance(self._quantity.qtype, ScalarType):
+            raise NotImplementedError(
+                "fast covariance supports ScalarType quantities")
+        res = self._fast_level_results(moments_fn)
+        cov = np.zeros((moments_fn.size, moments_fn.size))
+        mean = np.zeros(moments_fn.size)
+        for lvl, r in enumerate(res):
+            n = max(float(r.n_valid), 1.0)
+            cf = np.asarray(r.cov_fine, dtype=np.float64) / n
+            cc = np.asarray(r.cov_coarse, dtype=np.float64) / n
+            cov += cf - cc if lvl > 0 else cf
+            mean += np.asarray(r.sums, dtype=np.float64) / n
+        return cov, mean
+
+    def construct_density_fast(self, tol=1e-8, reg_param=0.0,
+                               orth_moments_tol=1e-4):
+        """Full maxent pipeline from STORED samples on the fast tier: ONE
+        kernel dispatch produces the moment means AND covariance;
+        orthogonalized means follow linearly (mu_orth = L @ mu), then the
+        host/device Newton solve — the reference's construct_density
+        (estimator.py:304-331) without ever re-reading the samples.
+        """
+        import mlmc_tpu.tool.simple_distribution as sd
+
+        cov, mean = self.estimate_covariance_fast(self._moments_fn)
+        moments_obj, info = sd.construct_ortogonal_moments(
+            self._moments_fn, cov, tol=orth_moments_tol)
+        mu = info[2] @ mean
+        moments_data = np.stack((mu[:moments_obj.size],
+                                 np.ones(moments_obj.size)), axis=1)
+        distr_obj = sd.SimpleDistribution(moments_obj, moments_data,
+                                          domain=moments_obj.domain)
+        result = distr_obj.estimate_density_minimize(tol, reg_param)
+        return distr_obj, info, result, moments_obj
+
     def estimate_moments_fast(self, moments_fn=None):
         """Pallas fast path: moment means/vars streaming stored level chunks
         through the fused on-device kernel
@@ -97,34 +176,14 @@ class Estimate:
         ref_domain = tuple(float(v) for v in moments_fn.ref_domain)
         scalar = isinstance(self._quantity.qtype, ScalarType)
         M = 1 if scalar else self._quantity.qtype.size()
-        interpret = jax.default_backend() != "tpu"
-        kernel_chunk = 16384
-
-        # gather per-level QoIs once (host), then ONE kernel dispatch per
-        # component covering every chunk of every level — per-dispatch
-        # latency over a remote-attached chip is ~30 ms, so per-(level,
-        # chunk) calls would dominate the wall time
-        n_levels = self._sample_storage.get_n_levels()
-        level_chunks = [[] for _ in range(n_levels)]
-        for level_id in range(n_levels):
-            for chunk_spec in self._sample_storage.chunks(level_id=level_id):
-                level_chunks[level_id].append(
-                    np.asarray(self._quantity.samples(chunk_spec)))
-        level_qoi = [np.concatenate(cs, axis=1) for cs in level_chunks]
 
         R = moments_fn.size
+        n_levels = self._sample_storage.get_n_levels()
         sums = np.zeros((n_levels, M, R))
         sums2 = np.zeros((n_levels, M, R))
         n_valid = np.zeros((n_levels, M))
         for m in range(M):
-            fine, coarse, counts = pack_level_samples(
-                [q[m, :, 0] for q in level_qoi],
-                [q[m, :, 1] if q.shape[2] > 1 else None for q in level_qoi],
-                chunk=kernel_chunk)
-            res = mlmc_moment_pipeline_from_samples(
-                fine, coarse, counts, R, domain=tuple(moments_fn.domain),
-                ref_domain=ref_domain, basis=basis, chunk=kernel_chunk,
-                interpret=interpret)
+            res = self._fast_level_results(moments_fn, component=m)
             for lvl, r in enumerate(res):
                 sums[lvl, m] = np.asarray(r.sums, dtype=np.float64)
                 sums2[lvl, m] = np.asarray(r.sums2, dtype=np.float64)

@@ -296,3 +296,37 @@ def test_estimate_moments_fast_matches_regular():
     # fast path computes in f32 -> tolerance accordingly
     assert np.allclose(np.asarray(means_ref), means_fast, atol=5e-5)
     assert np.allclose(np.asarray(vars_ref), vars_fast, rtol=1e-3, atol=1e-7)
+
+
+def test_fast_covariance_and_density():
+    """Fast-tier covariance + full density pipeline vs the DAG path."""
+    import mlmc_tpu.quantity.quantity_estimate as qe
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=31, min_bucket=64),
+                      sim, [[0.2], [0.05]])
+    sampler.set_initial_n_samples([800, 200])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = q["length"][1]["10"][0]
+    mfn = Legendre(9, distr.ppf([0.0005, 0.9995]))
+    est = est_mod.Estimate(vq, storage, mfn)
+
+    cov_fast, mean_fast = est.estimate_covariance_fast(mfn)
+    cov_ref = np.asarray(qe.estimate_mean(qe.covariance(vq, mfn)).mean)
+    assert np.allclose(cov_fast, cov_ref, atol=5e-5)
+
+    d_fast, info_f, res_f, _ = est.construct_density_fast(tol=1e-8)
+    d_ref, info_r, res_r, _ = est.construct_density(tol=1e-8)
+    xs = np.linspace(-2.5, 2.5, 101)
+    pdf_f = np.asarray(d_fast.density(xs), dtype=float)
+    pdf_r = np.asarray(d_ref.density(xs), dtype=float)
+    assert np.max(np.abs(pdf_f - pdf_r)) < 5e-4, np.max(np.abs(pdf_f - pdf_r))
