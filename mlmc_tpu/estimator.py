@@ -87,12 +87,17 @@ class Estimate:
         basis = self._fast_basis(moments_fn)
         ref_domain = tuple(float(v) for v in moments_fn.ref_domain)
         kernel_chunk = 16384
+        import jax.numpy as jnp
+
         n_levels = self._sample_storage.get_n_levels()
         level_qoi = []
         for level_id in range(n_levels):
-            chunks = [np.asarray(self._quantity.samples(cs))
+            chunks = [self._quantity.samples(cs)
                       for cs in self._sample_storage.chunks(level_id=level_id)]
-            level_qoi.append(np.concatenate(chunks, axis=1))
+            # DeviceMemory chunks are jax arrays: keep them on device
+            xp = jnp if any(isinstance(c, jax.Array) for c in chunks) else np
+            level_qoi.append(xp.concatenate(
+                [xp.asarray(c) for c in chunks], axis=1))
         fine, coarse, counts = pack_level_samples(
             [q[component, :, 0] for q in level_qoi],
             [q[component, :, 1] if q.shape[2] > 1 else None

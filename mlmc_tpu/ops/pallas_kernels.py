@@ -954,18 +954,23 @@ def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
 
 def pack_level_samples(level_fine, level_coarse, chunk=16384):
     """Concatenate per-level QoI arrays, NaN-padding each level to a chunk
-    multiple (host helper for mlmc_moment_pipeline_from_samples).
+    multiple (helper for mlmc_moment_pipeline_from_samples).
+
+    Device arrays stay on device (DeviceMemory storage path — the payload
+    must not round-trip through the host); numpy inputs stay numpy.
 
     :return: (fine [total_pad], coarse [total_pad], n_per_level tuple)
     """
+    on_device = any(isinstance(f, jax.Array) for f in level_fine)
+    xp = jnp if on_device else np
     f_parts, c_parts, counts = [], [], []
     for f, c in zip(level_fine, level_coarse):
-        f = np.asarray(f, dtype=np.float32)
-        c = (np.zeros_like(f) if c is None
-             else np.asarray(c, dtype=np.float32))
+        f = xp.asarray(f, dtype=xp.float32)
+        c = (xp.zeros_like(f) if c is None
+             else xp.asarray(c, dtype=xp.float32))
         n = f.shape[0]
         pad = max(-(-n // chunk), 1) * chunk - n
-        f_parts.append(np.pad(f, (0, pad), constant_values=np.nan))
-        c_parts.append(np.pad(c, (0, pad), constant_values=np.nan))
+        f_parts.append(xp.pad(f, (0, pad), constant_values=xp.nan))
+        c_parts.append(xp.pad(c, (0, pad), constant_values=xp.nan))
         counts.append(n)
-    return (np.concatenate(f_parts), np.concatenate(c_parts), tuple(counts))
+    return (xp.concatenate(f_parts), xp.concatenate(c_parts), tuple(counts))
