@@ -69,12 +69,16 @@ class FusedMLMC:
     """
 
     def __init__(self, sim_chunk_fns, moments_fn, root_key=None,
-                 chunk_size=32768, acc_dtype=None):
+                 chunk_size=32768, acc_dtype=None, mesh=None):
         self._fns = list(sim_chunk_fns)
         self._moments_fn = moments_fn
         self._key = root_key if root_key is not None else jax.random.key(0)
         self._chunk = int(chunk_size)
         self._acc_dtype = acc_dtype
+        # optional parallel.SampleMesh: level batches shard over the
+        # ``samples`` axis, accumulators psum-reduce (chunk striding keeps
+        # the index->key mapping identical for any device count)
+        self._mesh = mesh
         self.n_levels = len(self._fns)
         # per-level state
         self._n_drawn = [0] * self.n_levels
@@ -106,12 +110,24 @@ class FusedMLMC:
             fn = self._fns[level]
             mfn = self._moments_fn
             is_l0 = level == 0
+            axis = self._mesh.axis_name if self._mesh is not None else None
 
             def step(level_key, n, start):
                 return fused_level_moments(
                     fn, mfn, level_key, n, chunk,
                     is_level0=is_l0, acc_dtype=acc_dtype,
-                    start_index=start, n_alloc=n_alloc)
+                    start_index=start, n_alloc=n_alloc, axis_name=axis)
+
+            if self._mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                try:
+                    from jax import shard_map
+                except ImportError:  # older jax
+                    from jax.experimental.shard_map import shard_map
+
+                step = shard_map(step, mesh=self._mesh.mesh,
+                                 in_specs=(P(), P(), P()), out_specs=P(),
+                                 check_vma=False)
 
             # explicit AOT compile OUTSIDE the timed region: the cost model
             # feeds the allocation formula C_l, and a 10-30 s remote compile

@@ -160,3 +160,30 @@ def test_cost_model_excludes_compile():
     # recorded (first-round) cost must be execution-scale, not compile-scale;
     # generous 10x slack for this VM's noisy timings
     assert recorded < 10 * exec_time + 0.05, (recorded, exec_time)
+
+
+def test_fused_mlmc_on_mesh():
+    """FusedMLMC sharded over the 8-device CPU mesh produces the same
+    estimates as the single-device run (chunk striding keeps the
+    index->key mapping mesh-shape-independent)."""
+    import jax
+    import numpy as np
+    from mlmc_tpu.fused_driver import FusedMLMC, sim_level_chunk_fns
+    from mlmc_tpu.parallel.mesh import SampleMesh
+    from mlmc_tpu.sim.synth_simulation import SynthSimulation
+    from mlmc_tpu.moments import Legendre
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm(), complexity=2))
+    mfn = Legendre(7, (-4, 4))
+    ests = []
+    for mesh in (None, SampleMesh()):
+        fns = sim_level_chunk_fns(sim, [[0.1], [0.01]])
+        mlmc = FusedMLMC(fns, mfn, root_key=jax.random.key(3),
+                         chunk_size=512, mesh=mesh)
+        mlmc._run_level(0, 4096)
+        mlmc._run_level(1, 1024)
+        ests.append(mlmc.estimates())
+    assert ests[1]["n_samples"].tolist() == ests[0]["n_samples"].tolist()
+    assert np.allclose(ests[0]["mean"], ests[1]["mean"], atol=1e-12)
+    assert np.allclose(ests[0]["cov"], ests[1]["cov"], atol=1e-12)
