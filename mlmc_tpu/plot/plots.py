@@ -618,3 +618,35 @@ def plot_regression_diffs(all_diffs, n_moments, file=""):
     ax.set_xlabel("level")
     ax.set_ylabel("|regression - raw|")
     _show_and_save(fig, file, "regression_diffs")
+
+
+def plot_level_costs(level_params, n_ops, n_elements=None, file="",
+                     title="level costs"):
+    """Per-level sample cost vs problem size.
+
+    Generalization of the reference's plot_pbs_flow_job_time
+    (reference plots.py:1285-1313), which hardcodes a personal results
+    directory: here the caller passes level parameters + measured n_ops
+    (``storage.get_level_parameters()`` / ``storage.get_n_ops()``) and
+    optionally per-level element counts for the tick labels.
+    """
+    level_params = np.squeeze(np.asarray(level_params, dtype=float))
+    n_ops = np.asarray(n_ops, dtype=float)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    x = 1.0 / (level_params ** 2)
+    ax.plot(x, n_ops, "o-")
+    if n_elements is not None:
+        ax.set_xticks(x)
+        ax.set_xticklabels(["{}".format(int(n)) for n in n_elements])
+        ax.set_xlabel("mesh elements")
+    else:
+        ax.set_xlabel(r"problem size $1/h_l^2$")
+    ax.set_ylabel("cost per sample [s]")
+    _show_and_save(fig, file, title)
+
+
+# reference-surface alias (the reference function reads a hardcoded PBS
+# results directory; pass your own storage-derived values instead)
+plot_pbs_flow_job_time = plot_level_costs

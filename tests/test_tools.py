@@ -194,3 +194,40 @@ def test_new_plot_functions(tmp_path, run_small_mlmc):
     assert os.path.exists(out)
     violinplot.violinplot(rng.normal(size=80), file=str(tmp_path / "v1.pdf"))
     assert (tmp_path / "v1.pdf").exists()
+
+
+def test_plot_level_costs(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from mlmc_tpu.plot.plots import plot_level_costs
+
+    plot_level_costs([[0.1], [0.05], [0.025]], [0.01, 0.05, 0.3],
+                     n_elements=[100, 400, 1600],
+                     file=str(tmp_path / "costs.pdf"))
+    assert (tmp_path / "costs.pdf").exists()
+
+
+def test_distribution_plot_error_axes(tmp_path):
+    """Distribution plot with exact overlay + kl error twin-axes."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import scipy.stats as stats
+    from mlmc_tpu.plot.plots import Distribution
+
+    class FakeDistr:
+        domain = (-3, 3)
+
+        class moments_fn:
+            size = 7
+
+        def density(self, x):
+            return stats.norm.pdf(x) * 1.02
+
+        def cdf(self, x):
+            return stats.norm.cdf(x)
+
+    d = Distribution(exact_distr=stats.norm(), error_plot="kl", log_x=False)
+    d.add_distribution(FakeDistr())
+    assert d.ax_pdf_err is not None
+    d.show(file=str(tmp_path / "distr.pdf"))
+    assert (tmp_path / "distr.pdf").exists()
