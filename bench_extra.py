@@ -214,8 +214,56 @@ def bench_quantity_algebra():
     return out
 
 
+def bench_e2e_adaptive():
+    """End-to-end production path on one chip: adaptive target-variance
+    loop (DeviceBatchPool + HBM-resident DeviceMemory) followed by the
+    fast-tier maxent density from the stored samples."""
+    import mlmc_tpu.estimator as est_mod
+    from mlmc_tpu import (DeviceMemory, SynthSimulation, DeviceBatchPool,
+                          Sampler, Legendre, make_root_quantity)
+
+    t0 = time.perf_counter()
+    sim = SynthSimulation(dict(distr="norm", complexity=2))
+    storage = DeviceMemory()
+    # min_bucket = max_batch: every executable is the 65536 bucket — with
+    # DYNAMIC_CONFIG executable sharing that is ~2 remote compiles total
+    # (level 0 + shared) instead of one per (level, bucket)
+    sampler = Sampler(storage, DeviceBatchPool(seed=17, device_results=True,
+                                               min_bucket=65536),
+                      sim, [[0.5], [0.25], [0.125], [0.0625], [0.03125]])
+    sampler.set_initial_n_samples([200_000, 2_000])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    root = make_root_quantity(storage, sim.result_format())
+    q = root["length"][1]["10"][0, 0]
+    mfn = Legendre(25, (-4.0, 4.0))
+    est = est_mod.Estimate(q, storage, mfn)
+
+    target_var = 2e-8
+    rounds = 0
+    while rounds < 20:
+        variances, n_ops = est.estimate_diff_vars_regression(
+            sampler._n_scheduled_samples)
+        n_est = est_mod.estimate_n_samples_for_target_variance(
+            target_var, variances, n_ops, n_levels=sampler.n_levels)
+        if sampler.process_adding_samples(n_est, 0, 0.3):
+            break
+        rounds += 1
+    _d, _i, result, _o = est.construct_density_fast(tol=1e-8)
+    wall = time.perf_counter() - t0
+    n_total = int(np.sum(storage.get_n_collected()))
+    return dict(workload="adaptive loop to target_var=2e-8 + fast maxent "
+                         "density (DeviceMemory, 5 levels, 25 moments)",
+                wall_s=round(wall, 2), n_samples=n_total,
+                adaptive_rounds=rounds,
+                n_per_level=[int(v) for v in storage.get_n_collected()],
+                density_converged=bool(getattr(result, "success", True)))
+
+
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
-           "maxent35": bench_maxent35, "quantity": bench_quantity_algebra}
+           "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
+           "e2e": bench_e2e_adaptive}
 
 if __name__ == "__main__":
     picks = sys.argv[1:] or list(BENCHES)

@@ -874,7 +874,9 @@ def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
 
     level_ids, firsts, nsamps, bases, hasc = [], [], [], [], []
     for lvl, n in enumerate(n_per_level):
-        n_chunks = max(-(-int(n) // chunk), 1)
+        # pow2 chunk counts, matching pack_level_samples (executable reuse
+        # across adaptive rounds; surplus chunks are fully tail-masked)
+        n_chunks = 1 << (max(-(-int(n) // chunk), 1) - 1).bit_length()
         for c in range(n_chunks):
             level_ids.append(lvl)
             firsts.append(1 if c == 0 else 0)
@@ -969,7 +971,11 @@ def pack_level_samples(level_fine, level_coarse, chunk=16384):
         c = (xp.zeros_like(f) if c is None
              else xp.asarray(c, dtype=xp.float32))
         n = f.shape[0]
-        pad = max(-(-n // chunk), 1) * chunk - n
+        # pad the CHUNK COUNT to a power of two: growing sample stores
+        # (adaptive rounds) then reuse the compiled kernel instead of
+        # recompiling per new total length (NaN chunks are fully masked)
+        n_chunks = 1 << (max(-(-n // chunk), 1) - 1).bit_length()
+        pad = n_chunks * chunk - n
         f_parts.append(xp.pad(f, (0, pad), constant_values=xp.nan))
         c_parts.append(xp.pad(c, (0, pad), constant_values=xp.nan))
         counts.append(n)

@@ -115,11 +115,22 @@ def estimate_mean(quantity):
                 raise TypeError(
                     "estimate_mean supports float-valued quantities, "
                     "got dtype {}".format(leaf.dtype))
+            # pad the sample axis to a power-of-two bucket: growing storage
+            # (adaptive rounds) then reuses the compiled executable instead
+            # of recompiling per new chunk length (10-30 s per compile on a
+            # remote-attached chip). NaN columns are masked out; only the
+            # removed-count needs correcting.
+            n_true = leaf.shape[1]
+            bucket = 1 << max(int(n_true - 1).bit_length(), 10)
+            pad = bucket - n_true
+            if pad:
+                leaf = jnp.pad(leaf, ((0, 0), (0, pad), (0, 0)),
+                               constant_values=jnp.nan)
             s, sp, n_valid, n_rm = fused_eval(leaf)
             samples = None
             lid = chunk_spec.level_id
             n_samples[lid] += int(n_valid)
-            n_rm_samples[lid] += int(n_rm)
+            n_rm_samples[lid] += int(n_rm) - pad
             if sums is None:
                 sums = [np.zeros(quantity_vec_size, dtype=np.float64)
                         for _ in range(n_levels)]

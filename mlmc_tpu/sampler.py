@@ -84,6 +84,10 @@ class Sampler:
             sim.calculate_batch = getattr(sim_factory, "calculate_batch", None)
             sim.result_format = sim_factory.result_format()
             sim.level_id = level_id
+            # executable sharing across levels: sims declaring DYNAMIC_CONFIG
+            # get those config entries passed as traced args by the pool
+            sim.dynamic_config = getattr(sim_factory, "DYNAMIC_CONFIG", None)
+            sim.shared_token = id(sim_factory)
             sims.append(sim)
         return sims
 

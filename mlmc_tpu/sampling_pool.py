@@ -370,22 +370,51 @@ class DeviceBatchPool(SamplingPool):
         return sum(sum(len(seg[0]) for seg in v) for v in self._pending.values())
 
     def _batch_fn(self, level_id, bucket):
-        """jit-compiled batch executable, cached per (level, bucket size)."""
+        """jit-compiled batch executable.
+
+        Cached per (level, bucket size); simulations declaring
+        ``DYNAMIC_CONFIG`` (level-varying scalar config entries, e.g. the
+        fine/coarse steps) share ONE executable per bucket across levels —
+        the scalars become traced arguments. Each compile costs 10-30 s
+        over a remote-attached chip, so sharing cuts the adaptive loop's
+        startup from O(levels x buckets) to O(buckets) compiles.
+        """
         level_sim = self._level_sims[level_id]
-        cache_key = (level_id, bucket)
+        config = level_sim.config_dict
+        calc_batch = level_sim.calculate_batch
+        dyn_names = getattr(level_sim, "dynamic_config", None)
+        if dyn_names:
+            # structural static differences (is_level0) keep separate keys
+            cache_key = ("shared", getattr(level_sim, "shared_token", 0),
+                         bucket, bool(config.get("is_level0", False)))
+        else:
+            cache_key = (level_id, bucket)
         if cache_key not in self._jit_cache:
-            config = level_sim.config_dict
-            calc_batch = level_sim.calculate_batch
-            fn = lambda keys, attempts: calc_batch(config, keys, attempts)
+            if dyn_names:
+                static_cfg = {k: v for k, v in config.items()
+                              if k not in dyn_names}
+
+                def fn(dyn_vals, keys, attempts):
+                    cfg = dict(static_cfg)
+                    cfg.update(zip(dyn_names, dyn_vals))
+                    return calc_batch(cfg, keys, attempts)
+            else:
+                fn = lambda keys, attempts: calc_batch(config, keys, attempts)
             if self._sharding is not None:
                 # data-parallel over the sample mesh: batch axis sharded,
                 # XLA partitions the vmapped computation across devices
                 in_sh = self._sharding.batch_sharding()
+                shardings = ((None, in_sh, in_sh) if dyn_names
+                             else (in_sh, in_sh))
                 self._jit_cache[cache_key] = jax.jit(
-                    fn, in_shardings=(in_sh, in_sh))
+                    fn, in_shardings=shardings)
             else:
                 self._jit_cache[cache_key] = jax.jit(fn)
-        return self._jit_cache[cache_key]
+        fn_c = self._jit_cache[cache_key]
+        if dyn_names:
+            dyn_vals = tuple(jnp.float32(config[k]) for k in dyn_names)
+            return lambda keys, attempts: fn_c(dyn_vals, keys, attempts)
+        return fn_c
 
     def execute_level(self, level_id):
         """Run all pending samples of one level as padded device batches.
@@ -401,10 +430,16 @@ class DeviceBatchPool(SamplingPool):
         attempts = np.concatenate([seg[1] for seg in segments])
 
         succ_all, fail_all = {}, {}
+        # when the batch is sliced, every slice (incl. the remainder) uses
+        # the max bucket: padding waste is <=1 slice of masked samples,
+        # while a fresh remainder-sized bucket costs a 10-30 s remote
+        # compile per adaptive round
+        force = self._max_batch if len(idxs) > self._max_batch else None
         for start in range(0, len(idxs), self._max_batch):
             s, f = self._run_batch(level_id,
                                    idxs[start:start + self._max_batch],
-                                   attempts[start:start + self._max_batch])
+                                   attempts[start:start + self._max_batch],
+                                   force_bucket=force)
             for k, v in s.items():
                 if k in succ_all and self._bulk:
                     prev = succ_all[k]
@@ -422,13 +457,13 @@ class DeviceBatchPool(SamplingPool):
                 fail_all.setdefault(k, []).extend(v)
         return succ_all, fail_all
 
-    def _run_batch(self, level_id, idxs, attempts):
+    def _run_batch(self, level_id, idxs, attempts, force_bucket=None):
         """One padded device batch: keys from (level, index, attempt)."""
         from mlmc_tpu.tags import TagArray, format_tags
 
         level_sim = self._level_sims[level_id]
         n = len(idxs)
-        bucket = _round_up_bucket(n, self._min_bucket)
+        bucket = force_bucket or _round_up_bucket(n, self._min_bucket)
         if self._sharding is not None:
             # bucket must tile evenly over the mesh's sample axis
             d = self._sharding.n_devices
@@ -471,7 +506,12 @@ class DeviceBatchPool(SamplingPool):
         ok = ~failed
         failed_out = [(sid, "result is nan")
                       for sid in format_tags(level_id, idxs[failed]).tolist()]
-        if self._bulk:
+        if self._bulk and not failed_out:
+            # common case (no failures): skip the filtering gathers — on a
+            # remote-attached device each variable-shape gather pays a
+            # fresh compile (~1 s/slice measured)
+            successful = BulkResults(TagArray(level_id, idxs), fine, coarse)
+        elif self._bulk:
             ok_ids = TagArray(level_id, idxs[ok])
             successful = BulkResults(ok_ids, fine[ok], coarse[ok]) \
                 if len(ok_ids) else []

@@ -45,6 +45,12 @@ class SynthSimulation(Simulation):
         self._distr = as_jax_distr(self.config["distr"])
         self.need_workspace = False
 
+    #: config entries that vary per level as plain scalars — pools may pass
+    #: them as TRACED arguments so ONE compiled executable serves every
+    #: level (the structural level-0 difference is the static ``is_level0``
+    #: flag set by level_instance)
+    DYNAMIC_CONFIG = ("fine_step", "coarse_step")
+
     # ------------------------------------------------------------------ #
     @staticmethod
     def sample_fn(x, h):
@@ -59,6 +65,7 @@ class SynthSimulation(Simulation):
         config = dict(
             fine_step=float(fine_level_params[0]),
             coarse_step=float(coarse_level_params[0]),
+            is_level0=float(coarse_level_params[0]) == 0.0,
             distr=self._distr,
             nan_fraction=self.nan_fraction,
             res_format=self.result_format(),
@@ -105,14 +112,14 @@ class SynthSimulation(Simulation):
         Returns flat arrays of length sum_q prod(shape)·n_times·n_locs.
         """
         quantity_format = config["res_format"]
-        coarse_step = config["coarse_step"]
+        is_l0 = SynthSimulation._is_level0(config)
 
         def build(result):
             quantities = []
             for q in quantity_format:
                 n_loc = len(q.locations)
                 n_times = len(q.times)
-                if coarse_step == 0:
+                if is_l0:
                     locations = jnp.stack([result for _ in range(n_loc)])
                 else:
                     locations = jnp.stack([result + i for i in range(n_loc)])
@@ -123,6 +130,16 @@ class SynthSimulation(Simulation):
         return build(fine_res), build(coarse_res)
 
     @staticmethod
+    def _is_level0(config):
+        """Static level-0 flag; with traced steps it MUST come from the
+        config (level_instance sets it) — the step value itself is not
+        usable in Python control flow under jit."""
+        flag = config.get("is_level0")
+        if flag is None:
+            flag = config["coarse_step"] == 0
+        return bool(flag)
+
+    @staticmethod
     def _calculate_one(config, key, attempt=0):
         """One sample from one PRNG key: returns (fine, coarse, failed)."""
         value_key, fail_key = jax.random.split(key)
@@ -131,7 +148,7 @@ class SynthSimulation(Simulation):
         fine_step = config["fine_step"]
         coarse_step = config["coarse_step"]
         fine_result = SynthSimulation.sample_fn(y, fine_step)
-        if coarse_step == 0:
+        if SynthSimulation._is_level0(config):
             coarse_result = jnp.zeros_like(fine_result)
         else:
             coarse_result = SynthSimulation.sample_fn(y, coarse_step)

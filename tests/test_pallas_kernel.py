@@ -330,3 +330,28 @@ def test_fast_covariance_and_density():
     pdf_f = np.asarray(d_fast.density(xs), dtype=float)
     pdf_r = np.asarray(d_ref.density(xs), dtype=float)
     assert np.max(np.abs(pdf_f - pdf_r)) < 5e-4, np.max(np.abs(pdf_f - pdf_r))
+
+
+def test_multi_level_pipeline_pow2_padding():
+    """pack_level_samples pads chunk counts to powers of two (executable
+    reuse across adaptive rounds); results match per-level kernels on
+    non-pow2 multi-chunk levels."""
+    from mlmc_tpu.ops.pallas_kernels import (
+        mlmc_moment_pipeline_from_samples, pack_level_samples,
+        moment_pipeline_from_samples)
+
+    rng = np.random.default_rng(3)
+    lf = [rng.normal(size=3 * 1024 + 77), rng.normal(size=5 * 1024 + 5)]
+    lc = [None, lf[1] + 0.1 * rng.normal(size=len(lf[1]))]
+    f, c, counts = pack_level_samples(lf, lc, chunk=1024)
+    assert f.shape[0] == (4 + 8) * 1024
+    res = mlmc_moment_pipeline_from_samples(
+        f, c, counts, 7, domain=(-4, 4), chunk=1024, interpret=True)
+    for lvl in range(2):
+        single = moment_pipeline_from_samples(
+            lf[lvl],
+            np.zeros_like(lf[lvl]) if lc[lvl] is None else lc[lvl], 7,
+            domain=(-4, 4), chunk=1024, is_level0=(lvl == 0), interpret=True)
+        assert int(res[lvl].n_valid) == int(single.n_valid)
+        assert np.allclose(np.asarray(res[lvl].sums),
+                           np.asarray(single.sums), atol=1e-4)
