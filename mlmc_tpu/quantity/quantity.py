@@ -237,35 +237,9 @@ class Quantity:
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
         return Quantity._method(ufunc, method, *args, **kwargs)
 
-    def __add__(self, other):
-        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.add_op)
-
-    def __sub__(self, other):
-        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.sub_op)
-
-    def __mul__(self, other):
-        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.mult_op)
-
-    def __truediv__(self, other):
-        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.truediv_op)
-
-    def __mod__(self, other):
-        return Quantity.create_quantity([self, Quantity.wrap(other)], Quantity.mod_op)
-
-    def __radd__(self, other):
-        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.add_op)
-
-    def __rsub__(self, other):
-        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.sub_op)
-
-    def __rmul__(self, other):
-        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.mult_op)
-
-    def __rtruediv__(self, other):
-        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.truediv_op)
-
-    def __rmod__(self, other):
-        return Quantity.create_quantity([Quantity.wrap(other), self], Quantity.mod_op)
+    # arithmetic dunders are GENERATED below the class body from the
+    # operator module (one factory instead of ten hand-written methods);
+    # the reference-named op aliases (add_op, ...) stay for API parity
 
     @staticmethod
     def create_quantity(quantities, operation):
@@ -273,26 +247,6 @@ class Quantity:
             if not isinstance(quantity, QuantityConst):
                 return Quantity(quantity.qtype, operation=operation, input_quantities=quantities)
         return QuantityConst(quantities[0].qtype, value=operation(*[q._value for q in quantities]))
-
-    @staticmethod
-    def add_op(x, y):
-        return x + y
-
-    @staticmethod
-    def sub_op(x, y):
-        return x - y
-
-    @staticmethod
-    def mult_op(x, y):
-        return x * y
-
-    @staticmethod
-    def truediv_op(x, y):
-        return x / y
-
-    @staticmethod
-    def mod_op(x, y):
-        return x % y
 
     # ------------------------------------------------------------------ #
     # comparisons -> Bool mask quantities (reference quantity.py:246-305)
@@ -527,6 +481,35 @@ class Quantity:
         if any(q.qtype != first for q in quantities[1:]):
             raise ValueError("Quantities don't have same QType")
         return first
+
+
+def _install_arithmetic(cls):
+    """Generate the binary arithmetic protocol from the operator module.
+
+    Each dunder builds a traceable DAG node via create_quantity (constants
+    fold eagerly); reflected variants swap the operand order. The
+    reference-named staticmethod aliases (add_op, sub_op, mult_op,
+    truediv_op, mod_op) point at the same operator functions.
+    """
+    table = {"add": operator.add, "sub": operator.sub, "mul": operator.mul,
+             "truediv": operator.truediv, "mod": operator.mod}
+    alias = {"add": "add_op", "sub": "sub_op", "mul": "mult_op",
+             "truediv": "truediv_op", "mod": "mod_op"}
+
+    def make(op, reflected):
+        def binop(self, other):
+            pair = [cls.wrap(other), self] if reflected else [self, cls.wrap(other)]
+            return cls.create_quantity(pair, op)
+        return binop
+
+    for name, op in table.items():
+        setattr(cls, "__{}__".format(name), make(op, False))
+        setattr(cls, "__r{}__".format(name), make(op, True))
+        setattr(cls, alias[name], staticmethod(op))
+    return cls
+
+
+_install_arithmetic(Quantity)
 
 
 class _SubsampleParamsQuantity:
