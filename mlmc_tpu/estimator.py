@@ -38,17 +38,24 @@ class Estimate:
     def n_moments(self):
         return self._moments_fn.size
 
+    def _resolve_moments(self, moments_fn, remember=False):
+        """Explicit argument wins over the instance default; ``remember``
+        additionally re-binds the instance default (bootstrap semantics)."""
+        if moments_fn is None:
+            return self._moments_fn
+        if remember:
+            self._moments_fn = moments_fn
+        return moments_fn
+
     def estimate_moments(self, moments_fn=None):
         """:return: (moment means, variances of those estimates)"""
-        if moments_fn is None:
-            moments_fn = self._moments_fn
+        moments_fn = self._resolve_moments(moments_fn)
         moments_mean = qe.estimate_mean(qe.moments(self._quantity, moments_fn))
         return moments_mean.mean, moments_mean.var
 
     def estimate_covariance(self, moments_fn=None):
         """:return: (covariance matrix mean, variance of the estimate)"""
-        if moments_fn is None:
-            moments_fn = self._moments_fn
+        moments_fn = self._resolve_moments(moments_fn)
         cov_mean = qe.estimate_mean(qe.covariance(self._quantity, moments_fn))
         return cov_mean.mean, cov_mean.var
 
@@ -118,8 +125,7 @@ class Estimate:
         """
         from mlmc_tpu.quantity.quantity_types import ScalarType
 
-        if moments_fn is None:
-            moments_fn = self._moments_fn
+        moments_fn = self._resolve_moments(moments_fn)
         if not isinstance(self._quantity.qtype, ScalarType):
             raise NotImplementedError(
                 "fast covariance supports ScalarType quantities")
@@ -175,8 +181,7 @@ class Estimate:
             mlmc_moment_pipeline_from_samples, pack_level_samples)
         import jax
 
-        if moments_fn is None:
-            moments_fn = self._moments_fn
+        moments_fn = self._resolve_moments(moments_fn)
         basis = self._fast_basis(moments_fn)
         ref_domain = tuple(float(v) for v in moments_fn.ref_domain)
         scalar = isinstance(self._quantity.qtype, ScalarType)
@@ -209,8 +214,7 @@ class Estimate:
 
     def estimate_diff_vars(self, moments_fn=None):
         """:return: (level diff variances [L, R], n_samples [L])"""
-        if moments_fn is None:
-            moments_fn = self._moments_fn
+        moments_fn = self._resolve_moments(moments_fn)
         moments_mean = qe.estimate_mean(qe.moments(self._quantity, moments_fn))
         return moments_mean.l_vars, moments_mean.n_samples
 
@@ -218,9 +222,8 @@ class Estimate:
         """Smooth level variances by the log-quadratic regression model."""
         self._n_created_samples = n_created_samples
         if raw_vars is None:
-            if moments_fn is None:
-                moments_fn = self._moments_fn
-            raw_vars, n_samples = self.estimate_diff_vars(moments_fn)
+            raw_vars, n_samples = self.estimate_diff_vars(
+                self._resolve_moments(moments_fn))
         sim_steps = np.squeeze(np.asarray(self._sample_storage.get_level_parameters()))
         vars = self._all_moments_variance_regression(raw_vars, sim_steps)
         return vars, self._sample_storage.get_n_ops()
@@ -302,10 +305,7 @@ class Estimate:
     # ------------------------------------------------------------------ #
     def est_bootstrap(self, n_subsamples=100, sample_vector=None, moments_fn=None):
         """Bootstrap means/vars by repeated level subsampling."""
-        if moments_fn is not None:
-            self._moments_fn = moments_fn
-        else:
-            moments_fn = self._moments_fn
+        moments_fn = self._resolve_moments(moments_fn, remember=True)
 
         sample_vector = determine_sample_vec(
             n_collected_samples=self._sample_storage.get_n_collected(),
@@ -353,10 +353,7 @@ class Estimate:
         import jax.numpy as jnp
         from mlmc_tpu.quantity.quantity_types import ScalarType
 
-        if moments_fn is not None:
-            self._moments_fn = moments_fn
-        else:
-            moments_fn = self._moments_fn
+        moments_fn = self._resolve_moments(moments_fn, remember=True)
         if not isinstance(self._quantity.qtype, ScalarType):
             raise NotImplementedError(
                 "est_bootstrap_fast supports ScalarType quantities")

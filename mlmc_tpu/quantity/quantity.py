@@ -41,21 +41,51 @@ def cache_clear():
     _SAMPLE_CACHE.clear()
 
 
+def _resolve_provenance(inputs):
+    """One linear pass over already-constructed inputs -> (storage, selection).
+
+    Mixing nodes that draw from different sample populations — two storages,
+    or a ``select``-ed subset with its unselected parent — is rejected: row
+    ``i`` of their chunks would no longer refer to the same sample.
+    """
+    storage = next(
+        (s for s in (q.get_quantity_storage() for q in inputs) if s is not None),
+        None)
+    selections = {q.selection_id() for q in inputs} - {None}
+    if len(selections) > 1:
+        raise ValueError(
+            "cannot combine quantities drawn from different sample "
+            "populations (selection ids {})".format(sorted(selections)))
+    return storage, (selections.pop() if selections else None)
+
+
+def _fold_conditions(conditions):
+    """AND together Bool-typed condition quantities into one [N] mask node."""
+    for cond in conditions:
+        if not isinstance(cond.qtype.base_qtype(), qt.BoolType):
+            raise TypeError(
+                "condition quantity must have a Bool base type, got {}".format(
+                    cond.qtype.base_qtype()))
+    combined = conditions[0]
+    for extra in conditions[1:]:
+        combined = np.logical_and(combined, extra)  # ufunc protocol -> node
+    return combined
+
+
 def make_root_quantity(storage, q_specs: List[QuantitySpec]):
     """Root quantity reading directly from a SampleStorage.
 
-    Mirrors reference quantity.py:14-32: builds the hierarchical QType
-    Dict(name -> TimeSeries(times -> Field(locations -> Array(shape)))).
+    Same structural result as reference quantity.py:14-32 — the flat M axis
+    is typed Dict(name -> TimeSeries(time -> Field(location -> Array(shape))))
+    — built here by folding each spec through its nesting levels.
     """
-    dict_types = []
-    for q_spec in q_specs:
-        scalar_type = qt.ScalarType(float)
-        array_type = qt.ArrayType(q_spec.shape, scalar_type)
-        field_type = qt.FieldType([(loc, array_type) for loc in q_spec.locations])
-        ts_type = qt.TimeSeriesType(q_spec.times, field_type)
-        dict_types.append((q_spec.name, ts_type))
-    dict_type = qt.DictType(dict_types)
-    return QuantityStorage(storage, dict_type)
+    def spec_type(spec):
+        leaf = qt.ArrayType(spec.shape, qt.ScalarType(float))
+        per_time = qt.FieldType([(loc, leaf) for loc in spec.locations])
+        return qt.TimeSeriesType(spec.times, per_time)
+
+    return QuantityStorage(
+        storage, qt.DictType([(s.name, spec_type(s)) for s in q_specs]))
 
 
 class Quantity:
@@ -72,51 +102,29 @@ class Quantity:
         self._input_quantities = input_quantities
         self._traceable = traceable
         self._uid = next(_UID_COUNTER)
-        self._storage = self.get_quantity_storage()
-        self._selection_id = self.set_selection_id()
-        self._check_selection_ids()
+        # Provenance is resolved ONCE at construction: inputs are already
+        # built (the graph is acyclic), so one linear pass suffices — unlike
+        # the reference, which re-walks the sub-DAG on every
+        # get_quantity_storage()/selection_id() call (quantity.py:55-124).
+        self._storage, self._selection_id = _resolve_provenance(input_quantities)
 
     # ------------------------------------------------------------------ #
-    # DAG bookkeeping (parity with reference quantity.py:55-124)
+    # DAG provenance accessors
     # ------------------------------------------------------------------ #
     def get_quantity_storage(self):
-        if len(self._input_quantities) == 0:
-            return None
-        for in_quantity in self._input_quantities:
-            storage = in_quantity.get_quantity_storage()
-            if storage is not None:
-                self._storage = storage
-                return storage
-        return None
-
-    def set_selection_id(self):
-        selection_id = None
-        for input_quantity in self._input_quantities:
-            if selection_id is None:
-                selection_id = input_quantity.selection_id()
-            elif (
-                input_quantity.selection_id() is not None
-                and selection_id != input_quantity.selection_id()
-            ):
-                raise Exception("Different selection IDs among input quantities")
-        return selection_id
-
-    def _check_selection_ids(self):
-        if self._storage is None:
-            return
-        for input_quantity in self._input_quantities:
-            sel_id = input_quantity.selection_id()
-            if sel_id is None:
-                continue
-            if sel_id != self.selection_id():
-                raise AssertionError("Not all input quantities come from the same quantity storage")
+        """The QuantityStorage leaf this node reads from (None = constant)."""
+        return self._storage
 
     def selection_id(self):
+        """Identity of the sample population this node draws from.
+
+        Every ``select`` creates a fresh population (its own uid); otherwise
+        the population is the underlying storage leaf. Quantities from
+        different populations cannot be combined.
+        """
         if self._selection_id is not None:
             return self._selection_id
-        if self._storage is None:
-            self._storage = self.get_quantity_storage()
-        return None if self._storage is None else self._storage._uid
+        return self._storage._uid if self._storage is not None else None
 
     def size(self) -> int:
         return self.qtype.size()
@@ -167,44 +175,26 @@ class Quantity:
         return lambda leaf: node_eval(self, leaf)
 
     # ------------------------------------------------------------------ #
-    # algebra construction (parity with reference quantity.py:137-243)
+    # algebra construction
     # ------------------------------------------------------------------ #
-    def _reduction_op(self, quantities, operation):
-        for quantity in quantities:
-            if not isinstance(quantity, QuantityConst):
-                return Quantity(quantity.qtype, operation=operation, input_quantities=quantities)
-        return QuantityConst(quantities[0].qtype, value=operation(*[q._value for q in quantities]))
-
-    def select(self, *args):
+    def select(self, *conditions):
         """Sample selection based on Bool-typed condition quantities.
 
         Removes whole samples whose mask is False — shape dynamic, so this
-        node (and everything above it) evaluates eagerly per chunk.
+        node (and everything above it) evaluates eagerly per chunk. The
+        node starts a fresh sample population (own selection id).
         """
-        masks = args[0]
-        for quantity in args:
-            if not isinstance(quantity.qtype.base_qtype(), qt.BoolType):
-                raise Exception(
-                    "Quantity: {} doesn't have BoolType, instead it has QType: {}".format(
-                        quantity, quantity.qtype.base_qtype()
-                    )
-                )
-        if len(args) > 1:
-            for m in args[1:]:
-                masks = np.logical_and(masks, m)  # builds an AND mask quantity
+        combined = _fold_conditions(conditions)
 
-        def op(x, mask):
-            x = np.asarray(x)
-            mask = np.asarray(mask)
-            return x[..., mask, :]
+        def drop_rows(x, keep):
+            return np.asarray(x)[..., np.asarray(keep), :]
 
-        q = Quantity(
-            quantity_type=self.qtype, input_quantities=[self, masks], operation=op, traceable=False
-        )
+        q = Quantity(quantity_type=self.qtype, input_quantities=[self, combined],
+                     operation=drop_rows, traceable=False)
         q._selection_id = q._uid
         return q
 
-    def mask(self, *args):
+    def mask(self, *conditions):
         """Traceable counterpart of ``select`` for estimation workloads.
 
         Instead of REMOVING non-selected samples (shape-dynamic — forces
@@ -214,25 +204,14 @@ class Quantity:
         (they are counted in ``n_rm_samples``). Use ``select`` when you need
         the raw surviving samples; use ``mask`` when you only estimate.
         """
-        masks = args[0]
-        for quantity in args:
-            if not isinstance(quantity.qtype.base_qtype(), qt.BoolType):
-                raise Exception(
-                    "Quantity: {} doesn't have BoolType, instead it has QType: {}".format(
-                        quantity, quantity.qtype.base_qtype()
-                    )
-                )
-        if len(args) > 1:
-            for m in args[1:]:
-                masks = np.logical_and(masks, m)
+        combined = _fold_conditions(conditions)
 
-        def op(x, mask):
-            x = jnp.asarray(x)
-            return jnp.where(jnp.asarray(mask)[None, :, None], x, jnp.nan)
+        def poison_rows(x, keep):
+            return jnp.where(jnp.asarray(keep)[None, :, None],
+                             jnp.asarray(x), jnp.nan)
 
-        return Quantity(
-            quantity_type=self.qtype, input_quantities=[self, masks], operation=op
-        )
+        return Quantity(quantity_type=self.qtype,
+                        input_quantities=[self, combined], operation=poison_rows)
 
     def __array_ufunc__(self, ufunc, method, *args, **kwargs):
         return Quantity._method(ufunc, method, *args, **kwargs)
@@ -243,10 +222,18 @@ class Quantity:
 
     @staticmethod
     def create_quantity(quantities, operation):
-        for quantity in quantities:
-            if not isinstance(quantity, QuantityConst):
-                return Quantity(quantity.qtype, operation=operation, input_quantities=quantities)
-        return QuantityConst(quantities[0].qtype, value=operation(*[q._value for q in quantities]))
+        """Lift ``operation`` over DAG nodes; all-constant inputs fold
+        eagerly to a new constant instead of a graph node."""
+        live = [q for q in quantities if not isinstance(q, QuantityConst)]
+        if not live:
+            return QuantityConst(quantities[0].qtype,
+                                 value=operation(*(q._value for q in quantities)))
+        return Quantity(live[0].qtype, operation=operation,
+                        input_quantities=quantities)
+
+    # reference-API alias (reference quantity.py names this _reduction_op)
+    def _reduction_op(self, quantities, operation):
+        return Quantity.create_quantity(quantities, operation)
 
     # ------------------------------------------------------------------ #
     # comparisons -> Bool mask quantities (reference quantity.py:246-305)
@@ -260,19 +247,15 @@ class Quantity:
         return mask.all(axis=tuple(range(mask.ndim - 2))).all(axis=-1)
 
     def _mask_quantity(self, other, op):
-        bool_type = qt.BoolType()
-        new_qtype = self.qtype.replace_scalar(bool_type)
+        """Comparison node: Bool-typed, one [N] truth value per sample."""
         other = Quantity.wrap(other)
-        if not isinstance(self.qtype.base_qtype(), qt.ScalarType) or not isinstance(
-            other.qtype.base_qtype(), qt.ScalarType
-        ):
-            raise TypeError(
-                "Quantity has base qtype {}. Quantities with base qtype ScalarType are the only "
-                "ones that support comparison".format(self.qtype.base_qtype())
-            )
-        return Quantity(
-            quantity_type=new_qtype, input_quantities=[self, other], operation=op
-        )
+        for operand in (self, other):
+            if not isinstance(operand.qtype.base_qtype(), qt.ScalarType):
+                raise TypeError(
+                    "only ScalarType-based quantities compare; got base "
+                    "qtype {}".format(operand.qtype.base_qtype()))
+        return Quantity(quantity_type=self.qtype.replace_scalar(qt.BoolType()),
+                        input_quantities=[self, other], operation=op)
 
     def __lt__(self, other):
         return self._mask_quantity(other, lambda x, y: Quantity._process_mask(x, y, operator.lt))
@@ -408,22 +391,27 @@ class Quantity:
             traceable=traceable,
         )
 
+    # host type -> QType factory for constant lifting
+    _WRAP_RULES = (
+        ((bool, np.bool_), lambda v: qt.BoolType()),
+        ((int, float, np.integer, np.floating), lambda v: qt.ScalarType()),
+        ((list, tuple, np.ndarray, jnp.ndarray),
+         lambda v: qt.ArrayType(shape=np.shape(v), qtype=qt.ScalarType())),
+    )
+
     @staticmethod
     def wrap(value):
         """Lift a host value into a QuantityConst; Quantities pass through."""
         if isinstance(value, Quantity):
             return value
-        if isinstance(value, (bool, np.bool_)):
-            return QuantityConst(quantity_type=qt.BoolType(), value=value)
-        if isinstance(value, (int, float, np.integer, np.floating)):
-            return QuantityConst(quantity_type=qt.ScalarType(), value=value)
-        if isinstance(value, (list, tuple, np.ndarray, jnp.ndarray)):
-            arr = np.asarray(value)
-            return QuantityConst(
-                quantity_type=qt.ArrayType(shape=arr.shape, qtype=qt.ScalarType()),
-                value=arr,
-            )
-        raise ValueError("Values {} are not flat, bool or array (list)".format(value))
+        for types, make_qtype in Quantity._WRAP_RULES:
+            if isinstance(value, types):
+                if isinstance(value, (list, tuple, jnp.ndarray)):
+                    value = np.asarray(value)
+                return QuantityConst(quantity_type=make_qtype(value), value=value)
+        raise ValueError(
+            "cannot lift {!r} into a Quantity constant "
+            "(expected bool, number, or array-like)".format(value))
 
     @staticmethod
     def _probe_chunk(quantity):
@@ -515,6 +503,9 @@ _install_arithmetic(Quantity)
 class _SubsampleParamsQuantity:
     """Internal pseudo-quantity delivering per-chunk subsample state."""
 
+    _storage = None
+    _selection_id = None
+
     def __init__(self, level_params_cls):
         self._cls = level_params_cls
         self.qtype = qt.ScalarType()
@@ -566,43 +557,42 @@ class QuantityConst(Quantity):
 
 
 class QuantityMean:
-    """Result of estimate_mean: per-level means/vars + combined estimates.
+    """Result of estimate_mean: per-level moment sums telescoped on demand.
 
-    Parity with reference quantity.py:568-651.
+    Holds the raw per-level statistics (flat along the M axis) and combines
+    them lazily: ``mean = Σ_l mean_l`` and ``var = Σ_l var_l / n_l`` — the
+    MLMC telescope (same math as reference quantity.py:588-593). All public
+    views are reshaped through the structural QType.
     """
 
     def __init__(self, quantity_type, l_means, l_vars, n_samples, n_rm_samples):
         self.qtype = quantity_type
-        self._mean = None
-        self._var = None
-        self._l_means = np.array(l_means)
-        self._l_vars = np.array(l_vars)
-        self._n_samples = np.array(n_samples)
-        self._n_rm_samples = np.array(n_rm_samples)
+        self._l_means = np.asarray(l_means)
+        self._l_vars = np.asarray(l_vars)
+        self._n_samples = np.asarray(n_samples)
+        self._n_rm_samples = np.asarray(n_rm_samples)
 
-    def _calculate_mean_var(self):
-        self._mean = np.sum(self._l_means, axis=0)
-        self._var = np.sum(self._l_vars / self._n_samples[:, None], axis=0)
+    @functools.cached_property
+    def _telescoped(self):
+        """(combined mean, combined estimator variance), flat M axis."""
+        return (self._l_means.sum(axis=0),
+                (self._l_vars / self._n_samples[:, None]).sum(axis=0))
 
     @property
     def mean(self):
-        if self._mean is None:
-            self._calculate_mean_var()
-        return self._reshape(self._mean)
+        return self.qtype.reshape(self._telescoped[0])
 
     @property
     def var(self):
-        if self._var is None:
-            self._calculate_mean_var()
-        return self._reshape(self._var)
+        return self.qtype.reshape(self._telescoped[1])
 
     @property
     def l_means(self):
-        return np.array([self._reshape(means) for means in self._l_means])
+        return np.array([self.qtype.reshape(m) for m in self._l_means])
 
     @property
     def l_vars(self):
-        return np.array([self._reshape(vars) for vars in self._l_vars])
+        return np.array([self.qtype.reshape(v) for v in self._l_vars])
 
     @property
     def n_samples(self):
@@ -612,19 +602,16 @@ class QuantityMean:
     def n_rm_samples(self):
         return self._n_rm_samples
 
-    def _reshape(self, data):
-        return self.qtype.reshape(data)
-
     def __getitem__(self, key):
+        """Structural indexing distributes over the per-level statistics."""
         new_qtype, start = self.qtype.get_key(key)
         if not isinstance(self.qtype, qt.ArrayType):
             key = slice(start, start + new_qtype.size())
-        l_means = self.l_means[:, key]
-        l_vars = self.l_vars[:, key]
+        n_levels = self._l_means.shape[0]
         return QuantityMean(
             quantity_type=new_qtype,
-            l_means=l_means.reshape((l_means.shape[0], -1)),
-            l_vars=l_vars.reshape((l_vars.shape[0], -1)),
+            l_means=self.l_means[:, key].reshape((n_levels, -1)),
+            l_vars=self.l_vars[:, key].reshape((n_levels, -1)),
             n_samples=self._n_samples,
             n_rm_samples=self._n_rm_samples,
         )

@@ -51,51 +51,54 @@ def positive_to_range(exp, a, b):
 class RandomFieldBase:
     """Common stationary-covariance machinery (reference :234-366)."""
 
+    #: named covariance families -> exponent alpha in exp(-r^alpha)
+    _CORR_EXPONENTS = {"gauss": 2.0, "exp": 1.0}
+
     def __init__(self, corr_exp="gauss", dim=2, corr_length=1.0,
                  aniso_correlation=None, mu=0.0, sigma=1.0, log=False, **kwargs):
         self.dim = dim
         self.log = log
-
-        if corr_exp == "gauss":
-            self.correlation_exponent = 2.0
-        elif corr_exp == "exp":
-            self.correlation_exponent = 1.0
-        else:
-            self.correlation_exponent = float(corr_exp)
-
+        self.correlation_exponent = self._CORR_EXPONENTS.get(corr_exp) \
+            or float(corr_exp)
         self._corr_length = corr_length
-        if aniso_correlation is None:
-            assert corr_length > np.finfo(float).eps
-            self.correlation_tensor = np.eye(dim) * (1 / corr_length ** 2)
-            self._max_corr_length = corr_length
-        else:
+
+        if aniso_correlation is not None:
             self.correlation_tensor = np.asarray(aniso_correlation)
             self._max_corr_length = np.linalg.norm(aniso_correlation, ord=2)
+        else:
+            if corr_length <= np.finfo(float).eps:
+                raise ValueError("corr_length must be positive")
+            self.correlation_tensor = np.eye(dim) / corr_length ** 2
+            self._max_corr_length = corr_length
 
         self.points = None
-        self.mu = mu
-        self.sigma = sigma
+        self.mu, self.sigma = mu, sigma
         self._host_key = jax.random.key(np.random.randint(0, 2 ** 31))
         self._initialize(**kwargs)
 
     def _initialize(self, **kwargs):
         pass
 
+    def _pointwise(self, value, n_points, name):
+        """Broadcast-check a scalar or per-point array parameter."""
+        arr = np.asarray(value, dtype=float)
+        if arr.shape not in ((), (n_points,)):
+            raise ValueError(
+                "{} must be scalar or shape ({},), got {}".format(
+                    name, n_points, arr.shape))
+        return arr
+
     def set_points(self, points, mu=None, sigma=None):
-        points = np.array(points, dtype=float)
-        if points.ndim == 1:
-            points = points[:, None]
-        assert points.shape[1] == self.dim
+        points = np.asarray(points, dtype=float)
+        points = points.reshape(len(points), -1)  # 1-D input -> [N, 1]
+        if points.shape[1] != self.dim:
+            raise ValueError("points must be [N, {}]".format(self.dim))
         self.n_points, self.dimension = points.shape
         self.points = points
-        if mu is not None:
-            self.mu = mu
-        self.mu = np.array(self.mu, dtype=float)
-        assert self.mu.shape in ((), (len(points),))
-        if sigma is not None:
-            self.sigma = sigma
-        self.sigma = np.array(self.sigma, dtype=float)
-        assert self.sigma.shape in ((), (len(points),))
+        self.mu = self._pointwise(self.mu if mu is None else mu,
+                                  len(points), "mu")
+        self.sigma = self._pointwise(self.sigma if sigma is None else sigma,
+                                     len(points), "sigma")
         self._set_points()
 
     def _set_points(self):
@@ -335,121 +338,141 @@ class CirculantEmbeddingField(RandomFieldBase):
 
 
 class Field:
-    """Named field: const / random / derived-callable (reference :44-109)."""
+    """Named field over an (optional) mesh-region subset.
+
+    Three flavors (reference Field semantics, :44-109), classified once at
+    construction into a ``kind`` tag:
+
+    * ``const``   — ``Field("porosity", 0.3)``
+    * ``random``  — ``Field("logK", SpatialCorrelatedField(...))``
+    * ``derived`` — ``Field("K", kozeny_carman_fn, ["porosity", "visc"])``
+      (a pure function of other fields' realizations, resolved by Fields)
+    """
 
     def __init__(self, name, field=None, param_fields=[], regions=[]):
-        self.correlated_field = None
-        self.const = None
-        self._func = field
-        self.is_outer = True
-
-        if isinstance(regions, str):
-            regions = [regions]
         self.name = name
-        if type(field) in [float, int]:
-            self.const = field
-            assert len(param_fields) == 0
-        elif isinstance(field, RandomFieldBase):
-            self.correlated_field = field
-            assert len(param_fields) == 0
-        else:
-            assert len(param_fields) > 0, field
-            try:
-                params = [np.ones(2) for _ in range(len(param_fields))]
-                field(*params)
-            except Exception:
-                raise Exception("Invalid field function for field: {}".format(name))
-            self._func = field
+        self.regions = [regions] if isinstance(regions, str) else list(regions)
+        self.param_fields = list(param_fields)
+        self.is_outer = True
+        self._realization = None
+        self.full_sample_ids = None
 
-        self.regions = regions
-        self.param_fields = param_fields
+        if isinstance(field, (int, float)) and not isinstance(field, bool):
+            self.kind = "const"
+            self.generator = float(field)
+        elif isinstance(field, RandomFieldBase):
+            self.kind = "random"
+            self.generator = field
+        elif callable(field):
+            self.kind = "derived"
+            self.generator = field
+            if not self.param_fields:
+                raise ValueError(
+                    "derived field {!r} needs param_fields to feed the "
+                    "function".format(name))
+            try:  # fail fast on arity/shape mismatches
+                field(*(np.ones(2),) * len(self.param_fields))
+            except Exception as exc:
+                raise ValueError(
+                    "derived field {!r}: function rejected probe "
+                    "arguments".format(name)) from exc
+        else:
+            raise ValueError(
+                "field {!r} must be a number, a RandomFieldBase, or a "
+                "callable; got {!r}".format(name, field))
+        if self.kind != "derived" and self.param_fields:
+            raise ValueError(
+                "param_fields only apply to derived (callable) fields")
 
     def set_points(self, points):
-        if self.const is not None:
-            self._sample = self.const * np.ones(len(points))
-        elif self.correlated_field is not None:
-            self.correlated_field.set_points(points)
-            if type(self.correlated_field) is SpatialCorrelatedField:
-                self.correlated_field.svd_dcmp(n_terms_range=(10, 100))
+        if self.kind == "const":
+            self._realization = np.full(len(points), self.generator)
+        elif self.kind == "random":
+            self.generator.set_points(points)
+            if type(self.generator) is SpatialCorrelatedField:
+                self.generator.svd_dcmp(n_terms_range=(10, 100))
 
     def sample(self, key=None):
-        if self.const is not None:
-            return self._sample
-        elif self.correlated_field is not None:
-            self._sample = np.asarray(self.correlated_field.sample(key))
-        else:
-            params = [pf._sample for pf in self.param_fields]
-            self._sample = self._func(*params)
-        return self._sample
+        if self.kind == "random":
+            self._realization = np.asarray(self.generator.sample(key))
+        elif self.kind == "derived":
+            self._realization = self.generator(
+                *(pf._realization for pf in self.param_fields))
+        return self._realization
 
 
 class Fields:
-    """Set of cross-dependent named fields over mesh regions (reference :111-231)."""
+    """Set of cross-dependent named fields over mesh regions.
+
+    Same capability as reference Fields (:111-231): region restriction,
+    derived-field dependency resolution by name, and outer-field selection
+    of which realizations the simulation actually receives.
+    """
 
     def __init__(self, fields):
-        self.fields_orig = fields
-        self.fields_dict = {}
-        self.fields = []
-        for field in self.fields_orig:
-            new_field = copy.copy(field)
-            if new_field.param_fields:
-                new_field.param_fields = [
-                    self._get_field_obj(f, new_field.regions)
-                    for f in new_field.param_fields
-                ]
-            self.fields_dict[new_field.name] = new_field
-            self.fields.append(new_field)
+        self.fields = [copy.copy(f) for f in fields]
+        self.by_name = {f.name: f for f in self.fields}
+        # snapshot: _resolve may prepend anonymous constant fields
+        for field in list(self.fields):
+            field.param_fields = [self._resolve(p, field.regions)
+                                  for p in field.param_fields]
         self._host_key = jax.random.key(np.random.randint(0, 2 ** 31))
 
-    def _get_field_obj(self, field_name, regions):
-        if type(field_name) in [float, int]:
-            const_field = Field("const_{}".format(field_name), field_name, regions=regions)
-            self.fields.insert(0, const_field)
-            self.fields_dict[const_field.name] = const_field
-            return const_field
-        assert field_name in self.fields_dict, \
-            "name: {} dict: {}".format(field_name, self.fields_dict)
-        return self.fields_dict[field_name]
+    def _resolve(self, param, regions):
+        """A derived field's parameter: a field name, or a bare number
+        (auto-wrapped as an anonymous constant field)."""
+        if isinstance(param, (int, float)) and not isinstance(param, bool):
+            const = Field("const_{}".format(param), param, regions=regions)
+            self.fields.insert(0, const)
+            self.by_name[const.name] = const
+            return const
+        if param not in self.by_name:
+            raise KeyError("field {!r} referenced before definition; "
+                           "known: {}".format(param, sorted(self.by_name)))
+        return self.by_name[param]
 
     @property
     def names(self):
-        return self.fields_dict.keys()
+        return self.by_name.keys()
 
     def set_outer_fields(self, outer):
-        outer_set = set(outer)
+        outer = set(outer)
         for f in self.fields:
-            f.is_outer = f.name in outer_set
+            f.is_outer = f.name in outer
 
     def set_points(self, points, region_ids=[], region_map={}):
+        """Attach mesh points; region-restricted fields only see the points
+        whose region id maps into their region list."""
         self.n_elements = len(points)
-        if len(region_ids) == 0:
-            region_ids = [0] * self.n_elements
+        region_ids = np.asarray(region_ids if len(region_ids)
+                                else np.zeros(self.n_elements, dtype=int))
+        if len(region_ids) != self.n_elements:
+            raise ValueError("one region id per point required")
+        if not region_map:
             region_map = {r: 0 for f in self.fields for r in f.regions}
-        assert len(points) == len(region_ids)
-        reg_points = {}
-        for i, reg_id in enumerate(region_ids):
-            reg_points.setdefault(reg_id, []).append(i)
 
         for field in self.fields:
             if field.regions:
-                point_ids = []
-                for reg in field.regions:
-                    reg_id = region_map[reg]
-                    point_ids.extend(reg_points.get(reg_id, []))
-                field.set_points(points[point_ids])
-                field.full_sample_ids = point_ids
+                wanted = np.asarray([region_map[r] for r in field.regions])
+                ids = np.flatnonzero(np.isin(region_ids, wanted))
             else:
-                field.set_points(points)
-                field.full_sample_ids = np.arange(self.n_elements)
+                ids = np.arange(self.n_elements)
+            field.full_sample_ids = ids
+            field.set_points(points[ids])
 
     def sample(self, key=None):
-        """:return: {field_name: sample over all elements}"""
+        """One realization of every outer field, scattered back onto the
+        full element set (zeros outside a field's regions).
+
+        :return: {field_name: [n_elements] array}
+        """
         if key is None:
             self._host_key, key = jax.random.split(self._host_key)
         result = {}
         for i, field in enumerate(self.fields):
-            sample = field.sample(jax.random.fold_in(key, i))
+            values = field.sample(jax.random.fold_in(key, i))
             if field.is_outer:
-                result[field.name] = np.zeros(self.n_elements)
-                result[field.name][field.full_sample_ids] = np.asarray(sample)
+                full = np.zeros(self.n_elements)
+                full[field.full_sample_ids] = np.asarray(values)
+                result[field.name] = full
         return result

@@ -57,61 +57,56 @@ class SynthSimulationWorkspace(SynthSimulation):
 
     @staticmethod
     def generate_random_samples(distr, seed, size):
-        """Host RNG draw; injects NaN failures at the configured rate."""
-        SynthSimulationWorkspace.len_results += 1
-        if distr == "norm":
-            import scipy.stats as stats
-
-            frozen = stats.norm(loc=1, scale=2)
-        else:
+        """Host RNG draw (fine and coarse share it); injects NaN failures
+        whenever the realized failure rate trails the configured one."""
+        cls = SynthSimulationWorkspace
+        cls.len_results += 1
+        if distr != "norm":
             raise NotImplementedError(
-                "Other distributions are not implemented yet")
-        frozen.random_state = np.random.RandomState(seed)
-        y = frozen.rvs(size=size)
-        frac = SynthSimulationWorkspace.nan_fraction
-        if SynthSimulationWorkspace.n_nans / \
-                (1e-10 + SynthSimulationWorkspace.len_results) < frac:
-            SynthSimulationWorkspace.n_nans += 1
+                "workspace synth sim only draws from 'norm'")
+        y = np.random.RandomState(seed).normal(loc=1.0, scale=2.0, size=size)
+        if cls.n_nans < cls.nan_fraction * cls.len_results:
+            cls.n_nans += 1
             y = np.full(size, np.nan)
         return y, y
 
     @staticmethod
+    def _structured(base, quantity_format, shift_locations):
+        """Expand a base vector into the flat structured result layout:
+        each spec contributes a [n_times, n_locations, prod(shape)] block,
+        location k holding ``base + k`` (or ``base`` when not shifting);
+        blocks are concatenated in spec order along the flat M axis."""
+        parts = []
+        for spec in quantity_format:
+            n_loc, n_times = len(spec.locations), len(spec.times)
+            offsets = np.arange(n_loc) if shift_locations else np.zeros(n_loc)
+            block = base[None, :] + offsets[:, None]        # [loc, size]
+            parts.append(np.broadcast_to(
+                block, (n_times,) + block.shape).ravel())
+        return np.concatenate(parts)
+
+    @staticmethod
     def calculate(config, seed):
         """Runs INSIDE the sample workspace (cwd holds the config YAML)."""
-        config_file = SynthSimulationWorkspace._read_config()
-        SynthSimulationWorkspace.nan_fraction = config_file["nan_fraction"]
+        cls = SynthSimulationWorkspace
+        config_file = cls._read_config()
+        cls.nan_fraction = config_file["nan_fraction"]
         quantity_format = config["res_format"]
 
-        fine_random, coarse_random = SynthSimulationWorkspace.generate_random_samples(
+        draw, _ = cls.generate_random_samples(
             config_file["distr"], seed, int(np.prod(quantity_format[0].shape)))
 
-        fine_step = config["fine"]["step"]
         coarse_step = config["coarse"]["step"]
-        fine_result = SynthSimulationWorkspace.sample_fn(
-            np.asarray(fine_random), fine_step)
-        if coarse_step == 0:
-            coarse_result = np.zeros(len(fine_result))
-        else:
-            coarse_result = SynthSimulationWorkspace.sample_fn(
-                np.asarray(coarse_random), coarse_step)
+        fine_result = cls.sample_fn(draw, config["fine"]["step"])
+        coarse_result = (np.zeros_like(fine_result) if coarse_step == 0
+                         else cls.sample_fn(draw, coarse_step))
 
-        if np.any(np.isnan(fine_result)) or np.any(np.isnan(coarse_result)):
+        if np.isnan(fine_result).any() or np.isnan(coarse_result).any():
             raise Exception("result is nan")
 
-        results = []
-        for result in [fine_result, coarse_result]:
-            quantities = []
-            for quantity in quantity_format:
-                if coarse_step == 0:
-                    locations = np.array(
-                        [result for _ in range(len(quantity.locations))])
-                else:
-                    locations = np.array(
-                        [result + i for i in range(len(quantity.locations))])
-                times = np.array([locations for _ in range(len(quantity.times))])
-                quantities.append(times)
-            results.append(np.array(quantities))
-        return results[0].flatten(), results[1].flatten()
+        shift = coarse_step != 0
+        return (cls._structured(fine_result, quantity_format, shift),
+                cls._structured(coarse_result, quantity_format, shift))
 
     # workspace simulations have no device batch path
     calculate_batch = None
