@@ -18,18 +18,25 @@ from mlmc_tpu.random.correlated_field import (
 
 
 def create_corr_field(model="gauss", corr_length=0.125, dim=2, log=True,
-                      sigma=1, mode_no=1000):
+                      sigma=1, mode_no=1000, seed=None):
     """Correlated-field model zoo (reference flow_mc.py:16-52): returns a
     Fields instance with a single 'conductivity' field of the given model.
+
+    ``seed`` fixes the spectral mode structure of the RFF variants, making
+    a realization fully reproducible from (seed, sampling key) — FlowSim
+    derives both from the integer sample seed so renewed samples replay
+    bit-identically.
     """
     if model == "fourier":
         field = SpectralCorrelatedField(corr_exp="gauss", dim=dim,
                                         corr_length=corr_length, log=log,
-                                        sigma=sigma, mode_no=mode_no)
+                                        sigma=sigma, mode_no=mode_no,
+                                        seed=seed)
     elif model in ("exp", "TPLexp"):
         field = SpectralCorrelatedField(corr_exp="exp", dim=dim,
                                         corr_length=corr_length, log=log,
-                                        sigma=sigma, mode_no=mode_no)
+                                        sigma=sigma, mode_no=mode_no,
+                                        seed=seed)
     elif model == "svd":
         field = SpatialCorrelatedField(corr_exp="gauss", dim=dim,
                                        corr_length=corr_length, log=log,
@@ -37,7 +44,8 @@ def create_corr_field(model="gauss", corr_length=0.125, dim=2, log=True,
     else:  # gauss and TPL variants map to the gauss spectral measure
         field = SpectralCorrelatedField(corr_exp="gauss", dim=dim,
                                         corr_length=corr_length, log=log,
-                                        sigma=sigma, mode_no=mode_no)
+                                        sigma=sigma, mode_no=mode_no,
+                                        seed=seed)
     return Fields([Field("conductivity", field)])
 
 

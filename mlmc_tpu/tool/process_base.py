@@ -219,6 +219,39 @@ class ProcessBase:
         dp.show(file=out_file or "")
         return distr_obj, result
 
+    def analyze_regression_of_variance(self, estimator, sampler,
+                                       out_file=None):
+        """Raw level variances against their log-quadratic regression
+        (working version of reference :268-280, whose body targets the
+        removed CompareLevels API)."""
+        import numpy as np
+        from mlmc_tpu.plot import plots
+
+        raw_vars, n_samples = estimator.estimate_diff_vars()
+        steps = np.squeeze(np.asarray(
+            estimator._sample_storage.get_level_parameters()))
+        reg_vars = estimator._all_moments_variance_regression(raw_vars, steps)
+        plots.plot_var_regression(raw_vars, reg_vars,
+                                  n_levels=len(n_samples),
+                                  n_moments=estimator.n_moments,
+                                  file=out_file or "")
+        return reg_vars
+
+    def analyze_error_of_level_variances(self, estimator, sampler,
+                                         out_file=None):
+        """Bootstrap error of the per-level variance estimates
+        (working version of reference :283-290)."""
+        from mlmc_tpu.plot import plots
+
+        estimator.est_bootstrap(n_subsamples=50)
+        raw_vars, n_samples = estimator.estimate_diff_vars()
+        bs = plots.BSplots(n_samples=n_samples, bs_n_samples=n_samples,
+                           n_moments=estimator.n_moments,
+                           ref_level_var=raw_vars)
+        bs.plot_bs_level_variances_error(estimator.mean_bs_l_vars,
+                                         file=out_file or "")
+        return estimator.mean_bs_l_vars
+
     def rm_files(self, work_dir):
         """Clean a work dir (reference rm_files)."""
         import shutil

@@ -231,3 +231,22 @@ def test_distribution_plot_error_axes(tmp_path):
     assert d.ax_pdf_err is not None
     d.show(file=str(tmp_path / "distr.pdf"))
     assert (tmp_path / "distr.pdf").exists()
+
+
+def test_process_base_analysis_recipes(tmp_path, run_small_mlmc):
+    """The remaining reference analysis verbs, as working implementations
+    (the reference bodies target its removed CompareLevels API)."""
+    from mlmc_tpu.tool.process_base import ProcessBase
+
+    storage, est, mfn, vq = run_small_mlmc
+    pb = ProcessBase.__new__(ProcessBase)  # recipes don't touch CLI state
+
+    reg_vars = pb.analyze_regression_of_variance(
+        est, None, out_file=str(tmp_path / "reg_var"))
+    assert np.all(np.isfinite(reg_vars)) and reg_vars.shape[1] == mfn.size
+
+    bs_l_vars = pb.analyze_error_of_level_variances(
+        est, None, out_file=str(tmp_path / "lvl_var_err"))
+    assert np.all(np.isfinite(bs_l_vars))
+    assert (tmp_path / "reg_var.pdf").exists()
+    assert (tmp_path / "lvl_var_err.pdf").exists()

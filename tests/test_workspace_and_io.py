@@ -233,3 +233,176 @@ def test_legacy_distribution_root_and_hard_target():
     sol = d.estimate_density(tol=1e-10)
     grad_norm = np.linalg.norm(sol.fun)
     assert grad_norm < 1e-7, grad_norm
+
+
+# ---------------------------------------------------------------------- #
+# FlowSim: the full gmsh+flow123d workflow with MOCK executables
+# (the reference ships this path untested outside a PBS cluster)
+# ---------------------------------------------------------------------- #
+_MOCK_GMSH = '''#!/usr/bin/env python3
+"""Mock gmsh: writes a canned msh2 square; finer clscale => more triangles."""
+import sys
+args = sys.argv[1:]
+out = args[args.index("-o") + 1]
+cl = float(args[args.index("-clscale") + 1])
+header = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+2 1 "ground"
+1 2 ".bc_outflow"
+$EndPhysicalNames
+"""
+if cl <= 0.3:  # fine: 4 triangles around the center node
+    body = """$Nodes
+5
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+5 0.5 0.5 0
+$EndNodes
+$Elements
+5
+1 2 2 1 1 1 2 5
+2 2 2 1 1 2 3 5
+3 2 2 1 1 3 4 5
+4 2 2 1 1 4 1 5
+5 1 2 2 2 2 3
+$EndElements
+"""
+else:  # coarse: 2 triangles
+    body = """$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+3
+1 2 2 1 1 1 2 3
+2 2 2 1 1 1 3 4
+3 1 2 2 2 2 3
+$EndElements
+"""
+open(out, "w").write(header + body)
+'''
+
+_MOCK_FLOW123D = '''#!/usr/bin/env python3
+"""Mock flow123d: flux := mean(conductivity) read from the fields file;
+fails if the rendered YAML still contains un-substituted placeholders."""
+import os, sys
+import numpy as np
+from mlmc_tpu.tool.gmsh_io import GmshIO
+args = sys.argv[1:]
+indir = args[args.index("-i") + 1]
+outdir = args[args.index("-o") + 1]
+yaml_path = args[args.index("-s") + 1]
+text = open(yaml_path).read()
+assert "<mesh_file>" not in text and "<conductivity>" not in text, text
+mesh = GmshIO(os.path.join(indir, "fields_sample.msh"))
+vals = mesh.element_data["conductivity"][0.0]
+flux = -float(np.mean([v[0] for v in vals.values()]))
+with open(os.path.join(outdir, "water_balance.yaml"), "w") as f:
+    f.write("data:\\n- {time: 0, region: .bc_outflow, data: [%r, 0.0]}\\n"
+            % flux)
+'''
+
+
+def _write_executable(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+    os.chmod(path, 0o755)
+
+
+def test_flow_sim_mocked_binaries(tmp_path):
+    """End-to-end FlowSim workflow: per-level mesh build, YAML rendering,
+    joint fine/coarse field draw, solver invocation, flux extraction —
+    driven by mock gmsh/flow123d executables through a real Sampler run
+    on a ThreadPool (the private-scratch-dir design must be thread-safe)."""
+    from mlmc_tpu.sim.flow_sim import FlowSim
+
+    gmsh = tmp_path / "mock_gmsh"
+    flow = tmp_path / "mock_flow123d"
+    _write_executable(gmsh, _MOCK_GMSH)
+    _write_executable(flow, _MOCK_FLOW123D)
+
+    geo = tmp_path / "square.geo"
+    geo.write_text("// geometry consumed by the mock\n")
+    tmpl = tmp_path / "flow_input.yaml.tmpl"
+    tmpl.write_text("mesh: <mesh_file>\ndt: <timestep_h1>\n"
+                    "cond: <conductivity>\n")
+
+    sim = FlowSim(dict(
+        env={"gmsh": str(gmsh), "flow123d": str(flow), "gmsh_version": 2},
+        fields_params=dict(model="fourier", corr_length=0.5, dim=2,
+                           log=True, sigma=1, mode_no=64),
+        yaml_file=str(tmpl), geo_file=str(geo),
+        work_dir=str(tmp_path / "work")), clean=True)
+
+    storage = Memory()
+    pool = ThreadPool(2, work_dir=str(tmp_path / "out"))
+    sampler = Sampler(storage, pool, sim, [[0.6], [0.2]])
+    sampler.set_initial_n_samples([6, 4])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    assert list(storage.get_n_collected()) == [6, 4]
+    assert not any(len(v) for v in storage.failed_samples().values())
+
+    root = make_root_quantity(storage, q_specs=sim.result_format())
+    q = root["conductivity"][1]["0"][0]
+    chunk0 = np.asarray(q.samples(next(storage.chunks(level_id=0))))
+    chunk1 = np.asarray(q.samples(next(storage.chunks(level_id=1))))
+    # log-normal conductivity => strictly positive fluxes on both levels
+    assert np.all(chunk0[..., 0] > 0)
+    assert np.all(chunk1[..., :] > 0)
+    # fine and coarse of one sample share the field draw: correlated but
+    # not identical (different meshes average different centers)
+    fine, coarse = chunk1[0, :, 0], chunk1[0, :, 1]
+    assert not np.allclose(fine, coarse)
+    assert np.corrcoef(fine, coarse)[0, 1] > 0.5
+
+    # renewed sample replays bit-identically (explicit key from the seed)
+    cfg = sampler._level_sim_objects[1].config_dict
+    r1 = FlowSim.calculate(cfg, seed=123)
+    r2 = FlowSim.calculate(cfg, seed=123)
+    assert np.array_equal(r1[0], r2[0]) and np.array_equal(r1[1], r2[1])
+
+
+def test_flow_sim_extract_mesh(tmp_path):
+    """extract_mesh: boundary regions excluded, degenerate axis dropped,
+    centers vectorized."""
+    from mlmc_tpu.sim.flow_sim import FlowSim
+
+    msh = tmp_path / "m.msh"
+    msh.write_text("""$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+2 7 "bulk"
+1 9 ".bc"
+$EndPhysicalNames
+$Nodes
+4
+1 0 0 0
+2 2 0 0
+3 2 2 0
+4 0 2 0
+$EndNodes
+$Elements
+3
+1 2 2 7 1 1 2 3
+2 2 2 7 1 1 3 4
+3 1 2 9 2 2 3
+$EndElements
+""")
+    data = FlowSim.extract_mesh(str(msh))
+    assert data["points"].shape == (2, 2)          # 2 bulk elements, z dropped
+    assert list(data["ele_ids"]) == [1, 2]
+    assert list(data["point_region_ids"]) == [7, 7]
+    assert data["region_map"] == {"bulk": 7, ".bc": 9}
+    assert np.allclose(data["points"][0], [4 / 3, 2 / 3])
