@@ -666,9 +666,9 @@ def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_moments", "n_per_level", "level_steps", "domain",
-                     "chunk"))
+                     "chunk", "interpret"))
 def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
-                        domain, chunk=32768):
+                        domain, chunk=32768, interpret=False):
     """The WHOLE multi-level benchmark in ONE kernel dispatch.
 
     All levels share one sequential grid; per-chunk level ids prefetched
@@ -741,6 +741,7 @@ def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
             jax.ShapeDtypeStruct((L, R_PAD, R_PAD), jnp.float32),
             jax.ShapeDtypeStruct((L, 1), jnp.int32),
         ],
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(
         jnp.asarray(level_ids, jnp.int32),
         # per-chunk PRNG seed stream: decorrelated across runs and levels

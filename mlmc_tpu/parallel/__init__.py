@@ -1,2 +1,3 @@
 from mlmc_tpu.parallel.mesh import SampleMesh, sample_mesh
-from mlmc_tpu.parallel.sharded_estimate import sharded_mlmc_step
+from mlmc_tpu.parallel.sharded_estimate import (sharded_mlmc_step,
+                                                sharded_synth_pipeline)

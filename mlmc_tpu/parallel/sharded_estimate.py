@@ -64,3 +64,59 @@ def sharded_mlmc_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def sharded_synth_pipeline(
+    sample_mesh: SampleMesh,
+    n_moments,
+    n_samples_per_level,
+    level_steps,
+    *,
+    domain,
+    chunk: int = 32768,
+    interpret: bool = False,
+):
+    """Pod-scale version of the HEADLINE Pallas kernel: every device runs
+    ops.pallas_kernels.synth_mlmc_pipeline on its 1/n_devices share of each
+    level with a shard-salted on-core PRNG seed, and the per-level
+    accumulators psum over the ``samples`` axis — one jitted dispatch for
+    the whole pod, per-chip throughput unchanged (~5e9 samples/s on v5e).
+
+    Per-level counts must divide by the device count (pad the request —
+    MLMC targets are estimates, not exact counts).
+
+    :return: ``step(seed) -> list[SynthMomentResult]`` (jitted); fields come
+        back replicated, already reduced across the pod.
+    """
+    from mlmc_tpu.ops.pallas_kernels import synth_mlmc_pipeline
+
+    axis = sample_mesh.axis_name
+    mesh = sample_mesh.mesh
+    n_dev = sample_mesh.n_devices
+    for n in n_samples_per_level:
+        if n % n_dev:
+            raise ValueError(
+                "per-level counts must divide the device count "
+                "({} % {} != 0)".format(n, n_dev))
+    shard_counts = tuple(int(n) // n_dev for n in n_samples_per_level)
+
+    def _step(seed):
+        # distinct per-shard seed streams (the kernel further salts per
+        # chunk and per level); large odd multipliers keep streams apart
+        shard_seed = (jnp.asarray(seed, jnp.int32) * jnp.int32(1_000_003)
+                      + jax.lax.axis_index(axis).astype(jnp.int32)
+                      * jnp.int32(7_368_787))
+        res = synth_mlmc_pipeline(
+            shard_seed, n_moments, shard_counts, tuple(level_steps),
+            domain=tuple(domain), chunk=chunk, interpret=interpret)
+        return [type(r)(*(jax.lax.psum(field, axis) for field in r))
+                for r in res]
+
+    sharded = shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

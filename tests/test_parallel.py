@@ -62,3 +62,60 @@ def test_multihost_helpers_single_process():
     assert mesh.n_devices == 8
     assert multihost.local_sample_mesh().n_devices == 8
     assert mesh.pad_to_shards(13) == 16
+
+
+def test_sharded_pallas_pipeline_interpret():
+    """Pod-scale Pallas headline path: shard_map + psum around the fused
+    multi-level kernel, in interpret mode on the 8-device CPU mesh.
+
+    The interpret-mode on-core PRNG is a zero stub, which makes every
+    Box-Muller pair deterministic: half the lanes get x1=sqrt(-2 ln u0)
+    (out of domain -> invalid), half get x2=0 (valid). The psum-reduced
+    accumulators are therefore exactly predictable.
+    """
+    from mlmc_tpu.parallel.sharded_estimate import sharded_synth_pipeline
+
+    R, chunk = 5, 1024
+    # 2-device mesh, ONE chunk per shard per level: interpret-mode
+    # emulation cost grows super-linearly with the shard count
+    n_per_level = (2048, 2048)
+    level_steps = (0.5, 0.25)
+    domain = (-4.0, 4.0)
+
+    mesh = SampleMesh(jax.devices()[:2])
+    step = sharded_synth_pipeline(
+        mesh, R, n_per_level, level_steps, domain=domain, chunk=chunk,
+        interpret=True)
+    res = step(jax.numpy.int32(3))
+
+    # expected: x2 = 0 on the valid half of the lanes
+    def phi(x, h):
+        fine = x + h * np.sqrt(1e-4 + abs(x))
+        t = fine / 4.0
+        return np.polynomial.legendre.legvander(np.array([t]), R - 1)[0]
+
+    for lvl, r in enumerate(res):
+        n_valid = float(np.asarray(r.n_valid))
+        assert n_valid == n_per_level[lvl] / 2, (lvl, n_valid)
+        h = level_steps[lvl]
+        hc = 0.0 if lvl == 0 else level_steps[lvl - 1]
+        expect = phi(0.0, h) - (phi(0.0, hc) if lvl else 0.0)
+        got = np.asarray(r.sums) / n_valid
+        assert np.allclose(got, expect, atol=1e-5), (lvl, got, expect)
+
+    # mesh-size independence: a direct single-device call on the same
+    # totals reduces to the same statistics (zero-stub RNG is shard-blind)
+    from mlmc_tpu.ops.pallas_kernels import synth_mlmc_pipeline
+    direct = synth_mlmc_pipeline(
+        3, R, tuple(n // 2 for n in n_per_level), level_steps,
+        domain=domain, chunk=chunk, interpret=True)
+    for r_mesh, r_one in zip(res, direct):
+        assert float(r_mesh.n_valid) == 2 * float(r_one.n_valid)
+        assert np.allclose(np.asarray(r_mesh.sums),
+                           2 * np.asarray(r_one.sums), rtol=1e-6)
+
+    # counts that don't divide the mesh are rejected loudly
+    import pytest
+    with pytest.raises(ValueError):
+        sharded_synth_pipeline(mesh, R, (101, 40), level_steps,
+                               domain=domain, chunk=chunk, interpret=True)
