@@ -96,8 +96,8 @@ def sharded_synth_pipeline(
     for n in n_samples_per_level:
         if n % n_dev:
             raise ValueError(
-                "per-level counts must divide the device count "
-                "({} % {} != 0)".format(n, n_dev))
+                "per-level counts must be divisible by the device count — "
+                "pad the request ({} % {} != 0)".format(n, n_dev))
     shard_counts = tuple(int(n) // n_dev for n in n_samples_per_level)
 
     def _step(seed):

@@ -410,25 +410,33 @@ class Fields:
     """
 
     def __init__(self, fields):
-        self.fields = [copy.copy(f) for f in fields]
-        self.by_name = {f.name: f for f in self.fields}
-        # snapshot: _resolve may prepend anonymous constant fields
-        for field in list(self.fields):
+        # fields register in declaration order and parameters resolve only
+        # against ALREADY-DECLARED names: sample() evaluates in list order,
+        # so a forward reference would read a stale (or missing)
+        # realization — reject it at construction instead
+        self.fields = []
+        self.by_name = {}
+        for f in fields:
+            field = copy.copy(f)
             field.param_fields = [self._resolve(p, field.regions)
                                   for p in field.param_fields]
+            self.fields.append(field)
+            self.by_name[field.name] = field
         self._host_key = jax.random.key(np.random.randint(0, 2 ** 31))
 
     def _resolve(self, param, regions):
-        """A derived field's parameter: a field name, or a bare number
-        (auto-wrapped as an anonymous constant field)."""
+        """A derived field's parameter: an already-declared field name, or
+        a bare number (auto-wrapped as an anonymous constant field)."""
         if isinstance(param, (int, float)) and not isinstance(param, bool):
             const = Field("const_{}".format(param), param, regions=regions)
             self.fields.insert(0, const)
             self.by_name[const.name] = const
             return const
         if param not in self.by_name:
-            raise KeyError("field {!r} referenced before definition; "
-                           "known: {}".format(param, sorted(self.by_name)))
+            raise KeyError(
+                "field {!r} referenced before its definition (evaluation "
+                "follows declaration order); declared so far: {}".format(
+                    param, sorted(self.by_name)))
         return self.by_name[param]
 
     @property
@@ -442,14 +450,25 @@ class Fields:
 
     def set_points(self, points, region_ids=[], region_map={}):
         """Attach mesh points; region-restricted fields only see the points
-        whose region id maps into their region list."""
+        whose region id maps into their region list.
+
+        Omitting BOTH region arguments treats every point as belonging to
+        every declared region; passing region ids without the name->id map
+        (or vice versa) is an error — defaulting one of them would silently
+        select zero points for region-restricted fields.
+        """
         self.n_elements = len(points)
-        region_ids = np.asarray(region_ids if len(region_ids)
-                                else np.zeros(self.n_elements, dtype=int))
+        restricted = any(f.regions for f in self.fields)
+        if len(region_ids) == 0 and not region_map:
+            region_ids = np.zeros(self.n_elements, dtype=int)
+            region_map = {r: 0 for f in self.fields for r in f.regions}
+        elif len(region_ids) == 0 or (not region_map and restricted):
+            raise ValueError(
+                "region_ids and region_map must be passed together "
+                "(got {} ids, map {})".format(len(region_ids), region_map))
+        region_ids = np.asarray(region_ids)
         if len(region_ids) != self.n_elements:
             raise ValueError("one region id per point required")
-        if not region_map:
-            region_map = {r: 0 for f in self.fields for r in f.regions}
 
         for field in self.fields:
             if field.regions:

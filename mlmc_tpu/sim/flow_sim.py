@@ -156,17 +156,32 @@ class FlowSim(Simulation):
     # ------------------------------------------------------------------ #
     # mesh extraction
     # ------------------------------------------------------------------ #
+    #: parsed meshes keyed by (path, mtime, keep_axes) — meshes are static
+    #: per level, so per-sample calculate() calls must not re-parse them
+    _MESH_CACHE = {}
+
     @staticmethod
-    def extract_mesh(mesh_file):
+    def extract_mesh(mesh_file, keep_axes=None):
         """Bulk-element centers + region structure of a gmsh mesh.
 
         Boundary regions (physical names starting with '.') are excluded.
         Degenerate coordinate axes (planar meshes stored in 3-D) are
-        dropped so the field dimension matches the true geometry.
+        dropped so the field dimension matches the true geometry; pass the
+        fine mesh's ``keep_axes`` when extracting the coarse mesh so both
+        agree on the dimension (a very coarse mesh can be degenerate along
+        axes the fine one is not).
 
         :return: {'points': [n, dim], 'point_region_ids': [n],
-                  'ele_ids': [n], 'region_map': {name: region_id}}
+                  'ele_ids': [n], 'region_map': {name: region_id},
+                  'keep_axes': tuple of kept coordinate axes}
         """
+        path = os.path.abspath(mesh_file)
+        cache_key = (path, os.path.getmtime(path),
+                     None if keep_axes is None else tuple(keep_axes))
+        cached = FlowSim._MESH_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
+
         mesh = GmshIO(mesh_file)
         region_map, bc_regions = {}, set()
         for name, (region_id, _dim) in mesh.physical.items():
@@ -186,18 +201,24 @@ class FlowSim(Simulation):
             centers.append(np.mean([node_xyz[n] for n in node_ids], axis=0))
         centers = np.asarray(centers, dtype=float)
 
-        # drop an axis with (numerically) zero extent: planar mesh in 3-D
-        extent = centers.max(axis=0) - centers.min(axis=0)
-        keep = np.flatnonzero(extent > 1e-10)
-        if len(keep) == 0:
-            keep = np.arange(centers.shape[1])
+        if keep_axes is None:
+            # drop axes with zero RELATIVE extent: planar mesh in 3-D
+            extent = centers.max(axis=0) - centers.min(axis=0)
+            scale = max(float(extent.max()), 1e-300)
+            keep = np.flatnonzero(extent > 1e-10 * scale)
+            if len(keep) == 0:
+                keep = np.arange(centers.shape[1])
+            keep_axes = tuple(int(k) for k in keep)
 
-        return {
-            "points": centers[:, keep],
+        data = {
+            "points": centers[:, list(keep_axes)],
             "point_region_ids": np.asarray(regions, dtype=int),
             "ele_ids": np.asarray(ele_ids, dtype=int),
             "region_map": region_map,
+            "keep_axes": tuple(keep_axes),
         }
+        FlowSim._MESH_CACHE[cache_key] = data
+        return data
 
     # ------------------------------------------------------------------ #
     # per-sample calculation (runs inside the pool)
@@ -214,9 +235,11 @@ class FlowSim(Simulation):
         """
         import jax
 
-        key = int(seed) & 0x7FFFFFFF
+        # full uint32 seed space (jax.random.key rejects Python ints past
+        # int32 when x64 is off, so pass an explicit numpy uint32);
         # both the RFF mode structure and the draw derive from the sample
         # seed: a renewed sample replays bit-identically
+        key = np.uint32(int(seed) & 0xFFFFFFFF)
         fields = create_corr_field(seed=key, **config["fields_params"])
         fields.set_outer_fields(config["fields_used_params"])
 
@@ -257,13 +280,17 @@ class FlowSim(Simulation):
                                        cwd=scratch)
             if completed.returncode != 0:
                 raise RuntimeError(
-                    "flow123d failed (rc={}): {}".format(
-                        completed.returncode, completed.stderr[-1000:]))
-            return FlowSim._extract_result(scratch)
-        finally:
-            # keep failed outputs only in debug scenarios; scratch dirs are
-            # per-run so concurrent samples never collide
+                    "flow123d failed (rc={}), inputs/outputs kept at {}: "
+                    "{}".format(completed.returncode, scratch,
+                                completed.stderr[-1000:]))
+            result = FlowSim._extract_result(scratch)
+        except BaseException:
+            # a failed run keeps its scratch dir (rendered inputs, fields
+            # file, solver logs) for post-mortem — the error names the path
+            raise
+        else:
             shutil.rmtree(scratch, ignore_errors=True)
+            return result
 
     @staticmethod
     def _extract_result(sample_dir, flux_regions=(".bc_outflow",)):
@@ -296,8 +323,13 @@ class FlowSim(Simulation):
             config["fine"]["common_files_dir"], FlowSim.MESH_FILE))
         coarse_mesh = None
         if config["coarse"]["step"]:
-            coarse_mesh = FlowSim.extract_mesh(os.path.join(
-                config["coarse"]["common_files_dir"], FlowSim.MESH_FILE))
+            # the fine mesh decides the kept axes so both meshes agree on
+            # the point dimension (a very coarse mesh can be degenerate
+            # along axes the fine one is not)
+            coarse_mesh = FlowSim.extract_mesh(
+                os.path.join(config["coarse"]["common_files_dir"],
+                             FlowSim.MESH_FILE),
+                keep_axes=fine_mesh["keep_axes"])
 
         fine_fields, coarse_fields = FlowSim._draw_fields(
             config, seed, fine_mesh, coarse_mesh)

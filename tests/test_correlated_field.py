@@ -135,3 +135,37 @@ def test_fields_composition():
     assert set(out.keys()) == {"conductivity"}
     assert out["conductivity"].shape == (25,)
     assert np.all(out["conductivity"] > 0)
+
+
+def test_fields_forward_reference_rejected():
+    """A derived field may only reference already-declared fields:
+    evaluation follows declaration order, so a forward reference would
+    read a stale or missing realization."""
+    import pytest
+    from mlmc_tpu.random.correlated_field import (Field, Fields,
+                                                  SpectralCorrelatedField)
+
+    rf = SpectralCorrelatedField(corr_exp="gauss", dim=2, corr_length=1.0,
+                                 mode_no=16)
+    with pytest.raises(KeyError, match="before its definition"):
+        Fields([Field("K", np.exp, ["logk"]),
+                Field("logk", rf)])
+
+
+def test_fields_region_args_must_pair():
+    """Passing region ids without the name->id map (or vice versa) is an
+    error — defaulting one of them would silently select zero points."""
+    import pytest
+    from mlmc_tpu.random.correlated_field import (Field, Fields,
+                                                  SpectralCorrelatedField)
+
+    rf = SpectralCorrelatedField(corr_exp="gauss", dim=2, corr_length=1.0,
+                                 mode_no=16)
+    fields = Fields([Field("k", rf, regions="ground")])
+    pts = np.random.default_rng(0).uniform(size=(10, 2))
+    with pytest.raises(ValueError, match="together"):
+        fields.set_points(pts, region_ids=[1] * 10)   # ids without map
+    with pytest.raises(ValueError, match="together"):
+        fields.set_points(pts, region_map={"ground": 1})  # map without ids
+    fields.set_points(pts)  # no regions at all: every point, every field
+    assert fields.sample()["k"].shape == (10,)

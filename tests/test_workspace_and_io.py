@@ -406,3 +406,63 @@ $EndElements
     assert list(data["point_region_ids"]) == [7, 7]
     assert data["region_map"] == {"bulk": 7, ".bc": 9}
     assert np.allclose(data["points"][0], [4 / 3, 2 / 3])
+
+
+def test_flow_sim_keep_axes_joint(tmp_path):
+    """The fine mesh decides the kept coordinate axes; a coarse mesh that
+    is degenerate along extra axes (here: one single element — zero extent
+    everywhere) must still come out with the fine mesh's dimension."""
+    from mlmc_tpu.sim.flow_sim import FlowSim
+
+    fine = tmp_path / "fine.msh"
+    fine.write_text("""$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+1
+2 1 "bulk"
+$EndPhysicalNames
+$Nodes
+4
+1 0 0 0
+2 2 0 0
+3 2 2 0
+4 0 2 0
+$EndNodes
+$Elements
+2
+1 2 2 1 1 1 2 3
+2 2 2 1 1 1 3 4
+$EndElements
+""")
+    coarse = tmp_path / "coarse.msh"
+    coarse.write_text("""$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+1
+2 1 "bulk"
+$EndPhysicalNames
+$Nodes
+3
+1 0 0 0
+2 2 0 0
+3 0 2 0
+$EndNodes
+$Elements
+1
+1 2 2 1 1 1 2 3
+$EndElements
+""")
+    f = FlowSim.extract_mesh(str(fine))
+    assert f["keep_axes"] == (0, 1) and f["points"].shape == (2, 2)
+    # single coarse element: alone it would keep all 3 axes (zero extent
+    # everywhere); the fine mesh's decision makes the dims agree
+    c = FlowSim.extract_mesh(str(coarse), keep_axes=f["keep_axes"])
+    assert c["points"].shape == (1, 2)
+    joint = np.concatenate([f["points"], c["points"]])
+    assert joint.shape == (3, 2)
+
+    # parsed meshes are cached (per-sample calculate() must not re-parse)
+    again = FlowSim.extract_mesh(str(fine))
+    assert again is f
