@@ -78,14 +78,35 @@ class Estimate:
                 "use estimate_moments")
         return basis
 
-    def _fast_level_results(self, moments_fn, component=0):
-        """Per-level kernel accumulators for one QoI component: gathers the
-        stored level chunks once (host) and makes ONE device dispatch
-        covering every chunk of every level (per-dispatch latency over a
-        remote-attached chip is ~30 ms, so per-(level, chunk) calls would
-        dominate the wall time).
+    _FAST_KERNEL_CHUNK = 16384
 
-        :return: list of ops.pallas_kernels.SynthMomentResult per level
+    def _gather_level_qoi(self):
+        """Stored level chunks concatenated once per level: [M, N, 1|2].
+
+        DeviceMemory chunks are jax arrays and stay on device (the payload
+        must not round-trip through the host link).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        level_qoi = []
+        for level_id in range(self._sample_storage.get_n_levels()):
+            chunks = [self._quantity.samples(cs)
+                      for cs in self._sample_storage.chunks(level_id=level_id)]
+            xp = jnp if any(isinstance(c, jax.Array) for c in chunks) else np
+            level_qoi.append(xp.concatenate(
+                [xp.asarray(c) for c in chunks], axis=1))
+        return level_qoi
+
+    def _fast_results_packed(self, moments_fn, components):
+        """Kernel accumulators for MANY QoI components in ONE dispatch.
+
+        All (component, level) sample streams pack into a single grid of
+        the multi-level kernel — per-dispatch latency over a
+        remote-attached chip is ~30 ms, so per-component (let alone
+        per-chunk) calls would dominate structured-quantity estimation.
+
+        :return: {component: [SynthMomentResult per level]}
         """
         import jax
         from mlmc_tpu.ops.pallas_kernels import (
@@ -93,28 +114,32 @@ class Estimate:
 
         basis = self._fast_basis(moments_fn)
         ref_domain = tuple(float(v) for v in moments_fn.ref_domain)
-        kernel_chunk = 16384
-        import jax.numpy as jnp
+        level_qoi = self._gather_level_qoi()
+        n_levels = len(level_qoi)
 
-        n_levels = self._sample_storage.get_n_levels()
-        level_qoi = []
-        for level_id in range(n_levels):
-            chunks = [self._quantity.samples(cs)
-                      for cs in self._sample_storage.chunks(level_id=level_id)]
-            # DeviceMemory chunks are jax arrays: keep them on device
-            xp = jnp if any(isinstance(c, jax.Array) for c in chunks) else np
-            level_qoi.append(xp.concatenate(
-                [xp.asarray(c) for c in chunks], axis=1))
+        fine_streams, coarse_streams, hasc = [], [], []
+        for m in components:
+            for lvl, q in enumerate(level_qoi):
+                fine_streams.append(q[m, :, 0])
+                coarse_streams.append(q[m, :, 1] if q.shape[2] > 1 else None)
+                hasc.append(0 if lvl == 0 else 1)
         fine, coarse, counts = pack_level_samples(
-            [q[component, :, 0] for q in level_qoi],
-            [q[component, :, 1] if q.shape[2] > 1 else None
-             for q in level_qoi],
-            chunk=kernel_chunk)
-        return mlmc_moment_pipeline_from_samples(
+            fine_streams, coarse_streams, chunk=self._FAST_KERNEL_CHUNK)
+        flat = mlmc_moment_pipeline_from_samples(
             fine, coarse, counts, moments_fn.size,
             domain=tuple(moments_fn.domain), ref_domain=ref_domain,
-            basis=basis, chunk=kernel_chunk,
-            interpret=jax.default_backend() != "tpu")
+            basis=basis, chunk=self._FAST_KERNEL_CHUNK,
+            interpret=jax.default_backend() != "tpu",
+            has_coarse=tuple(hasc))
+        return {m: flat[i * n_levels:(i + 1) * n_levels]
+                for i, m in enumerate(components)}
+
+    def _fast_level_results(self, moments_fn, component=0):
+        """Per-level kernel accumulators for one QoI component.
+
+        :return: list of ops.pallas_kernels.SynthMomentResult per level
+        """
+        return self._fast_results_packed(moments_fn, [component])[component]
 
     def estimate_covariance_fast(self, moments_fn=None):
         """Fast-tier telescoped moment covariance [R, R] from the
@@ -192,9 +217,10 @@ class Estimate:
         sums = np.zeros((n_levels, M, R))
         sums2 = np.zeros((n_levels, M, R))
         n_valid = np.zeros((n_levels, M))
+        # ALL components in one kernel dispatch (and one chunk gather)
+        packed = self._fast_results_packed(moments_fn, list(range(M)))
         for m in range(M):
-            res = self._fast_level_results(moments_fn, component=m)
-            for lvl, r in enumerate(res):
+            for lvl, r in enumerate(packed[m]):
                 sums[lvl, m] = np.asarray(r.sums, dtype=np.float64)
                 sums2[lvl, m] = np.asarray(r.sums2, dtype=np.float64)
                 n_valid[lvl, m] = float(r.n_valid)

@@ -848,11 +848,11 @@ def _samples_mlmc_kernel(level_ref, first_ref, nsamp_ref, base_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_moments", "n_per_level", "chunk", "domain",
-                     "ref_domain", "basis", "interpret"))
+                     "ref_domain", "basis", "interpret", "has_coarse"))
 def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
                                       *, domain, ref_domain=(-1.0, 1.0),
                                       basis="legendre", chunk=16384,
-                                      interpret=False):
+                                      interpret=False, has_coarse=None):
     """ALL levels of a stored-sample moment estimate in ONE kernel dispatch.
 
     The per-(level, chunk) variant (moment_pipeline_from_samples) pays one
@@ -872,6 +872,11 @@ def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
     L = len(n_per_level)
     a, b = domain
     ref_lo, ref_hi = ref_domain
+    if has_coarse is None:
+        # plain level semantics: only level 0 lacks a coarse part. Callers
+        # packing (level, component) streams pass the flag per entry
+        # (estimate_moments_fast runs ALL components in this one dispatch).
+        has_coarse = tuple(0 if lvl == 0 else 1 for lvl in range(L))
 
     level_ids, firsts, nsamps, bases, hasc = [], [], [], [], []
     for lvl, n in enumerate(n_per_level):
@@ -883,7 +888,7 @@ def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
             firsts.append(1 if c == 0 else 0)
             nsamps.append(int(n))
             bases.append(c * chunk)
-            hasc.append(0 if lvl == 0 else 1)
+            hasc.append(int(has_coarse[lvl]))
     grid = (len(level_ids),)
     total_pad = len(level_ids) * chunk
     assert fine.shape[0] == total_pad, (fine.shape, total_pad)
