@@ -1,8 +1,10 @@
-"""ctypes bindings for the native sample-log engine (sample_log.cpp).
+"""ctypes bindings for the native engine (sample_log.cpp + gmsh_fast.cpp).
 
 Builds ``libmlmc_native.so`` on first use via the Makefile (g++ is part of
 the toolchain); all consumers gate on ``available()`` so the pure-Python
-backends keep working if no compiler is present.
+backends keep working if no compiler is present. Besides the sample-log
+reader/writer this exposes the fast gmsh v2 mesh parser and $ElementData
+writer used by the FlowSim workflow (meshes run to millions of elements).
 """
 import ctypes
 import os
@@ -24,9 +26,11 @@ def _load():
         if _lib is not None or _build_error is not None:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH) or (
-                    os.path.getmtime(_LIB_PATH)
-                    < os.path.getmtime(os.path.join(_DIR, "sample_log.cpp"))):
+            sources = [os.path.join(_DIR, f)
+                       for f in ("sample_log.cpp", "gmsh_fast.cpp")]
+            if not os.path.exists(_LIB_PATH) or any(
+                    os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
+                    for s in sources):
                 subprocess.run(["make", "-C", _DIR], check=True,
                                capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
@@ -54,6 +58,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_double)]
         lib.mlmc_reader_close.argtypes = [ctypes.c_void_p]
+        _bind_gmsh(lib)
         _lib = lib
         return _lib
 
@@ -148,3 +153,107 @@ class SampleLogReader:
             self.close()
         except Exception:
             pass
+
+
+def _bind_gmsh(lib):
+    lib.gmsh_mesh_open.restype = ctypes.c_void_p
+    lib.gmsh_mesh_open.argtypes = [ctypes.c_char_p]
+    lib.gmsh_mesh_n_elements.restype = ctypes.c_uint64
+    lib.gmsh_mesh_n_elements.argtypes = [ctypes.c_void_p]
+    lib.gmsh_mesh_ele_ids.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.gmsh_mesh_region_ids.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+    lib.gmsh_mesh_centers.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+    lib.gmsh_mesh_regions.restype = ctypes.c_int64
+    lib.gmsh_mesh_regions.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
+    lib.gmsh_mesh_close.argtypes = [ctypes.c_void_p]
+
+    lib.gmsh_fields_open.restype = ctypes.c_void_p
+    lib.gmsh_fields_open.argtypes = [ctypes.c_char_p]
+    lib.gmsh_fields_add.restype = ctypes.c_int
+    lib.gmsh_fields_add.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_uint64, ctypes.c_uint32]
+    lib.gmsh_fields_close.restype = ctypes.c_int
+    lib.gmsh_fields_close.argtypes = [ctypes.c_void_p]
+
+
+def parse_gmsh_mesh(path):
+    """Native v2 ASCII parse -> bulk-element arrays.
+
+    :return: dict(ele_ids int64[n], region_ids int32[n],
+                  centers float64[n, 3], region_map {name: id})
+             or None when the native engine is unavailable or the file
+             needs the Python reader (v1 format, malformed sections).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.gmsh_mesh_open(os.fspath(path).encode())
+    if not handle:
+        return None
+    try:
+        n = int(lib.gmsh_mesh_n_elements(handle))
+        ele_ids = np.empty(n, dtype=np.int64)
+        region_ids = np.empty(n, dtype=np.int32)
+        centers = np.empty((n, 3), dtype=np.float64)
+        if n:
+            lib.gmsh_mesh_ele_ids(
+                handle, ele_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            lib.gmsh_mesh_region_ids(
+                handle,
+                region_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            lib.gmsh_mesh_centers(
+                handle, centers.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        cap = 1 << 16
+        buf = ctypes.create_string_buffer(cap)
+        got = lib.gmsh_mesh_regions(handle, buf, cap)
+        if got < 0:  # undersized: retry with the reported requirement
+            cap = -got
+            buf = ctypes.create_string_buffer(cap)
+            got = lib.gmsh_mesh_regions(handle, buf, cap)
+        region_map = {}
+        for line in buf.value.decode().splitlines():
+            if "\t" in line:
+                name, rid = line.rsplit("\t", 1)
+                region_map[name] = int(rid)
+        return dict(ele_ids=ele_ids, region_ids=region_ids, centers=centers,
+                    region_map=region_map)
+    finally:
+        lib.gmsh_mesh_close(handle)
+
+
+def write_gmsh_fields(path, ele_ids, fields):
+    """Native $ElementData writer (FlowSim fields files).
+
+    :param fields: {name: values [n] or [n, n_comp]}
+    :return: True on success, False when the native engine is unavailable
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    ele_ids = np.ascontiguousarray(ele_ids, dtype=np.int64)
+    handle = lib.gmsh_fields_open(os.fspath(path).encode())
+    if not handle:
+        raise IOError("cannot open fields file for writing: {}".format(path))
+    try:
+        for name, values in fields.items():
+            values = np.ascontiguousarray(values, dtype=np.float64)
+            if values.ndim == 1:
+                values = values[:, None]
+            if values.shape[0] != len(ele_ids):
+                raise ValueError("one row of values per element id")
+            rc = lib.gmsh_fields_add(
+                handle, str(name).encode(),
+                ele_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                values.shape[0], values.shape[1])
+            if rc != 0:
+                raise IOError("short write to fields file")
+    finally:
+        if lib.gmsh_fields_close(handle) != 0:
+            raise IOError("fields file close failed")
+    return True

@@ -182,24 +182,37 @@ class FlowSim(Simulation):
         if cached is not None:
             return cached
 
-        mesh = GmshIO(mesh_file)
-        region_map, bc_regions = {}, set()
-        for name, (region_id, _dim) in mesh.physical.items():
-            clean_name = name.strip("\"'")
-            region_map[clean_name] = region_id
-            if clean_name.startswith("."):
-                bc_regions.add(region_id)
+        from mlmc_tpu import native
 
-        node_xyz = {nid: np.asarray(xyz) for nid, xyz in mesh.nodes.items()}
-        ele_ids, regions, centers = [], [], []
-        for ele_id, (_etype, tags, node_ids) in mesh.elements.items():
-            region_id = tags[0]
-            if region_id in bc_regions:
-                continue
-            ele_ids.append(ele_id)
-            regions.append(region_id)
-            centers.append(np.mean([node_xyz[n] for n in node_ids], axis=0))
-        centers = np.asarray(centers, dtype=float)
+        parsed = native.parse_gmsh_mesh(path)
+        if parsed is not None:
+            # C++ streaming parse (production meshes run to millions of
+            # elements; the line-by-line Python reader costs minutes there)
+            centers = parsed["centers"]
+            regions = parsed["region_ids"]
+            ele_ids = parsed["ele_ids"]
+            region_map = parsed["region_map"]
+        else:
+            mesh = GmshIO(mesh_file)
+            region_map, bc_regions = {}, set()
+            for name, (region_id, _dim) in mesh.physical.items():
+                clean_name = name.strip("\"'")
+                region_map[clean_name] = region_id
+                if clean_name.startswith("."):
+                    bc_regions.add(region_id)
+
+            node_xyz = {nid: np.asarray(xyz)
+                        for nid, xyz in mesh.nodes.items()}
+            ele_ids, regions, centers = [], [], []
+            for ele_id, (_etype, tags, node_ids) in mesh.elements.items():
+                region_id = tags[0]
+                if region_id in bc_regions:
+                    continue
+                ele_ids.append(ele_id)
+                regions.append(region_id)
+                centers.append(
+                    np.mean([node_xyz[n] for n in node_ids], axis=0))
+            centers = np.asarray(centers, dtype=float)
 
         if keep_axes is None:
             # drop axes with zero RELATIVE extent: planar mesh in 3-D
@@ -269,9 +282,14 @@ class FlowSim(Simulation):
         common_dir = config[kind]["common_files_dir"]
         scratch = tempfile.mkdtemp(prefix="flow_{}_{}_".format(kind, seed))
         try:
+            from mlmc_tpu import native
+
             fields_file = os.path.join(scratch, FlowSim.FIELDS_FILE)
-            GmshIO().write_fields(fields_file, mesh_data["ele_ids"],
-                                  field_values)
+            if not native.write_gmsh_fields(fields_file,
+                                            mesh_data["ele_ids"],
+                                            field_values):
+                GmshIO().write_fields(fields_file, mesh_data["ele_ids"],
+                                      field_values)
             argv = [config["flow123d"], "--yaml_balance",
                     "-i", scratch,
                     "-s", os.path.join(common_dir, FlowSim.YAML_FILE),
