@@ -101,97 +101,136 @@ class SampleStorage(metaclass=ABCMeta):
         """Number of collected results per level."""
 
 
+class _LevelData:
+    """One level's complete in-RAM state (results, identity, bookkeeping).
+
+    The reference spreads this over seven parallel dicts keyed by level id
+    (reference :144-158); keeping each level cohesive makes the append path
+    one method and lets DeviceMemory swap just the array module.
+    """
+
+    __slots__ = ("pairs", "ids", "failed", "scheduled", "cost_per_sample",
+                 "n_finished")
+
+    def __init__(self):
+        self.pairs = None          # [N, 2, M] (numpy or device array)
+        self.ids = None            # TagChain of successful sample ids
+        self.failed = []           # [(sample_id, message)]
+        self.scheduled = None      # TagChain of scheduled ids
+        self.cost_per_sample = 0.0
+        self.n_finished = 0        # successful + failed
+
+    def append_pairs(self, ids, pairs, xp=np):
+        from mlmc_tpu.tags import TagChain
+
+        if self.ids is None:
+            self.ids = TagChain()
+        self.ids.extend(ids)
+        self.n_finished += pairs.shape[0]
+        self.pairs = (pairs if self.pairs is None
+                      else xp.concatenate((self.pairs, pairs), axis=0))
+
+    @property
+    def n_collected(self):
+        return 0 if self.pairs is None else int(self.pairs.shape[0])
+
+
 class Memory(SampleStorage):
-    """In-RAM storage: per-level [N, 2, M] float arrays (reference :135-338)."""
+    """In-RAM storage: per-level [N, 2, M] float arrays (reference :135-338),
+    each level held as one cohesive ``_LevelData`` record."""
+
+    #: array module for the result payload (DeviceMemory: jax.numpy)
+    @staticmethod
+    def _xp():
+        return np
 
     def __init__(self, chunk_size=None):
-        self._failed = {}
-        self._results = {}
-        self._successful_sample_ids = {}
-        self._scheduled = {}
+        self._levels = {}          # level_id -> _LevelData
         self._result_specification = []
-        self._n_ops = {}
-        self._n_finished = {}
         self._level_parameters = []
         # in samples per chunk; None = single chunk per level
         self._chunk_size = chunk_size
         super().__init__()
 
+    def _level(self, level_id) -> _LevelData:
+        return self._levels.setdefault(level_id, _LevelData())
+
+    def _levels_with_results(self):
+        return [lid for lid, st in self._levels.items() if st.pairs is not None]
+
+    # -------------------------------------------------------------- write
     def save_samples(self, successful_samples, failed_samples):
         self._save_successful(successful_samples)
-        self._save_failed(failed_samples)
+        for level_id, res in failed_samples.items():
+            if len(res):
+                level = self._level(level_id)
+                level.failed.extend(res)
+                level.n_finished += len(res)
 
     def save_samples_bulk(self, level_id, ids, fine, coarse):
-        from mlmc_tpu.tags import TagChain
-
-        pairs = np.stack([np.asarray(fine, dtype=np.float64),
-                          np.asarray(coarse, dtype=np.float64)], axis=1)
-        self._successful_sample_ids.setdefault(level_id, TagChain()).extend(ids)
-        self._n_finished[level_id] = self._n_finished.get(level_id, 0) + len(ids)
-        if level_id not in self._results:
-            self._results[level_id] = pairs
-        else:
-            self._results[level_id] = np.concatenate(
-                (self._results[level_id], pairs), axis=0)
-
-    def save_global_data(self, result_format, level_parameters=None):
-        self.save_result_format(result_format)
-        self._level_parameters = level_parameters
+        xp = self._xp()
+        pairs = xp.stack([xp.asarray(fine), xp.asarray(coarse)], axis=1)
+        if pairs.dtype != np.float64 and xp is np:
+            pairs = pairs.astype(np.float64)
+        self._level(level_id).append_pairs(ids, pairs, xp=xp)
 
     def _save_successful(self, samples):
         """:param samples: Dict[level_id, List[Tuple[sample_id, (fine, coarse)]]]"""
         for level_id, res in samples.items():
             if len(res) == 0:
                 continue
-            from mlmc_tpu.tags import TagChain
-
             ids = [s_id for s_id, _ in res]
-            pairs = np.array([np.stack([np.ravel(f), np.ravel(c)]) for s_id, (f, c) in res],
-                             dtype=np.float64)  # [N, 2, M]
-            self._successful_sample_ids.setdefault(level_id, TagChain()).extend(ids)
-            self._n_finished[level_id] = self._n_finished.get(level_id, 0) + pairs.shape[0]
-            if level_id not in self._results:
-                self._results[level_id] = pairs
-            else:
-                self._results[level_id] = np.concatenate((self._results[level_id], pairs), axis=0)
+            fine = np.stack([np.ravel(f) for _, (f, _c) in res])
+            coarse = np.stack([np.ravel(c) for _, (_f, c) in res])
+            self.save_samples_bulk(level_id, ids, fine, coarse)
 
-    def _save_failed(self, samples):
-        for level_id, res in samples.items():
-            self._failed.setdefault(level_id, []).extend(res)
-            self._n_finished[level_id] = self._n_finished.get(level_id, 0) + len(res)
+    def save_global_data(self, result_format, level_parameters=None):
+        self.save_result_format(result_format)
+        self._level_parameters = level_parameters
 
     def save_result_format(self, res_spec: List[QuantitySpec]):
         self._result_specification = res_spec
 
-    def n_finished(self):
-        if not self._n_finished:
-            return np.zeros(0)
-        n_levels = max(self._n_finished.keys()) + 1
-        n_finished = np.zeros(n_levels)
-        for level_id, n_fin in self._n_finished.items():
-            n_finished[level_id] = n_fin
-        return n_finished
-
-    def load_result_format(self) -> List[QuantitySpec]:
-        return self._result_specification
-
     def save_scheduled_samples(self, level_id, samples):
         from mlmc_tpu.tags import TagChain
 
-        self._scheduled.setdefault(level_id, TagChain()).extend(samples)
+        level = self._level(level_id)
+        if level.scheduled is None:
+            level.scheduled = TagChain()
+        level.scheduled.extend(samples)
+
+    def save_n_ops(self, n_ops):
+        """:param n_ops: iterable of (level_id, [time, n_samples])"""
+        for level_id, (time, n_samples) in n_ops:
+            if n_samples != 0:
+                self._level(level_id).cost_per_sample += time / n_samples
+
+    # --------------------------------------------------------------- read
+    def load_result_format(self) -> List[QuantitySpec]:
+        return self._result_specification
 
     def load_scheduled_samples(self):
-        return self._scheduled
+        return {lid: st.scheduled for lid, st in self._levels.items()
+                if st.scheduled is not None}
+
+    def n_finished(self):
+        busy = [lid for lid, st in self._levels.items() if st.n_finished]
+        out = np.zeros(max(busy) + 1 if busy else 0)
+        for lid in busy:
+            out[lid] = self._levels[lid].n_finished
+        return out
 
     def sample_pairs(self):
-        levels_results = [None] * len(self._results)
-        for level_id in self.get_level_ids():
-            results = self.sample_pairs_level(ChunkSpec(level_id=level_id))
-            levels_results[level_id] = results
-        return levels_results
+        with_results = self._levels_with_results()
+        out = [None] * len(with_results)
+        for lid in with_results:
+            out[lid] = self.sample_pairs_level(ChunkSpec(level_id=lid))
+        return out
 
     def _level_chunks(self, level_id, n_samples=None):
-        n_total = len(self._results[level_id][:n_samples])
+        n_total = self._levels[level_id].n_collected
+        if n_samples is not None:
+            n_total = min(n_total, n_samples)
         chunk = self._chunk_size or n_total or 1
         for i, start in enumerate(range(0, max(n_total, 1), chunk)):
             yield ChunkSpec(
@@ -201,51 +240,45 @@ class Memory(SampleStorage):
             )
 
     def sample_pairs_level(self, chunk_spec):
-        """:return: np.ndarray [M, chunk size, 2] (level 0: [M, chunk size, 1])"""
-        results = self._results[int(chunk_spec.level_id)]
+        """:return: array [M, chunk size, 2] (level 0: [M, chunk size, 1])"""
+        pairs = self._levels[int(chunk_spec.level_id)].pairs
         if chunk_spec.chunk_slice is not None:
-            chunk = results[chunk_spec.chunk_slice]
-        else:
-            chunk = results
+            pairs = pairs[chunk_spec.chunk_slice]
         # level 0 has no coarse part: strip the auxiliary zero slot
         if chunk_spec.level_id == 0:
-            chunk = chunk[:, :1, :]
-        return chunk.transpose((2, 0, 1))  # [M, chunk size, 2]
-
-    def save_n_ops(self, n_ops):
-        """:param n_ops: iterable of (level_id, [time, n_samples])"""
-        for level, (time, n_samples) in n_ops:
-            if level not in self._n_ops:
-                self._n_ops[level] = 0
-            if n_samples != 0:
-                self._n_ops[level] += time / n_samples
+            pairs = pairs[:, :1, :]
+        return pairs.transpose((2, 0, 1))  # [M, chunk size, 2]
 
     def get_n_ops(self):
-        n_ops = [0.0] * (max(self._n_ops.keys()) + 1 if self._n_ops else 0)
-        for level, time in self._n_ops.items():
-            n_ops[level] = time
-        return n_ops
+        busy = [lid for lid, st in self._levels.items() if st.cost_per_sample]
+        out = [0.0] * (max(busy) + 1 if busy else 0)
+        for lid in busy:
+            out[lid] = self._levels[lid].cost_per_sample
+        return out
 
     def unfinished_ids(self):
         return []
 
     def failed_samples(self):
-        return {str(level_id): [s_id for s_id, _ in fails] for level_id, fails in self._failed.items()}
+        return {str(lid): [s_id for s_id, _ in st.failed]
+                for lid, st in self._levels.items() if st.failed}
 
     def clear_failed(self):
-        self._failed = {}
+        for st in self._levels.values():
+            st.failed = []
 
     def get_level_ids(self):
-        return list(self._results.keys())
+        return self._levels_with_results()
 
     def get_n_collected(self):
-        n_collected = [0] * len(self._results)
-        for level_id in self.get_level_ids():
-            n_collected[int(level_id)] = len(self._results[int(level_id)])
-        return n_collected
+        with_results = self._levels_with_results()
+        out = [0] * len(with_results)
+        for lid in with_results:
+            out[int(lid)] = self._levels[lid].n_collected
+        return out
 
     def get_n_levels(self):
-        return len(self._results)
+        return len(self._levels_with_results())
 
     def get_level_parameters(self):
         return self._level_parameters
@@ -262,39 +295,12 @@ class DeviceMemory(Memory):
     x 30-component chunk is ~0.1 GB per pass).
 
     The id/cost/failure bookkeeping stays on host (tiny); only the result
-    payload lives in HBM.
+    payload lives in HBM — the only difference from Memory is the array
+    module carrying ``pairs``.
     """
 
-    def save_samples_bulk(self, level_id, ids, fine, coarse):
-        import jax.numpy as jnp
-        from mlmc_tpu.tags import TagChain
-
-        pairs = jnp.stack([jnp.asarray(fine), jnp.asarray(coarse)], axis=1)
-        self._successful_sample_ids.setdefault(level_id, TagChain()).extend(ids)
-        self._n_finished[level_id] = self._n_finished.get(level_id, 0) + len(ids)
-        if level_id not in self._results:
-            self._results[level_id] = pairs
-        else:
-            self._results[level_id] = jnp.concatenate(
-                (self._results[level_id], pairs), axis=0)
-
-    def _save_successful(self, samples):
+    @staticmethod
+    def _xp():
         import jax.numpy as jnp
 
-        for level_id, res in samples.items():
-            if len(res) == 0:
-                continue
-            ids = [s_id for s_id, _ in res]
-            fine = np.stack([np.ravel(f) for _, (f, _c) in res])
-            coarse = np.stack([np.ravel(c) for _, (_f, c) in res])
-            self.save_samples_bulk(level_id, ids, jnp.asarray(fine),
-                                   jnp.asarray(coarse))
-
-    def sample_pairs_level(self, chunk_spec):
-        """:return: DEVICE array [M, chunk, 2] (level 0: [M, chunk, 1])."""
-        results = self._results[int(chunk_spec.level_id)]
-        chunk = (results[chunk_spec.chunk_slice]
-                 if chunk_spec.chunk_slice is not None else results)
-        if chunk_spec.level_id == 0:
-            chunk = chunk[:, :1, :]
-        return chunk.transpose((2, 0, 1))
+        return jnp
