@@ -52,8 +52,10 @@ def _draw_level_samples(rng):
 
 
 def _q_spec(cls):
+    # NB: location names must not have length 3 — the reference treats any
+    # len-3 location as an (x, y, z) float triple (sample_storage_hdf.py:41)
     return [cls(name="value", unit="", shape=(1, 1), times=[0],
-                locations=["loc"])]
+                locations=["spot"])]
 
 
 def _fill(storage, spec, data, as_object_array=False):
@@ -86,8 +88,8 @@ def both_quantities():
     ref_root = ref_make_root(ref_storage, _q_spec(RefQSpec))
     tpu_root = make_root_quantity(tpu_storage, _q_spec(QuantitySpec))
     # scalar view: value @ time 0 @ location -> [1,1] array -> scalar
-    ref_scalar = ref_root["value"][0]["loc"][0, 0]
-    tpu_scalar = tpu_root["value"][0]["loc"][0, 0]
+    ref_scalar = ref_root["value"][0]["spot"][0, 0]
+    tpu_scalar = tpu_root["value"][0]["spot"][0, 0]
     return ref_scalar, tpu_scalar
 
 
@@ -179,3 +181,51 @@ def test_density_parity(both_quantities):
     kl = tpu_sd.KL_divergence(lambda x: ref_distr.density(x),
                               lambda x: tpu_distr.density(x), *DOMAIN)
     assert kl < 1e-9, f"KL(ref || tpu) = {kl}"
+
+
+def test_hdf_file_interop_both_directions(tmp_path):
+    """HDF5 files written by either framework open and read back in the
+    other — the schema-compatibility claim tested at the FILE level
+    (reference sample_storage_hdf.py + tool/hdf5.py schema).
+    """
+    from mlmc.sample_storage_hdf import SampleStorageHDF as RefHDF
+    from mlmc_tpu import SampleStorageHDF as TpuHDF
+
+    data = _draw_level_samples(np.random.default_rng(77))
+
+    # ours -> reference
+    ours_path = str(tmp_path / "ours.hdf5")
+    _fill(TpuHDF(file_path=ours_path), _q_spec(QuantitySpec), data)
+    ref_reader = RefHDF(file_path=ours_path)
+    ref_pairs = ref_reader.sample_pairs()
+    fmt = ref_reader.load_result_format()
+    assert [q.name for q in fmt] == ["value"]
+    assert np.allclose(np.squeeze(np.asarray(
+        ref_reader.get_level_parameters())), [0.5, 0.25, 0.125])
+
+    # reference -> ours
+    ref_path = str(tmp_path / "ref.hdf5")
+    _fill(RefHDF(file_path=ref_path), _q_spec(RefQSpec), data,
+          as_object_array=True)
+    tpu_reader = TpuHDF(file_path=ref_path)
+    tpu_pairs = tpu_reader.sample_pairs()
+    assert [q.name for q in tpu_reader.load_result_format()] == ["value"]
+
+    for lvl, (fine, coarse) in enumerate(data):
+        for pairs in (ref_pairs, tpu_pairs):
+            chunk = np.asarray(pairs[lvl])      # [M, N, 1|2]
+            assert np.allclose(chunk[0, :, 0], fine, atol=0)
+            if lvl > 0:
+                assert np.allclose(chunk[0, :, 1], coarse, atol=0)
+
+    # raw h5py structure spot-check of OUR file against the reference
+    # schema (tool/hdf5.py:14-46): root attrs + per-level datasets
+    import h5py
+
+    with h5py.File(ours_path, "r") as f:
+        assert "version" in f.attrs and "level_parameters" in f.attrs
+        for lvl in range(N_LEVELS):
+            grp = f["Levels/{}".format(lvl)]
+            for dset in ("collected_values", "collected_ids", "scheduled"):
+                assert dset in grp, (lvl, dset, list(grp))
+            assert grp["collected_values"].shape[1:] == (2, 1)
