@@ -10,11 +10,20 @@ here by two small mock executables so the example runs anywhere. Point
 Run: python examples/flow_sim_workflow.py
 """
 import os
-import stat
-import tempfile
-import textwrap
 
-import numpy as np
+# host-side simulation: force the CPU jax backend BEFORE importing jax —
+# the axon TPU plugin otherwise routes every per-sample field draw through
+# the remote device tunnel (see CLAUDE.md)
+os.environ.pop("JAX_PLATFORMS", None)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import stat  # noqa: E402
+import tempfile  # noqa: E402
+import textwrap  # noqa: E402
+
+import numpy as np  # noqa: E402
 
 from mlmc_tpu import FlowSim, Memory, Sampler, ThreadPool, Legendre
 from mlmc_tpu import estimator as est_mod
@@ -98,7 +107,7 @@ def main():
     storage = Memory()
     sampler = Sampler(storage, ThreadPool(2, work_dir=os.path.join(work, "out")),
                       sim, level_parameters=[[0.6], [0.2]])
-    sampler.set_initial_n_samples([40, 20])
+    sampler.set_initial_n_samples([16, 8])
     sampler.schedule_samples()
     sampler.ask_sampling_pool_for_samples()
     print("collected per level:", list(storage.get_n_collected()))

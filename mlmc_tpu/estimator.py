@@ -202,13 +202,9 @@ class Estimate:
         :return: (moment means [R] or [M, R], estimator variances same shape)
         """
         from mlmc_tpu.quantity.quantity_types import ScalarType
-        from mlmc_tpu.ops.pallas_kernels import (
-            mlmc_moment_pipeline_from_samples, pack_level_samples)
-        import jax
 
         moments_fn = self._resolve_moments(moments_fn)
-        basis = self._fast_basis(moments_fn)
-        ref_domain = tuple(float(v) for v in moments_fn.ref_domain)
+        self._fast_basis(moments_fn)  # fail fast before the chunk gather
         scalar = isinstance(self._quantity.qtype, ScalarType)
         M = 1 if scalar else self._quantity.qtype.size()
 

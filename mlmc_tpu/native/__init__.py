@@ -216,7 +216,11 @@ def parse_gmsh_mesh(path):
             buf = ctypes.create_string_buffer(cap)
             got = lib.gmsh_mesh_regions(handle, buf, cap)
         region_map = {}
-        for line in buf.value.decode().splitlines():
+        try:
+            names_blob = buf.value.decode()
+        except UnicodeDecodeError:  # non-UTF-8 physical names
+            names_blob = buf.value.decode("latin-1")
+        for line in names_blob.splitlines():
             if "\t" in line:
                 name, rid = line.rsplit("\t", 1)
                 region_map[name] = int(rid)
@@ -253,7 +257,9 @@ def write_gmsh_fields(path, ele_ids, fields):
                 values.shape[0], values.shape[1])
             if rc != 0:
                 raise IOError("short write to fields file")
-    finally:
-        if lib.gmsh_fields_close(handle) != 0:
-            raise IOError("fields file close failed")
+    except BaseException:
+        lib.gmsh_fields_close(handle)  # best effort; keep the real error
+        raise
+    if lib.gmsh_fields_close(handle) != 0:
+        raise IOError("fields file close failed")
     return True

@@ -188,9 +188,9 @@ void* gmsh_mesh_open(const char* path) {
                     ++n_nodes;
                 }
                 sc.next_line();
-                auto bc = is_bc.find(region);
-                if (bc != is_bc.end() && bc->second) continue;  // boundary
                 if (n_nodes == 0) { sc.ok = false; break; }
+                // keep EVERY element here; boundary regions are filtered
+                // after the full scan ($PhysicalNames may follow $Elements)
                 ele_ids.push_back(id);
                 region_ids.push_back(region);
                 centers.push_back(cx / n_nodes);
@@ -213,7 +213,23 @@ void* gmsh_mesh_open(const char* path) {
     }
 
     if (!sc.ok || !saw_nodes || !saw_elements) return nullptr;
+    // drop boundary-region elements now that every section is parsed
+    // (section order in msh2 files is not fixed)
     Mesh* mesh = new Mesh();
+    size_t kept = 0;
+    for (size_t i = 0; i < ele_ids.size(); ++i) {
+        auto bc = is_bc.find(region_ids[i]);
+        if (bc != is_bc.end() && bc->second) continue;
+        ele_ids[kept] = ele_ids[i];
+        region_ids[kept] = region_ids[i];
+        centers[kept * 3] = centers[i * 3];
+        centers[kept * 3 + 1] = centers[i * 3 + 1];
+        centers[kept * 3 + 2] = centers[i * 3 + 2];
+        ++kept;
+    }
+    ele_ids.resize(kept);
+    region_ids.resize(kept);
+    centers.resize(kept * 3);
     mesh->ele_ids = std::move(ele_ids);
     mesh->region_ids = std::move(region_ids);
     mesh->centers = std::move(centers);

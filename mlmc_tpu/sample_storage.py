@@ -117,7 +117,7 @@ class _LevelData:
         self.ids = None            # TagChain of successful sample ids
         self.failed = []           # [(sample_id, message)]
         self.scheduled = None      # TagChain of scheduled ids
-        self.cost_per_sample = 0.0
+        self.cost_per_sample = None  # None = no cost report yet
         self.n_finished = 0        # successful + failed
 
     def append_pairs(self, ids, pairs, xp=np):
@@ -202,8 +202,11 @@ class Memory(SampleStorage):
     def save_n_ops(self, n_ops):
         """:param n_ops: iterable of (level_id, [time, n_samples])"""
         for level_id, (time, n_samples) in n_ops:
+            level = self._level(level_id)
+            if level.cost_per_sample is None:
+                level.cost_per_sample = 0.0  # reported, possibly zero cost
             if n_samples != 0:
-                self._level(level_id).cost_per_sample += time / n_samples
+                level.cost_per_sample += time / n_samples
 
     # --------------------------------------------------------------- read
     def load_result_format(self) -> List[QuantitySpec]:
@@ -222,7 +225,9 @@ class Memory(SampleStorage):
 
     def sample_pairs(self):
         with_results = self._levels_with_results()
-        out = [None] * len(with_results)
+        # indexed by level id: a level whose samples ALL failed leaves a
+        # None slot instead of shifting (or crashing) the later levels
+        out = [None] * (max(with_results) + 1 if with_results else 0)
         for lid in with_results:
             out[lid] = self.sample_pairs_level(ChunkSpec(level_id=lid))
         return out
@@ -250,7 +255,11 @@ class Memory(SampleStorage):
         return pairs.transpose((2, 0, 1))  # [M, chunk size, 2]
 
     def get_n_ops(self):
-        busy = [lid for lid, st in self._levels.items() if st.cost_per_sample]
+        # every level with a cost REPORT appears, including exact zeros
+        # (a missing level would desynchronize the allocation formula's
+        # cost vector from the variance vector)
+        busy = [lid for lid, st in self._levels.items()
+                if st.cost_per_sample is not None]
         out = [0.0] * (max(busy) + 1 if busy else 0)
         for lid in busy:
             out[lid] = self._levels[lid].cost_per_sample
@@ -272,7 +281,7 @@ class Memory(SampleStorage):
 
     def get_n_collected(self):
         with_results = self._levels_with_results()
-        out = [0] * len(with_results)
+        out = [0] * (max(with_results) + 1 if with_results else 0)
         for lid in with_results:
             out[int(lid)] = self._levels[lid].n_collected
         return out

@@ -312,3 +312,57 @@ def test_native_gmsh_parser_matches_python(tmp_path):
     back = GmshIO(str(fpath)).element_data["velocity"][0.0]
     got = np.asarray([back[int(e)] for e in fast["ele_ids"]])
     assert np.allclose(got, vals, atol=0)  # %.17g round-trips f64 exactly
+
+
+def test_memory_gap_levels_and_zero_costs():
+    """Regressions from review: a level whose samples ALL failed must not
+    shift/crash the later levels' views, and a zero-cost level must stay
+    in the n_ops vector (the allocation formula pairs it with variances
+    index by index)."""
+    m = Memory()
+    m.save_samples(
+        {1: [("L01_S0000000", (np.array([1.0]), np.array([2.0])))]},
+        {0: [("L00_S0000000", "solver crash")]})
+    assert m.get_n_collected() == [0, 1]
+    pairs = m.sample_pairs()
+    assert pairs[0] is None and pairs[1].shape == (1, 1, 2)
+    assert m.failed_samples() == {"0": ["L00_S0000000"]}
+    assert list(m.n_finished()) == [1, 1]
+
+    m.save_n_ops([(0, (1.0, 10)), (1, (0.5, 10)), (2, (0.0, 10))])
+    assert m.get_n_ops() == [0.1, 0.05, 0.0]
+
+
+def test_native_gmsh_physical_names_after_elements(tmp_path):
+    """msh2 section order is not fixed: boundary exclusion must hold when
+    $PhysicalNames follows $Elements (review finding)."""
+    from mlmc_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    msh = tmp_path / "late.msh"
+    msh.write_text("""$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+3
+1 2 2 1 1 1 2 3
+2 2 2 1 1 1 3 4
+3 1 2 2 2 2 3
+$EndElements
+$PhysicalNames
+2
+2 1 "ground"
+1 2 ".bc_outflow"
+$EndPhysicalNames
+""")
+    parsed = native.parse_gmsh_mesh(str(msh))
+    assert list(parsed["ele_ids"]) == [1, 2]
+    assert parsed["region_map"][".bc_outflow"] == 2
