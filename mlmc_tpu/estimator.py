@@ -142,8 +142,12 @@ class Estimate:
         return self._fast_results_packed(moments_fn, [component])[component]
 
     def estimate_covariance_fast(self, moments_fn=None):
-        """Fast-tier telescoped moment covariance [R, R] from the
-        single-dispatch stored-samples kernel (scalar quantities).
+        """Fast-tier telescoped moment covariance from the single-dispatch
+        stored-samples kernel.
+
+        Scalar quantities return ``([R, R], [R])``; structured quantities
+        return per-component blocks ``([M, R, R], [M, R])`` (flat-M order)
+        — all components packed into the same dispatch.
 
         Matches estimate_covariance to the f32 precision tier; feeds the
         orthogonalization in construct_density_fast.
@@ -151,18 +155,22 @@ class Estimate:
         from mlmc_tpu.quantity.quantity_types import ScalarType
 
         moments_fn = self._resolve_moments(moments_fn)
-        if not isinstance(self._quantity.qtype, ScalarType):
-            raise NotImplementedError(
-                "fast covariance supports ScalarType quantities")
-        res = self._fast_level_results(moments_fn)
-        cov = np.zeros((moments_fn.size, moments_fn.size))
-        mean = np.zeros(moments_fn.size)
-        for lvl, r in enumerate(res):
-            n = max(float(r.n_valid), 1.0)
-            cf = np.asarray(r.cov_fine, dtype=np.float64) / n
-            cc = np.asarray(r.cov_coarse, dtype=np.float64) / n
-            cov += cf - cc if lvl > 0 else cf
-            mean += np.asarray(r.sums, dtype=np.float64) / n
+        scalar = isinstance(self._quantity.qtype, ScalarType)
+        M = 1 if scalar else self._quantity.qtype.size()
+        R = moments_fn.size
+
+        packed = self._fast_results_packed(moments_fn, list(range(M)))
+        cov = np.zeros((M, R, R))
+        mean = np.zeros((M, R))
+        for m in range(M):
+            for lvl, r in enumerate(packed[m]):
+                n = max(float(r.n_valid), 1.0)
+                cf = np.asarray(r.cov_fine, dtype=np.float64) / n
+                cc = np.asarray(r.cov_coarse, dtype=np.float64) / n
+                cov[m] += cf - cc if lvl > 0 else cf
+                mean[m] += np.asarray(r.sums, dtype=np.float64) / n
+        if scalar:
+            return cov[0], mean[0]
         return cov, mean
 
     def construct_density_fast(self, tol=1e-8, reg_param=0.0,

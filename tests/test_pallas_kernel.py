@@ -355,3 +355,39 @@ def test_multi_level_pipeline_pow2_padding():
         assert int(res[lvl].n_valid) == int(single.n_valid)
         assert np.allclose(np.asarray(res[lvl].sums),
                            np.asarray(single.sums), atol=1e-4)
+
+
+def test_fast_covariance_vector_qoi():
+    """estimate_covariance_fast for a structured quantity: per-component
+    [M, R, R] blocks from ONE packed dispatch, each block matching a
+    scalar-view fast covariance of that component."""
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm()))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=3), sim,
+                      [[0.2], [0.05]])
+    sampler.set_initial_n_samples([600, 200])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    root = make_root_quantity(storage, q_specs=sim.result_format())
+    ts = root["length"][1]            # one time slice: 2 locations x (2,1)
+    mfn = Legendre(6, (-10.0, 10.0))
+    est = est_mod.Estimate(ts, storage, mfn)
+    cov, mean = est.estimate_covariance_fast()
+    M = ts.qtype.size()
+    assert cov.shape == (M, 6, 6) and mean.shape == (M, 6)
+
+    # component 0 as a scalar view reproduces block 0
+    scalar_est = est_mod.Estimate(ts["10"][0], storage, mfn)
+    cov0, mean0 = scalar_est.estimate_covariance_fast()
+    assert np.allclose(cov0, cov[0], atol=1e-6)
+    assert np.allclose(mean0, mean[0], atol=1e-6)
+    # symmetric PSD-ish blocks with unit P0 diagonal
+    for m in range(M):
+        assert np.allclose(cov[m], cov[m].T, atol=1e-6)
+        assert abs(cov[m][0, 0] - 1.0) < 1e-6
