@@ -76,6 +76,11 @@ class Estimate:
             raise NotImplementedError(
                 "fast path does not implement log-transformed moments; "
                 "use estimate_moments")
+        if not getattr(moments_fn, "_is_clip", True):
+            raise NotImplementedError(
+                "fast path always drops out-of-domain samples (kernel "
+                "validity masking); a safe_eval=False basis would KEEP "
+                "them in estimate_moments — use that path instead")
         return basis
 
     _FAST_KERNEL_CHUNK = 16384

@@ -103,19 +103,36 @@ def _basis_rows(phi, t, valid, vf, n_moments, basis):
         phi[n, :] = jnp.zeros_like(t[0])
 
 
-def _kahan_into(acc_ref, comp_ref, delta):
+def _kahan_into(acc_ref, comp_ref, delta, *, block=False):
     """Compensated (Kahan) accumulation ``acc += delta`` with a running
     error-carry buffer. Cross-chunk accumulation error stays at one f32
     rounding of the FINAL value instead of O(n_chunks) roundings — the
     measured 1e8-sample deviation from an f64 reference drops from ~1e-5
     to the within-chunk reduction floor (see tests/test_pallas_kernel.py
-    precision bound)."""
-    acc = acc_ref[...]
+    precision bound).
+
+    ``block=True`` accumulates into the level-selected [0]-indexed output
+    block of the multi-level kernels (the compensation scratch is shared
+    and reset at level boundaries).
+    """
+    acc = acc_ref[0] if block else acc_ref[...]
     comp = comp_ref[...]
     y = delta - comp
     t = acc + y
     comp_ref[...] = (t - acc) - y
-    acc_ref[...] = t
+    if block:
+        acc_ref[0] = t
+    else:
+        acc_ref[...] = t
+
+
+def _kahan_row_into(acc_ref, comp_ref, row, *, block=False):
+    """Kahan-accumulate the lane-reduction of ``row`` broadcast across the
+    accumulator's lane dimension."""
+    lanes = acc_ref.shape[2] if block else acc_ref.shape[1]
+    _kahan_into(acc_ref, comp_ref,
+                jnp.broadcast_to(jnp.sum(row, axis=1, keepdims=True),
+                                 (R_PAD, lanes)), block=block)
 
 
 def _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
@@ -168,13 +185,8 @@ def _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
         build(phi_c, t_c)
         pc = phi_c[...]
         dphi = pf - pc
-    lanes = sums_ref.shape[1]
-    _kahan_into(sums_ref, c_sums,
-                jnp.broadcast_to(jnp.sum(dphi, axis=1, keepdims=True),
-                                 (R_PAD, lanes)))
-    _kahan_into(sums2_ref, c_sums2,
-                jnp.broadcast_to(jnp.sum(dphi * dphi, axis=1, keepdims=True),
-                                 (R_PAD, lanes)))
+    _kahan_row_into(sums_ref, c_sums, dphi)
+    _kahan_row_into(sums2_ref, c_sums2, dphi * dphi)
     _kahan_into(cov_f_ref, c_cov_f, jax.lax.dot_general(
         pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32))
@@ -265,13 +277,8 @@ def _accumulate_qoi_chunk(fine, coarse, i, sums_ref, sums2_ref, cov_f_ref,
         _basis_rows(phi_c, t_c, valid, vf, n_moments, basis)
         pc = phi_c[...]
         dphi = pf - pc
-    lanes = sums_ref.shape[1]
-    _kahan_into(sums_ref, c_sums,
-                jnp.broadcast_to(jnp.sum(dphi, axis=1, keepdims=True),
-                                 (R_PAD, lanes)))
-    _kahan_into(sums2_ref, c_sums2,
-                jnp.broadcast_to(jnp.sum(dphi * dphi, axis=1, keepdims=True),
-                                 (R_PAD, lanes)))
+    _kahan_row_into(sums_ref, c_sums, dphi)
+    _kahan_row_into(sums2_ref, c_sums2, dphi * dphi)
     _kahan_into(cov_f_ref, c_cov_f, jax.lax.dot_general(
         pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32))
@@ -620,19 +627,8 @@ def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
         for n in range(n_moments, R_PAD):
             phi[n, :] = jnp.zeros_like(t[0])
 
-    def kadd(acc_ref, comp_ref, delta):
-        # Kahan into the [0]-indexed level output block
-        acc = acc_ref[0]
-        comp = comp_ref[...]
-        y = delta - comp
-        t = acc + y
-        comp_ref[...] = (t - acc) - y
-        acc_ref[0] = t
-
-    def krow(acc_ref, comp_ref, row):
-        kadd(acc_ref, comp_ref,
-             jnp.broadcast_to(jnp.sum(row, axis=1, keepdims=True),
-                              (R_PAD, acc_ref.shape[2])))
+    kadd = functools.partial(_kahan_into, block=True)
+    krow = functools.partial(_kahan_row_into, block=True)
 
     build(phi_f, t_f)
     pf = phi_f[...]
@@ -806,18 +802,8 @@ def _samples_mlmc_kernel(level_ref, first_ref, nsamp_ref, base_ref,
     valid = valid & (((t_c >= ref_lo) & (t_c <= ref_hi)) | (has_coarse < 1))
     vf = valid.astype(jnp.float32)
 
-    def kadd(acc_ref, comp_ref, delta):
-        acc = acc_ref[0]
-        comp = comp_ref[...]
-        y = delta - comp
-        t = acc + y
-        comp_ref[...] = (t - acc) - y
-        acc_ref[0] = t
-
-    def krow(acc_ref, comp_ref, row):
-        kadd(acc_ref, comp_ref,
-             jnp.broadcast_to(jnp.sum(row, axis=1, keepdims=True),
-                              (R_PAD, acc_ref.shape[2])))
+    kadd = functools.partial(_kahan_into, block=True)
+    krow = functools.partial(_kahan_row_into, block=True)
 
     _basis_rows(phi_f, t_f, valid, vf, n_moments, basis)
     pf = phi_f[...]
@@ -845,10 +831,6 @@ def _samples_mlmc_kernel(level_ref, first_ref, nsamp_ref, base_ref,
     nv_ref[lvl, 0] += jnp.sum(vf).astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_moments", "n_per_level", "chunk", "domain",
-                     "ref_domain", "basis", "interpret", "has_coarse"))
 def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
                                       *, domain, ref_domain=(-1.0, 1.0),
                                       basis="legendre", chunk=16384,
@@ -861,32 +843,56 @@ def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
     sequential grid covers every chunk of every level, and prefetched level
     ids select per-level output blocks (same scheme as synth_mlmc_pipeline).
 
+    True per-level counts are DYNAMIC (prefetch scalars): adaptive rounds
+    whose counts grow within the same pow2-padded chunk structure reuse the
+    compiled executable — only a change of padded structure (or of the
+    static config) recompiles (per CLAUDE.md: pass counts dynamically with
+    static allocation bounds).
+
     :param fine/coarse: [sum(padded n_l)] f32 arrays — each level's samples
         padded with NaN to a multiple of ``chunk`` (level 0's coarse part
         is ignored); build with ``pack_level_samples``
-    :param n_per_level: true per-level counts (static tuple)
+    :param n_per_level: true per-level counts
     :return: list of SynthMomentResult, one per level
     """
     assert n_moments <= R_PAD
     assert chunk % 1024 == 0 and chunk <= 16384
     L = len(n_per_level)
-    a, b = domain
-    ref_lo, ref_hi = ref_domain
     if has_coarse is None:
         # plain level semantics: only level 0 lacks a coarse part. Callers
         # packing (level, component) streams pass the flag per entry
         # (estimate_moments_fast runs ALL components in this one dispatch).
         has_coarse = tuple(0 if lvl == 0 else 1 for lvl in range(L))
+    # pow2 chunk counts, matching pack_level_samples — the STATIC structure
+    chunks_per_level = tuple(
+        1 << (max(-(-int(n) // chunk), 1) - 1).bit_length()
+        for n in n_per_level)
+    nsamps = np.repeat(np.asarray([int(n) for n in n_per_level], np.int32),
+                       chunks_per_level)
+    return _samples_mlmc_dispatch(
+        jnp.asarray(fine, jnp.float32), jnp.asarray(coarse, jnp.float32),
+        jnp.asarray(nsamps), n_moments=n_moments,
+        chunks_per_level=chunks_per_level, has_coarse=tuple(has_coarse),
+        domain=tuple(domain), ref_domain=tuple(ref_domain), basis=basis,
+        chunk=chunk, interpret=interpret)
 
-    level_ids, firsts, nsamps, bases, hasc = [], [], [], [], []
-    for lvl, n in enumerate(n_per_level):
-        # pow2 chunk counts, matching pack_level_samples (executable reuse
-        # across adaptive rounds; surplus chunks are fully tail-masked)
-        n_chunks = 1 << (max(-(-int(n) // chunk), 1) - 1).bit_length()
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_moments", "chunks_per_level", "has_coarse", "chunk",
+                     "domain", "ref_domain", "basis", "interpret"))
+def _samples_mlmc_dispatch(fine, coarse, nsamps, *, n_moments,
+                           chunks_per_level, has_coarse, domain, ref_domain,
+                           basis, chunk, interpret):
+    L = len(chunks_per_level)
+    a, b = domain
+    ref_lo, ref_hi = ref_domain
+
+    level_ids, firsts, bases, hasc = [], [], [], []
+    for lvl, n_chunks in enumerate(chunks_per_level):
         for c in range(n_chunks):
             level_ids.append(lvl)
             firsts.append(1 if c == 0 else 0)
-            nsamps.append(int(n))
             bases.append(c * chunk)
             hasc.append(int(has_coarse[lvl]))
     grid = (len(level_ids),)
@@ -943,11 +949,11 @@ def mlmc_moment_pipeline_from_samples(fine, coarse, n_per_level, n_moments,
     )(
         jnp.asarray(level_ids, jnp.int32),
         jnp.asarray(firsts, jnp.int32),
-        jnp.asarray(nsamps, jnp.int32),
+        nsamps,
         jnp.asarray(bases, jnp.int32),
         jnp.asarray(hasc, jnp.int32),
-        jnp.asarray(fine, jnp.float32).reshape(1, total_pad),
-        jnp.asarray(coarse, jnp.float32).reshape(1, total_pad),
+        fine.reshape(1, total_pad),
+        coarse.reshape(1, total_pad),
     )
 
     R = n_moments

@@ -412,7 +412,11 @@ class DeviceBatchPool(SamplingPool):
                 self._jit_cache[cache_key] = jax.jit(fn)
         fn_c = self._jit_cache[cache_key]
         if dyn_names:
-            dyn_vals = tuple(jnp.float32(config[k]) for k in dyn_names)
+            # dtype follows the enabled precision: float32 on TPU, float64
+            # under x64 — a hard f32 cast broke exact-tier bit parity with
+            # the static-config pools (review finding)
+            dyn_vals = tuple(jnp.asarray(config[k], dtype=float)
+                             for k in dyn_names)
             return lambda keys, attempts: fn_c(dyn_vals, keys, attempts)
         return fn_c
 

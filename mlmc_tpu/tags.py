@@ -187,7 +187,8 @@ class TagChain:
             self.extend(seg)
 
     def extend(self, seq):
-        if isinstance(seq, (TagRange, TagChain, list, tuple, np.ndarray)):
+        if isinstance(seq, (TagRange, TagArray, TagChain, list, tuple,
+                            np.ndarray)):
             self._segments.append(seq)
             self._n += len(seq)
         else:  # arbitrary iterable

@@ -391,3 +391,30 @@ def test_fast_covariance_vector_qoi():
     for m in range(M):
         assert np.allclose(cov[m], cov[m].T, atol=1e-6)
         assert abs(cov[m][0, 0] - 1.0) < 1e-6
+
+
+def test_stored_pipeline_executable_reuse():
+    """Per-level counts are DYNAMIC: adaptive rounds with grown counts but
+    the same pow2-padded chunk structure must reuse the compiled
+    executable (remote AOT compiles cost 10-30 s each); a structure
+    change recompiles (review finding)."""
+    from mlmc_tpu.ops.pallas_kernels import (
+        mlmc_moment_pipeline_from_samples, pack_level_samples,
+        _samples_mlmc_dispatch)
+
+    def run(n0, n1):
+        rng = np.random.default_rng(n0)
+        f0, f1 = rng.normal(size=n0), rng.normal(size=n1)
+        fine, coarse, counts = pack_level_samples(
+            [f0, f1], [None, f1 * 0.9], chunk=1024)
+        return mlmc_moment_pipeline_from_samples(
+            fine, coarse, counts, 5, domain=(-5.0, 5.0), chunk=1024,
+            interpret=True)
+
+    run(900, 400)
+    c1 = _samples_mlmc_dispatch._cache_size()
+    res = run(1000, 700)          # grown counts, same padded structure
+    assert _samples_mlmc_dispatch._cache_size() == c1
+    assert [float(r.n_valid) for r in res] == [1000.0, 700.0]
+    run(1500, 400)                # level 0 crosses a pow2 boundary
+    assert _samples_mlmc_dispatch._cache_size() == c1 + 1
