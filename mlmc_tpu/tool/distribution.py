@@ -176,6 +176,9 @@ class Distribution:
         _, g, _ = self._objective(multipliers, order=1)
         self._grid_gradient = g
 
+    #: reference penalty strength (reference distribution.py:47)
+    PENALTY_COEF = 10.0
+
     def _objective(self, lam, order=2):
         """(F, grad, hess) on the current grid; ``order`` limits the work."""
         mu = self.moment_means[:self._size] / self.moment_errs[:self._size]
@@ -184,22 +187,45 @@ class Distribution:
 
         reg = self._reg_param
         F = float(mu @ lam + rho_w.sum() + reg * np.dot(lam[1:], lam[1:]))
+
+        # endpoint decay penalty (reference :340-412): where force_decay is
+        # set, density GROWTH toward the boundary (end_diff > 0) is
+        # penalized with |F|-scaled quadratic terms; per the reference, |F|
+        # acts as a frozen scale (its own derivative is ignored)
+        rows = self._end_rows
+        active = None
+        if rows is not None:
+            end_diff = rows @ lam
+            active = np.maximum(end_diff, 0.0)
+            F = F + abs(F) * self.PENALTY_COEF * float(np.sum(active ** 2))
         if order < 1:
             return F, None, None
+
         grad = mu - self._q_moms.T @ rho_w
         if reg:
             grad = grad + 2 * reg * np.concatenate([[0.0], lam[1:]])
+        if rows is not None:
+            grad = grad + abs(F) * self.PENALTY_COEF * 2.0 * (active @ rows)
         if order < 2:
             return F, grad, None
+
         hess = (self._q_moms.T * rho_w) @ self._q_moms
         if reg:
             hess = hess + 2 * reg * np.diag([0.0] + [1.0] * (self._size - 1))
+        if rows is not None:
+            for side in range(rows.shape[0]):
+                if active[side] > 0:
+                    hess = hess + abs(F) * self.PENALTY_COEF * 2.0 * np.outer(
+                        rows[side], rows[side])
         return F, grad, hess
 
     # ------------------------------------------------------------------ #
     def _solve_stage(self, lam0, tol):
         """Exact-trust-region Newton on one continuation stage."""
         lam = np.array(lam0, dtype=float)
+        # endpoint decay rows for this stage's size (None = no penalty)
+        self._end_rows = (self.end_point_derivatives()
+                          if any(self.decay_penalty) else None)
         self._grid_multipliers = lam
         self._grid_gradient = np.ones(self._size)
         self._refresh_quadrature(lam, force=True)

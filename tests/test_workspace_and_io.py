@@ -466,3 +466,32 @@ $EndElements
     # parsed meshes are cached (per-sample calculate() must not re-parse)
     again = FlowSim.extract_mesh(str(fine))
     assert again is f
+
+
+def test_legacy_distribution_force_decay():
+    """force_decay must actually shape the fit (review finding: the flag
+    was a no-op). An exponential's density RISES toward the left domain
+    edge; with the decay penalty on, the fitted density's growth toward
+    that boundary (end_diff > 0) is suppressed by orders of magnitude."""
+    from mlmc_tpu.moments import Legendre as Leg
+    from mlmc_tpu.tool.distribution import Distribution
+    import mlmc_tpu.tool.simple_distribution as sd
+
+    pdf = stats.expon().pdf
+    R = 7
+    mfn = Leg(R, (0.0, 4.0), safe_eval=False)
+    mu = sd.compute_semiexact_moments(mfn, pdf, tol=1e-12)
+    data = np.stack((mu / (1 - np.exp(-4.0)), np.ones(R)), axis=1)
+
+    probe = Distribution(mfn, data, domain=(0.0, 4.0),
+                         force_decay=(True, False))
+    rows = probe.end_point_derivatives()
+
+    end_diffs = {}
+    for decay in [(False, False), (True, False)]:
+        d = Distribution(mfn, data, domain=(0.0, 4.0), force_decay=decay)
+        assert d.estimate_density_minimize(tol=1e-7).success
+        end_diffs[decay] = float((rows @ d.multipliers)[0])
+
+    assert end_diffs[(False, False)] > 0.5          # boundary max, no penalty
+    assert end_diffs[(True, False)] < 1e-3          # penalty suppresses it
