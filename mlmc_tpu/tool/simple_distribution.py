@@ -547,7 +547,8 @@ def compute_exact_moments(moments_fn, density, tol=1e-10):
     integral = np.zeros(moments_fn.size)
     for i in range(moments_fn.size):
         def fn(x, i=i):
-            return np.asarray(moments_fn.eval_all_np(np.atleast_1d(x)))[..., i][0] * density(x)
+            phi = np.asarray(moments_fn.eval_all_np(np.atleast_1d(x)))[..., i][0]
+            return float(phi * np.squeeze(density(x)))
 
         integral[i] = integrate.quad(fn, a, b, epsabs=tol, limit=EXACT_QUAD_LIMIT)[0]
     return integral
@@ -576,7 +577,7 @@ def compute_exact_cov(moments_fn, density, tol=1e-10):
         for j in range(i + 1):
             def fn(x, i=i, j=j):
                 m = np.asarray(moments_fn.eval_all_np(np.atleast_1d(x)))[0]
-                return m[i] * m[j] * density(x)
+                return float(m[i] * m[j] * np.squeeze(density(x)))
 
             integral[j][i] = integral[i][j] = integrate.quad(
                 fn, a, b, epsabs=tol, limit=EXACT_QUAD_LIMIT)[0]

@@ -114,7 +114,8 @@ def test_density_normalization():
     moments_data = np.stack((exact_moments, np.ones(12)), axis=1)
     d = sd.SimpleDistribution(mfn, moments_data, domain=cut.domain)
     d.estimate_density_minimize(tol=1e-9)
-    m0 = integrate.quad(d.density, cut.domain[0], cut.domain[1], epsabs=1e-12)[0]
+    m0 = integrate.quad(lambda x: float(np.squeeze(d.density(x))),
+                        cut.domain[0], cut.domain[1], epsabs=1e-12)[0]
     assert abs(m0 - 1.0) < 1e-8
 
     # cdf endpoints
