@@ -367,9 +367,11 @@ class Estimate:
         self.var_bs_l_means = np.var(bs_l_means, axis=0, ddof=1)
         self.var_bs_l_vars = np.var(bs_l_vars, axis=0, ddof=1)
 
-        self._bs_level_mean_variance = (
-            self.var_bs_l_means * np.array(self._sample_storage.get_n_collected())[:, None]
-        )
+        n_coll = np.asarray(self._sample_storage.get_n_collected(), float)
+        # broadcast over the leading level axis whatever the QoI structure
+        # (structured quantities carry extra trailing axes)
+        self._bs_level_mean_variance = self.var_bs_l_means * n_coll.reshape(
+            (-1,) + (1,) * (self.var_bs_l_means.ndim - 1))
 
     def est_bootstrap_fast(self, n_subsamples=100, sample_vector=None,
                            moments_fn=None, seed=0):
@@ -454,9 +456,9 @@ class Estimate:
         self.var_bs_var = bs_var.var(axis=0, ddof=1)
         self.var_bs_l_means = bs_l_means.var(axis=0, ddof=1)
         self.var_bs_l_vars = bs_l_vars.var(axis=0, ddof=1)
-        self._bs_level_mean_variance = (
-            self.var_bs_l_means
-            * np.array(self._sample_storage.get_n_collected())[:, None])
+        n_coll = np.asarray(self._sample_storage.get_n_collected(), float)
+        self._bs_level_mean_variance = self.var_bs_l_means * n_coll.reshape(
+            (-1,) + (1,) * (self.var_bs_l_means.ndim - 1))
 
     def bs_target_var_n_estimated(self, target_var, sample_vec=None):
         """Estimate n_l for a target variance from bootstrapped level vars."""

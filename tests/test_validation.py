@@ -104,3 +104,30 @@ def test_bootstrap_fast_matches_general(mlmc_run):
     nz = gen["var_mean"][1:] > 0
     ratio = fast["var_mean"][1:][nz] / gen["var_mean"][1:][nz]
     assert np.all(ratio < 5) and np.all(ratio > 0.2), ratio
+
+
+def test_bootstrap_structured_quantity():
+    """est_bootstrap over a STRUCTURED quantity: the level-variance scaling
+    must broadcast over the extra QoI axes (regression: it crashed with a
+    [L, R, M] x [L, 1] broadcast error)."""
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler, Legendre
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm()))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=1), sim, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([300, 100])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    root = make_root_quantity(storage, q_specs=sim.result_format())
+    ts = root["length"][1]                   # 2 locations x (2, 1)
+    est = est_mod.Estimate(ts, storage, Legendre(5, (-10.0, 10.0)))
+    est.est_bootstrap(n_subsamples=5, sample_vector=[100, 40])
+    M = ts.qtype.size()
+    assert est.mean_bs_mean.shape == (5, M)
+    assert est.var_bs_l_means.shape == (2, 5, M)
+    assert est._bs_level_mean_variance.shape == (2, 5, M)
+    assert np.all(np.isfinite(est.mean_bs_mean))
