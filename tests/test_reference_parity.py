@@ -15,6 +15,12 @@ simple_distribution.py:50-94 (maxent solve).
 import numpy as np
 import pytest
 
+# the REFERENCE library's adaptive-quad integrands return shape-(1,) arrays
+# (numpy-2 deprecation, thousands of repeats per solve); our own quad paths
+# are warning-clean and covered in test_distribution.py
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:Conversion of an array with ndim:DeprecationWarning")
+
 from tests.reference_shim import import_reference
 
 mlmc_ref = import_reference()
