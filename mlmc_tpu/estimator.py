@@ -384,16 +384,17 @@ class Estimate:
         semantics) and reduces — one jit, ``n_subsamples`` replicates in
         parallel. Sets the same attributes as ``est_bootstrap``.
 
-        Scalar quantities only (the general path covers structured ones).
+        Structured quantities bootstrap every flat component in the same
+        vmapped program; attribute shapes match ``est_bootstrap``
+        ([L, R, M] per-level statistics).
         """
         import jax
         import jax.numpy as jnp
         from mlmc_tpu.quantity.quantity_types import ScalarType
 
         moments_fn = self._resolve_moments(moments_fn, remember=True)
-        if not isinstance(self._quantity.qtype, ScalarType):
-            raise NotImplementedError(
-                "est_bootstrap_fast supports ScalarType quantities")
+        scalar = isinstance(self._quantity.qtype, ScalarType)
+        M = 1 if scalar else self._quantity.qtype.size()
 
         sample_vector = determine_sample_vec(
             n_collected_samples=self._sample_storage.get_n_collected(),
@@ -405,25 +406,31 @@ class Estimate:
         B = int(n_subsamples)
         key = jax.random.key(seed)
 
-        # [B, L, R] per-level bootstrap means/vars
-        bs_l_means = np.empty((B, n_levels, R))
-        bs_l_vars = np.empty((B, n_levels, R))
+        # per-level bootstrap means/vars: [B, L, R] (scalar) / [B, L, R, M]
+        stat_shape = (R,) if scalar else (R, M)
+        bs_l_means = np.empty((B, n_levels) + stat_shape)
+        bs_l_vars = np.empty((B, n_levels) + stat_shape)
         ns = np.empty(n_levels, dtype=int)
         for lvl in range(n_levels):
             chunk = np.asarray(self.get_level_samples(
                 lvl, n_samples=int(self._sample_storage.get_n_collected()[lvl])))
-            fine = chunk[0, :, 0]
-            coarse = chunk[0, :, 1] if chunk.shape[2] > 1 else None
-            valid = ~np.isnan(fine)
+            fine = chunk[:, :, 0]                      # [M, N]
+            coarse = chunk[:, :, 1] if chunk.shape[2] > 1 else None
+            # reference semantics: a sample drops when ANY component is NaN
+            valid = ~np.isnan(fine).any(axis=0)
             if coarse is not None:
-                valid &= ~np.isnan(coarse)
-            fine = fine[valid]
+                valid &= ~np.isnan(coarse).any(axis=0)
+            fine = fine[:, valid]
+            # [M, N, R] moment diffs per component -> [N, R, M] stat layout
             phi_f = np.asarray(moments_fn.eval_all_np(fine))
             if coarse is not None:
-                phi_c = np.asarray(moments_fn.eval_all_np(coarse[valid]))
+                phi_c = np.asarray(moments_fn.eval_all_np(coarse[:, valid]))
                 dphi_np = np.nan_to_num(phi_f) - np.nan_to_num(phi_c)
             else:
                 dphi_np = np.nan_to_num(phi_f)
+            dphi_np = np.moveaxis(dphi_np, 0, -1)      # [N, R, M]
+            if scalar:
+                dphi_np = dphi_np[..., 0]
             N = dphi_np.shape[0]
             n_sub = int(min(sample_vector[lvl], N))
             ns[lvl] = n_sub
@@ -442,11 +449,12 @@ class Estimate:
 
             keys = jax.random.split(jax.random.fold_in(key, lvl), B)
             means_l, vars_l = jax.jit(jax.vmap(replicate))(keys)
-            bs_l_means[:, lvl, :] = np.asarray(means_l)
-            bs_l_vars[:, lvl, :] = np.asarray(vars_l)
+            bs_l_means[:, lvl] = np.asarray(means_l)
+            bs_l_vars[:, lvl] = np.asarray(vars_l)
 
-        bs_mean = bs_l_means.sum(axis=1)                      # [B, R]
-        bs_var = (bs_l_vars / ns[None, :, None]).sum(axis=1)  # [B, R]
+        ns_bc = ns.reshape((1, n_levels) + (1,) * len(stat_shape))
+        bs_mean = bs_l_means.sum(axis=1)               # [B, R(, M)]
+        bs_var = (bs_l_vars / ns_bc).sum(axis=1)
 
         self.mean_bs_mean = bs_mean.mean(axis=0)
         self.mean_bs_var = bs_var.mean(axis=0)

@@ -131,3 +131,38 @@ def test_bootstrap_structured_quantity():
     assert est.var_bs_l_means.shape == (2, 5, M)
     assert est._bs_level_mean_variance.shape == (2, 5, M)
     assert np.all(np.isfinite(est.mean_bs_mean))
+
+
+def test_bootstrap_fast_structured_quantity():
+    """Device bootstrap for a structured quantity: all components in the
+    same vmapped program, [L, R, M] statistics matching est_bootstrap's
+    shapes, component 0 identical to the scalar fast path (same keys)."""
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler, Legendre
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm()))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=1), sim, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([300, 100])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    root = make_root_quantity(storage, q_specs=sim.result_format())
+    ts = root["length"][1]
+    mfn = Legendre(5, (-10.0, 10.0))
+
+    scalar_est = est_mod.Estimate(ts["10"][0], storage, mfn)
+    scalar_est.est_bootstrap_fast(n_subsamples=30, sample_vector=[200, 80],
+                                  seed=7)
+    scalar_mean = scalar_est.mean_bs_mean.copy()
+
+    est = est_mod.Estimate(ts, storage, mfn)
+    est.est_bootstrap_fast(n_subsamples=30, sample_vector=[200, 80], seed=7)
+    M = ts.qtype.size()
+    assert est.mean_bs_mean.shape == (5, M)
+    assert est.mean_bs_l_vars.shape == (2, 5, M)
+    assert est._bs_level_mean_variance.shape == (2, 5, M)
+    assert np.allclose(est.mean_bs_mean[:, 0], scalar_mean, atol=1e-12)
+    assert np.all(np.isfinite(est.var_bs_l_vars))
