@@ -101,8 +101,14 @@ class Moments:
 
     def change_size(self, size):
         # keyword args: subclass signatures insert ref_domain positionally
-        # (the reference's positional call is broken for its subclasses)
-        return self.__class__(size, self.domain, log=self._is_log, safe_eval=self._is_clip)
+        # (the reference's positional call is broken for its subclasses);
+        # a custom ref_domain must survive the resize (review finding)
+        kwargs = dict(log=self._is_log, safe_eval=self._is_clip)
+        import inspect
+
+        if "ref_domain" in inspect.signature(self.__class__.__init__).parameters:
+            kwargs["ref_domain"] = self.ref_domain
+        return self.__class__(size, self.domain, **kwargs)
 
     def __call__(self, value):
         return self._eval_all(value, self.size)
@@ -246,7 +252,9 @@ class Fourier(Moments):
         kx = t[..., None] * k  # [..., R]
         # interleave to the reference order: 1, cos kx at odd, sin kx at even
         out = jnp.empty(t.shape + (size,), dtype=t.dtype)
-        out = out.at[..., 0].set(1.0)
+        # t*0 + 1 keeps the NaN-poisoning invariant for clipped inputs even
+        # when size == 1 and no sin/cos column exists to carry the NaN
+        out = out.at[..., 0].set(t * 0.0 + 1.0)
         out = out.at[..., 1::2].set(jnp.cos(kx))
         out = out.at[..., 2::2].set(jnp.sin(kx[..., : R - shorter_sin]))
         return out
@@ -257,7 +265,7 @@ class Fourier(Moments):
         k = np.arange(1, R + 1, dtype=float)
         kx = t[..., None] * k
         out = np.empty(t.shape + (size,), dtype=float)
-        out[..., 0] = 1.0
+        out[..., 0] = t * 0.0 + 1.0
         out[..., 1::2] = np.cos(kx)
         out[..., 2::2] = np.sin(kx[..., : R - shorter_sin])
         return out

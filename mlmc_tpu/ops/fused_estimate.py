@@ -126,7 +126,7 @@ def fused_level_moments(
         shard_ix = 0
         n_shards = 1
 
-    def body(i, acc):
+    def body(i, acc_comp):
         # global chunk index = i * n_shards + shard (stride layout keeps the
         # per-index key mapping identical regardless of mesh size)
         chunk_ix = i * n_shards + shard_ix
@@ -139,8 +139,11 @@ def fused_level_moments(
         fine, coarse, failed = sample_chunk_fn(keys)
         comp_axes = tuple(range(1, fine.ndim))  # QoI component axes, if any
         valid = (in_range & ~failed
-                 & ~jnp.any(jnp.isnan(fine), axis=comp_axes)
-                 & ~jnp.any(jnp.isnan(coarse), axis=comp_axes))
+                 & ~jnp.any(jnp.isnan(fine), axis=comp_axes))
+        if not is_level0:
+            # level 0's coarse output is ignored entirely, so a NaN there
+            # (a natural 'no coarse' marker) must not invalidate the sample
+            valid = valid & ~jnp.any(jnp.isnan(coarse), axis=comp_axes)
 
         phi_f = moments_fn.eval_all(fine)       # [C, ..., R]
         if is_level0:
@@ -155,15 +158,30 @@ def fused_level_moments(
         phi_f = jnp.nan_to_num(phi_f)
         phi_c = jnp.nan_to_num(phi_c)
 
+        acc, comp = acc_comp
         s, s2, cf, cc, nv = _moment_chunk(phi_f, phi_c, valid, acc.sums.dtype)
-        return MomentAccumulators(
-            sums=acc.sums + s,
-            sums2=acc.sums2 + s2,
-            cov_fine=acc.cov_fine + cf,
-            cov_coarse=acc.cov_coarse + cc,
+
+        def kadd(a, c, delta):
+            # Kahan step: cross-chunk error stays at one rounding of the
+            # final value (the f32 tier's documented 'compensated ordering')
+            y = delta - c
+            t = a + y
+            return t, (t - a) - y
+
+        sums, c_sums = kadd(acc.sums, comp.sums, s)
+        sums2, c_sums2 = kadd(acc.sums2, comp.sums2, s2)
+        cov_f, c_cov_f = kadd(acc.cov_fine, comp.cov_fine, cf)
+        cov_c, c_cov_c = kadd(acc.cov_coarse, comp.cov_coarse, cc)
+        new_acc = MomentAccumulators(
+            sums=sums, sums2=sums2, cov_fine=cov_f, cov_coarse=cov_c,
             n_valid=acc.n_valid + nv,
             n_total=acc.n_total + jnp.sum(in_range).astype(acc.sums.dtype),
         )
+        new_comp = MomentAccumulators(
+            sums=c_sums, sums2=c_sums2, cov_fine=c_cov_f, cov_coarse=c_cov_c,
+            n_valid=comp.n_valid, n_total=comp.n_total,
+        )
+        return new_acc, new_comp
 
     # shards process interleaved chunks; ceil so every chunk is covered
     n_local_chunks = -(-n_chunks // n_shards)
@@ -175,7 +193,7 @@ def fused_level_moments(
         n_valid=jnp.zeros((), acc_dtype),
         n_total=jnp.zeros((), acc_dtype),
     )
-    acc = jax.lax.fori_loop(0, n_local_chunks, body, init)
+    acc, _comp = jax.lax.fori_loop(0, n_local_chunks, body, (init, init))
     if axis_name is not None:
         acc = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), acc)
     return acc
@@ -194,12 +212,18 @@ def accumulators_to_estimates(accs):
         s2 = np.asarray(a.sums2, dtype=np.float64)
         n = float(a.n_valid)
         ns.append(n)
-        mean = s / n
-        var = (s2 - s * s / n) / (n - 1)
+        # explicit degenerate-count semantics (match quantity_estimate):
+        # n == 0 -> zero mean / infinite variance, n == 1 -> infinite var
+        safe_n = max(n, 1.0)
+        mean = s / safe_n
+        var = ((s2 - s * s / safe_n) / (n - 1) if n > 1
+               else np.full_like(s, np.inf))
+        if n == 0:
+            mean = np.zeros_like(s)
         l_means.append(mean)
         l_vars.append(var)
-        cf = np.asarray(a.cov_fine, dtype=np.float64) / n
-        cc = np.asarray(a.cov_coarse, dtype=np.float64) / n
+        cf = np.asarray(a.cov_fine, dtype=np.float64) / safe_n
+        cc = np.asarray(a.cov_coarse, dtype=np.float64) / safe_n
         covs.append(cf - cc if lvl > 0 else cf)
     l_means = np.stack(l_means)
     l_vars = np.stack(l_vars)
@@ -208,7 +232,7 @@ def accumulators_to_estimates(accs):
         l_means=l_means,
         l_vars=l_vars,
         mean=l_means.sum(axis=0),
-        var=(l_vars / ns[:, None]).sum(axis=0),
+        var=(l_vars / np.maximum(ns, 1.0)[:, None]).sum(axis=0),
         cov=np.sum(covs, axis=0),
         n_samples=ns,
     )

@@ -42,18 +42,24 @@ def _accum_dtype():
     return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
 
-def _chunk_sums_impl(chunk):
-    """Per-chunk masked accumulation: (sum, sum_sq, n_valid, n_removed).
+def _chunk_sums_impl(chunk, n_true=None):
+    """Per-chunk masked accumulation: (sum, sum_sq, n_valid).
 
     chunk: [M, N, C] with C==1 (level 0) or C==2. NaN-poisoned samples are
     zeroed out and counted, matching the drop-then-sum semantics of the
-    reference (quantity_estimate.py:45-65).
+    reference (quantity_estimate.py:45-65). ``n_true`` (traced) marks the
+    true sample count of a padded chunk: pad columns are EXCLUDED by
+    position, never by NaN detection — a DAG with non-NaN-propagating ops
+    (fmax, power(x, 0), ...) would otherwise launder pad columns into
+    phantom valid samples.
     """
     chunk = jnp.asarray(chunk)
     if not jnp.issubdtype(chunk.dtype, jnp.floating):
         raise TypeError("estimate_mean requires float-valued quantities")
     acc = _accum_dtype()
     valid = ~jnp.any(jnp.isnan(chunk), axis=(0, 2))  # [N]
+    if n_true is not None:
+        valid &= jnp.arange(chunk.shape[1]) < n_true
     if chunk.shape[2] == 1:
         diff = chunk[:, :, 0]
     else:
@@ -61,8 +67,7 @@ def _chunk_sums_impl(chunk):
     diff = jnp.where(valid[None, :], diff, 0.0).astype(acc)
     s = jnp.sum(diff, axis=1)
     sp = jnp.sum(diff * diff, axis=1)
-    n_valid = jnp.sum(valid)
-    return s, sp, n_valid, valid.shape[0] - n_valid
+    return s, sp, jnp.sum(valid)
 
 
 _chunk_sums = jax.jit(_chunk_sums_impl)
@@ -89,8 +94,6 @@ def estimate_mean(quantity):
 
     n_samples = [0] * n_levels
     n_rm_samples = [0] * n_levels
-    sums = None
-    sums_of_squares = None
 
     fused_eval = None
     # fusing the whole DAG costs one XLA compile per (DAG, chunk shape);
@@ -105,60 +108,51 @@ def estimate_mean(quantity):
         fused_eval = getattr(quantity, "_fused_eval", None)
         if fused_eval is None:
             dag_eval = quantity.build_eval()
-            fused_eval = jax.jit(lambda leaf: _chunk_sums_impl(dag_eval(leaf)))
+            fused_eval = jax.jit(
+                lambda leaf, n_true: _chunk_sums_impl(dag_eval(leaf), n_true))
             quantity._fused_eval = fused_eval
 
+    sums = [np.zeros(quantity_vec_size, dtype=np.float64)
+            for _ in range(n_levels)]
+    sums_of_squares = [np.zeros(quantity_vec_size, dtype=np.float64)
+                       for _ in range(n_levels)]
     for chunk_spec in quantity_storage.chunks():
         if fused_eval is not None:
             leaf = jnp.asarray(quantity_storage.samples(chunk_spec))
             if not jnp.issubdtype(leaf.dtype, jnp.floating):
-                raise TypeError(
-                    "estimate_mean supports float-valued quantities, "
-                    "got dtype {}".format(leaf.dtype))
+                # the eager path type-checks the DAG OUTPUT; match it by
+                # lifting an integer leaf to float before evaluation
+                leaf = leaf.astype(_accum_dtype())
             # pad the sample axis to a power-of-two bucket: growing storage
             # (adaptive rounds) then reuses the compiled executable instead
             # of recompiling per new chunk length (10-30 s per compile on a
-            # remote-attached chip). NaN columns are masked out; only the
-            # removed-count needs correcting.
+            # remote-attached chip). Pad columns are excluded by POSITION
+            # inside the kernel (n_true is a traced argument).
             n_true = leaf.shape[1]
             bucket = 1 << max(int(n_true - 1).bit_length(), 10)
             pad = bucket - n_true
             if pad:
                 leaf = jnp.pad(leaf, ((0, 0), (0, pad), (0, 0)),
                                constant_values=jnp.nan)
-            s, sp, n_valid, n_rm = fused_eval(leaf)
-            samples = None
-            lid = chunk_spec.level_id
-            n_samples[lid] += int(n_valid)
-            n_rm_samples[lid] += int(n_rm) - pad
-            if sums is None:
-                sums = [np.zeros(quantity_vec_size, dtype=np.float64)
-                        for _ in range(n_levels)]
-                sums_of_squares = [np.zeros(quantity_vec_size, dtype=np.float64)
-                                   for _ in range(n_levels)]
-            sums[lid] += np.asarray(s, dtype=np.float64)
-            sums_of_squares[lid] += np.asarray(sp, dtype=np.float64)
-            continue
-        samples = quantity.samples(chunk_spec)
-        samples = jnp.asarray(samples)
-        if not jnp.issubdtype(samples.dtype, jnp.floating):
-            raise TypeError(
-                "estimate_mean supports float-valued quantities, got dtype {}".format(samples.dtype)
-            )
-        s, sp, n_valid, n_rm = _chunk_sums(samples)
+            s, sp, n_valid = fused_eval(leaf, n_true)
+        else:
+            samples = jnp.asarray(quantity.samples(chunk_spec))
+            if not jnp.issubdtype(samples.dtype, jnp.floating):
+                raise TypeError(
+                    "estimate_mean supports float-valued quantities, "
+                    "got dtype {}".format(samples.dtype))
+            assert samples.shape[0] == quantity_vec_size
+            n_true = samples.shape[1]
+            s, sp, n_valid = _chunk_sums(samples)
+
         lid = chunk_spec.level_id
-        n_samples[lid] += int(n_valid)
-        n_rm_samples[lid] += int(n_rm)
-
-        assert samples.shape[0] == quantity_vec_size
-
-        if sums is None:
-            sums = [np.zeros(samples.shape[0], dtype=np.float64) for _ in range(n_levels)]
-            sums_of_squares = [np.zeros(samples.shape[0], dtype=np.float64) for _ in range(n_levels)]
+        n_valid = int(n_valid)
+        n_samples[lid] += n_valid
+        n_rm_samples[lid] += n_true - n_valid
         sums[lid] += np.asarray(s, dtype=np.float64)
         sums_of_squares[lid] += np.asarray(sp, dtype=np.float64)
 
-    if sums is None or sum(n_samples) == 0:
+    if sum(n_samples) == 0:
         raise Exception("All samples were masked")
 
     l_means = []

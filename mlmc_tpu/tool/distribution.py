@@ -113,7 +113,9 @@ class Distribution:
         values = np.atleast_1d(values).astype(float)
         out = np.empty(len(values))
         last_x, last_y = self.domain[0], 0.0
-        for i, val in enumerate(np.sort(values)):
+        # ascending evaluation, results scattered to the INPUT positions
+        for i in np.argsort(values, kind="stable"):
+            val = values[i]
             if val <= self.domain[0]:
                 last_y = 0.0
             elif val >= self.domain[1]:

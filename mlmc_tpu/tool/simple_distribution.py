@@ -313,12 +313,20 @@ class SimpleDistribution:
         return -np.sum(moms * self.multipliers / self._moment_errs, axis=-1)
 
     def cdf(self, values):
-        """Incremental fixed-quad cdf (reference :108-125)."""
+        """Incremental fixed-quad cdf (reference :108-125).
+
+        Evaluation runs in ascending order (each step integrates from the
+        previous point) and results scatter back to the INPUT positions —
+        iterating the sorted values but writing positionally returned a
+        permuted array for unsorted queries (review finding).
+        """
         values = np.atleast_1d(values).astype(float)
+        order = np.argsort(values, kind="stable")
         last_x = self.domain[0]
         last_y = 0.0
         cdf_y = np.empty(len(values))
-        for i, val in enumerate(np.sort(values)):
+        for i in order:
+            val = values[i]
             if val <= self.domain[0]:
                 last_y = 0.0
             elif val >= self.domain[1]:
@@ -483,19 +491,20 @@ class SimpleDistribution:
         gnorm = np.inf
         for _round in range(8):
             q_mom = self._quad_moments / self._moment_errs[None, :]
-            # pad the quad axis to a power-of-two bucket (zero rows with zero
-            # weights are exact no-ops) so jit compiles once per bucket size
-            q = q_mom.shape[0]
-            bucket = 1 << max(q - 1, 1).bit_length()
-            q_mom_p = np.zeros((bucket, q_mom.shape[1]))
-            q_mom_p[:q] = q_mom
-            w_p = np.zeros(bucket)
-            w_p[:q] = self._quad_weights
             if self._solver_backend == "numpy":
                 lam_j, gnorm_j, nit = _newton_solve_np(
                     q_mom, self._quad_weights, mu_scaled, lam, tol,
                     max_iter=self._max_newton_iter)
             else:
+                # pad the quad axis to a power-of-two bucket (zero rows with
+                # zero weights are exact no-ops) so jit compiles once per
+                # bucket size; only the jax backend consumes the padding
+                q = q_mom.shape[0]
+                bucket = 1 << max(q - 1, 1).bit_length()
+                q_mom_p = np.zeros((bucket, q_mom.shape[1]))
+                q_mom_p[:q] = q_mom
+                w_p = np.zeros(bucket)
+                w_p[:q] = self._quad_weights
                 lam_j, gnorm_j, nit = _newton_solve(
                     jnp.asarray(q_mom_p),
                     jnp.asarray(w_p),

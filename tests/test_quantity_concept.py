@@ -446,3 +446,48 @@ def test_mask_equals_select_estimates():
     # and the masked DAG is traceable (fusable) while select is not
     assert expr.mask(cond).traceable()
     assert not expr.select(cond).traceable()
+
+
+def test_fused_path_pad_not_laundered_by_ufuncs():
+    """Review regression: the fused estimator pads chunks with NaN columns;
+    a DAG with a non-NaN-propagating ufunc (fmax maps NaN -> finite) must
+    NOT count pad columns as valid samples. Pad exclusion is positional,
+    so eager (<8192 samples) and fused paths agree exactly."""
+    import mlmc_tpu.quantity.quantity_estimate as qe
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu import Memory, QuantitySpec
+
+    spec = [QuantitySpec(name="v", unit="", shape=(1, 1), times=[0],
+                         locations=["s"])]
+
+    def fill(n0, n1):
+        st = Memory()
+        st.save_global_data(result_format=spec, level_parameters=[[0.5], [0.25]])
+        rng = np.random.default_rng(0)
+        for lvl, n in enumerate([n0, n1]):
+            vals = rng.normal(size=n)
+            rows = [("L{:02d}_S{:07d}".format(lvl, i),
+                     (np.array([v]), np.array([v * 0.9])))
+                    for i, v in enumerate(vals)]
+            st.save_samples({lvl: rows}, {})
+        return st
+
+    # 9000 samples > 8192 -> fused path; 8999 is NOT a pow2 -> real padding
+    st_big = fill(8999, 3000)
+    root = make_root_quantity(st_big, q_specs=spec)
+    q = np.fmax(root["v"][0]["s"][0, 0], -10.0)   # fmax(NaN, c) == c !
+    assert q.traceable()
+    m_fused = qe.estimate_mean(q)
+    assert list(m_fused.n_samples) == [8999, 3000]      # no phantom samples
+    assert list(m_fused.n_rm_samples) == [0, 0]         # and none negative
+
+    # small storage (eager path) with the same draws must agree exactly
+    st_small = fill(8999, 3000)
+    st_small._chunk_size = None
+    root2 = make_root_quantity(st_small, q_specs=spec)
+    q2 = np.fmax(root2["v"][0]["s"][0, 0], -10.0)
+    # force the eager path despite the volume: break traceability
+    q2._traceable = False
+    m_eager = qe.estimate_mean(q2)
+    assert np.allclose(m_fused.mean, m_eager.mean, atol=1e-12)
+    assert np.allclose(m_fused.l_vars, m_eager.l_vars, atol=1e-12)
