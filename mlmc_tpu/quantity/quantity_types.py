@@ -161,6 +161,12 @@ class TimeSeriesType(QType):
         times = np.asarray(quantity.qtype._times, dtype=float)
         inner = quantity.qtype._qtype.size()
         n_times = len(times)
+        if not (times[0] <= value <= times[-1]):
+            # silent extrapolation turns a typo'd time into plausible
+            # garbage; the reference's interp1d raised here too
+            raise ValueError(
+                "time {} outside the stored range [{}, {}]".format(
+                    value, times[0], times[-1]))
         lo = int(np.clip(np.searchsorted(times, value) - 1, 0,
                          max(n_times - 2, 0)))
         if n_times == 1:

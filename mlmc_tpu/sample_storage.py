@@ -109,7 +109,7 @@ class _LevelData:
     one method and lets DeviceMemory swap just the array module.
     """
 
-    __slots__ = ("pairs", "ids", "failed", "scheduled", "cost_per_sample",
+    __slots__ = ("pairs", "ids", "failed", "scheduled", "n_ops",
                  "n_finished")
 
     def __init__(self):
@@ -117,7 +117,7 @@ class _LevelData:
         self.ids = None            # TagChain of successful sample ids
         self.failed = []           # [(sample_id, message)]
         self.scheduled = None      # TagChain of scheduled ids
-        self.cost_per_sample = None  # None = no cost report yet
+        self.n_ops = None          # latest cumulative [total time, n] report
         self.n_finished = 0        # successful + failed
 
     def append_pairs(self, ids, pairs, xp=np):
@@ -200,13 +200,14 @@ class Memory(SampleStorage):
         level.scheduled.extend(samples)
 
     def save_n_ops(self, n_ops):
-        """:param n_ops: iterable of (level_id, [time, n_samples])"""
+        """:param n_ops: iterable of (level_id, [total time, n_samples]).
+
+        Pools report CUMULATIVE totals per drain, so the latest report
+        REPLACES the record (the reference re-adds a rate on every poll,
+        inflating C_l by the number of drains).
+        """
         for level_id, (time, n_samples) in n_ops:
-            level = self._level(level_id)
-            if level.cost_per_sample is None:
-                level.cost_per_sample = 0.0  # reported, possibly zero cost
-            if n_samples != 0:
-                level.cost_per_sample += time / n_samples
+            self._level(level_id).n_ops = [float(time), float(n_samples)]
 
     # --------------------------------------------------------------- read
     def load_result_format(self) -> List[QuantitySpec]:
@@ -259,10 +260,11 @@ class Memory(SampleStorage):
         # (a missing level would desynchronize the allocation formula's
         # cost vector from the variance vector)
         busy = [lid for lid, st in self._levels.items()
-                if st.cost_per_sample is not None]
+                if st.n_ops is not None]
         out = [0.0] * (max(busy) + 1 if busy else 0)
         for lid in busy:
-            out[lid] = self._levels[lid].cost_per_sample
+            t, n = self._levels[lid].n_ops
+            out[lid] = t / n if n else 0.0
         return out
 
     def unfinished_ids(self):

@@ -247,12 +247,11 @@ class SampleStorageBin(SampleStorage):
         self._save_meta()
 
     def save_n_ops(self, n_ops):
+        # latest cumulative [total time, n] report replaces the record
+        # (pools report totals per drain; re-adding double-counts)
         for level, (time, n_samples) in n_ops:
-            key = str(int(level))
-            saved = self._meta["n_ops"].get(key, [0.0, 0.0])
-            saved[0] += time
-            saved[1] += n_samples
-            self._meta["n_ops"][key] = saved
+            self._meta["n_ops"][str(int(level))] = [float(time),
+                                                    float(n_samples)]
         self._save_meta()
 
     def get_n_ops(self):

@@ -136,9 +136,10 @@ class SampleStorageHDF(SampleStorage):
 
     def sample_pairs(self):
         levels_results = [None] * len(self._level_groups)
+        n_collected = self.get_n_collected()  # one pass, not one per level
         for level in self._level_groups:
             lid = int(level.level_id)
-            n = self.get_n_collected()[lid]
+            n = n_collected[lid]
             if n == 0:
                 levels_results[lid] = []
                 continue
@@ -176,14 +177,13 @@ class SampleStorageHDF(SampleStorage):
             level.clear_failed_dataset()
 
     def save_n_ops(self, n_ops):
+        # pools report CUMULATIVE [total time, n] totals per drain: the
+        # latest report replaces the attr (re-adding per poll double-counts)
         for level_id, (time, n_samples) in n_ops:
-            if self._level_groups[level_id].n_ops_estimate is None:
-                self._level_groups[level_id].n_ops_estimate = [0.0, 0.0]
-            if n_samples > 0:
-                saved = self._level_groups[level_id].n_ops_estimate
-                saved[0] += time
-                saved[1] += n_samples
-                self._level_groups[level_id].n_ops_estimate = saved
+            if n_samples > 0 or \
+                    self._level_groups[level_id].n_ops_estimate is None:
+                self._level_groups[level_id].n_ops_estimate = \
+                    [float(time), float(n_samples)]
 
     def get_n_ops(self):
         n_ops = [0.0] * len(self._level_groups)

@@ -257,15 +257,27 @@ class ProcessPool(OneProcessPool):
         fut = self._executor.submit(
             SamplingPool.calculate_sample, sample_id, level_sim, self._output_dir
         )
+        fut._mlmc_sample_id = sample_id
         self._futures.append((fut, level_sim))
 
     def get_finished(self):
         pending = []
         for fut, level_sim in self._futures:
-            if fut.done():
-                self._process_result(*fut.result(), level_sim)
-            else:
+            if not fut.done():
                 pending.append((fut, level_sim))
+                continue
+            try:
+                result = fut.result()
+            except Exception as exc:
+                # executor-level failure (worker died, unpicklable config):
+                # report it as a failed sample instead of crashing collection
+                # and leaving the future to be re-processed on retry
+                sample_id = getattr(fut, "_mlmc_sample_id", "<unknown>")
+                self._process_result(
+                    sample_id, None,
+                    "executor failure: {}".format(exc), (0.0, 0.0), level_sim)
+                continue
+            self._process_result(*result, level_sim)
         self._futures = pending
         return super().get_finished()
 
@@ -283,6 +295,24 @@ class ThreadPool(ProcessPool):
         self._queues = {}
         self._n_running = 0
         self.times = {}
+
+
+def _config_equal(a, b):
+    """Structural equality of static config dicts (arrays by value)."""
+    if a is None or b is None or a.keys() != b.keys():
+        return a is b
+    for k in a:
+        va, vb = a[k], b[k]
+        try:
+            if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+                if not np.array_equal(va, vb):
+                    return False
+            elif va != vb:
+                return False
+        except Exception:
+            if va is not vb:
+                return False
+    return True
 
 
 class DeviceBatchPool(SamplingPool):
@@ -321,14 +351,10 @@ class DeviceBatchPool(SamplingPool):
         self._min_bucket = min_bucket
         self._sharding = sharding
         self._jit_cache = {}
+        self._warm = set()  # (level, bucket) pairs that already compiled
+        self._cold_times = {}  # compile-polluted first-call timings
 
     # ------------------------------------------------------------------ #
-    @staticmethod
-    def parse_sample_id(sample_id):
-        """'L02_S0000123' -> (2, 123)."""
-        from mlmc_tpu.tags import parse_tag
-        return parse_tag(sample_id)
-
     def sample_key(self, level_id, sample_index):
         return jax.random.fold_in(jax.random.fold_in(self._root_key, level_id), sample_index)
 
@@ -389,13 +415,22 @@ class DeviceBatchPool(SamplingPool):
                          bucket, bool(config.get("is_level0", False)))
         else:
             cache_key = (level_id, bucket)
+        static_cfg = None
+        if dyn_names:
+            static_cfg = {k: v for k, v in config.items()
+                          if k not in dyn_names}
+            cached = self._jit_cache.get(cache_key)
+            if cached is not None and not _config_equal(cached[1], static_cfg):
+                # a level-varying entry was NOT declared in DYNAMIC_CONFIG:
+                # sharing would silently bake the first level's value into
+                # every level — fall back to a per-level executable
+                cache_key = (level_id, bucket)
         if cache_key not in self._jit_cache:
             if dyn_names:
-                static_cfg = {k: v for k, v in config.items()
-                              if k not in dyn_names}
+                baked_cfg = dict(static_cfg)
 
                 def fn(dyn_vals, keys, attempts):
-                    cfg = dict(static_cfg)
+                    cfg = dict(baked_cfg)
                     cfg.update(zip(dyn_names, dyn_vals))
                     return calc_batch(cfg, keys, attempts)
             else:
@@ -406,11 +441,11 @@ class DeviceBatchPool(SamplingPool):
                 in_sh = self._sharding.batch_sharding()
                 shardings = ((None, in_sh, in_sh) if dyn_names
                              else (in_sh, in_sh))
-                self._jit_cache[cache_key] = jax.jit(
-                    fn, in_shardings=shardings)
+                jitted = jax.jit(fn, in_shardings=shardings)
             else:
-                self._jit_cache[cache_key] = jax.jit(fn)
-        fn_c = self._jit_cache[cache_key]
+                jitted = jax.jit(fn)
+            self._jit_cache[cache_key] = (jitted, static_cfg)
+        fn_c, _ = self._jit_cache[cache_key]
         if dyn_names:
             # dtype follows the enabled precision: float32 on TPU, float64
             # under x64 — a hard f32 cast broke exact-tier bit parity with
@@ -482,8 +517,16 @@ class DeviceBatchPool(SamplingPool):
         level_key = jax.random.fold_in(self._root_key, level_id)
         keys = jax.vmap(lambda i: jax.random.fold_in(level_key, i))(jnp.asarray(idxs_p))
 
-        t0 = time.perf_counter()
+        # build the executable wrapper BEFORE the timed region; whether
+        # the first call of this (key, bucket) still compiles is tracked so
+        # compile time never pollutes the C_l cost model (a remote AOT
+        # compile costs 10-30 s vs milliseconds of sample compute)
         fn = self._batch_fn(level_id, bucket)
+        warm_key = (level_id, bucket)
+        first_call = warm_key not in self._warm
+        self._warm.add(warm_key)
+
+        t0 = time.perf_counter()
         fine, coarse, failed = fn(keys, jnp.asarray(att_p))
         nan_fails = getattr(level_sim, "nan_result_is_failure", True)
         if self._device_results:
@@ -496,9 +539,10 @@ class DeviceBatchPool(SamplingPool):
             failed = np.asarray(failed[:n])
             elapsed = time.perf_counter() - t0
         else:
-            fine = jax.block_until_ready(fine)
-            elapsed = time.perf_counter() - t0
+            # timing must include a device->host TRANSFER: over the remote
+            # tunnel block_until_ready acknowledges enqueue only (CLAUDE.md)
             fine = np.asarray(fine)[:n]
+            elapsed = time.perf_counter() - t0
             coarse = np.asarray(coarse)[:n]
             failed = np.asarray(failed)[:n]
             if nan_fails:
@@ -529,9 +573,15 @@ class DeviceBatchPool(SamplingPool):
         if level_id not in self.times:
             self.times[level_id] = [0, 0]
         if n_ok:
-            # charge wall time only to successful samples (reference semantics)
-            self.times[level_id][0] += elapsed * n_ok / max(n, 1)
-            self.times[level_id][1] += n_ok
+            # charge wall time only to successful samples (reference
+            # semantics). The first call per (level, bucket) includes the
+            # XLA compile (10-30 s remote vs ms of compute), so cold calls
+            # accumulate separately and only stand in for C_l until the
+            # first warm measurement arrives.
+            target = self.times[level_id] if not first_call \
+                else self._cold_times.setdefault(level_id, [0, 0])
+            target[0] += elapsed * n_ok / max(n, 1)
+            target[1] += n_ok
         return ({level_id: successful} if n_ok else {}), (
             {level_id: failed_out} if failed_out else {}
         )
@@ -543,4 +593,10 @@ class DeviceBatchPool(SamplingPool):
             s, f = self.execute_level(level_id)
             successful.update(s)
             failed.update(f)
-        return successful, failed, self.n_pending(), list(self.times.items())
+        # warm (compile-free) timings win; compile-polluted cold timings
+        # only stand in while a level has no warm measurement yet
+        times = {lvl: list(t) for lvl, t in self._cold_times.items()}
+        for lvl, t in self.times.items():
+            if t[1]:
+                times[lvl] = list(t)
+        return successful, failed, self.n_pending(), list(times.items())

@@ -161,6 +161,10 @@ class LevelGroup:
         return name
 
     def _append_dataset(self, dataset_name, values):
+        if len(values) == 0:
+            # dataset[-0:] selects EVERY row — an empty append must no-op,
+            # not overwrite (or shape-error on) the existing data
+            return
         dataset = self.group[dataset_name]
         dataset.resize(dataset.shape[0] + len(values), axis=0)
         dataset[-len(values):] = values
