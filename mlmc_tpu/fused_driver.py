@@ -125,9 +125,18 @@ class FusedMLMC:
                 except ImportError:  # older jax
                     from jax.experimental.shard_map import shard_map
 
-                step = shard_map(step, mesh=self._mesh.mesh,
-                                 in_specs=(P(), P(), P()), out_specs=P(),
-                                 check_vma=False)
+                import inspect
+
+                kwargs = dict(mesh=self._mesh.mesh,
+                              in_specs=(P(), P(), P()), out_specs=P())
+                # jax renamed check_rep -> check_vma; pass whichever this
+                # version accepts (the old fallback crashed with check_vma)
+                params = inspect.signature(shard_map).parameters
+                if "check_vma" in params:
+                    kwargs["check_vma"] = False
+                elif "check_rep" in params:
+                    kwargs["check_rep"] = False
+                step = shard_map(step, **kwargs)
 
             # explicit AOT compile OUTSIDE the timed region: the cost model
             # feeds the allocation formula C_l, and a 10-30 s remote compile
@@ -141,6 +150,13 @@ class FusedMLMC:
         elapsed = time.perf_counter() - t0
 
         if self._accs[level] is None:
+            if np.ndim(acc.sums) != 1:
+                raise NotImplementedError(
+                    "FusedMLMC drives SCALAR QoIs (accumulators [R]); this "
+                    "sim_chunk_fn produced a {}-component QoI — estimate "
+                    "components separately (level_sim_chunk_fn(component=m)) "
+                    "or use the storage-backed Estimate fast tier".format(
+                        np.shape(acc.sums)[0]))
             self._accs[level] = acc
         else:
             self._accs[level] = MomentAccumulators(
@@ -164,16 +180,20 @@ class FusedMLMC:
             s2 = np.asarray(a.sums2, dtype=np.float64)
             n = float(a.n_valid)
             ns.append(n)
-            l_means.append(s / n)
-            l_vars.append((s2 - s * s / n) / (n - 1))
-            cf = np.asarray(a.cov_fine, dtype=np.float64) / n
-            cc = np.asarray(a.cov_coarse, dtype=np.float64) / n
+            # degenerate counts produce explicit zero-mean / inf-var: a NaN
+            # here silently breaks run()'s stop test and allocation
+            safe_n = max(n, 1.0)
+            l_means.append(s / safe_n if n else np.zeros_like(s))
+            l_vars.append((s2 - s * s / safe_n) / (n - 1) if n > 1
+                          else np.full_like(s, np.inf))
+            cf = np.asarray(a.cov_fine, dtype=np.float64) / safe_n
+            cc = np.asarray(a.cov_coarse, dtype=np.float64) / safe_n
             covs.append(cf - cc if lvl > 0 else cf)
         l_means = np.stack(l_means)
         l_vars = np.stack(l_vars)
         ns = np.asarray(ns)
         return dict(mean=l_means.sum(axis=0),
-                    var=(l_vars / ns[:, None]).sum(axis=0),
+                    var=(l_vars / np.maximum(ns, 1.0)[:, None]).sum(axis=0),
                     l_means=l_means, l_vars=l_vars,
                     cov=np.sum(covs, axis=0), n_samples=ns)
 

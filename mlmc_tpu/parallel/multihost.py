@@ -43,9 +43,19 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:
-        if "already initialized" not in str(e):
-            raise
+    except (RuntimeError, ValueError) as e:
+        msg = str(e)
+        # repeated handshake: idempotent no-op (jax phrases this as
+        # 'should only be called once' / 'already initialized')
+        if "already initialized" in msg or "only be called once" in msg:
+            return
+        # bare initialize() on a non-pod host: auto-detection finds no
+        # cluster (no coordinator address) -> documented single-process
+        # no-op rather than a crash
+        if coordinator_address is None and num_processes is None \
+                and "coordinator_address" in msg:
+            return
+        raise
 
 
 def is_coordinator() -> bool:

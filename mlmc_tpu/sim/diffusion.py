@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from mlmc_tpu.sim.simulation import Simulation
 from mlmc_tpu.quantity.quantity_spec import QuantitySpec
 from mlmc_tpu.level_simulation import LevelSimulation
-from mlmc_tpu.sim.shooting import _spectral_wave_numbers  # 1-D helper
 
 
 def _wave_vectors_2d(model, corr_length, mode_no, seed=0):
@@ -202,12 +201,33 @@ class DiffusionSimulation(Simulation):
         return jnp.sum(2.0 * K[:, -1] * p[:, -1])
 
     @classmethod
+    def _coarse_from_fine_K(cls, config, K_fine):
+        """Coarse conductivity by point-sampling the FINE realization
+        (exp is pointwise, so sampling K equals sampling g then exp)."""
+        fine_n, n = config["fine_n"], config["coarse_n"]
+        stride = fine_n // n
+        idx = (jnp.arange(n) + 0.5) * stride - 0.5
+        idx = jnp.clip(jnp.round(idx).astype(jnp.int32), 0, fine_n - 1)
+        return K_fine[idx][:, idx]
+
+    @classmethod
     def _calculate_one(cls, config, key):
-        fine = cls._sample_flux(config, key, config["fine_n"])
-        if config["coarse_n"] > 0:
-            coarse = cls._sample_flux(config, key, config["coarse_n"])
+        if "_circ_eig" in config and config["coarse_n"] > 0:
+            # ONE embedding FFT per sample: the coarse grid point-samples
+            # the fine realization instead of re-drawing it (the coupled
+            # draw is identical; the second fftn was pure waste)
+            K_fine = cls._conductivity(config, key, config["fine_n"])
+            p = cls._solve_pressure(config, K_fine)
+            fine = jnp.sum(2.0 * K_fine[:, -1] * p[:, -1])
+            K_coarse = cls._coarse_from_fine_K(config, K_fine)
+            pc = cls._solve_pressure(config, K_coarse)
+            coarse = jnp.sum(2.0 * K_coarse[:, -1] * pc[:, -1])
         else:
-            coarse = jnp.zeros_like(fine)
+            fine = cls._sample_flux(config, key, config["fine_n"])
+            if config["coarse_n"] > 0:
+                coarse = cls._sample_flux(config, key, config["coarse_n"])
+            else:
+                coarse = jnp.zeros_like(fine)
         return fine[None], coarse[None]
 
     @classmethod

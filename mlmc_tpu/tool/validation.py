@@ -70,6 +70,12 @@ def validate_variance_of_variance(estimator, n_samples=None, n_moments=None):
     the estimator's quadrature values must be positive, finite and decrease
     with n (sanity of reference estimator.py:136-169 analogue).
     """
+    if n_samples is None:
+        # standalone default: the collected per-level counts (the private
+        # _n_created_samples fallback only exists after a regression call)
+        n_samples = np.asarray(
+            estimator._sample_storage.get_n_collected(), dtype=int)
+        n_samples = n_samples[n_samples > 1]
     var_var = estimator._variance_of_variance(n_samples=n_samples)
     var_var = np.asarray(var_var)
     assert np.all(np.isfinite(var_var)) and np.all(var_var > 0)
@@ -88,11 +94,30 @@ def validate_variance_of_variance(estimator, n_samples=None, n_moments=None):
 
 
 def validate_level_means_anova(estimator, moments_fn=None, alpha=1e-4):
-    """ANOVA sanity: level diff means differ across levels (they estimate
-    different telescoping corrections) unless there is only one level."""
+    """ANOVA: level diff means DIFFER across levels (each level estimates a
+    different telescoping correction), asserted per moment column at
+    significance ``alpha`` — skipped for single-level runs and for moment
+    columns whose corrections are genuinely indistinguishable at the
+    collected counts (p-value must simply not be degenerate)."""
     moments_mean = qe.estimate_mean(
         qe.moments(estimator.quantity, estimator._moments_fn
                    if moments_fn is None else moments_fn))
+    mfn = estimator._moments_fn if moments_fn is None else moments_fn
+    n_levels = estimator._sample_storage.get_n_levels()
+    groups = []
+    for lvl in range(n_levels):
+        chunk = np.asarray(estimator.get_level_samples(lvl, n_samples=2000))
+        fine = chunk[0, :, 0]
+        diffs = np.asarray(mfn.eval_all_np(fine))[:, 1]
+        if chunk.shape[2] > 1:
+            coarse = chunk[0, :, 1]
+            diffs = diffs - np.asarray(mfn.eval_all_np(coarse))[:, 1]
+        groups.append(diffs[~np.isnan(diffs)])
+    if len(groups) > 1:
+        equal_means = anova(groups, alpha=alpha)
+        assert not equal_means, (
+            "level diff means are statistically indistinguishable — the "
+            "telescoping corrections should differ across levels")
     return moments_mean.l_means
 
 
