@@ -99,9 +99,10 @@ def f64_reference_moments(noise, n_moments, *, fine_step, coarse_step,
             dphi = pf32.astype(np.float64) - pc32.astype(np.float64)
 
         sums += dphi.sum(axis=1)
-        sums2 += (dphi * dphi).sum(axis=1)
+        sq = (dphi * dphi).sum(axis=1)
+        sums2 += sq
         abs_sums += np.abs(dphi).sum(axis=1)
-        abs_sums2 += (dphi * dphi).sum(axis=1)
+        abs_sums2 += sq  # squares are nonnegative: |terms| == terms
         if include_cov:
             pf = pf32.astype(np.float64)
             cov_f += pf @ pf.T

@@ -38,15 +38,19 @@ def moments_subset(n_moments, moments=None):
 
 
 def _show_and_save(fig, file, title):
+    """Save to ``file`` (default name = title when file is None); with
+    file == "" the figure is just closed — the module forces the headless
+    Agg backend, where fig.show() can never display and leaving figures
+    open accumulates memory."""
     if file is None:
         file = title
     if file == "":
-        fig.show()
-    else:
-        if not str(file).endswith(".pdf") and not str(file).endswith(".png"):
-            file = "{}.pdf".format(file)
-        fig.savefig(file)
         plt.close(fig)
+        return
+    if not str(file).endswith(".pdf") and not str(file).endswith(".png"):
+        file = "{}.pdf".format(file)
+    fig.savefig(file)
+    plt.close(fig)
 
 
 def make_monotone(X, Y):
@@ -115,6 +119,9 @@ class Distribution:
         """Histogram + rug of raw samples (reference :158-183)."""
         samples = np.asarray(samples)
         samples = samples[~np.isnan(samples)]
+        # widen the plot domain to cover the samples (reference :163-165);
+        # also makes add_raw_samples callable before any add_distribution
+        self.adjust_domain((float(samples.min()), float(samples.max())))
         bins = self._grid(int(0.5 * np.sqrt(len(samples))))
         self.ax_pdf.hist(samples, density=True, bins=bins, alpha=0.3,
                          label="samples", color="red")
@@ -164,7 +171,16 @@ class Distribution:
         self.ax_pdf.legend(title=self._legend_title)
         _show_and_save(self.fig, file, self._title)
         if self.fig_cdf is not None:
-            _show_and_save(self.fig_cdf, file, self._title + "_cdf")
+            # a concrete file name must not be overwritten by the CDF figure
+            cdf_file = file
+            if file:
+                stem = str(file)
+                for ext in (".pdf", ".png"):
+                    if stem.endswith(ext):
+                        stem = stem[: -len(ext)]
+                        break
+                cdf_file = stem + "_cdf"
+            _show_and_save(self.fig_cdf, cdf_file, self._title + "_cdf")
 
     def reset(self):
         plt.close()
@@ -344,9 +360,8 @@ class Variance:
         self.ax.set_ylabel("level diff variance V_l")
         self.ax.set_xscale("log")
         self.ax.set_yscale("log")
-        self.min_step = 1e300
-        self.max_step = 0
         self.subset_type = moments
+        self._cmap = None
 
     def add_level_variances(self, steps, variances):
         """:param steps: [L]; :param variances: [L, R]"""
@@ -355,12 +370,13 @@ class Variance:
         variances = np.asarray(variances)
         n_moments = variances.shape[1]
         i_moments = moments_subset(n_moments, self.subset_type)
-        cmap = create_color_bar(n_moments, "moments", self.ax)
+        if self._cmap is None:
+            # one colorbar for the figure's lifetime: repeated adds (one
+            # per MLMC instance) must not stack duplicates
+            self._cmap = create_color_bar(n_moments, "moments", self.ax)
         for m in i_moments:
             self.ax.plot(steps, np.maximum(variances[:, m], 1e-30), "o-",
-                         color=cmap(m), linewidth=0.6, ms=3)
-        self.min_step = min(self.min_step, np.min(steps))
-        self.max_step = max(self.max_step, np.max(steps))
+                         color=self._cmap(m), linewidth=0.6, ms=3)
 
     def show(self, file=""):
         _show_and_save(self.fig, file, self.title)

@@ -107,7 +107,12 @@ class TagRange:
     def __getitem__(self, i):
         if isinstance(i, slice):
             rng = range(self.start, self.stop)[i]
-            return TagRange(self.level_id, rng.start, rng.stop)
+            if rng.step == 1:
+                return TagRange(self.level_id, rng.start, rng.stop)
+            # stepped/reversed slices are no longer contiguous: return a
+            # lazy TagArray over the exact indices (a TagRange built from
+            # start/stop alone silently dropped the step)
+            return TagArray(self.level_id, np.fromiter(rng, dtype=np.int64))
         idx = range(self.start, self.stop)[i]
         return format_tag(self.level_id, idx)
 
@@ -209,6 +214,8 @@ class TagChain:
     def __getitem__(self, i):
         if i < 0:
             i += self._n
+        if i < 0:
+            raise IndexError("tag chain index out of range")
         for seg in self._segments:
             if i < len(seg):
                 return seg[i]

@@ -52,13 +52,19 @@ def apply_overrides(config, overrides):
     return config
 
 
-def load_config(path, overrides=None):
+def load_config(path, overrides=None, _seen=None):
     """Load a YAML config with ``include:`` merging + dotted overrides.
 
     ``include`` may be a path or list of paths relative to the config file;
     included configs are merged first (in order), the including file wins.
+    Include cycles are detected and reported by file name.
     """
     path = os.path.abspath(path)
+    seen = set() if _seen is None else _seen
+    if path in seen:
+        raise ValueError(
+            "config include cycle involving {!r}".format(path))
+    seen.add(path)
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     includes = raw.pop("include", [])
@@ -68,7 +74,7 @@ def load_config(path, overrides=None):
     for inc in includes:
         inc_path = inc if os.path.isabs(inc) else \
             os.path.join(os.path.dirname(path), inc)
-        merged = deep_merge(merged, load_config(inc_path))
+        merged = deep_merge(merged, load_config(inc_path, _seen=seen))
     merged = deep_merge(merged, raw)
     return apply_overrides(merged, overrides)
 
@@ -104,7 +110,9 @@ def validate_config(config, schema, path="config"):
                 ok = False
                 errors.append("{}.{}: {}".format(path, k, e))
             else:
-                if ok is False:
+                # None = procedural predicate (asserts itself); any other
+                # falsy result (incl. numpy False_) is a failure
+                if ok is not None and not ok:
                     errors.append("{}.{} failed validation".format(path, k))
     if path == "config" and errors:
         raise ValueError("invalid config:\n  " + "\n  ".join(errors))

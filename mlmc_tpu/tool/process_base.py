@@ -150,7 +150,6 @@ class ProcessBase:
 
     def scalar_quantity(self, root_quantity):
         """First scalar component; subclasses pick their QoI."""
-        spec = root_quantity.qtype
         # walk Dict -> TimeSeries -> Field -> Array -> scalar
         q = root_quantity
         import mlmc_tpu.quantity.quantity_types as qt
@@ -224,7 +223,6 @@ class ProcessBase:
         """Raw level variances against their log-quadratic regression
         (working version of reference :268-280, whose body targets the
         removed CompareLevels API)."""
-        import numpy as np
         from mlmc_tpu.plot import plots
 
         raw_vars, n_samples = estimator.estimate_diff_vars()
@@ -254,8 +252,6 @@ class ProcessBase:
 
     def rm_files(self, work_dir):
         """Clean a work dir (reference rm_files)."""
-        import shutil
-
         if os.path.isdir(work_dir):
             shutil.rmtree(work_dir)
         os.makedirs(work_dir, mode=0o775, exist_ok=True)
