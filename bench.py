@@ -174,6 +174,61 @@ def main():
         print("bench: precision check FAILED:", file=sys.stderr)
         traceback.print_exc()
 
+    # ---------------- extended (double-float) tier ---------------------- #
+    # 1e-10-grade parity (SURVEY §6 north star): the df kernel vs the
+    # strict ALL-f64 host reference on identical f32 QoIs, asserted
+    # against the derived 2^-48-scale bound; plus its throughput at 1e8.
+    # The host f64 reference costs ~1 min at 2e7 on this 1-core VM; the
+    # derived bound at 1e8 (reported) is 1.3e-10 * S_abs.
+    extended = None
+    try:
+        import os as _os
+        from mlmc_tpu.ops.pallas_extended import (
+            synth_moment_pipeline_from_noise_extended)
+        from mlmc_tpu.ops.precision import (
+            f64_reference_moments_strict, check_extended_against_f64,
+            df_error_bound)
+
+        n_ext = int(float(_os.environ.get("MLMC_BENCH_EXT_N", 2e7)))
+        n_ext -= n_ext % 8192
+        x_dev = jax.random.normal(jax.random.key(41), (n_ext,),
+                                  dtype=jnp.float32)
+        r = synth_moment_pipeline_from_noise_extended(
+            x_dev, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
+            domain=DOMAIN)
+        ref = f64_reference_moments_strict(
+            np.asarray(x_dev), N_MOMENTS, fine_step=0.25, coarse_step=0.5,
+            domain=DOMAIN, include_cov=True)
+        report = check_extended_against_f64(r, ref, n_ext)  # raises on fail
+
+        # throughput at 1e8 (noise pre-generated on device; timed region =
+        # the extended kernel only, one forced transfer)
+        n_thr = 99_998_720  # ~1e8, multiple of 8192
+        x_big = jax.random.normal(jax.random.key(42), (n_thr,),
+                                  dtype=jnp.float32)
+        r2 = synth_moment_pipeline_from_noise_extended(
+            x_big, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
+            domain=DOMAIN)  # warm
+        t0 = time.perf_counter()
+        r2 = synth_moment_pipeline_from_noise_extended(
+            x_big, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
+            domain=DOMAIN)  # _combine_ext forces host transfer
+        ext_s = time.perf_counter() - t0
+        extended = {
+            "bound_holds": True,
+            "checked_n": n_ext,
+            "max_rel_dev_vs_strict_f64": max(report.values()),
+            "sums_rel_dev": report["sums"],
+            "df_bound_at_1e8_rel": float(np.max(
+                df_error_bound(np.ones(1), 1e8))),
+            "throughput_samples_per_s": round(n_thr / ext_s, 1),
+            "wall_s_1e8": round(ext_s, 3),
+        }
+    except Exception:
+        extended = {"bound_holds": False}
+        print("bench: extended-precision path FAILED:", file=sys.stderr)
+        traceback.print_exc()
+
     # ---------------- maxent PDF from the estimate (config 3) ----------- #
     maxent_s = None
     result = None
@@ -206,6 +261,7 @@ def main():
             "xla_wall_s": round(xla_s, 4) if xla_s else None,
             "xla_samples_per_s": round(total / xla_s, 1) if xla_s else None,
             "precision_vs_f64": precision,
+            "extended_precision": extended,
             "maxent_solve_s": round(maxent_s, 3) if maxent_s else None,
             "maxent_converged": bool(result.success) if result else None,
             "mean_p1": float(est["mean"][1]),

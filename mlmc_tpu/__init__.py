@@ -9,6 +9,48 @@ of scheduler work items.
 The public facade mirrors the reference package facade
 (reference mlmc/__init__.py:108-117) so user scripts port directly.
 """
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX at an on-disk compilation cache so executables compile once
+    per machine, not once per process.
+
+    Over a remote-attached TPU an AOT compile costs 10-30 s per executable;
+    the adaptive MLMC loop builds a handful of them (per-level batch
+    runners, the packed estimation kernels), which dominated end-to-end
+    wall time on fresh runs (BASELINE.md e2e notes). Opt out with
+    ``MLMC_TPU_COMPILE_CACHE=0``; override the location with
+    ``MLMC_TPU_COMPILE_CACHE=<dir>``.
+    """
+    choice = _os.environ.get("MLMC_TPU_COMPILE_CACHE", "")
+    if choice == "0":
+        return
+    import jax
+
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return  # user already configured one
+    if not choice:
+        # default-on only for accelerator backends: XLA:CPU AOT cache
+        # entries bake host CPU features (risk of SIGILL on a different
+        # host) and local CPU compiles are cheap anyway
+        platforms = (getattr(jax.config, "jax_platforms", None)
+                     or _os.environ.get("JAX_PLATFORMS", ""))
+        if "cpu" in (platforms or ""):
+            return
+    cache_dir = choice or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "mlmc_tpu", "jax_cache")
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # remote-tunnel AOT compiles are worth caching even when the local
+        # trace+lower step is fast; keep the default 1s threshold low enough
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_persistent_compile_cache()
 
 from mlmc_tpu.moments import Moments, Legendre, Monomial, Fourier, TransformedMoments
 # NOTE: quantity_estimate's functions (estimate_mean, moments, covariance)

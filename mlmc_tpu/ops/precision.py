@@ -123,6 +123,145 @@ def accumulation_error_bound(abs_sums):
     return float(EPS32) * C_BOUND * np.asarray(abs_sums)
 
 
+# ------------------------------------------------------------------ #
+# extended (double-float) tier: strict all-f64 reference + df bound
+# ------------------------------------------------------------------ #
+#: double-float unit roundoff (renormalized pair of f32s, ~49 bits)
+EPS_DF = float(2.0 ** -48)
+
+
+def df_error_bound(abs_sums, n_samples, chunk=8192, basis_depth=32):
+    """Deterministic bound on |df kernel - all-f64 reference|.
+
+    Error sources, all O(2^-48) relative per operation:
+    * df basis recurrence: <= ~4 df ops x basis_depth roundings per value,
+    * pairwise lane folds: 2 log2(chunk) levels,
+    * sequential cross-chunk accumulation: 3 roundings per chunk of the
+      running (<= final) magnitude.
+    Worst-case sequential; measured deviations sit 1-2 orders below.
+    """
+    n_chunks = -(-int(n_samples) // chunk)
+    c = 4 * basis_depth + 2 * np.log2(chunk) + 3 * n_chunks
+    return EPS_DF * c * np.asarray(abs_sums)
+
+
+def f64_reference_moments_strict(noise, n_moments, *, fine_step,
+                                 coarse_step, domain, is_level0=False,
+                                 chunk=262144, include_cov=True):
+    """ALL-f64 reference for the extended-precision kernels.
+
+    Mirrors the reference library's own pipeline on identical f32 QoI
+    inputs: the QoIs are computed in f32 (what a store holds), then the
+    domain transform, Legendre recurrence, and every sum run in f64
+    (reference mlmc/moments.py:195-197 + quantity_estimate.py:64-77 under
+    an all-float64 numpy stack).
+
+    :return: dict(sums, sums2, cov_fine, cov_coarse, n_valid, abs_*)
+    """
+    noise = np.asarray(noise, dtype=np.float32)
+    R = n_moments
+    a, b = (np.float64(domain[0]), np.float64(domain[1]))
+    t_scale = 2.0 / (b - a)
+    t_shift = (a + b) / 2.0
+
+    # f32 QoI path (bitwise identical to the kernel's eager prologue)
+    err = np.sqrt(np.float32(1e-4) + np.abs(noise), dtype=np.float32)
+    fine32 = (noise + np.float32(fine_step) * err).astype(np.float32)
+    coarse32 = (noise + np.float32(coarse_step) * err).astype(np.float32)
+
+    sums = np.zeros(R)
+    sums2 = np.zeros(R)
+    cov_f = np.zeros((R, R))
+    cov_c = np.zeros((R, R))
+    abs_sums = np.zeros(R)
+    abs_sums2 = np.zeros(R)
+    abs_cov_f = np.zeros((R, R))
+    abs_cov_c = np.zeros((R, R))
+    n_valid = 0
+
+    def legendre_f64(t, valid):
+        t = np.where(valid, t, 0.0)
+        phi = np.zeros((R, t.shape[0]))
+        phi[0] = valid.astype(np.float64)
+        if R > 1:
+            phi[1] = t
+        for k in range(2, R):
+            phi[k] = ((2 * k - 1) * t * phi[k - 1]
+                      - (k - 1) * phi[k - 2]) / k
+        return phi
+
+    n = noise.shape[0]
+    for start in range(0, n, chunk):
+        t_f = (fine32[start:start + chunk].astype(np.float64)
+               - t_shift) * t_scale
+        t_c = (coarse32[start:start + chunk].astype(np.float64)
+               - t_shift) * t_scale
+        valid = (t_f >= -1) & (t_f <= 1)
+        if not is_level0:
+            valid &= (t_c >= -1) & (t_c <= 1)
+
+        pf = legendre_f64(t_f, valid)
+        if is_level0:
+            dphi = pf
+        else:
+            pc = legendre_f64(t_c, valid)
+            dphi = pf - pc
+
+        sums += dphi.sum(axis=1)
+        sq = (dphi * dphi).sum(axis=1)
+        sums2 += sq
+        abs_sums += np.abs(dphi).sum(axis=1)
+        abs_sums2 += sq
+        if include_cov:
+            cov_f += pf @ pf.T
+            abs_cov_f += np.abs(pf) @ np.abs(pf).T
+            if not is_level0:
+                cov_c += pc @ pc.T
+                abs_cov_c += np.abs(pc) @ np.abs(pc).T
+        n_valid += int(valid.sum())
+
+    return dict(sums=sums, sums2=sums2, cov_fine=cov_f, cov_coarse=cov_c,
+                n_valid=n_valid, abs_sums=abs_sums, abs_sums2=abs_sums2,
+                abs_cov_fine=abs_cov_f, abs_cov_coarse=abs_cov_c)
+
+
+def check_extended_against_f64(result, ref, n_samples, chunk=8192,
+                               include_cov=True, cov_rel_tol=1e-9):
+    """Assert the extended kernel against the strict all-f64 reference.
+
+    sums/sums2 must meet the DERIVED double-float bound; the covariance is
+    held to an empirical relative tolerance (its 8-bit-split MXU path has
+    a ~1e-7 worst-case deterministic bound but measures ~1e-10 — module
+    docstring of ops/pallas_extended.py).
+
+    :return: dict of measured max relative deviations
+    """
+    assert int(result.n_valid) == ref["n_valid"], \
+        (int(result.n_valid), ref["n_valid"])
+    report = {}
+    for name in ("sums", "sums2"):
+        got = np.asarray(getattr(result, name))
+        want = ref[name]
+        bound = df_error_bound(ref["abs_" + name], n_samples, chunk=chunk)
+        err = np.abs(got - want)
+        report[name] = float(np.max(err / np.maximum(ref["abs_" + name],
+                                                     1.0)))
+        if not np.all(err <= bound + 1e-13):
+            worst = int(np.argmax(err - bound))
+            raise AssertionError(
+                "extended %s exceeds df bound at %d: err=%.3g bound=%.3g"
+                % (name, worst, err[worst], bound[worst]))
+    if include_cov:
+        for name in ("cov_fine", "cov_coarse"):
+            got = np.asarray(getattr(result, name))
+            want = ref[name]
+            scale = np.maximum(ref["abs_" + name], 1.0)
+            dev = float(np.max(np.abs(got - want) / scale))
+            report[name] = dev
+            assert dev <= cov_rel_tol, (name, dev, cov_rel_tol)
+    return report
+
+
 def check_against_f64(result, ref, include_cov=True):
     """Assert the kernel result against the f64 reference + derived bound.
 

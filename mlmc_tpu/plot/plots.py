@@ -65,36 +65,34 @@ class Distribution:
                  legend_title="", log_density=False, cdf_plot=True,
                  log_x=False, error_plot="l2"):
         self._exact_distr = exact_distr
+        self._title = title
+        self._legend_title = legend_title
         self._log_density = log_density
         self._log_x = log_x
         self._error_plot = error_plot
         self._domain = None
-        self._title = title
-        self._legend_title = legend_title
         self.plot_matrix = []
         self.i_plot = 0
 
+        # one figure with pdf+cdf side by side, or two separate figures
         if cdf_plot:
-            self.fig, axes = plt.subplots(1, 2, figsize=(22, 10))
+            self.fig, (self.ax_pdf, self.ax_cdf) = plt.subplots(
+                1, 2, figsize=(22, 10))
             self.fig_cdf = None
-            self.ax_pdf = axes[0]
-            self.ax_cdf = axes[1]
         else:
-            self.fig, self.ax_pdf = plt.subplots(1, 1, figsize=(12, 10))
-            self.fig_cdf, self.ax_cdf = plt.subplots(1, 1, figsize=(12, 10))
-
+            self.fig, self.ax_pdf = plt.subplots(figsize=(12, 10))
+            self.fig_cdf, self.ax_cdf = plt.subplots(figsize=(12, 10))
         self.fig.suptitle(title)
-        x_axis_label = quantity_name
-        self.ax_pdf.set_title("PDF approximations")
-        self.ax_pdf.set_ylabel("probability density")
-        self.ax_cdf.set_title("CDF approximations")
-        self.ax_cdf.set_ylabel("probability")
-        if log_x:
-            x_axis_label = "log " + x_axis_label
-            self.ax_pdf.set_xscale("log")
-            self.ax_cdf.set_xscale("log")
-        self.ax_pdf.set_xlabel(x_axis_label)
-        self.ax_cdf.set_xlabel(x_axis_label)
+
+        x_label = ("log " if log_x else "") + quantity_name
+        for ax, what, y_label in ((self.ax_pdf, "PDF",
+                                   "probability density"),
+                                  (self.ax_cdf, "CDF", "probability")):
+            ax.set_title("{} approximations".format(what))
+            ax.set_xlabel(x_label)
+            ax.set_ylabel(y_label)
+            if log_x:
+                ax.set_xscale("log")
         if log_density:
             self.ax_pdf.set_yscale("log")
 
@@ -103,17 +101,22 @@ class Distribution:
         # else the plain difference; CDF error is always the difference
         self.ax_pdf_err = self.ax_cdf_err = None
         if error_plot:
-            self.ax_pdf_err = self.ax_pdf.twinx()
-            self.ax_pdf.set_zorder(10)
-            self.ax_pdf.patch.set_visible(False)
-            self.ax_pdf_err.set_ylabel(
-                "KL-error - dashed" if error_plot == "kl" else "error - dashed")
-            self.ax_pdf_err.set_yscale("log")
-            self.ax_cdf_err = self.ax_cdf.twinx()
-            self.ax_cdf.set_zorder(10)
-            self.ax_cdf.patch.set_visible(False)
-            self.ax_cdf_err.set_ylabel("error - dashed")
-            self.ax_cdf_err.set_yscale("log")
+            pdf_err_label = ("KL-error - dashed" if error_plot == "kl"
+                             else "error - dashed")
+            self.ax_pdf_err = self._error_twin(self.ax_pdf, pdf_err_label)
+            self.ax_cdf_err = self._error_twin(self.ax_cdf,
+                                               "error - dashed")
+
+    @staticmethod
+    def _error_twin(ax, label):
+        """Log-scaled twin y-axis for the dashed error curve; the primary
+        axis is lifted above it so data lines stay on top."""
+        twin = ax.twinx()
+        ax.set_zorder(10)
+        ax.patch.set_visible(False)
+        twin.set_ylabel(label)
+        twin.set_yscale("log")
+        return twin
 
     def add_raw_samples(self, samples):
         """Histogram + rug of raw samples (reference :158-183)."""
@@ -187,11 +190,10 @@ class Distribution:
         self._domain = None
 
     def _plot_borders(self, ax, color, domain=None):
-        if domain is None:
-            domain = self._domain
-        l1 = ax.axvline(x=domain[0], ymin=0, ymax=0.1, color=color)
-        l2 = ax.axvline(x=domain[1], ymin=0, ymax=0.1, color=color)
-        return [l1, l2]
+        """Short vertical ticks marking the approximation domain ends."""
+        lo, hi = self._domain if domain is None else domain
+        return [ax.axvline(x=edge, ymin=0, ymax=0.1, color=color)
+                for edge in (lo, hi)]
 
     def adjust_domain(self, domain):
         if self._domain is None:
@@ -210,13 +212,11 @@ class Distribution:
         self.ax_cdf.plot(X, Y, c="black")
 
     def _grid(self, size, domain=None):
-        if domain is None:
-            domain = self._domain
+        """Evaluation grid over the plot domain (geometric under log_x)."""
+        lo, hi = self._domain if domain is None else domain
         if self._log_x:
-            X = np.geomspace(max(domain[0], 1e-30), domain[1], size)
-        else:
-            X = np.linspace(domain[0], domain[1], size)
-        return X
+            return np.geomspace(max(lo, 1e-30), hi, size)
+        return np.linspace(lo, hi, size)
 
 
 class Eigenvalues:

@@ -647,3 +647,8 @@ class QuantityStorage(Quantity):
 
     def n_collected(self):
         return self._storage.get_n_collected()
+
+    def payload_resident(self):
+        """True when the backend holds payloads in RAM/HBM (gathering whole
+        levels is cheap — enables the single-dispatch estimation tier)."""
+        return getattr(self._storage, "payload_resident", False)

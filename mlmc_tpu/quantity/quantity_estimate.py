@@ -73,7 +73,151 @@ def _chunk_sums_impl(chunk, n_true=None):
 _chunk_sums = jax.jit(_chunk_sums_impl)
 
 
-def estimate_mean(quantity):
+# ---------------------------------------------------------------------- #
+# single-dispatch tier: every chunk of every level in ONE device program
+# ---------------------------------------------------------------------- #
+
+#: auto-enable threshold (samples on the largest level); below it the
+#: per-chunk path is cheaper than a dedicated executable
+SINGLE_DISPATCH_MIN_SAMPLES = 1 << 15
+#: budget for DAG-output intermediates materialized per scan step
+_SD_BYTE_BUDGET = 1 << 27
+
+
+def _sd_chunk_size(m_out):
+    """Samples per scan step, bounding [m_out, chunk, 2] f64 intermediates
+    to the byte budget (covariance quantities expand M by R^2)."""
+    target = max(_SD_BYTE_BUDGET // (16 * max(int(m_out), 1)), 1 << 10)
+    return min(1 << (int(target).bit_length() - 1), 1 << 16)
+
+
+def _pow2_pad(n, floor=1 << 10):
+    return max(floor, 1 << int(n - 1).bit_length())
+
+
+def _gather_raw_leaves(quantity_storage):
+    """Native-layout ``[N_pad, C, M]`` payload + true count per level.
+
+    DEVICE capacity buffers (DeviceMemory) pass through WHOLE: power-of-two
+    capacity, garbage tail masked by POSITION downstream — zero eager
+    device ops on this path (over a remote-attached chip every new eager-op
+    shape costs an executable compile/load, which dominated round 2's e2e
+    wall time). Host payloads are NaN-padded to power-of-two buckets in
+    numpy (free) and transferred at dispatch.
+
+    :return: (list of leaves, list of true counts, tuple of level ids)
+    """
+    lids = tuple(sorted(quantity_storage.level_ids()))
+    storage = getattr(quantity_storage, "_storage", None)
+    raw_fn = getattr(storage, "raw_level_payload", None)
+    leaves, n_trues = [], []
+    for level_id in lids:
+        payload = None
+        if raw_fn is not None:
+            payload, n = raw_fn(level_id)
+            if isinstance(payload, jax.Array):
+                leaves.append(payload)
+                n_trues.append(int(n))
+                continue
+            payload = np.asarray(payload)
+            n = int(n)
+        if payload is None:
+            # chunked fallback (out-of-core backends): [M, chunk, C] chunks
+            # back to native [N, C, M]
+            parts = [np.moveaxis(np.asarray(quantity_storage.samples(cs)),
+                                 0, -1)
+                     for cs in quantity_storage.chunks(level_id=level_id)]
+            payload = (parts[0] if len(parts) == 1
+                       else np.concatenate(parts, axis=0))
+            n = payload.shape[0]
+        n_pad = _pow2_pad(n)
+        if n_pad - n:
+            pad = np.full((n_pad - n,) + payload.shape[1:], np.nan,
+                          dtype=payload.dtype if np.issubdtype(
+                              payload.dtype, np.floating) else np.float64)
+            payload = np.concatenate([payload, pad], axis=0)
+        leaves.append(payload)
+        n_trues.append(n)
+    return leaves, n_trues, lids
+
+
+def _normalize_leaf(leaf, is_level0, acc):
+    """Native [N_pad, C, M] -> estimation layout [M, N_pad, C] (level 0
+    drops the auxiliary coarse slot, matching QuantityStorage.samples)."""
+    leaf = jnp.transpose(leaf, (2, 0, 1))
+    if is_level0 and leaf.shape[2] > 1:
+        leaf = leaf[:, :, :1]
+    if not jnp.issubdtype(leaf.dtype, jnp.floating):
+        leaf = leaf.astype(acc)
+    return leaf
+
+
+def _build_single_dispatch(quantity, lids):
+    """jitted ``f(leaves, n_trues) -> ((sum, sum_sq, n_valid) per level)``.
+
+    The whole estimation — leaf normalization, DAG evaluation, NaN masking,
+    fine-coarse diff, reductions, cross-chunk accumulation — runs as ONE
+    device dispatch via ``lax.scan`` over fixed-size chunks per level. Pad
+    columns are excluded by POSITION (n_true is traced), so neither NaN pads
+    nor device-buffer garbage tails can leak into the estimate. Cross-chunk
+    sums tree-reduce over the stacked per-chunk results (error
+    ~eps.log2(n_chunks), far below the per-chunk floor).
+    """
+    dag_eval = quantity.build_eval()
+    m_out = quantity.size()
+    chunk_cap = _sd_chunk_size(m_out)
+
+    def level_sums(leaf, n_true, is_level0):
+        acc = _accum_dtype()
+        leaf = _normalize_leaf(leaf, is_level0, acc)
+        M, n_pad, C = leaf.shape
+        chunk = min(chunk_cap, n_pad)
+        n_chunks = n_pad // chunk
+        slices = jnp.moveaxis(leaf.reshape(M, n_chunks, chunk, C), 1, 0)
+        bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+        def body(nv, xs):
+            x, base = xs
+            y = dag_eval(x)
+            if not jnp.issubdtype(y.dtype, jnp.floating):
+                y = y.astype(acc)
+            valid = ~jnp.any(jnp.isnan(y), axis=(0, 2))
+            valid &= (base + jnp.arange(chunk)) < n_true
+            d = y[:, :, 0] - y[:, :, 1] if y.shape[2] > 1 else y[:, :, 0]
+            d = jnp.where(valid[None, :], d, 0.0).astype(acc)
+            return (nv + jnp.sum(valid).astype(nv.dtype),
+                    (jnp.sum(d, axis=1), jnp.sum(d * d, axis=1)))
+
+        nv, (s_c, sp_c) = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), (slices, bases))
+        return jnp.sum(s_c, axis=0), jnp.sum(sp_c, axis=0), nv
+
+    def program(leaves, n_trues):
+        return tuple(level_sums(leaf, n, lid == 0)
+                     for leaf, n, lid in zip(leaves, n_trues, lids))
+
+    return jax.jit(program)
+
+
+def _single_dispatch_sums(quantity, quantity_storage):
+    """Run (building/caching as needed) the single-dispatch program.
+
+    :return: list of (sum [M], sum_sq [M], n_valid, n_true) per level
+    """
+    leaves, n_trues, lids = _gather_raw_leaves(quantity_storage)
+    cached = getattr(quantity, "_sd_program", None)
+    if cached is None or cached[0] != lids:
+        cached = (lids, _build_single_dispatch(quantity, lids))
+        quantity._sd_program = cached
+    program = cached[1]
+    outs = program(tuple(leaves),
+                   tuple(jnp.asarray(n, jnp.int32) for n in n_trues))
+    return [(np.asarray(s, dtype=np.float64),
+             np.asarray(sp, dtype=np.float64), int(nv), n_true)
+            for (s, sp, nv), n_true in zip(outs, n_trues)]
+
+
+def estimate_mean(quantity, single_dispatch=None):
     """MLMC mean estimator (streaming over chunks, device accumulation).
 
     When the quantity's DAG is fully traceable (shape-static jnp ops), the
@@ -83,7 +227,15 @@ def estimate_mean(quantity):
     the reductions into a single program per chunk instead of dispatching
     each DAG node separately.
 
+    At production sample volumes the per-chunk loop still pays one device
+    dispatch (plus a host sync) per chunk; the SINGLE-DISPATCH tier compiles
+    every chunk of every level into one program (``lax.scan``) and runs the
+    whole estimate in one device call. Auto-selected for traceable DAGs over
+    RAM/HBM-resident storages past ``SINGLE_DISPATCH_MIN_SAMPLES``; force
+    with ``single_dispatch=True`` / opt out with ``False``.
+
     :param quantity: Quantity
+    :param single_dispatch: tri-state override of the single-dispatch tier
     :return: QuantityMean holding per-level means/vars and combined estimate
     """
     cache_clear()
@@ -94,6 +246,29 @@ def estimate_mean(quantity):
 
     n_samples = [0] * n_levels
     n_rm_samples = [0] * n_levels
+
+    if single_dispatch is None:
+        try:
+            largest = max(quantity_storage.n_collected())
+        except Exception:
+            largest = 0
+        single_dispatch = (
+            quantity.traceable()
+            and getattr(quantity_storage, "payload_resident", lambda: False)()
+            and largest >= SINGLE_DISPATCH_MIN_SAMPLES)
+    if single_dispatch:
+        sums = [np.zeros(quantity_vec_size, dtype=np.float64)
+                for _ in range(n_levels)]
+        sums_of_squares = [np.zeros(quantity_vec_size, dtype=np.float64)
+                           for _ in range(n_levels)]
+        per_level = _single_dispatch_sums(quantity, quantity_storage)
+        for lid, (s, sp, nv, n_true) in zip(sorted(level_ids), per_level):
+            sums[lid] += s
+            sums_of_squares[lid] += sp
+            n_samples[lid] += nv
+            n_rm_samples[lid] += n_true - nv
+        return _combine_level_sums(quantity, sums, sums_of_squares,
+                                   n_samples, n_rm_samples)
 
     fused_eval = None
     # fusing the whole DAG costs one XLA compile per (DAG, chunk shape);
@@ -152,6 +327,13 @@ def estimate_mean(quantity):
         sums[lid] += np.asarray(s, dtype=np.float64)
         sums_of_squares[lid] += np.asarray(sp, dtype=np.float64)
 
+    return _combine_level_sums(quantity, sums, sums_of_squares,
+                               n_samples, n_rm_samples)
+
+
+def _combine_level_sums(quantity, sums, sums_of_squares, n_samples,
+                        n_rm_samples):
+    """Per-level (sum, sum_sq, n) -> QuantityMean (one-pass unbiased var)."""
     if sum(n_samples) == 0:
         raise Exception("All samples were masked")
 

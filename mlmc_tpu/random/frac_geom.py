@@ -154,25 +154,28 @@ class FracturedDiffusionSimulation(DiffusionSimulation):
 
 
 # ===================================================================== #
-# gated external mesh path (reference parity surface)
+# external geomop mesh path: FORMALLY DESCOPED (see COMPONENTS.md)
 # ===================================================================== #
-def _require_geomop():
-    try:
-        import geomop  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "make_frac_mesh requires the external 'geomop' package and the "
-            "gmsh binary (reference mlmc/random/frac_geom.py:1-7). For the "
-            "device-native fracture workflow use "
-            "FracturedDiffusionSimulation instead.") from e
-
-
 def make_frac_mesh(box, mesh_step, fractures, frac_step):
-    """Build a fractured-domain mesh (reference frac_geom.py:17-30);
-    requires external geomop+gmsh. The native path is
-    ``FracturedDiffusionSimulation``."""
-    _require_geomop()
-    raise NotImplementedError(
-        "geomop present but mlmc_tpu bridge not implemented; "
-        "use the reference tooling to produce the mesh, then load it "
-        "with mlmc_tpu.tool.gmsh_io.GmshIO")
+    """DESCOPED: the reference's geomop-bridge mesh builder
+    (reference mlmc/random/frac_geom.py:17-30).
+
+    The reference function drives the external, pip-uninstallable
+    ``geomop`` layer-geometry package plus the ``gmsh`` binary to produce a
+    fractured-domain mesh for Flow123d. Neither external exists in any
+    supported environment of this framework (the reference itself cannot
+    run it outside the authors' cluster), so this surface is formally
+    descoped rather than shipped as untestable code:
+
+    * fractured-domain MLMC runs natively on device via
+      :class:`FracturedDiffusionSimulation` (rasterized fracture
+      conductivity, no meshing step),
+    * externally produced fracture meshes load through
+      ``mlmc_tpu.tool.gmsh_io.GmshIO`` and run through ``FlowSim``.
+    """
+    raise ImportError(
+        "make_frac_mesh is descoped: it requires the external 'geomop' "
+        "package + gmsh binary (reference mlmc/random/frac_geom.py:17-30), "
+        "which are not installable. Use FracturedDiffusionSimulation "
+        "(device-native) or load a pre-built mesh via "
+        "mlmc_tpu.tool.gmsh_io.GmshIO. See COMPONENTS.md.")

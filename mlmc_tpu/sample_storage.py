@@ -13,6 +13,32 @@ from typing import List, Dict
 
 from mlmc_tpu.quantity.quantity_spec import QuantitySpec, ChunkSpec
 
+
+def _pow2_at_least(n, floor=1024):
+    return max(floor, 1 << int(max(n, 1) - 1).bit_length())
+
+
+def _device_append(buf, pairs, n):
+    """Write ``pairs`` into the capacity buffer at row ``n`` (jitted once
+    per (capacity, slice) shape pair — every device op in the append path
+    must have bucket-stable shapes: over a remote-attached chip each NEW
+    eager-op shape costs an executable compile/load, which dominated the
+    adaptive loop's wall time in round 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _DEVICE_APPEND_JIT
+    try:
+        fn = _DEVICE_APPEND_JIT
+    except NameError:
+        def write(buf, pairs, n):
+            zero = jnp.zeros((), n.dtype)
+            return jax.lax.dynamic_update_slice(
+                buf, pairs, (n,) + (zero,) * (pairs.ndim - 1))
+
+        fn = _DEVICE_APPEND_JIT = jax.jit(write, donate_argnums=0)
+    return fn(buf, pairs, jnp.asarray(n, jnp.int32))
+
 # default number of samples per streamed chunk (Memory storage streams one
 # chunk per level; chunking matters for the HDF/out-of-core backends)
 DEFAULT_CHUNK_SAMPLES = 512 * 1024
@@ -20,6 +46,10 @@ DEFAULT_CHUNK_SAMPLES = 512 * 1024
 
 class SampleStorage(metaclass=ABCMeta):
     """Store and retrieve sample data (results, schedules, costs)."""
+
+    #: payloads live in RAM/HBM (whole-level gathers are cheap); out-of-core
+    #: backends (HDF5, binary log) leave this False and stream chunks
+    payload_resident = False
 
     @abstractmethod
     def save_samples(self, successful_samples, failed_samples):
@@ -107,37 +137,90 @@ class _LevelData:
     The reference spreads this over seven parallel dicts keyed by level id
     (reference :144-158); keeping each level cohesive makes the append path
     one method and lets DeviceMemory swap just the array module.
+
+    Host (numpy) appends collect SEGMENTS merged lazily on first read — an
+    adaptive round writes many batches before the next estimate, and eager
+    per-append concatenation would copy the whole store each time.
+
+    Device (HBM) appends write into a power-of-two CAPACITY buffer via a
+    single jitted dynamic_update_slice: appended slices may be LONGER than
+    their valid count (bucket-padded device batches pass through without
+    any eager slicing — every device op keeps bucket-stable shapes, so the
+    remote-compile executable set stays O(log n) over a whole adaptive
+    run). Rows past ``n`` are garbage by contract; estimation programs
+    mask by position and legacy readers slice ``pairs``.
     """
 
-    __slots__ = ("pairs", "ids", "failed", "scheduled", "n_ops",
-                 "n_finished")
+    __slots__ = ("_segments", "_buf", "_n", "ids", "failed", "scheduled",
+                 "n_ops", "n_finished")
 
     def __init__(self):
-        self.pairs = None          # [N, 2, M] (numpy or device array)
+        self._segments = []        # host mode: list of [n_i, 2, M] numpy
+        self._buf = None           # device mode: [cap, 2, M] jax array
+        self._n = 0                # device mode: valid rows in _buf
         self.ids = None            # TagChain of successful sample ids
         self.failed = []           # [(sample_id, message)]
         self.scheduled = None      # TagChain of scheduled ids
         self.n_ops = None          # latest cumulative [total time, n] report
         self.n_finished = 0        # successful + failed
 
-    def append_pairs(self, ids, pairs, xp=np):
+    def append_pairs(self, ids, pairs, xp=np, n_valid=None):
         from mlmc_tpu.tags import TagChain
 
         if self.ids is None:
             self.ids = TagChain()
         self.ids.extend(ids)
-        self.n_finished += pairs.shape[0]
-        self.pairs = (pairs if self.pairs is None
-                      else xp.concatenate((self.pairs, pairs), axis=0))
+        n_valid = pairs.shape[0] if n_valid is None else int(n_valid)
+        self.n_finished += n_valid
+        if xp is np:
+            self._segments.append(pairs[:n_valid])
+            return
+        # device mode: grow capacity so the whole (possibly padded) slice
+        # fits without dynamic_update_slice clamping
+        need = self._n + pairs.shape[0]
+        if self._buf is None:
+            cap = _pow2_at_least(need)
+            self._buf = xp.zeros((cap,) + pairs.shape[1:], pairs.dtype)
+        elif need > self._buf.shape[0]:
+            cap = _pow2_at_least(need, floor=2 * self._buf.shape[0])
+            grown = xp.zeros((cap,) + self._buf.shape[1:], self._buf.dtype)
+            self._buf = _device_append(grown, self._buf, 0)
+        self._buf = _device_append(self._buf, pairs, self._n)
+        self._n += n_valid
+
+    @property
+    def pairs(self):
+        """[N, 2, M] valid payload (host segments merged + cached; device
+        buffers sliced to the valid count)."""
+        if self._buf is not None:
+            return self._buf[:self._n]
+        if not self._segments:
+            return None
+        if len(self._segments) > 1:
+            self._segments = [np.concatenate(self._segments, axis=0)]
+        return self._segments[0]
+
+    @property
+    def raw_payload(self):
+        """(payload in native [N_cap, 2, M] layout, valid count) without
+        slicing: device capacity buffers pass through whole (tail rows are
+        garbage, mask by position)."""
+        if self._buf is not None:
+            return self._buf, self._n
+        return self.pairs, self.n_collected
 
     @property
     def n_collected(self):
-        return 0 if self.pairs is None else int(self.pairs.shape[0])
+        if self._buf is not None:
+            return int(self._n)
+        return int(sum(seg.shape[0] for seg in self._segments))
 
 
 class Memory(SampleStorage):
     """In-RAM storage: per-level [N, 2, M] float arrays (reference :135-338),
     each level held as one cohesive ``_LevelData`` record."""
+
+    payload_resident = True
 
     #: array module for the result payload (DeviceMemory: jax.numpy)
     @staticmethod
@@ -156,7 +239,7 @@ class Memory(SampleStorage):
         return self._levels.setdefault(level_id, _LevelData())
 
     def _levels_with_results(self):
-        return [lid for lid, st in self._levels.items() if st.pairs is not None]
+        return [lid for lid, st in self._levels.items() if st.n_collected]
 
     # -------------------------------------------------------------- write
     def save_samples(self, successful_samples, failed_samples):
@@ -168,11 +251,26 @@ class Memory(SampleStorage):
                 level.n_finished += len(res)
 
     def save_samples_bulk(self, level_id, ids, fine, coarse):
+        """``fine``/``coarse`` rows past ``len(ids)`` are bucket padding
+        (device pools hand over whole padded batches so no device op ever
+        needs a batch-specific shape); only the first len(ids) rows count."""
         xp = self._xp()
+        n_valid = len(ids)
+        if xp is np:
+            fine = np.asarray(fine)[:n_valid]
+            coarse = np.asarray(coarse)[:n_valid]
         pairs = xp.stack([xp.asarray(fine), xp.asarray(coarse)], axis=1)
         if pairs.dtype != np.float64 and xp is np:
             pairs = pairs.astype(np.float64)
-        self._level(level_id).append_pairs(ids, pairs, xp=xp)
+        self._level(level_id).append_pairs(ids, pairs, xp=xp,
+                                           n_valid=n_valid)
+
+    def raw_level_payload(self, level_id):
+        """(native-layout payload [N_cap, 2, M], valid count) for the
+        single-dispatch estimation tiers — device buffers are returned
+        WHOLE (capacity tail is garbage, masked by position downstream) so
+        no eager device slicing happens on the hot path."""
+        return self._levels[int(level_id)].raw_payload
 
     def _save_successful(self, samples):
         """:param samples: Dict[level_id, List[Tuple[sample_id, (fine, coarse)]]]"""

@@ -22,78 +22,84 @@ class SampleStorageHDF(SampleStorage):
     def __init__(self, file_path):
         """:param file_path: hdf5 file path (existing file -> resume)"""
         super().__init__()
-        load_from_file = os.path.exists(file_path)
-        self._hdf_object = hdf.HDF5(file_path=file_path, load_from_file=load_from_file)
+        resuming = os.path.exists(file_path)
+        self._hdf_object = hdf.HDF5(file_path=file_path,
+                                    load_from_file=resuming)
         self._level_groups = []
-        if load_from_file:
-            for i_level in range(len(self._hdf_object.level_parameters)):
-                self._level_groups.append(self._hdf_object.add_level_group(str(i_level)))
+        if resuming:
+            self._rebuild_level_groups(
+                len(self._hdf_object.level_parameters))
+
+    def _rebuild_level_groups(self, n_levels):
+        self._level_groups = [self._hdf_object.add_level_group(str(lid))
+                              for lid in range(n_levels)]
 
     def close(self):
         self._hdf_object.close()
 
     # ------------------------------------------------------------------ #
-    def _hdf_result_format(self, locations, times, shape=(2, 1)):
-        """Structured dtype for QuantitySpec marshalling (reference :36-56;
-        unlike the reference, the shape slot length follows the spec so
-        non-2-D result shapes round-trip)."""
-        if len(locations[0]) == 3 and not isinstance(locations[0], str):
-            tuple_dtype = np.dtype((float, (3,)))
-            loc_dtype = np.dtype((tuple_dtype, (len(locations),)))
-        else:
-            loc_dtype = np.dtype(("S50", (len(locations),)))
-        return {
-            "names": ("name", "unit", "shape", "times", "locations"),
-            "formats": (
-                "S50",
-                "S50",
-                np.dtype((np.int32, (max(len(shape), 1),))),
-                np.dtype((float, (len(times),))),
-                loc_dtype,
-            ),
-        }
+    # QuantitySpec (de)marshalling. The on-disk structured dtype — field
+    # names, S50 strings, f64 times, (3,)-float or S50 locations — is the
+    # REFERENCE SCHEMA (reference sample_storage_hdf.py:36-56) and is kept
+    # byte-compatible on purpose: tests/test_reference_parity.py reads our
+    # files with the reference library and vice versa. Unlike the
+    # reference, the shape slot length follows the spec, so non-2-D result
+    # shapes round-trip.
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _spec_dtype(spec: QuantitySpec):
+        """Structured dtype describing one QuantitySpec on disk."""
+        loc0 = spec.locations[0]
+        point_locations = (not isinstance(loc0, (str, bytes))
+                           and len(loc0) == 3)
+        return np.dtype([
+            ("name", "S50"),
+            ("unit", "S50"),
+            ("shape", np.int32, (max(len(spec.shape), 1),)),
+            ("times", np.float64, (len(spec.times),)),
+            ("locations",
+             np.dtype((np.float64, (3,))) if point_locations else "S50",
+             (len(spec.locations),)),
+        ])
 
-    def save_global_data(self, result_format: List[QuantitySpec], level_parameters=None):
-        res_dtype = self._hdf_result_format(result_format[0].locations,
-                                            result_format[0].times,
-                                            result_format[0].shape)
+    def save_global_data(self, result_format: List[QuantitySpec],
+                         level_parameters=None):
         self._hdf_object.create_file_structure(level_parameters)
         if len(self._level_groups) != len(level_parameters):
-            self._level_groups = []
-            for i_level in range(len(level_parameters)):
-                self._level_groups.append(self._hdf_object.add_level_group(str(i_level)))
-        self.save_result_format(result_format, res_dtype)
+            self._rebuild_level_groups(len(level_parameters))
+        self.save_result_format(result_format)
 
-    def save_result_format(self, result_format: List[QuantitySpec], res_dtype=None):
-        if res_dtype is None:
-            res_dtype = self._hdf_result_format(result_format[0].locations,
-                                                result_format[0].times,
-                                                result_format[0].shape)
+    def save_result_format(self, result_format: List[QuantitySpec],
+                           res_dtype=None):
+        stored = None
         try:
-            if self.load_result_format() != result_format:
-                raise ValueError(
-                    "You are setting a new different result format for an existing sample storage")
+            stored = self.load_result_format()
         except AttributeError:
-            pass
-        self._hdf_object.save_result_format(result_format, res_dtype)
+            pass  # fresh file: nothing stored yet
+        if stored is not None and stored != result_format:
+            raise ValueError(
+                "result format differs from the one stored in {!r}; a "
+                "resume must keep the simulation's result schema".format(
+                    self._hdf_object.file_name))
+        self._hdf_object.save_result_format(
+            result_format,
+            res_dtype if res_dtype is not None
+            else self._spec_dtype(result_format[0]))
 
     def load_result_format(self) -> List[QuantitySpec]:
-        results_format = self._hdf_object.load_result_format()
-        quantities = []
-        for res_format in results_format:
-            locations = [
-                loc.decode() if isinstance(loc, bytes) else tuple(loc)
-                for loc in res_format[4]
-            ]
-            spec = QuantitySpec(
-                res_format[0].decode(),
-                res_format[1].decode(),
-                tuple(int(s) for s in res_format[2]),
-                list(res_format[3]),
-                locations,
+        def decode_loc(loc):
+            return loc.decode() if isinstance(loc, bytes) else tuple(loc)
+
+        return [
+            QuantitySpec(
+                name=row[0].decode(),
+                unit=row[1].decode(),
+                shape=tuple(int(s) for s in row[2]),
+                times=list(row[3]),
+                locations=[decode_loc(loc) for loc in row[4]],
             )
-            quantities.append(spec)
-        return quantities
+            for row in self._hdf_object.load_result_format()
+        ]
 
     # ------------------------------------------------------------------ #
     def save_samples(self, successful, failed):

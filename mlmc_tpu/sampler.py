@@ -186,9 +186,15 @@ class Sampler:
         tupled = {}
         for level_id, res in successful_samples.items():
             if isinstance(res, BulkResults):
-                event(_log, "collected", level=level_id, n=len(res.ids))
-                self.sample_storage.save_samples_bulk(
-                    level_id, res.ids, res.fine, res.coarse)
+                res = [res]
+            if len(res) and isinstance(res[0], BulkResults):
+                # one BulkResults per device slice; payload arrays may be
+                # bucket-padded past len(ids) (storages slice or mask)
+                for bulk in res:
+                    event(_log, "collected", level=level_id,
+                          n=len(bulk.ids))
+                    self.sample_storage.save_samples_bulk(
+                        level_id, bulk.ids, bulk.fine, bulk.coarse)
             elif len(res):
                 event(_log, "collected", level=level_id, n=len(res))
                 tupled[level_id] = res

@@ -17,7 +17,6 @@ but the center of gravity moves on-device:
 """
 import collections
 import os
-import queue
 import shutil
 import sys
 import time
@@ -27,7 +26,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from abc import ABC, abstractmethod
-from typing import List
 
 from mlmc_tpu.level_simulation import LevelSimulation
 
@@ -45,30 +43,89 @@ def _round_up_bucket(n, min_bucket=256):
     return b
 
 
+class _SampleWorkspace:
+    """Per-sample scratch-directory lifecycle for host simulations.
+
+    Mirrors the reference semantics (sampling_pool.py:26-51,128-204): each
+    workspace sample runs in ``<output>/<sample_id>`` seeded with the
+    simulation's common files; on completion the directory is dropped —
+    except the first ``KEEP_SUCCESSFUL`` successful samples (archived for
+    inspection) and every failed sample (archived for debugging).
+    """
+
+    FAILED_DIR = "failed"
+    SUCCESSFUL_DIR = "several_successful"
+    KEEP_SUCCESSFUL = 5
+
+    def __init__(self, work_dir=None, debug=False):
+        self.debug = debug
+        self.output_dir = (os.path.join(os.path.abspath(work_dir), "output")
+                           if work_dir is not None else None)
+        for sub in ("", self.FAILED_DIR, self.SUCCESSFUL_DIR):
+            self._fresh_dir(sub)
+
+    def _fresh_dir(self, sub=""):
+        if self.output_dir is None:
+            return None
+        path = os.path.join(self.output_dir, sub)
+        if not self.debug and os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, mode=0o775, exist_ok=True)
+        return path
+
+    def default_to_cwd(self):
+        """Late-bind the output dir for pools created without work_dir."""
+        if self.output_dir is None:
+            self.output_dir = os.getcwd()
+
+    def sample_dir(self, sample_id):
+        path = os.path.join(self.output_dir, sample_id)
+        os.makedirs(path, mode=0o775, exist_ok=True)
+        return path
+
+    def enter(self, sample_id, level_sim):
+        """Create + populate the sample dir and chdir into it."""
+        path = self.sample_dir(sample_id)
+        for f in level_sim.common_files or ():
+            shutil.copy(f, path)
+        os.chdir(path)
+
+    def _archive(self, sample_id, sub):
+        target = os.path.join(self.output_dir, sub, sample_id)
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.copytree(self.sample_dir(sample_id), target)
+
+    def finish(self, sample_id, level_sim, failed):
+        """Archive-or-drop the sample dir after the result is in."""
+        if not level_sim.need_sample_workspace or self.output_dir is None:
+            return
+        if failed:
+            self._archive(sample_id, self.FAILED_DIR)
+        elif int(sample_id[-7:]) < self.KEEP_SUCCESSFUL:
+            self._archive(sample_id, self.SUCCESSFUL_DIR)
+        shutil.rmtree(self.sample_dir(sample_id), ignore_errors=True)
+
+
+def _expected_result_len(result_format):
+    return int(sum(np.prod(spec.shape) * len(spec.times) * len(spec.locations)
+                   for spec in result_format))
+
+
 class SamplingPool(ABC):
     """Runtime environment for samples (reference sampling_pool.py:16-126)."""
 
-    FAILED_DIR = "failed"
-    SEVERAL_SUCCESSFUL_DIR = "several_successful"
-    N_SUCCESSFUL = 5
+    # kept as class attrs for API parity with reference scripts
+    FAILED_DIR = _SampleWorkspace.FAILED_DIR
+    SEVERAL_SUCCESSFUL_DIR = _SampleWorkspace.SUCCESSFUL_DIR
+    N_SUCCESSFUL = _SampleWorkspace.KEEP_SUCCESSFUL
 
     def __init__(self, work_dir=None, debug=False):
-        self._output_dir = None
-        if work_dir is not None:
-            work_dir = os.path.abspath(work_dir)
-            self._output_dir = os.path.join(work_dir, "output")
+        self._workspace = _SampleWorkspace(work_dir, debug)
         self._debug = debug
-        self._create_dir()
-        self._create_dir(SamplingPool.FAILED_DIR)
-        self._successful_dir = self._create_dir(SamplingPool.SEVERAL_SUCCESSFUL_DIR)
 
-    def _create_dir(self, directory=""):
-        if self._output_dir is not None:
-            directory = os.path.join(self._output_dir, directory)
-            if os.path.exists(directory) and not self._debug:
-                shutil.rmtree(directory)
-            os.makedirs(directory, mode=0o775, exist_ok=True)
-            return directory
+    @property
+    def _output_dir(self):
+        return self._workspace.output_dir
 
     @abstractmethod
     def schedule_sample(self, sample_id, level_sim: LevelSimulation):
@@ -85,159 +142,90 @@ class SamplingPool(ABC):
     @staticmethod
     def compute_seed(sample_id):
         """md5(sample_id) -> uint32 (parity with reference :75-84)."""
-        h = hashlib.md5(sample_id.encode("ascii"))
-        return np.frombuffer(h.digest(), dtype="uint32")[0]
+        digest = hashlib.md5(sample_id.encode("ascii")).digest()
+        return np.frombuffer(digest, dtype="uint32")[0]
 
     @staticmethod
     def calculate_sample(sample_id, level_sim, work_dir=None, seed=None):
-        """Single-sample wrapper: timing + traceback capture + shape check."""
+        """Single-sample wrapper: reproducible seed, wall-time measurement,
+        result-shape validation, exception -> traceback string."""
         if seed is None:
             seed = SamplingPool.compute_seed(sample_id)
-        res = (None, None)
-        err_msg = ""
-        running_time = 0
-
         if level_sim.need_sample_workspace:
-            SamplingPool.handle_sim_files(work_dir, sample_id, level_sim)
+            ws = _SampleWorkspace.__new__(_SampleWorkspace)
+            ws.output_dir = work_dir
+            ws.debug = True  # enter() only; lifecycle handled by the pool
+            ws.enter(sample_id, level_sim)
         try:
-            start = time.time()
-            res = level_sim.calculate(level_sim.config_dict, seed)
-            running_time = time.time() - start
-
-            if isinstance(res[0], np.ndarray) and isinstance(res[1], np.ndarray):
-                flat_fine = res[0].flatten()
-                flat_coarse = res[1].flatten()
-                res_expected_len = int(
-                    np.sum(
-                        [
-                            np.prod(spec.shape) * len(spec.times) * len(spec.locations)
-                            for spec in level_sim.result_format
-                        ]
-                    )
-                )
-                assert len(flat_fine) == len(flat_coarse) == res_expected_len, (
-                    "Unexpected result format, expected length: {}, result length: {}".format(
-                        res_expected_len, len(flat_fine)
-                    )
-                )
+            start = time.perf_counter()
+            result = level_sim.calculate(level_sim.config_dict, seed)
+            elapsed = time.perf_counter() - start
+            fine, coarse = result[0], result[1]
+            if isinstance(fine, np.ndarray) and isinstance(coarse, np.ndarray):
+                want = _expected_result_len(level_sim.result_format)
+                got = (fine.size, coarse.size)
+                if got != (want, want):
+                    raise ValueError(
+                        "result shape mismatch: expected {} values per "
+                        "part, got fine={} coarse={}".format(want, *got))
         except Exception:
-            err_msg = "".join(traceback.format_exception(*sys.exc_info()))
-
-        return sample_id, res, err_msg, running_time
-
-    # ---------------- workspace helpers (host sims) ---------------------- #
-    @staticmethod
-    def change_to_sample_directory(work_dir, path):
-        sample_dir = os.path.join(work_dir, path)
-        os.makedirs(sample_dir, mode=0o775, exist_ok=True)
-        return sample_dir
-
-    @staticmethod
-    def copy_sim_files(files: List[str], sample_dir):
-        for f in files:
-            shutil.copy(f, sample_dir)
-
-    @staticmethod
-    def handle_sim_files(work_dir, sample_id, level_sim):
-        if level_sim.need_sample_workspace:
-            sample_dir = SamplingPool.change_to_sample_directory(work_dir, sample_id)
-            if level_sim.common_files is not None:
-                SamplingPool.copy_sim_files(level_sim.common_files, sample_dir)
-            os.chdir(sample_dir)
-
-    @staticmethod
-    def move_dir(sample_id, sample_workspace, work_dir, dest_dir):
-        if sample_workspace and work_dir is not None and dest_dir is not None:
-            destination_dir = os.path.join(work_dir, dest_dir)
-            sample_dir = SamplingPool.change_to_sample_directory(work_dir, sample_id)
-            target = os.path.join(destination_dir, sample_id)
-            if os.path.exists(target):
-                shutil.rmtree(target, ignore_errors=True)
-            shutil.copytree(sample_dir, target)
-
-    @staticmethod
-    def remove_sample_dir(sample_id, sample_workspace, work_dir):
-        if sample_workspace and work_dir is not None:
-            sample_dir = SamplingPool.change_to_sample_directory(work_dir, sample_id)
-            shutil.rmtree(sample_dir, ignore_errors=True)
-
-    @staticmethod
-    def move_successful_rm(sample_id, level_sim, output_dir, dest_dir):
-        if int(sample_id[-7:]) < SamplingPool.N_SUCCESSFUL:
-            SamplingPool.move_dir(sample_id, level_sim.need_sample_workspace, output_dir, dest_dir)
-        SamplingPool.remove_sample_dir(sample_id, level_sim.need_sample_workspace, output_dir)
-
-    @staticmethod
-    def move_failed_rm(sample_id, level_sim, output_dir, dest_dir):
-        SamplingPool.move_dir(sample_id, level_sim.need_sample_workspace, output_dir, dest_dir)
-        SamplingPool.remove_sample_dir(sample_id, level_sim.need_sample_workspace, output_dir)
+            err = "".join(traceback.format_exception(*sys.exc_info()))
+            return sample_id, (None, None), err, 0
+        return sample_id, result, "", elapsed
 
 
 class OneProcessPool(SamplingPool):
-    """Everything runs inline in one process (reference :207-294)."""
+    """Everything runs inline in one process (reference :207-294).
+
+    Collection is plain per-level lists — results are produced and drained
+    on the pool-owner's thread only (ProcessPool/ThreadPool also process
+    futures inside ``get_finished``), so no lock is needed.
+    """
 
     def __init__(self, work_dir=None, debug=False):
         super().__init__(work_dir=work_dir, debug=debug)
-        self._failed_queues = {}
-        self._queues = {}
+        self._done = {}    # level_id -> [(sample_id, (fine, coarse))]
+        self._errors = {}  # level_id -> [(sample_id, message)]
         self._n_running = 0
-        self.times = {}
+        self.times = {}    # level_id -> [total seconds, n samples]
 
     def schedule_sample(self, sample_id, level_sim):
         self._n_running += 1
-        if self._output_dir is None and level_sim.need_sample_workspace:
-            self._output_dir = os.getcwd()
-        sample_id, result, err_msg, running_time = SamplingPool.calculate_sample(
-            sample_id, level_sim, work_dir=self._output_dir
-        )
-        self._process_result(sample_id, result, err_msg, running_time, level_sim)
+        if level_sim.need_sample_workspace:
+            self._workspace.default_to_cwd()
+        self._process_result(
+            *SamplingPool.calculate_sample(sample_id, level_sim,
+                                           work_dir=self._output_dir),
+            level_sim)
 
-    def _process_result(self, sample_id, result, err_msg, running_time, level_sim):
-        self._save_running_time(level_sim.level_id, running_time)
-        if not err_msg:
-            self._queues.setdefault(level_sim.level_id, queue.Queue()).put(
-                (sample_id, (result[0], result[1]))
-            )
-            if not self._debug:
-                SamplingPool.move_successful_rm(
-                    sample_id, level_sim, output_dir=self._output_dir, dest_dir=self._successful_dir
-                )
+    def _process_result(self, sample_id, result, err_msg, elapsed, level_sim):
+        lid = level_sim.level_id
+        if elapsed:
+            t = self.times.setdefault(lid, [0, 0])
+            t[0] += elapsed
+            t[1] += 1
+        if err_msg:
+            self._errors.setdefault(lid, []).append((sample_id, err_msg))
+            self._workspace.finish(sample_id, level_sim, failed=True)
         else:
-            if level_sim.need_sample_workspace:
-                SamplingPool.move_failed_rm(
-                    sample_id, level_sim, output_dir=self._output_dir,
-                    dest_dir=SamplingPool.FAILED_DIR,
-                )
-            self._failed_queues.setdefault(level_sim.level_id, queue.Queue()).put(
-                (sample_id, err_msg)
-            )
-
-    def _save_running_time(self, level_id, running_time):
-        if level_id not in self.times:
-            self.times[level_id] = [0, 0]
-        if running_time != 0:
-            self.times[level_id][0] += running_time
-            self.times[level_id][1] += 1
+            self._done.setdefault(lid, []).append(
+                (sample_id, (result[0], result[1])))
+            if not self._debug:
+                self._workspace.finish(sample_id, level_sim, failed=False)
 
     def have_permanent_samples(self, sample_ids):
         return False
 
-    def get_finished(self):
-        successful = self._queues_to_list(list(self._queues.items()))
-        failed = self._queues_to_list(list(self._failed_queues.items()))
-        return successful, failed, self._n_running, list(self.times.items())
+    def _drain(self, store):
+        out = {lid: lst for lid, lst in store.items() if lst}
+        for lid, lst in out.items():
+            self._n_running -= len(lst)
+        store.clear()
+        return out
 
-    def _queues_to_list(self, queue_dict_list):
-        results = {}
-        for level_id, q in queue_dict_list:
-            queue_list = list(q.queue)
-            if not queue_list:
-                continue
-            results[level_id] = queue_list
-            with q.mutex:
-                q.queue.clear()
-            self._n_running -= len(results[level_id])
-        return results
+    def get_finished(self):
+        return (self._drain(self._done), self._drain(self._errors),
+                self._n_running, list(self.times.items()))
 
 
 class ProcessPool(OneProcessPool):
@@ -246,17 +234,18 @@ class ProcessPool(OneProcessPool):
     def __init__(self, n_processes, work_dir=None, debug=False):
         import concurrent.futures
 
-        self._executor = concurrent.futures.ProcessPoolExecutor(max_workers=n_processes)
-        self._futures = []
         super().__init__(work_dir=work_dir, debug=debug)
+        self._executor = concurrent.futures.ProcessPoolExecutor(
+            max_workers=n_processes)
+        self._futures = []
 
     def schedule_sample(self, sample_id, level_sim):
         self._n_running += 1
-        if self._output_dir is None and level_sim.need_sample_workspace:
-            self._output_dir = os.getcwd()
+        if level_sim.need_sample_workspace:
+            self._workspace.default_to_cwd()
         fut = self._executor.submit(
-            SamplingPool.calculate_sample, sample_id, level_sim, self._output_dir
-        )
+            SamplingPool.calculate_sample, sample_id, level_sim,
+            self._output_dir)
         fut._mlmc_sample_id = sample_id
         self._futures.append((fut, level_sim))
 
@@ -275,7 +264,7 @@ class ProcessPool(OneProcessPool):
                 sample_id = getattr(fut, "_mlmc_sample_id", "<unknown>")
                 self._process_result(
                     sample_id, None,
-                    "executor failure: {}".format(exc), (0.0, 0.0), level_sim)
+                    "executor failure: {}".format(exc), 0, level_sim)
                 continue
             self._process_result(*result, level_sim)
         self._futures = pending
@@ -283,18 +272,16 @@ class ProcessPool(OneProcessPool):
 
 
 class ThreadPool(ProcessPool):
-    """Thread pool for external-binary simulations (reference :326-337)."""
+    """Thread pool for external-binary simulations (reference :326-337):
+    the workers block in subprocess calls, so threads are enough."""
 
     def __init__(self, n_thread, work_dir=None, debug=False):
         import concurrent.futures
 
-        SamplingPool.__init__(self, work_dir=work_dir, debug=debug)
-        self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=n_thread)
+        OneProcessPool.__init__(self, work_dir=work_dir, debug=debug)
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=n_thread)
         self._futures = []
-        self._failed_queues = {}
-        self._queues = {}
-        self._n_running = 0
-        self.times = {}
 
 
 def _config_equal(a, b):
@@ -353,6 +340,7 @@ class DeviceBatchPool(SamplingPool):
         self._jit_cache = {}
         self._warm = set()  # (level, bucket) pairs that already compiled
         self._cold_times = {}  # compile-polluted first-call timings
+        self.n_dispatches = 0  # device batch calls (observability)
 
     # ------------------------------------------------------------------ #
     def sample_key(self, level_id, sample_index):
@@ -426,21 +414,43 @@ class DeviceBatchPool(SamplingPool):
                 # every level — fall back to a per-level executable
                 cache_key = (level_id, bucket)
         if cache_key not in self._jit_cache:
+            # the (level_key, index) -> sample key derivation AND the
+            # NaN-failure detection run INSIDE the executable: one dispatch
+            # per slice, and neither keys nor payload cross the host link
+            nan_fails = getattr(level_sim, "nan_result_is_failure", True)
+
+            def derive_keys(level_key, idxs):
+                return jax.vmap(
+                    lambda i: jax.random.fold_in(level_key, i))(idxs)
+
+            def run(cfg, level_key, idxs, attempts):
+                fine, coarse, failed = calc_batch(
+                    cfg, derive_keys(level_key, idxs), attempts)
+                if nan_fails:
+                    # parity with sims that raise on NaN (SynthSimulation);
+                    # sims with NaN-as-QoI (shooting) store NaNs, masked at
+                    # estimation time
+                    failed = (failed
+                              | jnp.any(jnp.isnan(fine), axis=1)
+                              | jnp.any(jnp.isnan(coarse), axis=1))
+                return fine, coarse, failed
+
             if dyn_names:
                 baked_cfg = dict(static_cfg)
 
-                def fn(dyn_vals, keys, attempts):
+                def fn(dyn_vals, level_key, idxs, attempts):
                     cfg = dict(baked_cfg)
                     cfg.update(zip(dyn_names, dyn_vals))
-                    return calc_batch(cfg, keys, attempts)
+                    return run(cfg, level_key, idxs, attempts)
             else:
-                fn = lambda keys, attempts: calc_batch(config, keys, attempts)
+                def fn(level_key, idxs, attempts):
+                    return run(config, level_key, idxs, attempts)
             if self._sharding is not None:
                 # data-parallel over the sample mesh: batch axis sharded,
                 # XLA partitions the vmapped computation across devices
                 in_sh = self._sharding.batch_sharding()
-                shardings = ((None, in_sh, in_sh) if dyn_names
-                             else (in_sh, in_sh))
+                shardings = ((None, None, in_sh, in_sh) if dyn_names
+                             else (None, in_sh, in_sh))
                 jitted = jax.jit(fn, in_shardings=shardings)
             else:
                 jitted = jax.jit(fn)
@@ -452,7 +462,7 @@ class DeviceBatchPool(SamplingPool):
             # the static-config pools (review finding)
             dyn_vals = tuple(jnp.asarray(config[k], dtype=float)
                              for k in dyn_names)
-            return lambda keys, attempts: fn_c(dyn_vals, keys, attempts)
+            return lambda *args: fn_c(dyn_vals, *args)
         return fn_c
 
     def execute_level(self, level_id):
@@ -480,14 +490,12 @@ class DeviceBatchPool(SamplingPool):
                                    attempts[start:start + self._max_batch],
                                    force_bucket=force)
             for k, v in s.items():
-                if k in succ_all and self._bulk:
-                    prev = succ_all[k]
-                    # keep device arrays on device when merging slices
-                    xp = jnp if isinstance(prev.fine, jax.Array) else np
-                    succ_all[k] = BulkResults(
-                        prev.ids + v.ids,
-                        xp.concatenate([prev.fine, v.fine]),
-                        xp.concatenate([prev.coarse, v.coarse]))
+                if isinstance(v, BulkResults):
+                    # one BulkResults per slice: concatenating device
+                    # payloads here would compile a fresh executable per
+                    # (slice count, sizes) combination — storages append
+                    # each slice instead
+                    succ_all.setdefault(k, []).append(v)
                 elif k in succ_all:
                     succ_all[k].extend(v)
                 else:
@@ -515,7 +523,6 @@ class DeviceBatchPool(SamplingPool):
         att_p = np.concatenate([attempts, np.zeros(pad, dtype=np.uint32)])
 
         level_key = jax.random.fold_in(self._root_key, level_id)
-        keys = jax.vmap(lambda i: jax.random.fold_in(level_key, i))(jnp.asarray(idxs_p))
 
         # build the executable wrapper BEFORE the timed region; whether
         # the first call of this (key, bucket) still compiles is tracked so
@@ -527,16 +534,15 @@ class DeviceBatchPool(SamplingPool):
         self._warm.add(warm_key)
 
         t0 = time.perf_counter()
-        fine, coarse, failed = fn(keys, jnp.asarray(att_p))
-        nan_fails = getattr(level_sim, "nan_result_is_failure", True)
+        self.n_dispatches += 1
+        fine, coarse, failed = fn(level_key, jnp.asarray(idxs_p),
+                                  jnp.asarray(att_p))
         if self._device_results:
-            # payload stays in HBM; only the [n]-bool mask crosses the link
-            fine = fine[:n]
-            coarse = coarse[:n]
-            if nan_fails:
-                failed = failed[:n] | jnp.any(jnp.isnan(fine), axis=1) \
-                    | jnp.any(jnp.isnan(coarse), axis=1)
-            failed = np.asarray(failed[:n])
+            # payload stays in HBM at BUCKET shape — slicing a device array
+            # to the batch-specific count would compile a fresh executable
+            # per adaptive round over a remote-attached chip. Only the bool
+            # mask crosses the link; it is sliced on HOST.
+            failed = np.asarray(failed)[:n]
             elapsed = time.perf_counter() - t0
         else:
             # timing must include a device->host TRANSFER: over the remote
@@ -545,11 +551,6 @@ class DeviceBatchPool(SamplingPool):
             elapsed = time.perf_counter() - t0
             coarse = np.asarray(coarse)[:n]
             failed = np.asarray(failed)[:n]
-            if nan_fails:
-                # parity with simulations that raise on NaN (SynthSimulation);
-                # sims with NaN-as-QoI (shooting) store NaNs and mask later
-                failed = failed | np.any(np.isnan(fine), axis=1) \
-                    | np.any(np.isnan(coarse), axis=1)
 
         ok = ~failed
         failed_out = [(sid, "result is nan")
@@ -557,12 +558,19 @@ class DeviceBatchPool(SamplingPool):
         if self._bulk and not failed_out:
             # common case (no failures): skip the filtering gathers — on a
             # remote-attached device each variable-shape gather pays a
-            # fresh compile (~1 s/slice measured)
+            # fresh compile (~1 s/slice measured). Device payloads stay
+            # bucket-padded; consumers count len(ids) valid rows.
             successful = BulkResults(TagArray(level_id, idxs), fine, coarse)
         elif self._bulk:
             ok_ids = TagArray(level_id, idxs[ok])
-            successful = BulkResults(ok_ids, fine[ok], coarse[ok]) \
-                if len(ok_ids) else []
+            if self._device_results and len(ok_ids):
+                ok_dev = jnp.asarray(ok)
+                successful = BulkResults(ok_ids, fine[:n][ok_dev],
+                                         coarse[:n][ok_dev])
+            elif len(ok_ids):
+                successful = BulkResults(ok_ids, fine[ok], coarse[ok])
+            else:
+                successful = []
         else:
             ok_pos = np.flatnonzero(ok)
             ok_ids = format_tags(level_id, idxs[ok_pos]).tolist()

@@ -250,6 +250,61 @@ class ProcessBase:
                                          file=out_file or "")
         return estimator.mean_bs_l_vars
 
+    def analyze_error_of_regression_variance(self, estimator, sampler,
+                                             out_file=None,
+                                             n_subsamples=50):
+        """Bootstrap error of the REGRESSED variance estimates: each
+        replicate's level variances run through the log-quadratic variance
+        regression before aggregation, demonstrating how much the
+        regression stabilizes the allocation inputs
+        (reference process_base.py:306-324 against the live API).
+        """
+        from mlmc_tpu.plot import plots
+
+        estimator.est_bootstrap(n_subsamples=n_subsamples, regression=True)
+        raw_vars, n_samples = estimator.estimate_diff_vars()
+        bs = plots.BSplots(n_samples=n_samples, bs_n_samples=n_samples,
+                           n_moments=estimator.n_moments,
+                           ref_level_var=raw_vars)
+        bs.plot_bs_var_error_contributions(
+            estimator.var_bs_l_means, file=out_file or "")
+        return estimator.var_bs_l_vars
+
+    def analyze_error_of_regression_level_variances(self, estimator,
+                                                    sampler, out_file=None,
+                                                    n_subsamples=10):
+        """Per-level spread of the REGRESSED bootstrap variances
+        (reference process_base.py:353-378 against the live API; the
+        reference uses only 10 replicates here — regression makes each one
+        expensive but smooth)."""
+        from mlmc_tpu.plot import plots
+
+        estimator.est_bootstrap(n_subsamples=n_subsamples, regression=True)
+        raw_vars, n_samples = estimator.estimate_diff_vars()
+        bs = plots.BSplots(n_samples=n_samples, bs_n_samples=n_samples,
+                           n_moments=estimator.n_moments,
+                           ref_level_var=raw_vars)
+        bs.plot_bs_level_variances_error(estimator.mean_bs_l_vars,
+                                         file=out_file or "")
+        return estimator.mean_bs_l_vars
+
+    def analyze_error_of_log_variance(self, estimator, sampler,
+                                      out_file=None, n_subsamples=50):
+        """Bootstrap spread of the LOG level variances — the quantity the
+        variance regression actually fits, so its spread is what the
+        log-chi-squared model predicts (reference process_base.py:380-394
+        against the live API)."""
+        from mlmc_tpu.plot import plots
+
+        estimator.est_bootstrap(n_subsamples=n_subsamples, log=True)
+        raw_vars, n_samples = estimator.estimate_diff_vars()
+        bs = plots.BSplots(n_samples=n_samples, bs_n_samples=n_samples,
+                           n_moments=estimator.n_moments,
+                           ref_level_var=raw_vars)
+        bs.plot_bs_var_log_var(estimator.var_bs_log_l_vars,
+                               file=out_file or "")
+        return estimator.var_bs_log_l_vars
+
     def rm_files(self, work_dir):
         """Clean a work dir (reference rm_files)."""
         if os.path.isdir(work_dir):

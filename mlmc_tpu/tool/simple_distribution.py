@@ -354,17 +354,20 @@ class SimpleDistribution:
         self._update_quadrature(self.multipliers, force=True)
 
     def end_point_derivatives(self):
-        """Moment derivative approximations at the endpoints (:240-252)."""
+        """One-sided finite-difference moment derivatives at the domain
+        endpoints, used by the decay penalty (reference :240-252): inward
+        difference at the left end, outward at the right, zero where the
+        endpoint carries no penalty."""
         eps = 1e-10
-        left_diff = right_diff = np.zeros((1, self.approx_size))
-        if self.decay_penalty[0]:
-            left_diff = (self.eval_moments(self.domain[0] + eps)
-                         - self.eval_moments(self.domain[0]))
-        if self.decay_penalty[1]:
-            right_diff = (-self.eval_moments(self.domain[1])
-                          + self.eval_moments(self.domain[1] - eps))
-        return np.stack((left_diff[0, :], right_diff[0, :]), axis=0) / eps \
-            / self._moment_errs[None, :]
+        diffs = np.zeros((2, self.approx_size))
+        for side, (edge, inward) in enumerate(
+                [(self.domain[0], eps), (self.domain[1], -eps)]):
+            if self.decay_penalty[side]:
+                # inward difference (f(edge + inward) - f(edge)) / eps —
+                # the reference's left/right one-sided stencils (:244-249)
+                diffs[side] = (self.eval_moments(edge + inward)
+                               - self.eval_moments(edge))[0]
+        return diffs / eps / self._moment_errs[None, :]
 
     def _density_integrand_last_mom(self, multipliers):
         """rho(x) * phi_{R-1}(x): the panel-refinement driver (:213-216)."""
@@ -385,13 +388,17 @@ class SimpleDistribution:
         reference :204-212).
         """
         if not force:
-            mult_norm = np.linalg.norm(multipliers - self._last_multipliers)
-            grad_norm = np.linalg.norm(self._last_gradient)
-            if grad_norm * mult_norm < self._quad_tolerance:
+            # the grid only needs rebuilding when the multipliers moved far
+            # enough for the OLD grid's gradient to mispredict the density
+            # mass by more than the quad tolerance — both the coarse
+            # norm-product bound and the directional first-order estimate
+            # must exceed it (same guard semantics as reference :204-212)
+            step = multipliers - self._last_multipliers
+            grad = self._last_gradient
+            if np.linalg.norm(grad) * np.linalg.norm(step) \
+                    < self._quad_tolerance:
                 return False
-            quad_err_estimate = np.abs(
-                np.dot(self._last_gradient, multipliers - self._last_multipliers))
-            if quad_err_estimate < self._quad_tolerance:
+            if abs(float(np.dot(grad, step))) < self._quad_tolerance:
                 return False
 
         f = self._density_integrand_last_mom(multipliers)
@@ -412,50 +419,61 @@ class SimpleDistribution:
         self._last_gradient = integral
         return True
 
-    # host-side functional/gradient/jacobian (parity helpers; the solver
-    # itself uses the jitted versions over the same grid)
+    # ------------------------------------------------------------------ #
+    # host-side functional / gradient / jacobian on the panel grid.
+    # Shared building blocks: the quad-grid density, the linear term
+    # mu.lambda/sigma, and the positive part of the endpoint decay
+    # directions. The solver itself uses the jitted versions of the same
+    # quantities; these numpy twins back the scipy-compatible interface
+    # and the parity tests (reference simple_distribution.py:259-327).
+    # ------------------------------------------------------------------ #
     def _density_in_quads(self, multipliers):
         power = -np.dot(self._quad_moments, multipliers / self._moment_errs)
-        power = np.minimum(np.maximum(power, -200), 200)
-        return np.exp(power)
+        return np.exp(np.clip(power, -200, 200))
+
+    def _linear_term(self, multipliers):
+        return float(np.dot(self.moment_means / self._moment_errs,
+                            multipliers))
+
+    def _active_decay(self, multipliers):
+        """Positive part of the endpoint decay directions (the penalty is
+        one-sided: only growth toward an endpoint is punished)."""
+        return np.maximum(self._end_point_diff @ multipliers, 0.0)
 
     def _calculate_functional(self, multipliers):
         self._update_quadrature(multipliers)
-        q_density = self._density_in_quads(multipliers)
-        integral = np.dot(q_density, self._quad_weights)
-        lin = np.sum(self.moment_means * multipliers / self._moment_errs)
-        end_diff = np.dot(self._end_point_diff, multipliers)
-        penalty = np.sum(np.maximum(end_diff, 0) ** 2)
-        fun = lin + integral
+        mass = np.dot(self._density_in_quads(multipliers),
+                      self._quad_weights)
+        fun = self._linear_term(multipliers) + mass
+        penalty = np.sum(self._active_decay(multipliers) ** 2)
         return fun + np.abs(fun) * self._penalty_coef * penalty
 
     def _calculate_gradient(self, multipliers):
         self._update_quadrature(multipliers)
-        q_density = self._density_in_quads(multipliers)
-        q_gradient = self._quad_moments.T * q_density
-        integral = np.dot(q_gradient, self._quad_weights) / self._moment_errs
-        end_diff = np.dot(self._end_point_diff, multipliers)
-        penalty = 2 * np.dot(np.maximum(end_diff, 0), self._end_point_diff)
-        fun = np.sum(self.moment_means * multipliers / self._moment_errs) \
+        weighted = self._density_in_quads(multipliers) * self._quad_weights
+        integral = (self._quad_moments.T @ weighted) / self._moment_errs
+        # the functional value enters the penalty scale; its mass term is
+        # recovered from the zeroth integral (phi_0 == 1 on the grid)
+        fun = self._linear_term(multipliers) \
             + integral[0] * self._moment_errs[0]
+        penalty_grad = 2 * (self._active_decay(multipliers)
+                            @ self._end_point_diff)
         return (self.moment_means / self._moment_errs - integral
-                + np.abs(fun) * self._penalty_coef * penalty)
+                + np.abs(fun) * self._penalty_coef * penalty_grad)
 
     def _calculate_jacobian_matrix(self, multipliers):
         self._update_quadrature(multipliers)
-        q_density = self._density_in_quads(multipliers)
-        q_density_w = q_density * self._quad_weights
-        q_mom = self._quad_moments / self._moment_errs
-        jacobian_matrix = (q_mom.T * q_density_w) @ q_mom
-        end_diff = np.dot(self._end_point_diff, multipliers)
-        fun = np.sum(self.moment_means * multipliers / self._moment_errs) \
-            + jacobian_matrix[0, 0] * self._moment_errs[0] ** 2
-        for side in [0, 1]:
-            if end_diff[side] > 0 and self._penalty_coef:
-                penalty = 2 * np.outer(self._end_point_diff[side],
-                                       self._end_point_diff[side])
-                jacobian_matrix += np.abs(fun) * self._penalty_coef * penalty
-        return jacobian_matrix
+        weighted = self._density_in_quads(multipliers) * self._quad_weights
+        scaled_moms = self._quad_moments / self._moment_errs
+        jac = (scaled_moms.T * weighted) @ scaled_moms
+        fun = self._linear_term(multipliers) \
+            + jac[0, 0] * self._moment_errs[0] ** 2
+        if self._penalty_coef:
+            active = self._active_decay(multipliers) > 0
+            for direction in self._end_point_diff[active]:
+                jac = jac + (2 * np.abs(fun) * self._penalty_coef
+                             * np.outer(direction, direction))
+        return jac
 
     def _calculate_exact_moment(self, multipliers, m=0, full_output=0):
         """Adaptive-quad moment of the current density (normalization)."""

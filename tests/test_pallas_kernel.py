@@ -418,3 +418,179 @@ def test_stored_pipeline_executable_reuse():
     assert [float(r.n_valid) for r in res] == [1000.0, 700.0]
     run(1500, 400)                # level 0 crosses a pow2 boundary
     assert _samples_mlmc_dispatch._cache_size() == c1 + 1
+
+
+def test_packed_program_matches_eager_fallback():
+    """The fully-fused packed program (DAG eval + packing + kernel in ONE
+    dispatch) must agree with the eager non-traceable fallback, and
+    estimate_diff_vars_fast must match estimate_diff_vars."""
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=47, min_bucket=64),
+                      sim, [[0.2], [0.05], [0.01]])
+    sampler.set_initial_n_samples([500, 150, 40])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = q["length"][1]["10"][0]
+    mfn = Legendre(7, distr.ppf([0.001, 0.999]))
+
+    est = est_mod.Estimate(vq, storage, mfn)
+    assert vq.traceable()
+    means_traced, vars_traced = est.estimate_moments_fast(mfn)
+
+    # identical quantity with traceability broken -> eager fallback branch
+    vq2 = q["length"][1]["10"][0]
+    vq2._traceable = False
+    est2 = est_mod.Estimate(vq2, storage, mfn)
+    means_eager, vars_eager = est2.estimate_moments_fast(mfn)
+    assert np.allclose(means_traced, means_eager, rtol=1e-6, atol=1e-7)
+    assert np.allclose(vars_traced, vars_eager, rtol=1e-5, atol=1e-9)
+
+    # diff vars fast vs the DAG path
+    l_vars_fast, ns_fast = est.estimate_diff_vars_fast(mfn)
+    l_vars_ref, ns_ref = est.estimate_diff_vars(mfn)
+    assert l_vars_fast.shape == np.asarray(l_vars_ref).shape
+    assert list(ns_fast) == list(ns_ref)
+    assert np.allclose(l_vars_fast, np.asarray(l_vars_ref),
+                       rtol=5e-4, atol=1e-8)
+
+
+# ------------------------------------------------------------------ #
+# extended (double-float) precision tier
+# ------------------------------------------------------------------ #
+def test_extended_noise_kernel_meets_df_bound():
+    """Double-float kernel vs the strict ALL-f64 reference on identical
+    f32 QoIs: sums/sums2 must meet the derived 2^-48-scale bound (the
+    1e-10 north star, SURVEY §6), covariance the empirical 1e-9 gate."""
+    from mlmc_tpu.ops.pallas_extended import (
+        synth_moment_pipeline_from_noise_extended)
+    from mlmc_tpu.ops.precision import (
+        f64_reference_moments_strict, check_extended_against_f64)
+
+    n = 24 * 8192
+    x = np.random.default_rng(7).normal(size=n).astype(np.float32)
+    r = synth_moment_pipeline_from_noise_extended(
+        x, 25, fine_step=0.25, coarse_step=0.5, domain=(-4, 4),
+        interpret=True)
+    ref = f64_reference_moments_strict(
+        x, 25, fine_step=0.25, coarse_step=0.5, domain=(-4, 4))
+    report = check_extended_against_f64(r, ref, n)  # raises on violation
+    assert report["sums"] < 1e-12
+    assert report["sums2"] < 1e-12
+    assert report["cov_fine"] < 1e-9
+
+
+def test_extended_from_samples_bases_and_nan():
+    """From-samples extended path: legendre + monomial, NaN dropping,
+    level-0 semantics, vs a direct all-f64 computation."""
+    from mlmc_tpu.ops.pallas_extended import (
+        moment_pipeline_from_samples_extended)
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    fine = rng.normal(0.2, 0.8, size=n).astype(np.float32)
+    coarse = (fine + rng.normal(0, 0.05, size=n)).astype(np.float32)
+    fine[::71] = np.nan
+    domain = (-3.5, 3.5)
+    a, b = domain
+
+    for basis in ("legendre", "monomial"):
+        ref_lo, ref_hi = (-1.0, 1.0) if basis == "legendre" else (0.0, 1.0)
+        scale = (ref_hi - ref_lo) / (b - a)
+        t_f = (fine.astype(np.float64) - a) * scale + ref_lo
+        t_c = (coarse.astype(np.float64) - a) * scale + ref_lo
+        valid = ((t_f >= ref_lo) & (t_f <= ref_hi)
+                 & (t_c >= ref_lo) & (t_c <= ref_hi))
+        R = 9
+
+        def rows(t):
+            t = np.where(valid, t, 0.0)
+            phi = np.zeros((R, n))
+            phi[0] = valid.astype(float)
+            phi[1] = t
+            for k in range(2, R):
+                if basis == "legendre":
+                    phi[k] = ((2 * k - 1) * t * phi[k - 1]
+                              - (k - 1) * phi[k - 2]) / k
+                else:
+                    phi[k] = phi[k - 1] * t
+            return phi
+
+        dphi = rows(t_f) - rows(t_c)
+        r = moment_pipeline_from_samples_extended(
+            fine, coarse, R, domain=domain, ref_domain=(ref_lo, ref_hi),
+            basis=basis, chunk=1024, interpret=True)
+        assert r.n_valid == int(valid.sum())
+        s_abs = np.abs(dphi).sum(axis=1)
+        dev = np.abs(r.sums - dphi.sum(axis=1)) / np.maximum(s_abs, 1.0)
+        assert np.max(dev) < 1e-11, (basis, np.max(dev))
+
+    # level 0: fine only, coarse ignored
+    r0 = moment_pipeline_from_samples_extended(
+        fine, None, 5, domain=domain, is_level0=True, chunk=1024,
+        interpret=True)
+    t_f = (fine.astype(np.float64) - a) * (2 / (b - a)) - 1.0
+    valid0 = (t_f >= -1) & (t_f <= 1)
+    assert r0.n_valid == int(valid0.sum())
+    assert abs(r0.sums[0] - valid0.sum()) < 1e-9
+
+
+def test_extended_rejects_fourier():
+    from mlmc_tpu.ops.pallas_extended import (
+        moment_pipeline_from_samples_extended)
+
+    with pytest.raises(ValueError):
+        moment_pipeline_from_samples_extended(
+            np.ones(100, np.float32), None, 5, domain=(0, 2),
+            ref_domain=(0.0, 6.283185307179586), basis="fourier",
+            is_level0=True, chunk=1024, interpret=True)
+
+
+def test_estimate_moments_extended_matches_f64_dag():
+    """Production wrapper: the extended tier must match the f64 DAG path
+    (tests run x64, so estimate_moments IS the all-f64 pipeline) to
+    1e-10-grade — the SURVEY §6 parity target on stored samples.
+
+    The tier consumes payloads as f32 (what a TPU store holds); under the
+    x64 CPU test env the pool produces f64 values, so the store is
+    quantized to f32 first to make both pipelines see identical inputs."""
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=29, min_bucket=64),
+                      sim, [[0.2], [0.05]])
+    sampler.set_initial_n_samples([4000, 1000])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    for st in storage._levels.values():
+        st._segments = [np.float64(np.float32(seg))
+                        for seg in st._segments]
+
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = q["length"][1]["10"][0]
+    mfn = Legendre(9, distr.ppf([0.001, 0.999]))
+    est = est_mod.Estimate(vq, storage, mfn)
+
+    means_ref, vars_ref = est.estimate_moments(mfn)     # f64 DAG (x64)
+    means_ext, vars_ext = est.estimate_moments_extended(mfn)
+    assert np.allclose(means_ext, np.asarray(means_ref),
+                       rtol=1e-10, atol=1e-12)
+    assert np.allclose(vars_ext, np.asarray(vars_ref),
+                       rtol=1e-8, atol=1e-14)
+
+    cov_ext, mean_ext = est.estimate_covariance_extended(mfn)
+    cov_ref = np.asarray(est.estimate_covariance(mfn)[0])
+    assert np.allclose(cov_ext, cov_ref, rtol=1e-8, atol=1e-10)

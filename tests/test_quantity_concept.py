@@ -491,3 +491,37 @@ def test_fused_path_pad_not_laundered_by_ufuncs():
     m_eager = qe.estimate_mean(q2)
     assert np.allclose(m_fused.mean, m_eager.mean, atol=1e-12)
     assert np.allclose(m_fused.l_vars, m_eager.l_vars, atol=1e-12)
+
+
+def test_single_dispatch_estimate_parity():
+    """The single-dispatch tier (whole estimate in ONE device program) must
+    reproduce the chunked path exactly: means, vars, counts, NaN masking."""
+    storage = Memory(chunk_size=64)  # many chunks per level on the slow path
+    fill_sample_storage(storage)
+    # poison a few samples per level with NaNs (mask_nan semantics)
+    M = sum(int(np.prod(q.shape) * len(q.times) * len(q.locations))
+            for q in storage.load_result_format())
+    poisoned = {}
+    for l_id in range(3):
+        bad_fine = np.full(M, np.nan)
+        poisoned[l_id] = [("P%07d" % k, (bad_fine, np.zeros(M)))
+                         for k in range(3)]
+    storage.save_samples(poisoned, {})
+
+    root = make_root_quantity(storage, storage.load_result_format())
+    expr = np.sin(root["length"][1]["10"]) * 2.0 + root["length"][2]["20"] / 3.0
+    mq = moments(expr, Monomial(5, (0, 60)))
+    assert mq.traceable()
+
+    ref = estimate_mean(mq, single_dispatch=False)
+    fast = estimate_mean(mq, single_dispatch=True)
+    assert list(fast.n_samples) == list(ref.n_samples)
+    assert list(fast.n_rm_samples) == list(ref.n_rm_samples)
+    assert np.allclose(fast.mean, ref.mean, rtol=1e-12, atol=1e-13)
+    assert np.allclose(fast.var, ref.var, rtol=1e-10, atol=1e-13)
+    assert np.allclose(fast.l_means, ref.l_means, rtol=1e-12, atol=1e-13)
+    assert np.allclose(fast.l_vars, ref.l_vars, rtol=1e-10, atol=1e-13)
+
+    # the auto heuristic picks the single-dispatch tier past the threshold
+    import mlmc_tpu.quantity.quantity_estimate as qe_mod
+    assert mq.get_quantity_storage().payload_resident()

@@ -250,3 +250,46 @@ def test_process_base_analysis_recipes(tmp_path, run_small_mlmc):
     assert np.all(np.isfinite(bs_l_vars))
     assert (tmp_path / "reg_var.pdf").exists()
     assert (tmp_path / "lvl_var_err.pdf").exists()
+
+    # round-3 additions: the three legacy regression/log-variance recipes
+    # (reference process_base.py:306-404)
+    rv = pb.analyze_error_of_regression_variance(
+        est, None, out_file=str(tmp_path / "reg_var_err"), n_subsamples=8)
+    assert np.all(np.isfinite(rv))
+    rlv = pb.analyze_error_of_regression_level_variances(
+        est, None, out_file=str(tmp_path / "reg_lvl_var_err"),
+        n_subsamples=5)
+    assert np.all(np.isfinite(rlv))
+    lv = pb.analyze_error_of_log_variance(
+        est, None, out_file=str(tmp_path / "log_var_err"), n_subsamples=8)
+    assert np.all(np.isfinite(lv))
+    for f in ("reg_var_err", "reg_lvl_var_err", "log_var_err"):
+        assert (tmp_path / (f + ".pdf")).exists()
+
+
+def test_variance_of_variance_closed_form_matches_quadrature():
+    """The closed-form Var[log chi2_df] = trigamma(df/2) must agree with
+    the reference's numerical quadrature of the log-chi2 pdf
+    (reference estimator.py:136-169)."""
+    import scipy.stats as st
+    import scipy.integrate as integrate
+    from mlmc_tpu.estimator import Estimate
+
+    def quadrature_var(ns):
+        df = ns - 1
+
+        def log_chi_pdf(x):
+            return np.exp(x) * df * st.chi2.pdf(np.exp(x) * df, df=df)
+
+        def moment(m):
+            std = np.sqrt(2 / df)
+            return integrate.quad(lambda x: x ** m * log_chi_pdf(x),
+                                  -100 * std, 100 * std)[0]
+
+        return moment(2) - moment(1) ** 2
+
+    est = Estimate.__new__(Estimate)
+    ns = np.array([3, 10, 50, 400, 5000])
+    closed = est._variance_of_variance(n_samples=ns)
+    quad = np.array([quadrature_var(n) for n in ns])
+    assert np.allclose(closed, quad, rtol=1e-6), (closed, quad)
