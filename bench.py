@@ -184,6 +184,7 @@ def main():
     try:
         import os as _os
         from mlmc_tpu.ops.pallas_extended import (
+            moment_pipeline_from_samples_extended,
             synth_moment_pipeline_from_noise_extended)
         from mlmc_tpu.ops.precision import (
             f64_reference_moments_strict, check_extended_against_f64,
@@ -193,12 +194,19 @@ def main():
         n_ext -= n_ext % 8192
         x_dev = jax.random.normal(jax.random.key(41), (n_ext,),
                                   dtype=jnp.float32)
-        r = synth_moment_pipeline_from_noise_extended(
-            x_dev, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
-            domain=DOMAIN)
+        # QoIs computed ONCE on device; the same bits feed both pipelines
+        # (TPU's f32 sqrt is not correctly rounded — ~40% of values differ
+        # from numpy's by 1 ulp — so recomputing the transform on the host
+        # would compare different samples, not kernel accuracy)
+        err_dev = jnp.sqrt(jnp.float32(1e-4) + jnp.abs(x_dev))
+        fine_dev = x_dev + jnp.float32(0.25) * err_dev
+        coarse_dev = x_dev + jnp.float32(0.5) * err_dev
+        r = moment_pipeline_from_samples_extended(
+            fine_dev, coarse_dev, N_MOMENTS, domain=DOMAIN,
+            symmetric=True)
         ref = f64_reference_moments_strict(
-            np.asarray(x_dev), N_MOMENTS, fine_step=0.25, coarse_step=0.5,
-            domain=DOMAIN, include_cov=True)
+            n_moments=N_MOMENTS, domain=DOMAIN, include_cov=True,
+            fine32=np.asarray(fine_dev), coarse32=np.asarray(coarse_dev))
         report = check_extended_against_f64(r, ref, n_ext)  # raises on fail
 
         # throughput at 1e8 (noise pre-generated on device; timed region =

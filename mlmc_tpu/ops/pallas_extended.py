@@ -228,8 +228,18 @@ def _df_accumulate_cov(p_hi, p_lo, cov_hi, cov_lo, chunk):
     dn = (((1,), (1,)), ((), ()))
 
     def dot(a, b):
-        return jax.lax.dot_general(a, b, dimension_numbers=dn,
-                                   preferred_element_type=jnp.float32)
+        # f32 operands MUST request HIGHEST: the MXU's default single
+        # bf16 pass truncates them to 8 mantissa bits (measured 9e-8
+        # relative cov error on v5e vs the multi-pass decomposition).
+        # bf16 operands (the exact h.h^T) must NOT: Mosaic rejects bf16
+        # lhs with fp32 contract precision ("Bad lhs type"), and the
+        # single pass is already exact for them.
+        f32_operands = a.dtype == jnp.float32
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST if f32_operands
+                       else jax.lax.Precision.DEFAULT))
 
     for start in range(0, chunk, _COV_SEG):
         sl = slice(start, start + _COV_SEG)
@@ -433,8 +443,12 @@ def synth_moment_pipeline_from_noise_extended(noise, n_moments, *,
     """Extended-precision synth pipeline from HBM noise.
 
     The QoI transform (reference synth_simulation.py:38-46) runs as eager
-    f32 primitives — bitwise identical to numpy f32 — then the df pipeline;
-    testable against ops.precision.f64_reference_moments_strict."""
+    f32 primitives, then the df pipeline. CAVEAT for strict comparisons:
+    the transform's ``sqrt`` is the backend's — on real TPU hardware it is
+    NOT correctly rounded (~40% of values differ from numpy's by 1 ulp),
+    so a host reference must consume the device-computed QoI bits
+    (``precision.f64_reference_moments_strict(fine32=..., coarse32=...)``)
+    rather than recompute the transform; XLA:CPU matches numpy exactly."""
     xp = jnp if isinstance(noise, jax.Array) else np
     noise = xp.asarray(noise, jnp.float32)
     err = xp.sqrt(jnp.float32(1e-4) + xp.abs(noise))

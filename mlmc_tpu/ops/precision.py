@@ -145,29 +145,45 @@ def df_error_bound(abs_sums, n_samples, chunk=8192, basis_depth=32):
     return EPS_DF * c * np.asarray(abs_sums)
 
 
-def f64_reference_moments_strict(noise, n_moments, *, fine_step,
-                                 coarse_step, domain, is_level0=False,
-                                 chunk=262144, include_cov=True):
+def f64_reference_moments_strict(noise=None, n_moments=None, *,
+                                 fine_step=None, coarse_step=None, domain,
+                                 is_level0=False, chunk=262144,
+                                 include_cov=True, fine32=None,
+                                 coarse32=None):
     """ALL-f64 reference for the extended-precision kernels.
 
     Mirrors the reference library's own pipeline on identical f32 QoI
-    inputs: the QoIs are computed in f32 (what a store holds), then the
-    domain transform, Legendre recurrence, and every sum run in f64
-    (reference mlmc/moments.py:195-197 + quantity_estimate.py:64-77 under
-    an all-float64 numpy stack).
+    inputs: the QoIs are f32 (what a store holds), then the domain
+    transform, Legendre recurrence, and every sum run in f64 (reference
+    mlmc/moments.py:195-197 + quantity_estimate.py:64-77 under an
+    all-float64 numpy stack).
+
+    Pass either ``noise`` + steps — the synth QoI transform is recomputed
+    here in numpy f32 — or the QoI arrays ``fine32``/``coarse32``
+    directly. The strict comparison REQUIRES bitwise-identical QoI bits on
+    both sides; on real TPU hardware XLA's f32 ``sqrt`` is not guaranteed
+    bitwise equal to numpy's, so callers comparing against a device run of
+    the noise pipeline must compute the QoIs once (on device), pull them
+    to host, and pass them via ``fine32``/``coarse32``.
 
     :return: dict(sums, sums2, cov_fine, cov_coarse, n_valid, abs_*)
     """
-    noise = np.asarray(noise, dtype=np.float32)
+    if fine32 is None:
+        # f32 QoI path (bitwise identical to the kernel's eager prologue
+        # when both run the same sqrt implementation)
+        noise = np.asarray(noise, dtype=np.float32)
+        err = np.sqrt(np.float32(1e-4) + np.abs(noise), dtype=np.float32)
+        fine32 = (noise + np.float32(fine_step) * err).astype(np.float32)
+        coarse32 = (noise + np.float32(coarse_step) * err).astype(
+            np.float32)
+    else:
+        fine32 = np.asarray(fine32, dtype=np.float32)
+        coarse32 = (np.zeros_like(fine32) if coarse32 is None
+                    else np.asarray(coarse32, dtype=np.float32))
     R = n_moments
     a, b = (np.float64(domain[0]), np.float64(domain[1]))
     t_scale = 2.0 / (b - a)
     t_shift = (a + b) / 2.0
-
-    # f32 QoI path (bitwise identical to the kernel's eager prologue)
-    err = np.sqrt(np.float32(1e-4) + np.abs(noise), dtype=np.float32)
-    fine32 = (noise + np.float32(fine_step) * err).astype(np.float32)
-    coarse32 = (noise + np.float32(coarse_step) * err).astype(np.float32)
 
     sums = np.zeros(R)
     sums2 = np.zeros(R)
@@ -190,7 +206,7 @@ def f64_reference_moments_strict(noise, n_moments, *, fine_step,
                       - (k - 1) * phi[k - 2]) / k
         return phi
 
-    n = noise.shape[0]
+    n = fine32.shape[0]
     for start in range(0, n, chunk):
         t_f = (fine32[start:start + chunk].astype(np.float64)
                - t_shift) * t_scale

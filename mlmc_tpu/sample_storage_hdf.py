@@ -155,24 +155,24 @@ class SampleStorageHDF(SampleStorage):
 
     def sample_pairs_level(self, chunk_spec):
         """:return: np.ndarray [M, N, 2] ([M, N, 1] on level 0)"""
-        level_id = chunk_spec.level_id or 0
-        chunk = self._level_groups[int(level_id)].collected(chunk_spec.chunk_slice)
-        if level_id == 0:
-            chunk = chunk[:, :1, :]
-        return chunk.transpose((2, 0, 1))
+        level_id = int(chunk_spec.level_id or 0)
+        raw = self._level_groups[level_id].collected(chunk_spec.chunk_slice)
+        # on-disk [N, 2, M] -> estimation layout [M, N, C]; level 0 carries
+        # no coarse slot
+        n_slots = 1 if level_id == 0 else raw.shape[1]
+        return raw[:, :n_slots, :].transpose((2, 0, 1))
 
     # ------------------------------------------------------------------ #
     def n_finished(self):
-        n_finished = np.zeros(len(self._level_groups))
-        for level in self._level_groups:
-            n_finished[int(level.level_id)] += len(level.get_finished_ids())
-        return n_finished
+        counts = {int(lg.level_id): len(lg.get_finished_ids())
+                  for lg in self._level_groups}
+        return np.array([counts.get(lid, 0)
+                         for lid in range(len(self._level_groups))],
+                        dtype=float)
 
     def unfinished_ids(self):
-        unfinished = []
-        for level in self._level_groups:
-            unfinished.extend(level.get_unfinished_ids())
-        return unfinished
+        return [sid for lg in self._level_groups
+                for sid in lg.get_unfinished_ids()]
 
     def failed_samples(self):
         return {str(level.level_id): list(level.get_failed_ids())

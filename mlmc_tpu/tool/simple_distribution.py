@@ -313,30 +313,31 @@ class SimpleDistribution:
         return -np.sum(moms * self.multipliers / self._moment_errs, axis=-1)
 
     def cdf(self, values):
-        """Incremental fixed-quad cdf (reference :108-125).
+        """CDF at arbitrary query points (reference :108-125 semantics).
 
-        Evaluation runs in ascending order (each step integrates from the
-        previous point) and results scatter back to the INPUT positions —
-        iterating the sorted values but writing positionally returned a
-        permuted array for unsorted queries (review finding).
+        All panels integrate in ONE vectorized 10-point Gauss-Legendre
+        sweep: the sorted in-domain queries split [a, x_k] into adjacent
+        panels whose increments cumulative-sum to the CDF; results scatter
+        back to the input positions, out-of-domain queries clamp to 0/1.
         """
         values = np.atleast_1d(values).astype(float)
+        a, b = self.domain
         order = np.argsort(values, kind="stable")
-        last_x = self.domain[0]
-        last_y = 0.0
-        cdf_y = np.empty(len(values))
-        for i in order:
-            val = values[i]
-            if val <= self.domain[0]:
-                last_y = 0.0
-            elif val >= self.domain[1]:
-                last_y = 1.0
-            else:
-                dy = integrate.fixed_quad(self.density, last_x, val, n=10)[0]
-                last_x = val
-                last_y = last_y + dy
-            cdf_y[i] = last_y
-        return cdf_y
+        svals = values[order]
+        # panel breakpoints: domain start, then each clipped query; zero
+        # length panels (clamped queries) contribute nothing
+        pts = np.concatenate(([a], np.clip(svals, a, b)))
+        gx, gw = np.polynomial.legendre.leggauss(10)
+        half = 0.5 * (pts[1:] - pts[:-1])
+        mid = 0.5 * (pts[1:] + pts[:-1])
+        nodes = mid[:, None] + half[:, None] * gx[None, :]
+        dens = np.asarray(self.density(nodes.ravel())).reshape(nodes.shape)
+        cdf_sorted = np.cumsum(half * (dens @ gw))
+        cdf_sorted[svals <= a] = 0.0
+        cdf_sorted[svals >= b] = 1.0
+        out = np.empty(len(values))
+        out[order] = cdf_sorted
+        return out
 
     # ------------------------------------------------------------------ #
     def _initialize_params(self, size, tol=None):
