@@ -594,3 +594,24 @@ def test_estimate_moments_extended_matches_f64_dag():
     cov_ext, mean_ext = est.estimate_covariance_extended(mfn)
     cov_ref = np.asarray(est.estimate_covariance(mfn)[0])
     assert np.allclose(cov_ext, cov_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_strict_reference_accepts_qoi_bits():
+    """f64_reference_moments_strict(fine32=, coarse32=) must equal the
+    noise-derived path when the QoI transform matches bitwise (XLA:CPU
+    sqrt == numpy sqrt); on real TPU only the bits-passing form is valid
+    (device sqrt is 1 ulp off numpy for ~40% of inputs)."""
+    from mlmc_tpu.ops.precision import f64_reference_moments_strict
+
+    x = np.random.default_rng(3).normal(size=50_000).astype(np.float32)
+    err = np.sqrt(np.float32(1e-4) + np.abs(x), dtype=np.float32)
+    fine = x + np.float32(0.25) * err
+    coarse = x + np.float32(0.5) * err
+
+    via_noise = f64_reference_moments_strict(
+        x, 12, fine_step=0.25, coarse_step=0.5, domain=(-4, 4))
+    via_bits = f64_reference_moments_strict(
+        n_moments=12, domain=(-4, 4), fine32=fine, coarse32=coarse)
+    assert via_bits["n_valid"] == via_noise["n_valid"]
+    for key in ("sums", "sums2", "cov_fine", "cov_coarse", "abs_sums"):
+        assert np.array_equal(via_bits[key], via_noise[key]), key
