@@ -36,7 +36,11 @@ def _enable_persistent_compile_cache():
         # host) and local CPU compiles are cheap anyway
         platforms = (getattr(jax.config, "jax_platforms", None)
                      or _os.environ.get("JAX_PLATFORMS", ""))
-        if "cpu" in (platforms or ""):
+        # the platform string is a priority list and accelerator plugins
+        # commonly append a cpu FALLBACK (e.g. "axon,cpu"): only the
+        # primary entry decides whether this is a cpu-only process
+        primary = (platforms or "").split(",")[0].strip()
+        if primary == "cpu":
             return
     cache_dir = choice or _os.path.join(
         _os.path.expanduser("~"), ".cache", "mlmc_tpu", "jax_cache")
