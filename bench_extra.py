@@ -188,7 +188,9 @@ def bench_quantity_algebra():
 
     # reference on the same DAG, smaller N (pure-numpy host path)
     try:
-        sys.path.insert(0, "tests")
+        import os
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
         from reference_shim import import_reference
         mlmc_ref = import_reference()
         import mlmc.quantity.quantity_estimate as ref_qe
