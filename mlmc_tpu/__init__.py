@@ -12,6 +12,16 @@ The public facade mirrors the reference package facade
 import os as _os
 
 
+def _primary_platform(platforms):
+    """First entry of a ``jax_platforms`` priority list (``'' `` if unset).
+
+    Accelerator plugins commonly register themselves WITH a cpu fallback
+    (e.g. ``"axon,cpu"``); any substring test for ``"cpu"`` would match the
+    fallback and misclassify an accelerator process as cpu-only.
+    """
+    return (platforms or "").split(",")[0].strip()
+
+
 def _enable_persistent_compile_cache():
     """Point JAX at an on-disk compilation cache so executables compile once
     per machine, not once per process.
@@ -36,11 +46,7 @@ def _enable_persistent_compile_cache():
         # host) and local CPU compiles are cheap anyway
         platforms = (getattr(jax.config, "jax_platforms", None)
                      or _os.environ.get("JAX_PLATFORMS", ""))
-        # the platform string is a priority list and accelerator plugins
-        # commonly append a cpu FALLBACK (e.g. "axon,cpu"): only the
-        # primary entry decides whether this is a cpu-only process
-        primary = (platforms or "").split(",")[0].strip()
-        if primary == "cpu":
+        if _primary_platform(platforms) == "cpu":
             return
     cache_dir = choice or _os.path.join(
         _os.path.expanduser("~"), ".cache", "mlmc_tpu", "jax_cache")

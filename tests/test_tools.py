@@ -293,3 +293,18 @@ def test_variance_of_variance_closed_form_matches_quadrature():
     closed = est._variance_of_variance(n_samples=ns)
     quad = np.array([quadrature_var(n) for n in ns])
     assert np.allclose(closed, quad, rtol=1e-6), (closed, quad)
+
+
+def test_compile_cache_platform_decision():
+    """The persistent-compile-cache bootstrap must key off the PRIMARY
+    platform: accelerator plugins register a priority list WITH a cpu
+    fallback (observed: 'axon,cpu'), and a substring test for 'cpu' silently
+    disabled the cache on the TPU backend (round-3 fix)."""
+    from mlmc_tpu import _primary_platform
+
+    assert _primary_platform("axon,cpu") == "axon"     # accelerator + fallback
+    assert _primary_platform("tpu,cpu") == "tpu"
+    assert _primary_platform("cpu") == "cpu"           # cpu-only: cache off
+    assert _primary_platform(" cpu , tpu") == "cpu"
+    assert _primary_platform("") == ""                 # unset: not cpu-only
+    assert _primary_platform(None) == ""
