@@ -151,13 +151,14 @@ class _LevelData:
     mask by position and legacy readers slice ``pairs``.
     """
 
-    __slots__ = ("_segments", "_buf", "_n", "ids", "failed", "scheduled",
-                 "n_ops", "n_finished")
+    __slots__ = ("_segments", "_buf", "_n", "_reserve", "ids", "failed",
+                 "scheduled", "n_ops", "n_finished")
 
     def __init__(self):
         self._segments = []        # host mode: list of [n_i, 2, M] numpy
         self._buf = None           # device mode: [cap, 2, M] jax array
         self._n = 0                # device mode: valid rows in _buf
+        self._reserve = 0          # device mode: requested min capacity
         self.ids = None            # TagChain of successful sample ids
         self.failed = []           # [(sample_id, message)]
         self.scheduled = None      # TagChain of scheduled ids
@@ -176,8 +177,11 @@ class _LevelData:
             self._segments.append(pairs[:n_valid])
             return
         # device mode: grow capacity so the whole (possibly padded) slice
-        # fits without dynamic_update_slice clamping
-        need = self._n + pairs.shape[0]
+        # fits without dynamic_update_slice clamping; honor any reservation
+        # so the adaptive loop's buffer shape jumps straight to the final
+        # power of two (fewer distinct estimation-program shapes -> fewer
+        # remote AOT compiles / persistent-cache entries)
+        need = max(self._n + pairs.shape[0], self._reserve)
         if self._buf is None:
             cap = _pow2_at_least(need)
             self._buf = xp.zeros((cap,) + pairs.shape[1:], pairs.dtype)
@@ -187,6 +191,23 @@ class _LevelData:
             self._buf = _device_append(grown, self._buf, 0)
         self._buf = _device_append(self._buf, pairs, self._n)
         self._n += n_valid
+
+    def reserve(self, n_rows, xp=np):
+        """Request capacity for ``n_rows`` total rows (device mode only).
+
+        Called by the sampler when it schedules a new per-level target: the
+        next append grows the buffer ONCE to the target's power-of-two
+        instead of doubling through every intermediate capacity, so all
+        later adaptive rounds share a single buffer shape (executable).
+        """
+        if xp is np:
+            return  # host segments carry no shape-keyed programs
+        self._reserve = max(self._reserve, int(n_rows))
+        if (self._buf is not None
+                and self._reserve > self._buf.shape[0]):
+            cap = _pow2_at_least(self._reserve)
+            grown = xp.zeros((cap,) + self._buf.shape[1:], self._buf.dtype)
+            self._buf = _device_append(grown, self._buf, 0)
 
     @property
     def pairs(self):
@@ -271,6 +292,14 @@ class Memory(SampleStorage):
         WHOLE (capacity tail is garbage, masked by position downstream) so
         no eager device slicing happens on the hot path."""
         return self._levels[int(level_id)].raw_payload
+
+    def reserve_capacity(self, level_id, n_rows):
+        """Hint the final per-level sample count (called by the sampler at
+        scheduling time): device-resident levels grow their capacity buffer
+        straight to the target's power of two, so every adaptive round after
+        the first estimates over ONE buffer shape instead of recompiling at
+        each intermediate doubling. Host mode is a no-op."""
+        self._level(level_id).reserve(n_rows, xp=self._xp())
 
     def _save_successful(self, samples):
         """:param samples: Dict[level_id, List[Tuple[sample_id, (fine, coarse)]]]"""

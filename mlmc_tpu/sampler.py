@@ -115,7 +115,12 @@ class Sampler:
         """Dispatch the gap between target and scheduled counts per level."""
         self.ask_sampling_pool_for_samples(timeout=timeout)
         gap = self._n_target_samples - self._n_scheduled_samples
+        reserve = getattr(self.sample_storage, "reserve_capacity", None)
         for level_id in np.flatnonzero(gap > 0):
+            if reserve is not None:
+                # device storages pre-grow to the target's power of two so
+                # the estimation-program shape stays stable across rounds
+                reserve(int(level_id), int(self._n_target_samples[level_id]))
             self._dispatch_level(int(level_id), int(gap[level_id]))
 
     def _dispatch_level(self, level_id, count):

@@ -366,3 +366,44 @@ $EndPhysicalNames
     parsed = native.parse_gmsh_mesh(str(msh))
     assert list(parsed["ele_ids"]) == [1, 2]
     assert parsed["region_map"][".bc_outflow"] == 2
+
+
+def test_device_memory_reserve_capacity():
+    """reserve_capacity pre-grows the device buffer to the target's power of
+    two, keeping ONE buffer shape across subsequent appends (stable
+    estimation-executable shapes in the adaptive loop) without changing any
+    stored content."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mlmc_tpu import DeviceMemory
+
+    st = DeviceMemory()
+    ids = lambda lo, n: ["L00_S%07d" % i for i in range(lo, lo + n)]
+    rng = np.random.default_rng(1)
+    mk = lambda n: jnp.asarray(rng.normal(size=(n, 2, 3)).astype(np.float32))
+
+    a = mk(100)
+    st.save_samples_bulk(0, ids(0, 100), a[:, 0], a[:, 1])
+    st.reserve_capacity(0, 5000)               # target known after round 1
+    buf, n = st.raw_level_payload(0)
+    assert buf.shape[0] == 8192 and n == 100   # grown straight to pow2(5000)
+    b = mk(600)
+    st.save_samples_bulk(0, ids(100, 600), b[:, 0], b[:, 1])
+    buf2, n2 = st.raw_level_payload(0)
+    assert buf2.shape[0] == 8192 and n2 == 700  # NO intermediate doubling
+    got = np.asarray(st.sample_pairs()[0])      # [M, N, 1] (level 0: fine only)
+    want_fine = np.concatenate([np.asarray(a), np.asarray(b)])[:, 0, :].T
+    assert got.shape == (3, 700, 1)
+    assert np.array_equal(got[:, :, 0], want_fine)
+
+    # reserving BEFORE the first append sizes the initial allocation
+    st2 = DeviceMemory()
+    st2.reserve_capacity(0, 3000)
+    st2.save_samples_bulk(0, ids(0, 10), mk(10)[:, 0], mk(10)[:, 1])
+    buf3, _ = st2.raw_level_payload(0)
+    assert buf3.shape[0] == 4096
+
+    # smaller or equal reservation is a no-op
+    st2.reserve_capacity(0, 100)
+    buf4, _ = st2.raw_level_payload(0)
+    assert buf4.shape[0] == 4096
