@@ -180,8 +180,7 @@ def main():
     # against the derived 2^-48-scale bound; plus its throughput at 1e8.
     # The host f64 reference costs ~1 min at 2e7 on this 1-core VM; the
     # derived bound at 1e8 (reported) is 1.3e-10 * S_abs.
-    extended = None
-    try:
+    def run_extended():
         import os as _os
         from mlmc_tpu.ops.pallas_extended import (
             moment_pipeline_from_samples_extended,
@@ -222,7 +221,7 @@ def main():
             x_big, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
             domain=DOMAIN)  # _combine_ext forces host transfer
         ext_s = time.perf_counter() - t0
-        extended = {
+        return {
             "bound_holds": True,
             "checked_n": n_ext,
             "max_rel_dev_vs_strict_f64": max(report.values()),
@@ -232,10 +231,18 @@ def main():
             "throughput_samples_per_s": round(n_thr / ext_s, 1),
             "wall_s_1e8": round(ext_s, 3),
         }
-    except Exception:
-        extended = {"bound_holds": False}
-        print("bench: extended-precision path FAILED:", file=sys.stderr)
-        traceback.print_exc()
+
+    if jax.default_backend() != "tpu":
+        # the extended Mosaic kernels are dispatched TPU-only here; off-TPU
+        # runs skip instead of reporting a false failure
+        extended = {"skipped": "extended tier measured on TPU only"}
+    else:
+        try:
+            extended = run_extended()
+        except Exception:
+            extended = {"bound_holds": False}
+            print("bench: extended-precision path FAILED:", file=sys.stderr)
+            traceback.print_exc()
 
     # ---------------- RNG statistical quality (on hardware) ------------- #
     # chi^2/KS on raw Box-Muller normals dumped from the on-core generator

@@ -364,7 +364,8 @@ def bench_rng_quality():
     steps = (0.5, 0.25, 0.125)
     mfn = Legendre(25, (-4.0, 4.0))
     accs = synth_mlmc_pipeline(7, 25, n_per_level, steps, domain=(-4, 4))
-    means_p, vars_p = _telescoped(accs)
+    est_p = accumulators_to_estimates(jax.tree.map(np.asarray, accs))
+    means_p, vars_p = est_p["mean"], est_p["var"]
 
     distr = Norm()
     fns = []
@@ -389,24 +390,9 @@ def bench_rng_quality():
                 chi2_stat=round(chi2, 1), chi2_pvalue=round(chi2_p, 4),
                 ks_stat=float(ks.statistic),
                 ks_pvalue=round(float(ks.pvalue), 4),
-                mean_abs=float(np.mean(z)), std=float(np.std(z)),
+                mean_abs=abs(float(np.mean(z))), std=float(np.std(z)),
                 max_z_score=float(np.max(z_scores[1:])),
                 six_sigma_ok=bool(np.max(z_scores[1:]) < 6.0))
-
-
-def _telescoped(accs):
-    """Per-level kernel accumulators -> (telescoped means, estimator vars)."""
-    means = None
-    var = None
-    for lvl, a in enumerate(accs):
-        s = np.asarray(a.sums, dtype=np.float64)
-        s2 = np.asarray(a.sums2, dtype=np.float64)
-        n = float(a.n_valid)
-        m = s / n
-        v = (s2 - s * s / n) / (n - 1) / n
-        means = m if means is None else means + m
-        var = v if var is None else var + v
-    return means, var
 
 
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,

@@ -496,8 +496,14 @@ class Estimate:
         X[:, 1] = log_step
         X[:, 2] = log_step ** 2
 
-        log_vars = np.log(raw_vars[1:])
-        params, *_ = np.linalg.lstsq(X, log_vars, rcond=None)
+        # f32 accumulators can cancel a deep level's tiny variance to zero
+        # or slightly negative (esp. bootstrap replicates): fit only the
+        # positive entries, predict everywhere — never feed log() <= 0
+        pos = raw_vars[1:] > 0
+        if pos.sum() < K:
+            return raw_vars
+        log_vars = np.log(raw_vars[1:][pos])
+        params, *_ = np.linalg.lstsq(X[pos], log_vars, rcond=None)
         new_vars = raw_vars.copy()
         new_vars[1:] = np.exp(np.dot(X, params))
         return new_vars

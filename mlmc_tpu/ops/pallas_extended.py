@@ -302,7 +302,7 @@ def _accumulate_qoi_chunk_ext(fine, coarse, i, refs, scratch, *,
     n_valid_ref[0, 0] += jnp.sum(vf).astype(jnp.int32)
 
 
-def _samples_kernel_ext(seed_ref, fine_ref, coarse_ref, *refs_and_scratch,
+def _samples_kernel_ext(ntot_ref, fine_ref, coarse_ref, *refs_and_scratch,
                         **params):
     refs, scratch = refs_and_scratch[:9], refs_and_scratch[9:]
     i = pl.program_id(0)
@@ -314,8 +314,10 @@ def _samples_kernel_ext(seed_ref, fine_ref, coarse_ref, *refs_and_scratch,
             r[...] = jnp.zeros_like(r)
         n_valid_ref[0, 0] = jnp.int32(0)
 
+    # n_total arrives as the prefetched scalar (NOT a static): one compiled
+    # executable serves every sample count within a padded bucket
     _accumulate_qoi_chunk_ext(fine_ref[...], coarse_ref[...], i, refs,
-                              scratch, **params)
+                              scratch, n_total=ntot_ref[0], **params)
 
 
 def _out_specs_ext():
@@ -357,8 +359,8 @@ def _combine_ext(outs, n_moments):
 @functools.partial(
     jax.jit,
     static_argnames=("n_moments", "chunk", "domain", "ref_domain", "basis",
-                     "is_level0", "n_total", "interpret", "symmetric"))
-def _samples_dispatch_ext(fine, coarse, *, n_moments, n_total, domain,
+                     "is_level0", "interpret", "symmetric"))
+def _samples_dispatch_ext(fine, coarse, n_total, *, n_moments, domain,
                           ref_domain, basis, chunk, is_level0, interpret,
                           symmetric=False):
     n_pad = fine.shape[1]
@@ -374,7 +376,7 @@ def _samples_dispatch_ext(fine, coarse, *, n_moments, n_total, domain,
     kernel = functools.partial(
         _samples_kernel_ext, n_moments=n_moments, chunk=chunk,
         scale_df=_df_const(scale), shift_df=_df_const(shift),
-        offset_df=_df_const(offset), n_total=n_total,
+        offset_df=_df_const(offset),
         ref_lo=ref_lo, ref_hi=ref_hi, basis=basis, is_level0=is_level0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -399,7 +401,7 @@ def _samples_dispatch_ext(fine, coarse, *, n_moments, n_total, domain,
         grid_spec=grid_spec,
         out_shape=_out_shapes_ext(),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(jnp.zeros(1, jnp.int32), fine, coarse)
+    )(n_total.reshape(1).astype(jnp.int32), fine, coarse)
 
 
 def moment_pipeline_from_samples_extended(fine, coarse, n_moments, *,
@@ -417,7 +419,13 @@ def moment_pipeline_from_samples_extended(fine, coarse, n_moments, *,
     assert n_moments <= R_PAD
     assert chunk % 1024 == 0 and chunk <= 8192
     n = int(np.shape(fine)[0])
-    n_pad = -(-n // chunk) * chunk
+    # pad to a power-of-two bucket of chunks (not just the next chunk
+    # multiple): each distinct padded shape is a 10-30 s remote AOT
+    # compile, so shapes must stay O(log n) over adaptive growth; the true
+    # count rides the prefetched scalar and pads are NaN (doubly invalid)
+    from mlmc_tpu.sample_storage import _pow2_at_least
+
+    n_pad = _pow2_at_least(-(-n // chunk), floor=1) * chunk
     xp = jnp if isinstance(fine, jax.Array) else np
     fine = xp.pad(xp.asarray(fine, jnp.float32), (0, n_pad - n),
                   constant_values=np.nan).reshape(1, n_pad)
@@ -427,7 +435,7 @@ def moment_pipeline_from_samples_extended(fine, coarse, n_moments, *,
         coarse = xp.pad(xp.asarray(coarse, jnp.float32), (0, n_pad - n),
                         constant_values=np.nan).reshape(1, n_pad)
     outs = _samples_dispatch_ext(
-        fine, coarse, n_moments=n_moments, n_total=n,
+        fine, coarse, jnp.asarray(n, jnp.int32), n_moments=n_moments,
         domain=tuple(float(v) for v in domain),
         ref_domain=tuple(float(v) for v in ref_domain), basis=basis,
         chunk=chunk, is_level0=is_level0, interpret=interpret,

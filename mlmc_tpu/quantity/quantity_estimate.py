@@ -92,7 +92,9 @@ def _sd_chunk_size(m_out):
 
 
 def _pow2_pad(n, floor=1 << 10):
-    return max(floor, 1 << int(n - 1).bit_length())
+    from mlmc_tpu.sample_storage import _pow2_at_least
+
+    return _pow2_at_least(n, floor=floor)
 
 
 def _gather_raw_leaves(quantity_storage):

@@ -168,8 +168,12 @@ class SampleStorageBin(SampleStorage):
         self._save_meta()
 
     def save_samples_bulk(self, level_id, ids, fine, coarse):
-        values = np.stack([np.asarray(fine, dtype=np.float64),
-                           np.asarray(coarse, dtype=np.float64)], axis=1)
+        # rows past len(ids) are device-pool bucket padding (see
+        # Memory.save_samples_bulk) — never write them to the log
+        n = len(ids)
+        values = np.stack([np.asarray(fine, dtype=np.float64)[:n],
+                           np.asarray(coarse, dtype=np.float64)[:n]],
+                          axis=1)
         self._writer(int(level_id)).append(values)
         self._writers[int(level_id)].flush()
         self._append_ids(level_id, list(ids))

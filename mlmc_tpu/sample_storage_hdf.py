@@ -122,8 +122,13 @@ class SampleStorageHDF(SampleStorage):
                 self._level_groups[int(level)].append_failed(list(samples))
 
     def save_samples_bulk(self, level_id, ids, fine, coarse):
-        values = np.stack([np.asarray(fine, dtype=np.float64),
-                           np.asarray(coarse, dtype=np.float64)], axis=1)
+        # device pools hand over whole bucket-padded batches (see
+        # Memory.save_samples_bulk): rows past len(ids) are padding and
+        # must not reach the file, or counts/ids desync on resume
+        n = len(ids)
+        values = np.stack([np.asarray(fine, dtype=np.float64)[:n],
+                           np.asarray(coarse, dtype=np.float64)[:n]],
+                          axis=1)
         self._level_groups[level_id].append_successful(list(ids), values)
         self._hdf_object.flush()
 

@@ -19,6 +19,7 @@ from mlmc_tpu import (Memory, SynthSimulation, SynthSimulationWorkspace,
                       Legendre)
 from mlmc_tpu import estimator as est_mod
 from mlmc_tpu.quantity.quantity import make_root_quantity
+import mlmc_tpu.quantity.quantity_estimate as qe
 from mlmc_tpu.random.distributions import Norm
 from mlmc_tpu.sample_storage_hdf import SampleStorageHDF
 from mlmc_tpu.sample_storage_bin import SampleStorageBin
@@ -225,3 +226,30 @@ def test_moment_accuracy_large_batch():
     err = np.abs(np.asarray(means) - exact)
     tol = 5 * np.sqrt(np.asarray(variances)) + 1e-8
     assert np.all(err < np.maximum(tol, 5e-3)), (err, tol)
+
+
+@pytest.mark.parametrize("storage_kind", ["hdf", "bin"])
+def test_bucket_padded_bulk_results_file_storages(tmp_path, storage_kind):
+    """DeviceBatchPool(device_results=True) hands over whole bucket-padded
+    batches; file-backed storages must slice to len(ids) or padding rows
+    corrupt counts, resume ids, and estimates (round-3 review finding).
+    Estimates must match the Memory path bit for bit."""
+    res = []
+    for storage in (Memory(), _make_storage(storage_kind, tmp_path)):
+        sim = SynthSimulation(dict(distr="norm", complexity=2))
+        pool = DeviceBatchPool(seed=11, min_bucket=64, device_results=True)
+        sampler = Sampler(sample_storage=storage, sampling_pool=pool,
+                          sim_factory=sim,
+                          level_parameters=[[0.1], [0.01]])
+        # 50/30 are NOT multiples of the 64 bucket: padding rows exist
+        sampler.set_initial_n_samples([50, 30])
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+        assert list(storage.get_n_collected()) == [50, 30]
+
+        quantity = make_root_quantity(storage, q_specs=sim.result_format())
+        q = quantity["length"][1]["10"][0]
+        m = qe.estimate_mean(qe.moments(q, Legendre(4, (-4, 4))))
+        res.append((np.asarray(m.mean), list(m.n_samples)))
+    assert np.array_equal(res[0][0], res[1][0])
+    assert res[0][1] == res[1][1]

@@ -308,3 +308,21 @@ def test_compile_cache_platform_decision():
     assert _primary_platform(" cpu , tpu") == "cpu"
     assert _primary_platform("") == ""                 # unset: not cpu-only
     assert _primary_platform(None) == ""
+
+
+def test_variance_regression_nonpositive_guard():
+    """f32 cancellation can hand the log-space variance regression a zero
+    or negative deep-level entry (esp. bootstrap replicates); the fit must
+    skip those rows and still return finite predictions everywhere."""
+    from mlmc_tpu.estimator import Estimate
+
+    steps = np.array([0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625])
+    v = np.array([1e-2, 4e-3, 1e-3, 2.5e-4, 0.0, -1e-12])
+    out = Estimate._moment_variance_regression(v, steps)
+    assert np.all(np.isfinite(out))
+    assert out[0] == v[0]                     # level 0 untouched
+    assert np.all(out[1:] > 0)                # predictions replace the junk
+
+    # too few positive points to fit: raw values pass through unchanged
+    v2 = np.array([1e-2, 4e-3, 1e-3, 0.0, 0.0, -1e-12])
+    assert np.array_equal(Estimate._moment_variance_regression(v2, steps), v2)
