@@ -151,3 +151,38 @@ def test_circulant_field_diffusion():
         jax.random.split(jax.random.key(2), 256))
     logs = np.log(np.asarray(draws))
     assert abs(logs.std() - 0.8) < 0.08
+
+
+def test_spectral_preconditioner():
+    """The DST/DCT basis diagonalizes the constant-coefficient operator
+    exactly (homogeneous solve needs ONE CG iteration), and on a rough
+    lognormal field the spectrally preconditioned CG converges within an
+    iteration budget where Jacobi-CG is nowhere near (the basis removes
+    the O(n^2) grid factor from the condition number)."""
+    import jax.numpy as jnp
+    from mlmc_tpu.sim.diffusion import DiffusionSimulation as D
+
+    # exact eigendecomposition: M is the exact inverse for constant K
+    n = 12
+    Sx, Cy, lam = D._spectral_basis(n)
+    assert np.allclose(Sx @ Sx.T, np.eye(n), atol=1e-12)
+    assert np.allclose(Cy @ Cy.T, np.eye(n), atol=1e-12)
+    cfg_h = dict(sigma=0.0, fine_n=n, coarse_n=0, cg_maxiter_factor=1,
+                 _wave_vectors=jnp.zeros((4, 2)))
+    K = D._conductivity(cfg_h, jax.random.key(0), n)
+    p = D._solve_pressure(dict(cfg_h, cg_maxiter_factor=1), K)
+    # homogeneous Darcy: linear pressure profile, flux exactly 1
+    flux = float(jnp.sum(2.0 * K[:, -1] * p[:, -1]))
+    assert abs(flux - 1.0) < 1e-5
+
+    # heterogeneous: spectral converges at maxiter n where Jacobi cannot
+    sim = D(dict(sigma=1.0, corr_length=0.3, field_method="circulant"))
+    cfg = dict(sim.level_instance([1 / 64], [0]).config_dict)
+    K = D._conductivity(cfg, jax.random.key(5), 64)
+    p_tight = D._solve_pressure(dict(cfg, cg_maxiter_factor=10), K)
+    p_spec = D._solve_pressure(dict(cfg, cg_maxiter_factor=1), K)
+    p_jac = D._solve_pressure(
+        dict(cfg, cg_maxiter_factor=1, precond="jacobi"), K)
+    flux = lambda p: float(jnp.sum(2.0 * K[:, -1] * p[:, -1]))
+    assert abs(flux(p_spec) - flux(p_tight)) < 1e-4 * abs(flux(p_tight))
+    assert abs(flux(p_jac) - flux(p_tight)) > 1e-2 * abs(flux(p_tight))
