@@ -62,7 +62,7 @@ def bench_diffusion():
                                    field_method="circulant"))
     level_sim = sim.level_instance([1 / 64], [1 / 16])
     cfg = level_sim.config_dict
-    B = 256
+    B = 1024  # the batched CG is latency-bound below ~1k samples/batch
     dt = _timed_batches(
         lambda k: DiffusionSimulation.calculate_batch(cfg, k), B, reps=4)
     return dict(workload="Darcy 64^2+16^2 grids, CG solve, "

@@ -185,19 +185,24 @@ class DiffusionSimulation(Simulation):
         Kleft = 2.0 * K[:, 0]     # [n]
         Kright = 2.0 * K[:, -1]   # [n]
 
+        zx = jnp.zeros((n, 1), K.dtype)
+        zy = jnp.zeros((1, n), K.dtype)
+        zmid = jnp.zeros((n, n - 2), K.dtype)
+
         def matvec(p):
             p = p.reshape(n, n)
             # interior x-fluxes
             fx = Kx * (p[:, 1:] - p[:, :-1])          # [n, n-1]
             fy = Ky * (p[1:, :] - p[:-1, :])          # [n-1, n]
-            div = jnp.zeros_like(p)
-            div = div.at[:, :-1].add(fx)
-            div = div.at[:, 1:].add(-fx)
-            div = div.at[:-1, :].add(fy)
-            div = div.at[1:, :].add(-fy)
+            # slice/concat stencil assembly: scatter-adds lower to slow
+            # XLA scatter ops on TPU, pad-and-add fuses into one kernel
+            div = (jnp.concatenate([fx, zx], 1) - jnp.concatenate([zx, fx], 1)
+                   + jnp.concatenate([fy, zy], 0)
+                   - jnp.concatenate([zy, fy], 0))
             # Dirichlet boundaries: flux to ghost values (folded into rhs)
-            div = div.at[:, 0].add(Kleft * (0.0 - p[:, 0]))
-            div = div.at[:, -1].add(Kright * (0.0 - p[:, -1]))
+            div = div - jnp.concatenate(
+                [(Kleft * p[:, 0])[:, None], zmid,
+                 (Kright * p[:, -1])[:, None]], 1)
             return (-div).reshape(-1)
 
         b = jnp.zeros((n, n))

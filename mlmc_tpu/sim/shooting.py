@@ -8,16 +8,24 @@ simulation_shooting_1D.py:86-121).
 
 TPU re-design:
 
-* the Euler loop is a ``lax.scan`` with a carried out-of-bounds flag
-  (data-dependent ``break`` -> masked carry),
 * the random force field is a spectral GRF (random Fourier features):
   ``F(t) = sigma*sqrt(2/M) sum_m cos(k_m t + phi_m)``; phases are drawn
   per-sample from the PRNG key, so fine and coarse trajectories of one
   sample share EXACTLY the same field realization evaluated on their own
   time grids (the reference shares one field sampled on concatenated
   point sets, simulation_shooting_1D.py:76-82),
-* ``calculate_batch`` vmaps the whole sample over keys — a level batch is
-  one fused XLA program.
+* the field evaluation rides the MXU: by angle addition
+  ``cos(t k + phi) = cos(tk) cos(phi) - sin(tk) sin(phi)`` and the
+  ``cos(tk)/sin(tk)`` matrices are SAMPLE-INDEPENDENT, so a whole level
+  batch is one ``[B, M] @ [M, T]`` matmul — 2M transcendentals per
+  sample instead of T*M,
+* explicit Euler with a precomputed force sequence is a closed form:
+  ``X_j = X0 + j dt V0 + dt^2 * cumsum(cumsum(f))_{j-1}`` — two
+  log-depth prefix sums replace the T-step sequential ``lax.scan``, and
+  the out-of-borders test is an ``any`` over the prefix-sum trajectory
+  (the reference's data-dependent ``break``,
+  simulation_shooting_1D.py:86-121),
+* ``calculate_batch`` is one fused XLA program per level batch.
 """
 import copy
 from typing import List
@@ -82,67 +90,95 @@ class ShootingSimulation1D(Simulation):
 
     # ------------------------------------------------------------------ #
     @classmethod
-    def _force_field(cls, config, key, times):
-        """Spectral GRF evaluated at given times; shared per-sample phases."""
+    def _phase_trig(cls, config, keys):
+        """Per-sample phase trig: keys [B] -> (cos phi, sin phi) [B, M, A]
+        with A independent force axes (1 here, 2 in the 2-D subclass)."""
+        M = config["_wave_numbers"].shape[0]
+        phases = jax.vmap(
+            lambda k: jax.random.uniform(k, (M,), maxval=2 * np.pi))(keys)
+        return jnp.cos(phases)[..., None], jnp.sin(phases)[..., None]
+
+    @classmethod
+    def _force_field_batch(cls, config, keys, times):
+        """Spectral GRF on the MXU: ``cos(tk + phi)`` splits into
+        sample-independent ``cos(tk)/sin(tk)`` [M, T] matrices contracted
+        with per-sample phase trig — ONE [B, M*A] x [M*A-ish, T] matmul
+        per level batch. :return: [B, T, A] force values."""
         k = config["_wave_numbers"]
         fp = config.get("fields_params", {})
         sigma = fp.get("sigma", 1.0)
         log = fp.get("log", True)
-        phases = jax.random.uniform(key, (k.shape[0],), maxval=2 * np.pi)
-        field = jnp.sqrt(2.0 / k.shape[0]) * jnp.sum(
-            jnp.cos(times[:, None] * k[None, :] + phases[None, :]), axis=1)
-        field = sigma * field
+        tk = times[None, :] * k[:, None]                     # [M, T]
+        C, S = jnp.cos(tk), jnp.sin(tk)
+        cosp, sinp = cls._phase_trig(config, keys)           # [B, M, A]
+        # einsum over modes; HIGHEST: the default TPU dot is one bf16 pass
+        field = (jnp.einsum("bma,mt->bta", cosp, C,
+                            precision=jax.lax.Precision.HIGHEST)
+                 - jnp.einsum("bma,mt->bta", sinp, S,
+                              precision=jax.lax.Precision.HIGHEST))
+        field = sigma * jnp.sqrt(2.0 / k.shape[0]) * field
         return jnp.exp(field) if log else field
 
     @classmethod
-    def _run_trajectory(cls, config, forces, n_elements):
-        """Euler integration as lax.scan; out-of-borders -> NaN carry."""
-        dt = config["max_time"] / n_elements
-        borders = jnp.asarray(config["area_borders"], dtype=forces.dtype)
-        X0 = jnp.asarray(config["start_position"], dtype=forces.dtype)
-        V0 = jnp.asarray(config["start_velocity"], dtype=forces.dtype)
-
-        def step(carry, f):
-            X, V, out = carry
-            X = X + dt * V
-            V = V + dt * f
-            oob = ((X[0] > borders[1]) | (X[0] < borders[0])
-                   | (X[1] > borders[3]) | (X[1] < borders[2]))
-            return (X, V, out | oob), None
-
-        (X, V, out), _ = jax.lax.scan(step, (X0, V0, jnp.asarray(False)), forces)
-        return jnp.where(out, jnp.nan, X)
+    def _force_field(cls, config, key, times):
+        """Single-sample convenience wrapper (tests/diagnostics)."""
+        out = cls._force_field_batch(config, key[None], times)[0]
+        return out[:, 0] if out.shape[1] == 1 else out
 
     @classmethod
-    def _calculate_one(cls, config, key):
-        n_fine = config["fine"]["n_elements"]
-        n_coarse = config["coarse"]["n_elements"]
-        t_fine = jnp.linspace(0.0, config["max_time"], n_fine)
-        forces_fine = cls._force_field(config, key, t_fine)
-        fine_X = cls._run_trajectory(config, forces_fine, n_fine)
-        if n_coarse > 0:
-            t_coarse = jnp.linspace(0.0, config["max_time"], n_coarse)
-            forces_coarse = cls._force_field(config, key, t_coarse)
-            coarse_X = cls._run_trajectory(config, forces_coarse, n_coarse)
-        else:
-            coarse_X = jnp.zeros_like(fine_X)
-        return cls._extract_result(fine_X), cls._extract_result(coarse_X)
+    def _trajectory_finals(cls, config, forces, n_elements):
+        """Closed-form explicit Euler over a [B, T, A] force batch.
+
+        The scan recurrence ``X += dt V; V += dt f`` telescopes to
+        ``X_j = X0 + j dt V0 + dt^2 cumsum(cumsum(f))_{j-1}`` — two
+        prefix sums — and the out-of-borders flag is ``any`` over the
+        resulting trajectory. A=1 applies the one force to both velocity
+        components (the 1-D sim's contract); A=2 is per-axis.
+        :return: X_final [B, 2] with NaN rows where the trajectory left
+        the borders."""
+        dt = config["max_time"] / n_elements
+        borders = config["area_borders"]
+        X0 = jnp.asarray(config["start_position"], dtype=forces.dtype)
+        V0 = jnp.asarray(config["start_velocity"], dtype=forces.dtype)
+        if forces.shape[-1] == 1:
+            forces = jnp.broadcast_to(
+                forces, forces.shape[:2] + (2,))             # [B, T, 2]
+        ccf = jnp.cumsum(jnp.cumsum(forces, axis=1), axis=1)
+        ccf = jnp.pad(ccf[:, :-1], ((0, 0), (1, 0), (0, 0)))  # shift: j-1
+        j_dt = dt * jnp.arange(1, n_elements + 1, dtype=forces.dtype)
+        X = (X0[None, None] + j_dt[None, :, None] * V0[None, None]
+             + dt * dt * ccf)                                # [B, T, 2]
+        oob = ((X[..., 0] < borders[0]) | (X[..., 0] > borders[1])
+               | (X[..., 1] < borders[2]) | (X[..., 1] > borders[3]))
+        out = jnp.any(oob, axis=1)                           # [B]
+        return jnp.where(out[:, None], jnp.nan, X[:, -1])
+
+    @classmethod
+    def _calculate_level(cls, config, keys, which):
+        n = config[which]["n_elements"]
+        times = jnp.linspace(0.0, config["max_time"], n)
+        forces = cls._force_field_batch(config, keys, times)
+        return cls._extract_result(cls._trajectory_finals(config, forces, n))
 
     @classmethod
     def _extract_result(cls, X):
-        return X[1:2]  # final y
+        return X[:, 1:2]  # final y
 
     @classmethod
     def calculate(cls, config, seed):
         """Host single-sample path (reference calculate contract)."""
         key = jax.random.key(np.uint32(seed))
-        fine, coarse = cls._calculate_one(config, key)
-        return np.asarray(fine), np.asarray(coarse)
+        fine, coarse, _ = cls.calculate_batch(config, key[None])
+        return np.asarray(fine[0]), np.asarray(coarse[0])
 
     @classmethod
     def calculate_batch(cls, config, keys, attempts=None):
         """Level batch: keys [B] -> (fine [B, M], coarse [B, M], failed [B])."""
-        fine, coarse = jax.vmap(lambda k: cls._calculate_one(config, k))(keys)
+        fine = cls._calculate_level(config, keys, "fine")
+        if config["coarse"]["n_elements"] > 0:
+            coarse = cls._calculate_level(config, keys, "coarse")
+        else:
+            coarse = jnp.zeros_like(fine)
         # NaN QoI (out of borders) is a valid stored result in the reference,
         # masked during estimation — never a failed sample
         failed = jnp.zeros(keys.shape[0], dtype=bool)
@@ -162,11 +198,18 @@ class ShootingSimulation2D(ShootingSimulation1D):
     result_dim = 2
 
     @classmethod
-    def _force_field(cls, config, key, times):
-        k1, k2 = jax.random.split(key)
-        fx = super()._force_field(config, k1, times)
-        fy = super()._force_field(config, k2, times)
-        return jnp.stack([fx, fy], axis=1)  # [T, 2]
+    def _phase_trig(cls, config, keys):
+        """Independent phases per axis: [B, M, 2]."""
+        M = config["_wave_numbers"].shape[0]
+
+        def phases(key):
+            k1, k2 = jax.random.split(key)
+            return jnp.stack(
+                [jax.random.uniform(k1, (M,), maxval=2 * np.pi),
+                 jax.random.uniform(k2, (M,), maxval=2 * np.pi)], axis=-1)
+
+        ph = jax.vmap(phases)(keys)                          # [B, M, 2]
+        return jnp.cos(ph), jnp.sin(ph)
 
     @classmethod
     def _extract_result(cls, X):
