@@ -140,9 +140,8 @@ class ShootingSimulation1D(Simulation):
         borders = config["area_borders"]
         X0 = jnp.asarray(config["start_position"], dtype=forces.dtype)
         V0 = jnp.asarray(config["start_velocity"], dtype=forces.dtype)
-        if forces.shape[-1] == 1:
-            forces = jnp.broadcast_to(
-                forces, forces.shape[:2] + (2,))             # [B, T, 2]
+        # A=1 broadcasts against X0/V0 [2] below — no need to duplicate
+        # the force columns before the prefix sums
         ccf = jnp.cumsum(jnp.cumsum(forces, axis=1), axis=1)
         ccf = jnp.pad(ccf[:, :-1], ((0, 0), (1, 0), (0, 0)))  # shift: j-1
         j_dt = dt * jnp.arange(1, n_elements + 1, dtype=forces.dtype)
