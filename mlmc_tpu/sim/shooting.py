@@ -125,39 +125,81 @@ class ShootingSimulation1D(Simulation):
         out = cls._force_field_batch(config, key[None], times)[0]
         return out[:, 0] if out.shape[1] == 1 else out
 
-    @classmethod
-    def _trajectory_finals(cls, config, forces, n_elements):
-        """Closed-form explicit Euler over a [B, T, A] force batch.
+    @staticmethod
+    def _euler_weights(n_elements, dtype):
+        """Explicit Euler is linear in the force sequence: the recurrence
+        ``X += dt V; V += dt f`` telescopes to
+        ``X_j = X0 + j dt V0 + dt^2 sum_i (j-i)_+ f_i`` — the whole
+        trajectory is one matmul with the fixed weight matrix
+        ``W[j, i] = max(j-i, 0)`` (rows j = 1..T)."""
+        j = np.arange(1, n_elements + 1)
+        return jnp.asarray(
+            np.maximum(j[:, None] - np.arange(1, n_elements + 1)[None, :], 0),
+            dtype)
 
-        The scan recurrence ``X += dt V; V += dt f`` telescopes to
-        ``X_j = X0 + j dt V0 + dt^2 cumsum(cumsum(f))_{j-1}`` — two
-        prefix sums — and the out-of-borders flag is ``any`` over the
-        resulting trajectory. A=1 applies the one force to both velocity
-        components (the 1-D sim's contract); A=2 is per-axis.
-        :return: X_final [B, 2] with NaN rows where the trajectory left
-        the borders."""
-        dt = config["max_time"] / n_elements
+    @classmethod
+    def _finals_from_trajectory(cls, config, X):
+        """Border test over the trajectory: [B, T, 2] -> final [B, 2]
+        with NaN rows where any step left the area."""
         borders = config["area_borders"]
-        X0 = jnp.asarray(config["start_position"], dtype=forces.dtype)
-        V0 = jnp.asarray(config["start_velocity"], dtype=forces.dtype)
-        # A=1 broadcasts against X0/V0 [2] below — no need to duplicate
-        # the force columns before the prefix sums
-        ccf = jnp.cumsum(jnp.cumsum(forces, axis=1), axis=1)
-        ccf = jnp.pad(ccf[:, :-1], ((0, 0), (1, 0), (0, 0)))  # shift: j-1
-        j_dt = dt * jnp.arange(1, n_elements + 1, dtype=forces.dtype)
-        X = (X0[None, None] + j_dt[None, :, None] * V0[None, None]
-             + dt * dt * ccf)                                # [B, T, 2]
         oob = ((X[..., 0] < borders[0]) | (X[..., 0] > borders[1])
                | (X[..., 1] < borders[2]) | (X[..., 1] > borders[3]))
         out = jnp.any(oob, axis=1)                           # [B]
         return jnp.where(out[:, None], jnp.nan, X[:, -1])
 
     @classmethod
+    def _trajectory_finals(cls, config, forces, n_elements):
+        """Closed-form explicit Euler over a [B, T, A] force batch.
+
+        A=1 applies the one force to both velocity components (the 1-D
+        sim's contract); A=2 is per-axis — either way the A axis
+        broadcasts against the [2] start vectors.
+        :return: X_final [B, 2] with NaN rows where the trajectory left
+        the borders."""
+        dt = config["max_time"] / n_elements
+        X0 = jnp.asarray(config["start_position"], dtype=forces.dtype)
+        V0 = jnp.asarray(config["start_velocity"], dtype=forces.dtype)
+        W = cls._euler_weights(n_elements, forces.dtype)
+        acc = jnp.einsum("bia,ji->bja", forces, W,
+                         precision=jax.lax.Precision.HIGHEST)
+        j_dt = dt * jnp.arange(1, n_elements + 1, dtype=forces.dtype)
+        X = (X0[None, None] + j_dt[None, :, None] * V0[None, None]
+             + dt * dt * acc)                                # [B, T, 2]
+        return cls._finals_from_trajectory(config, X)
+
+    @classmethod
     def _calculate_level(cls, config, keys, which):
         n = config[which]["n_elements"]
         times = jnp.linspace(0.0, config["max_time"], n)
-        forces = cls._force_field_batch(config, keys, times)
-        return cls._extract_result(cls._trajectory_finals(config, forces, n))
+        fp = config.get("fields_params", {})
+        if not fp.get("log", True):
+            # Non-log fields keep the force LINEAR in the phase trig, so
+            # the Euler weights compose with the angle-addition split:
+            # X_traj = X0 + j dt V0 + cos(phi) @ Cw - sin(phi) @ Sw with
+            # Cw/Sw = dt^2 sigma sqrt(2/M) cos/sin(t k) @ W^T — the whole
+            # trajectory batch is ONE [B, M] x [M, T] matmul, no force
+            # array ever materializes.
+            k = config["_wave_numbers"]
+            dt = config["max_time"] / n
+            scale = fp.get("sigma", 1.0) * jnp.sqrt(2.0 / k.shape[0]) * dt * dt
+            tk = times[None, :] * k[:, None]                 # [M, T]
+            W = cls._euler_weights(n, tk.dtype)
+            hi = jax.lax.Precision.HIGHEST
+            Cw = scale * jnp.matmul(jnp.cos(tk), W.T, precision=hi)
+            Sw = scale * jnp.matmul(jnp.sin(tk), W.T, precision=hi)
+            cosp, sinp = cls._phase_trig(config, keys)       # [B, M, A]
+            acc = (jnp.einsum("bma,mt->bta", cosp, Cw, precision=hi)
+                   - jnp.einsum("bma,mt->bta", sinp, Sw, precision=hi))
+            X0 = jnp.asarray(config["start_position"], dtype=acc.dtype)
+            V0 = jnp.asarray(config["start_velocity"], dtype=acc.dtype)
+            j_dt = (config["max_time"] / n) * jnp.arange(
+                1, n + 1, dtype=acc.dtype)
+            X = X0[None, None] + j_dt[None, :, None] * V0[None, None] + acc
+            finals = cls._finals_from_trajectory(config, X)
+        else:
+            forces = cls._force_field_batch(config, keys, times)
+            finals = cls._trajectory_finals(config, forces, n)
+        return cls._extract_result(finals)
 
     @classmethod
     def _extract_result(cls, X):

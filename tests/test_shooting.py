@@ -104,3 +104,25 @@ def test_shooting_nan_out_of_borders():
     assert storage.get_n_collected()[0] == 100
     pairs = storage.sample_pairs()
     assert np.isnan(pairs[0]).any()
+
+
+def test_linear_path_matches_generic():
+    """log=False trajectories via the fused phase->trajectory matmul must
+    equal the generic force-array path (same closed form, reassociated)."""
+    import jax.numpy as jnp
+    from mlmc_tpu.sim.shooting import ShootingSimulation1D, ShootingSimulation2D
+
+    for sim_cls in (ShootingSimulation1D, ShootingSimulation2D):
+        sim = sim_cls(dict(CONFIG))
+        cfg = sim.level_instance([0.1], [0.5]).config_dict
+        keys = jax.random.split(jax.random.key(12), 16)
+        n = cfg["fine"]["n_elements"]
+        times = jnp.linspace(0.0, cfg["max_time"], n)
+        fused = sim_cls._calculate_level(cfg, keys, "fine")
+        forces = sim_cls._force_field_batch(cfg, keys, times)
+        generic = sim_cls._extract_result(
+            sim_cls._trajectory_finals(cfg, forces, n))
+        f, g = np.asarray(fused), np.asarray(generic)
+        assert np.array_equal(np.isnan(f), np.isnan(g))
+        m = ~np.isnan(f)
+        assert np.allclose(f[m], g[m], rtol=1e-9), (f, g)
