@@ -142,6 +142,22 @@ class Estimate:
                                         tuple(components))
         else:
             level_qoi = self._gather_level_qoi()
+            if len(components) > 1:
+                # structured parity with the DAG tier: a sample is valid
+                # only if EVERY requested component (fine and coarse) is
+                # finite and inside the moment domain — poison the whole
+                # sample so every stream reports the same n_valid
+                import jax.numpy as jnp
+                lo, hi = (float(v) for v in moments_fn.domain)
+                comp_idx = np.asarray(components)
+                poisoned = []
+                for q in level_qoi:
+                    sel = jnp.asarray(q)[comp_idx]           # [Mc, N, S]
+                    bad = jnp.any(jnp.isnan(sel) | (sel < lo) | (sel > hi),
+                                  axis=(0, 2))
+                    poisoned.append(jnp.where(bad[None, :, None],
+                                              jnp.nan, jnp.asarray(q)))
+                level_qoi = poisoned
             fine_streams, coarse_streams, hasc = [], [], []
             for m in components:
                 for lvl, q in enumerate(level_qoi):
@@ -192,6 +208,20 @@ class Estimate:
                 acc = qe_mod._accum_dtype()
                 ys = [dag_eval(qe_mod._normalize_leaf(leaf, lid == 0, acc))
                       for leaf, lid in zip(leaves, lids)]
+                if len(components) > 1:
+                    # structured parity with the DAG tier: shared
+                    # any-component validity (see _fast_results_packed)
+                    lo, hi = domain
+                    comp_idx = jnp.asarray(components)
+                    harmonized = []
+                    for y in ys:
+                        sel = y[comp_idx]
+                        bad = jnp.any(
+                            jnp.isnan(sel) | (sel < lo) | (sel > hi),
+                            axis=(0, 2))
+                        harmonized.append(
+                            jnp.where(bad[None, :, None], jnp.nan, y))
+                    ys = harmonized
                 fine_p, coarse_p, nsamp_p = [], [], []
                 chunks_per_stream, hasc = [], []
                 for m in components:
@@ -447,6 +477,9 @@ class Estimate:
         for m in range(M):
             for lvl, r in enumerate(packed[m]):
                 n = float(r.n_valid)
+                # every component reports the same count: structured
+                # streams share any-component validity (harmonized in
+                # _fast_results_packed / _packed_program)
                 ns[lvl] = int(n)
                 if n > 1:
                     s = np.asarray(r.sums, dtype=np.float64)
@@ -497,9 +530,10 @@ class Estimate:
         X[:, 2] = log_step ** 2
 
         # f32 accumulators can cancel a deep level's tiny variance to zero
-        # or slightly negative (esp. bootstrap replicates): fit only the
-        # positive entries, predict everywhere — never feed log() <= 0
-        pos = raw_vars[1:] > 0
+        # or slightly negative (esp. bootstrap replicates), and a level
+        # with n_valid <= 1 reports inf: fit only the finite positive
+        # entries, predict everywhere — never feed log() <= 0 or inf
+        pos = np.isfinite(raw_vars[1:]) & (raw_vars[1:] > 0)
         if pos.sum() < K:
             return raw_vars
         log_vars = np.log(raw_vars[1:][pos])
@@ -757,8 +791,15 @@ class Estimate:
             spec = next(sample_storage.chunks(level_id=level_id,
                                               n_samples=n))
             fine = np.ravel(np.asarray(quantity.samples(spec))[..., 0])
-            a, b = np.nanquantile(fine, [q, 1.0 - q])
+            fine = fine[np.isfinite(fine)]
+            if fine.size == 0:
+                continue  # an all-NaN level (e.g. every trajectory left
+                # the borders) contributes nothing to the domain
+            a, b = np.quantile(fine, [q, 1.0 - q])
             lo, hi = min(lo, a), max(hi, b)
+        if not (np.isfinite(lo) and np.isfinite(hi)):
+            raise ValueError(
+                "estimate_domain: no finite sample values in any level")
         return float(lo), float(hi)
 
     def construct_density(self, tol=1e-8, reg_param=0.0, orth_moments_tol=1e-4, exact_pdf=None):

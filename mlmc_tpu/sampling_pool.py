@@ -200,8 +200,12 @@ class OneProcessPool(SamplingPool):
 
     def _process_result(self, sample_id, result, err_msg, elapsed, level_sim):
         lid = level_sim.level_id
+        # always create the level's record — a level whose samples all fail
+        # (elapsed=0) must still appear in the cost vector, or get_n_ops
+        # returns fewer entries than n_levels and desynchronizes the
+        # allocation formula
+        t = self.times.setdefault(lid, [0, 0])
         if elapsed:
-            t = self.times.setdefault(lid, [0, 0])
             t[0] += elapsed
             t[1] += 1
         if err_msg:

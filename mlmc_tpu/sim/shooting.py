@@ -138,10 +138,23 @@ class ShootingSimulation1D(Simulation):
             dtype)
 
     @classmethod
-    def _finals_from_trajectory(cls, config, X):
-        """Border test over the trajectory: [B, T, 2] -> final [B, 2]
-        with NaN rows where any step left the area."""
+    def _finals_from_acc(cls, config, acc, n_elements):
+        """Assemble trajectories from the force-integral term and apply
+        the border test.
+
+        ``acc`` [B, T, A] is ``dt^2 sum_i (j-i)_+ f_i`` (any
+        factorization); A=1 applies the one force to both velocity
+        components (the 1-D sim's contract), A=2 is per-axis — either
+        way the A axis broadcasts against the [2] start vectors.
+        :return: X_final [B, 2] with NaN rows where any step left the
+        area borders."""
+        dt = config["max_time"] / n_elements
         borders = config["area_borders"]
+        X0 = jnp.asarray(config["start_position"], dtype=acc.dtype)
+        V0 = jnp.asarray(config["start_velocity"], dtype=acc.dtype)
+        j_dt = dt * jnp.arange(1, n_elements + 1, dtype=acc.dtype)
+        X = (X0[None, None] + j_dt[None, :, None] * V0[None, None]
+             + acc)                                          # [B, T, 2]
         oob = ((X[..., 0] < borders[0]) | (X[..., 0] > borders[1])
                | (X[..., 1] < borders[2]) | (X[..., 1] > borders[3]))
         out = jnp.any(oob, axis=1)                           # [B]
@@ -149,23 +162,12 @@ class ShootingSimulation1D(Simulation):
 
     @classmethod
     def _trajectory_finals(cls, config, forces, n_elements):
-        """Closed-form explicit Euler over a [B, T, A] force batch.
-
-        A=1 applies the one force to both velocity components (the 1-D
-        sim's contract); A=2 is per-axis — either way the A axis
-        broadcasts against the [2] start vectors.
-        :return: X_final [B, 2] with NaN rows where the trajectory left
-        the borders."""
+        """Closed-form explicit Euler over a [B, T, A] force batch."""
         dt = config["max_time"] / n_elements
-        X0 = jnp.asarray(config["start_position"], dtype=forces.dtype)
-        V0 = jnp.asarray(config["start_velocity"], dtype=forces.dtype)
         W = cls._euler_weights(n_elements, forces.dtype)
-        acc = jnp.einsum("bia,ji->bja", forces, W,
-                         precision=jax.lax.Precision.HIGHEST)
-        j_dt = dt * jnp.arange(1, n_elements + 1, dtype=forces.dtype)
-        X = (X0[None, None] + j_dt[None, :, None] * V0[None, None]
-             + dt * dt * acc)                                # [B, T, 2]
-        return cls._finals_from_trajectory(config, X)
+        acc = dt * dt * jnp.einsum("bia,ji->bja", forces, W,
+                                   precision=jax.lax.Precision.HIGHEST)
+        return cls._finals_from_acc(config, acc, n_elements)
 
     @classmethod
     def _calculate_level(cls, config, keys, which):
@@ -190,12 +192,7 @@ class ShootingSimulation1D(Simulation):
             cosp, sinp = cls._phase_trig(config, keys)       # [B, M, A]
             acc = (jnp.einsum("bma,mt->bta", cosp, Cw, precision=hi)
                    - jnp.einsum("bma,mt->bta", sinp, Sw, precision=hi))
-            X0 = jnp.asarray(config["start_position"], dtype=acc.dtype)
-            V0 = jnp.asarray(config["start_velocity"], dtype=acc.dtype)
-            j_dt = (config["max_time"] / n) * jnp.arange(
-                1, n + 1, dtype=acc.dtype)
-            X = X0[None, None] + j_dt[None, :, None] * V0[None, None] + acc
-            finals = cls._finals_from_trajectory(config, X)
+            finals = cls._finals_from_acc(config, acc, n)
         else:
             forces = cls._force_field_batch(config, keys, times)
             finals = cls._trajectory_finals(config, forces, n)

@@ -615,3 +615,44 @@ def test_strict_reference_accepts_qoi_bits():
     assert via_bits["n_valid"] == via_noise["n_valid"]
     for key in ("sums", "sums2", "cov_fine", "cov_coarse", "abs_sums"):
         assert np.array_equal(via_bits[key], via_noise[key]), key
+
+
+def test_structured_diff_vars_shared_validity():
+    """Structured fast-tier diff vars share any-component validity with
+    the DAG tier: a narrowed moment domain clips components differently,
+    yet every stream must report the SAME per-level count — equal to the
+    DAG path's — and matching variances (both fused and eager branches)."""
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    import mlmc_tpu.quantity.quantity_estimate as qe
+
+    sim = SynthSimulation(dict(distr="norm", complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=33, min_bucket=64),
+                      sim, [[0.1], [0.01]])
+    sampler.set_initial_n_samples([300, 80])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    ts = q["length"]                       # M=12 structured quantity
+    # narrow domain -> per-component clipping genuinely diverges
+    mfn = Legendre(5, (-1.5, 1.5))
+    dag = qe.estimate_mean(qe.moments(ts, mfn))
+    ns_dag = np.asarray(dag.n_samples)
+    assert ns_dag.min() > 1  # the scenario must keep some valid samples
+
+    for force_eager in (False, True):
+        est = est_mod.Estimate(ts, storage, mfn)
+        if force_eager:
+            ts_e = make_root_quantity(storage,
+                                      q_specs=sim.result_format())["length"]
+            ts_e.traceable = lambda: False   # exercise the eager branch
+            est = est_mod.Estimate(ts_e, storage, mfn)
+        raw_fast, ns_fast = est.estimate_diff_vars_fast()
+        assert np.array_equal(ns_fast, ns_dag.astype(int)), (
+            force_eager, ns_fast, ns_dag)
+        dag_vars = np.asarray(dag.l_vars).reshape(raw_fast.shape)
+        assert np.allclose(raw_fast, dag_vars, rtol=1e-3, atol=1e-7), (
+            force_eager, np.abs(raw_fast - dag_vars).max())

@@ -253,3 +253,35 @@ def test_bucket_padded_bulk_results_file_storages(tmp_path, storage_kind):
         res.append((np.asarray(m.mean), list(m.n_samples)))
     assert np.array_equal(res[0][0], res[1][0])
     assert res[0][1] == res[1][1]
+
+
+def test_all_failed_level_still_reports_cost():
+    """A level whose every sample raises must still appear in the cost
+    vector (a missing level desynchronizes the allocation formula)."""
+    def _boom(config, seed):
+        raise RuntimeError("injected failure")
+
+    sim = SynthSimulation(dict(distr="norm", complexity=2))
+    storage = Memory()
+    pool = OneProcessPool()
+    sampler = Sampler(storage, pool, sim, [[0.1], [0.01]])
+    # break level 1 after Sampler wired the level sims
+    sampler._level_sim_objects[1].calculate = _boom
+    sampler.set_initial_n_samples([8, 4])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    assert sum(len(v) for v in storage.failed_samples().values()) == 4
+    n_ops = storage.get_n_ops()
+    assert len(n_ops) == 2, n_ops          # both levels present
+    assert n_ops[0] > 0 and n_ops[1] == 0.0
+
+
+def test_variance_regression_ignores_inf_levels():
+    """An infinite level variance (n_valid <= 1) must not poison the
+    log-space regression — the fit uses only finite positive entries."""
+    raw = np.array([1e-2, 1e-3, np.inf, 1e-5, 3e-6, 1e-6])
+    steps = np.array([0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625])
+    out = est_mod.Estimate._moment_variance_regression(raw, steps)
+    assert np.all(np.isfinite(out)), out
+    assert np.all(out[1:] > 0)
+    assert out[0] == raw[0]  # level 0 untouched

@@ -126,3 +126,23 @@ def test_linear_path_matches_generic():
         assert np.array_equal(np.isnan(f), np.isnan(g))
         m = ~np.isnan(f)
         assert np.allclose(f[m], g[m], rtol=1e-9), (f, g)
+
+
+def test_estimate_domain_all_nan_raises():
+    """Borders so tight every trajectory exits: estimate_domain must raise
+    instead of silently returning an infinite domain; with one live level
+    it uses only that level's finite values."""
+    cfg = dict(CONFIG)
+    cfg["area_borders"] = (-1e-9, 1e-9, -1e-9, 1e-9)
+    sim = ShootingSimulation1D(cfg)
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=2), sim, [[0.1], [0.02]])
+    sampler.set_initial_n_samples([32, 8])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu import estimator as est_mod
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = q["target"][10]["0"][0]
+    with pytest.raises(ValueError, match="no finite sample"):
+        est_mod.Estimate.estimate_domain(vq, storage, quantile=0.01)
