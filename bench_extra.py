@@ -50,8 +50,11 @@ def bench_shooting():
     level_sim = sim.level_instance([0.02], [0.1])  # fine n=1000 steps
     cfg = level_sim.config_dict
     B = 8192
+    # 32 batches/dispatch: the matmul-formulated sample body is ~0.5 ms
+    # per batch, so the ~30 ms tunnel round trip per dispatch needs more
+    # amortization than the default 8 reps
     dt = _timed_batches(
-        lambda k: ShootingSimulation1D.calculate_batch(cfg, k), B, reps=8)
+        lambda k: ShootingSimulation1D.calculate_batch(cfg, k), B, reps=32)
     return dict(workload="shooting 1D, 1000+200 Euler steps, 256 modes",
                 samples_per_s=round(B / dt, 1), wall_s=round(dt, 4))
 
