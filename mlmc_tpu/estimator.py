@@ -172,6 +172,10 @@ class Estimate:
                 domain=tuple(moments_fn.domain), ref_domain=ref_domain,
                 basis=basis, chunk=self._FAST_KERNEL_CHUNK,
                 interpret=interpret, has_coarse=tuple(hasc))
+        # ONE pipelined device->host fetch for the whole result structure:
+        # fetching the L*M*5 accumulator arrays lazily downstream pays a
+        # ~30 ms tunnel round trip EACH (device_get overlaps them)
+        flat = jax.device_get(flat)
         return {m: flat[i * n_levels:(i + 1) * n_levels]
                 for i, m in enumerate(components)}
 
@@ -390,7 +394,7 @@ class Estimate:
                                      for v in moments_fn.ref_domain),
                     basis=basis, is_level0=lvl == 0, interpret=interpret))
             out[m] = per_level
-        return out
+        return jax.device_get(out)  # one pipelined fetch (see fast tier)
 
     def estimate_moments_extended(self, moments_fn=None):
         """1e-10-grade moment means/vars: double-float Pallas tier

@@ -97,7 +97,13 @@ class FusedMLMC:
         """
         if n_new <= 0:
             return
-        n_alloc = 1 << (max(int(n_new), 64) - 1).bit_length()
+        # one executable per level: the loop trip count is DYNAMIC (only
+        # the chunks n_new needs actually run), so a generous static
+        # allocation bound costs nothing — per-round pow2 bucket growth
+        # used to mint a fresh executable (a remote AOT compile or a ~1 s
+        # cache deserialize) several times per level per run
+        n_alloc = max(1 << 24,
+                      1 << (max(int(n_new), 64) - 1).bit_length())
         acc_dtype = self._acc_dtype
         if acc_dtype is None:
             acc_dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
@@ -113,10 +119,15 @@ class FusedMLMC:
             axis = self._mesh.axis_name if self._mesh is not None else None
 
             def step(level_key, n, start):
-                return fused_level_moments(
+                acc = fused_level_moments(
                     fn, mfn, level_key, n, chunk,
                     is_level0=is_l0, acc_dtype=acc_dtype,
                     start_index=start, n_alloc=n_alloc, axis_name=axis)
+                # ONE flat device->host transfer per dispatch: each leaf
+                # fetched separately pays its own ~30 ms tunnel round
+                # trip (6 leaves used to dominate the warm dispatch wall)
+                return jnp.concatenate(
+                    [jnp.ravel(leaf) for leaf in jax.tree.leaves(acc)])
 
             if self._mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -142,12 +153,28 @@ class FusedMLMC:
             # feeds the allocation formula C_l, and a 10-30 s remote compile
             # folded into cost_per_sample would skew n_l ~ sqrt(V_l/C_l)
             # for many adaptive rounds (VERDICT r1 weak #6)
-            self._jit_cache[cache_key] = jax.jit(step).lower(*args).compile()
+            compiled = jax.jit(step).lower(*args).compile()
+            # host-side unpack recipe for the flat accumulator vector
+            acc_struct = jax.eval_shape(
+                lambda *a: fused_level_moments(
+                    self._fns[level], self._moments_fn, a[0], a[1], chunk,
+                    is_level0=is_l0, acc_dtype=acc_dtype, start_index=a[2],
+                    n_alloc=n_alloc),
+                *args)
+            leaves, treedef = jax.tree.flatten(acc_struct)
+            shapes = [leaf.shape for leaf in leaves]
+            self._jit_cache[cache_key] = (compiled, treedef, shapes)
 
+        compiled, treedef, shapes = self._jit_cache[cache_key]
         t0 = time.perf_counter()
-        acc = self._jit_cache[cache_key](*args)
-        acc = jax.tree.map(np.asarray, acc)  # forces completion
+        flat = np.asarray(compiled(*args))  # forces completion, 1 transfer
         elapsed = time.perf_counter() - t0
+        out, off = [], 0
+        for shape in shapes:
+            size = int(np.prod(shape)) if shape else 1
+            out.append(flat[off:off + size].reshape(shape))
+            off += size
+        acc = jax.tree.unflatten(treedef, out)
 
         if self._accs[level] is None:
             if np.ndim(acc.sums) != 1:
@@ -162,11 +189,12 @@ class FusedMLMC:
             self._accs[level] = MomentAccumulators(
                 *(a + b for a, b in zip(self._accs[level], acc)))
         self._n_drawn[level] += int(n_new)
-        # exponential-moving per-sample cost; the executable always runs
-        # n_alloc worth of chunks (static loop bound), so the marginal cost
-        # of a sample is elapsed/n_alloc — charging n_new would overstate
-        # C_l whenever a round only partially fills its allocation bucket
-        c = elapsed / n_alloc
+        # exponential-moving per-sample cost; the trip count is dynamic,
+        # so the executed work is ceil(n_new/chunk) whole chunks — the
+        # marginal cost of a sample is elapsed over that, not over the
+        # (now much larger) static allocation bound
+        executed = -(-int(n_new) // chunk) * chunk
+        c = elapsed / executed
         old = self._cost_per_sample[level]
         self._cost_per_sample[level] = c if old == 0 else 0.5 * (old + c)
 

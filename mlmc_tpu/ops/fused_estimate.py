@@ -185,6 +185,16 @@ def fused_level_moments(
 
     # shards process interleaved chunks; ceil so every chunk is covered
     n_local_chunks = -(-n_chunks // n_shards)
+    # dynamic trip count: run only the chunks the TRACED count needs, so
+    # one executable (compiled at the static n_alloc bound) serves any
+    # smaller count with NO masked-chunk waste — the static bound stays a
+    # clamp. The first all-masked chunk used to fold the running Kahan
+    # compensation into the accumulator (delta=0 -> t = a - c, c -> 0);
+    # the explicit fold below reproduces that exactly.
+    needed = (n_samples.astype(jnp.int32)
+              + jnp.int32(chunk_size - 1)) // jnp.int32(chunk_size)
+    needed = -(-needed // jnp.int32(n_shards))
+    trip = jnp.minimum(jnp.int32(n_local_chunks), needed)
     init = MomentAccumulators(
         sums=jnp.zeros(qoi_shape + (R,), acc_dtype),
         sums2=jnp.zeros(qoi_shape + (R,), acc_dtype),
@@ -193,7 +203,14 @@ def fused_level_moments(
         n_valid=jnp.zeros((), acc_dtype),
         n_total=jnp.zeros((), acc_dtype),
     )
-    acc, _comp = jax.lax.fori_loop(0, n_local_chunks, body, (init, init))
+    acc, comp = jax.lax.fori_loop(0, trip, body, (init, init))
+    # fold the residual compensation (true total ~ a - c); with the old
+    # static bound the first padded all-masked chunk did this in-loop
+    acc = MomentAccumulators(
+        sums=acc.sums - comp.sums, sums2=acc.sums2 - comp.sums2,
+        cov_fine=acc.cov_fine - comp.cov_fine,
+        cov_coarse=acc.cov_coarse - comp.cov_coarse,
+        n_valid=acc.n_valid, n_total=acc.n_total)
     if axis_name is not None:
         acc = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), acc)
     return acc
