@@ -103,6 +103,38 @@ class Estimate:
                 [xp.asarray(c) for c in chunks], axis=1))
         return level_qoi
 
+    @staticmethod
+    def _harmonize_validity(y, components, moments_fn):
+        """Structured parity with the DAG tier: a sample is valid only if
+        EVERY requested component (fine and coarse slot) is valid —
+        poison the whole sample so every packed stream reports the same
+        n_valid.
+
+        Validity must be judged exactly as the kernel judges it: on the
+        f32-cast payload through the affine transform
+        ``t = (x - a) * scale + ref_lo`` with ``ref_lo <= t <= ref_hi``
+        (a raw f64 compare against the domain can classify a sample
+        within one f32 ulp of the edge differently from the stream it is
+        meant to agree with). Works on host numpy arrays (no eager
+        device ops for host storages) and on traced jnp values alike.
+
+        :param y: one level's payload [M, N, S] (numpy, device array, or
+            tracer); :return: same type with poisoned samples NaN'd
+        """
+        import jax.numpy as jnp
+
+        xp = np if isinstance(y, np.ndarray) else jnp
+        a, b = (float(v) for v in moments_fn.domain)
+        ref_lo, ref_hi = (float(v) for v in moments_fn.ref_domain)
+        t_scale = np.float32((ref_hi - ref_lo) / (b - a))
+        sel = xp.asarray(y)[np.asarray(components)].astype(np.float32)
+        t = (sel - np.float32(a)) * t_scale + np.float32(ref_lo)
+        ok = (t >= np.float32(ref_lo)) & (t <= np.float32(ref_hi))
+        bad = ~xp.all(ok, axis=(0, 2))                   # NaN -> bad
+        y = xp.asarray(y)
+        return xp.where(bad[None, :, None],
+                        xp.asarray(np.nan, dtype=y.dtype), y)
+
     def _fast_results_packed(self, moments_fn, components):
         """Kernel accumulators for MANY QoI components in ONE dispatch.
 
@@ -143,21 +175,9 @@ class Estimate:
         else:
             level_qoi = self._gather_level_qoi()
             if len(components) > 1:
-                # structured parity with the DAG tier: a sample is valid
-                # only if EVERY requested component (fine and coarse) is
-                # finite and inside the moment domain — poison the whole
-                # sample so every stream reports the same n_valid
-                import jax.numpy as jnp
-                lo, hi = (float(v) for v in moments_fn.domain)
-                comp_idx = np.asarray(components)
-                poisoned = []
-                for q in level_qoi:
-                    sel = jnp.asarray(q)[comp_idx]           # [Mc, N, S]
-                    bad = jnp.any(jnp.isnan(sel) | (sel < lo) | (sel > hi),
-                                  axis=(0, 2))
-                    poisoned.append(jnp.where(bad[None, :, None],
-                                              jnp.nan, jnp.asarray(q)))
-                level_qoi = poisoned
+                level_qoi = [
+                    self._harmonize_validity(q, components, moments_fn)
+                    for q in level_qoi]
             fine_streams, coarse_streams, hasc = [], [], []
             for m in components:
                 for lvl, q in enumerate(level_qoi):
@@ -214,18 +234,9 @@ class Estimate:
                       for leaf, lid in zip(leaves, lids)]
                 if len(components) > 1:
                     # structured parity with the DAG tier: shared
-                    # any-component validity (see _fast_results_packed)
-                    lo, hi = domain
-                    comp_idx = jnp.asarray(components)
-                    harmonized = []
-                    for y in ys:
-                        sel = y[comp_idx]
-                        bad = jnp.any(
-                            jnp.isnan(sel) | (sel < lo) | (sel > hi),
-                            axis=(0, 2))
-                        harmonized.append(
-                            jnp.where(bad[None, :, None], jnp.nan, y))
-                    ys = harmonized
+                    # any-component validity (one helper, both branches)
+                    ys = [Estimate._harmonize_validity(
+                        y, components, moments_fn) for y in ys]
                 fine_p, coarse_p, nsamp_p = [], [], []
                 chunks_per_stream, hasc = [], []
                 for m in components:

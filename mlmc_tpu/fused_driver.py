@@ -118,11 +118,14 @@ class FusedMLMC:
             is_l0 = level == 0
             axis = self._mesh.axis_name if self._mesh is not None else None
 
-            def step(level_key, n, start):
-                acc = fused_level_moments(
+            def core(level_key, n, start, axis_name=None):
+                return fused_level_moments(
                     fn, mfn, level_key, n, chunk,
                     is_level0=is_l0, acc_dtype=acc_dtype,
-                    start_index=start, n_alloc=n_alloc, axis_name=axis)
+                    start_index=start, n_alloc=n_alloc, axis_name=axis_name)
+
+            def step(level_key, n, start):
+                acc = core(level_key, n, start, axis_name=axis)
                 # ONE flat device->host transfer per dispatch: each leaf
                 # fetched separately pays its own ~30 ms tunnel round
                 # trip (6 leaves used to dominate the warm dispatch wall)
@@ -154,13 +157,9 @@ class FusedMLMC:
             # folded into cost_per_sample would skew n_l ~ sqrt(V_l/C_l)
             # for many adaptive rounds (VERDICT r1 weak #6)
             compiled = jax.jit(step).lower(*args).compile()
-            # host-side unpack recipe for the flat accumulator vector
-            acc_struct = jax.eval_shape(
-                lambda *a: fused_level_moments(
-                    self._fns[level], self._moments_fn, a[0], a[1], chunk,
-                    is_level0=is_l0, acc_dtype=acc_dtype, start_index=a[2],
-                    n_alloc=n_alloc),
-                *args)
+            # host-side unpack recipe, derived from the SAME core the
+            # packed step runs (axis-free: psum preserves shapes)
+            acc_struct = jax.eval_shape(core, *args)
             leaves, treedef = jax.tree.flatten(acc_struct)
             shapes = [leaf.shape for leaf in leaves]
             self._jit_cache[cache_key] = (compiled, treedef, shapes)
@@ -174,6 +173,7 @@ class FusedMLMC:
             size = int(np.prod(shape)) if shape else 1
             out.append(flat[off:off + size].reshape(shape))
             off += size
+        assert off == flat.size, (off, flat.size)  # pack/unpack in sync
         acc = jax.tree.unflatten(treedef, out)
 
         if self._accs[level] is None:

@@ -191,10 +191,13 @@ def fused_level_moments(
     # clamp. The first all-masked chunk used to fold the running Kahan
     # compensation into the accumulator (delta=0 -> t = a - c, c -> 0);
     # the explicit fold below reproduces that exactly.
-    needed = (n_samples.astype(jnp.int32)
-              + jnp.int32(chunk_size - 1)) // jnp.int32(chunk_size)
-    needed = -(-needed // jnp.int32(n_shards))
-    trip = jnp.minimum(jnp.int32(n_local_chunks), needed)
+    # overflow-safe ceil-divs in uint32 (n_samples may approach 2^32;
+    # adding chunk_size-1 before dividing, or an int32 cast, would wrap)
+    cs = jnp.uint32(chunk_size)
+    needed = n_samples // cs + (n_samples % cs != 0).astype(jnp.uint32)
+    sh = jnp.uint32(n_shards)
+    needed = needed // sh + (needed % sh != 0).astype(jnp.uint32)
+    trip = jnp.minimum(jnp.uint32(n_local_chunks), needed).astype(jnp.int32)
     init = MomentAccumulators(
         sums=jnp.zeros(qoi_shape + (R,), acc_dtype),
         sums2=jnp.zeros(qoi_shape + (R,), acc_dtype),
