@@ -19,10 +19,13 @@ TPU re-design:
   ``cos(tk)/sin(tk)`` matrices are SAMPLE-INDEPENDENT, so a whole level
   batch is one ``[B, M] @ [M, T]`` matmul — 2M transcendentals per
   sample instead of T*M,
-* explicit Euler with a precomputed force sequence is a closed form:
-  ``X_j = X0 + j dt V0 + dt^2 * cumsum(cumsum(f))_{j-1}`` — two
-  log-depth prefix sums replace the T-step sequential ``lax.scan``, and
-  the out-of-borders test is an ``any`` over the prefix-sum trajectory
+* explicit Euler is LINEAR in the force sequence:
+  ``X_j = X0 + j dt V0 + dt^2 sum_i (j-i)_+ f_i`` — a matmul with the
+  fixed weight matrix ``W[j, i] = max(j-i, 0)`` replaces the T-step
+  sequential ``lax.scan``; for non-log fields it composes with the
+  angle-addition split so the whole trajectory batch is ONE
+  ``[B, M] @ [M, T]`` matmul against precomputed Euler-weighted mode
+  matrices. The out-of-borders test is an ``any`` over the trajectory
   (the reference's data-dependent ``break``,
   simulation_shooting_1D.py:86-121),
 * ``calculate_batch`` is one fused XLA program per level batch.
