@@ -187,3 +187,33 @@ def test_fused_mlmc_on_mesh():
     assert ests[1]["n_samples"].tolist() == ests[0]["n_samples"].tolist()
     assert np.allclose(ests[0]["mean"], ests[1]["mean"], atol=1e-12)
     assert np.allclose(ests[0]["cov"], ests[1]["cov"], atol=1e-12)
+
+
+def test_dynamic_trip_count_matches_exact_bound():
+    """One executable at a generous static bound must produce the SAME
+    accumulators as one compiled at the exact count: the dynamic trip
+    count runs only the needed chunks and the post-loop Kahan fold
+    reproduces the old padded-chunk fold bitwise."""
+    from mlmc_tpu.ops.fused_estimate import fused_level_moments
+
+    distr = Norm()
+    mfn = Legendre(7, (-4.0, 4.0))
+    fn = SynthSimulation.scalar_batch_fn(0.25, 0.5, distr)
+    key = jax.random.key(3)
+    kw = dict(is_level0=False, acc_dtype=jax.numpy.float32)
+
+    a_exact = jax.jit(lambda k: fused_level_moments(
+        fn, mfn, k, 1000, 128, n_alloc=1024, **kw))(key)
+    a_big = jax.jit(lambda k: fused_level_moments(
+        fn, mfn, k, 1000, 128, n_alloc=1 << 16, **kw))(key)
+    for lx, ly in zip(jax.tree.leaves(a_exact), jax.tree.leaves(a_big)):
+        np.testing.assert_array_equal(np.asarray(lx), np.asarray(ly))
+
+    # dynamic count through ONE executable: 333 then 1000 samples
+    prog = jax.jit(lambda k, n: fused_level_moments(
+        fn, mfn, k, n, 128, n_alloc=1 << 16, **kw))
+    a333 = prog(key, 333)
+    assert float(a333.n_total) == 333
+    a1000 = prog(key, 1000)
+    for lx, ly in zip(jax.tree.leaves(a1000), jax.tree.leaves(a_big)):
+        np.testing.assert_array_equal(np.asarray(lx), np.asarray(ly))
