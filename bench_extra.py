@@ -19,25 +19,37 @@ from mlmc_tpu.sim.diffusion import DiffusionSimulation
 def _timed_batches(batch_fn, B, reps):
     """Sustained throughput: ``reps`` coupled batches fused into ONE jitted
     dispatch (each device call over the remote tunnel costs ~30 ms of
-    round-trip latency regardless of work — see BASELINE.md notes)."""
+    round-trip latency regardless of work — see BASELINE.md notes).
+
+    :return: (dt_per_batch, stats dict) — stats carry the mean finite
+        fine value and the NaN fraction of the last run, so a silently
+        numerically-broken kernel cannot report a healthy number.
+    """
     import jax.numpy as jnp
 
     @jax.jit
     def run(seed):
-        acc = None
+        acc = mean = nan_frac = None
         for r in range(reps):
             keys = jax.random.split(jax.random.fold_in(seed, r), B)
             fine, coarse, _ = batch_fn(keys)
             s = jnp.sum(fine) + jnp.sum(coarse)
             acc = s if acc is None else acc + s
-        return acc
+            if r == 0:
+                mean = jnp.nanmean(fine)
+                nan_frac = jnp.mean(jnp.isnan(fine).astype(jnp.float32))
+        # one [3] transfer forces completion without extra round trips
+        return jnp.stack([acc.astype(jnp.float32).ravel()[0],
+                          mean.astype(jnp.float32).ravel()[0], nan_frac])
 
     seed = jax.random.key(0)
-    _ = float(run(seed))
+    _ = np.asarray(run(seed))
     t0 = time.perf_counter()
     for i in range(3):
-        _ = float(run(jax.random.key(i + 1)))
-    return (time.perf_counter() - t0) / 3 / reps
+        out = np.asarray(run(jax.random.key(i + 1)))
+    dt = (time.perf_counter() - t0) / 3 / reps
+    return dt, {"mean_fine": round(float(out[1]), 5),
+                "nan_fraction": round(float(out[2]), 5)}
 
 
 def bench_shooting():
@@ -53,10 +65,11 @@ def bench_shooting():
     # 32 batches/dispatch: the matmul-formulated sample body is ~0.5 ms
     # per batch, so the ~30 ms tunnel round trip per dispatch needs more
     # amortization than the default 8 reps
-    dt = _timed_batches(
+    dt, stats = _timed_batches(
         lambda k: ShootingSimulation1D.calculate_batch(cfg, k), B, reps=32)
     return dict(workload="shooting 1D, 1000+200 Euler steps, 256 modes",
-                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4))
+                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
+                **stats)
 
 
 def bench_diffusion():
@@ -66,11 +79,12 @@ def bench_diffusion():
     level_sim = sim.level_instance([1 / 64], [1 / 16])
     cfg = level_sim.config_dict
     B = 1024  # the batched CG is latency-bound below ~1k samples/batch
-    dt = _timed_batches(
+    dt, stats = _timed_batches(
         lambda k: DiffusionSimulation.calculate_batch(cfg, k), B, reps=4)
     return dict(workload="Darcy 64^2+16^2 grids, CG solve, "
                          "circulant-embedding GRF",
-                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4))
+                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
+                **stats)
 
 
 def bench_maxent35():
