@@ -98,11 +98,28 @@ bool read_file(const char* path, std::string* out) {
     return got == out->size();
 }
 
+void* gmsh_mesh_open_impl(const char* path);
+
 }  // namespace
 
 extern "C" {
 
 void* gmsh_mesh_open(const char* path) {
+    // a corrupted section count (e.g. claiming 1e18 nodes) throws
+    // length_error/bad_alloc from reserve; an exception escaping the C
+    // ABI would terminate the embedding Python process
+    try {
+        return gmsh_mesh_open_impl(path);
+    } catch (...) {
+        return nullptr;
+    }
+}
+
+}  // extern "C"
+
+namespace {
+
+void* gmsh_mesh_open_impl(const char* path) {
     std::string data;
     if (!read_file(path, &data)) return nullptr;
 
@@ -236,6 +253,10 @@ void* gmsh_mesh_open(const char* path) {
     mesh->regions = std::move(regions);
     return mesh;
 }
+
+}  // namespace
+
+extern "C" {
 
 uint64_t gmsh_mesh_n_elements(void* h) {
     return static_cast<Mesh*>(h)->ele_ids.size();

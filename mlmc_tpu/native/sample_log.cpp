@@ -128,7 +128,8 @@ void* mlmc_reader_open(const char* path, uint64_t prefetch_ahead_records) {
   r->map = static_cast<uint8_t*>(map);
   r->map_size = st.st_size;
   const Header* h = reinterpret_cast<const Header*>(r->map);
-  if (h->magic != kMagic) {
+  // m == 0 would divide by zero below; reject corrupted headers
+  if (h->magic != kMagic || h->m == 0) {
     munmap(map, st.st_size);
     ::close(fd);
     delete r;
@@ -179,7 +180,8 @@ int64_t mlmc_reader_read(void* handle, uint64_t start, uint64_t n,
                          double* out) {
   auto* r = static_cast<Reader*>(handle);
   if (start > r->n_records) return -1;
-  if (start + n > r->n_records) n = r->n_records - start;
+  // clamp by subtraction: `start + n` could wrap uint64 for absurd n
+  if (n > r->n_records - start) n = r->n_records - start;
   const size_t rec = record_bytes(r->m);
   std::memcpy(out, r->map + sizeof(Header) + start * rec, n * rec);
   r->cursor.store(start + n, std::memory_order_relaxed);

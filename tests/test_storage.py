@@ -407,3 +407,29 @@ def test_device_memory_reserve_capacity():
     st2.reserve_capacity(0, 100)
     buf4, _ = st2.raw_level_payload(0)
     assert buf4.shape[0] == 4096
+
+
+def test_native_corrupted_inputs_fail_cleanly(tmp_path):
+    """Corrupted native-format files must raise Python errors, not kill
+    the process (m=0 header would divide by zero; an absurd gmsh section
+    count would throw through the C ABI)."""
+    import struct
+    import mlmc_tpu.native as native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    # sample log with a zero-m header
+    bad_log = tmp_path / "bad.bin"
+    bad_log.write_bytes(struct.pack("<QII", 0x4D4C4D435F42494E, 1, 0) + b"\0" * 64)
+    with pytest.raises(IOError):
+        native.SampleLogReader(str(bad_log))
+
+    # gmsh file claiming 10^18 nodes
+    bad_msh = tmp_path / "bad.msh"
+    bad_msh.write_text("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n"
+                       "$Nodes\n1000000000000000000\n1 0 0 0\n$EndNodes\n"
+                       "$Elements\n1\n1 2 2 1 1 1 1\n$EndElements\n")
+    # contract: malformed sections -> None (Python reader fallback),
+    # never a crash (the 1e18 reserve throws, caught at the C ABI)
+    assert native.parse_gmsh_mesh(str(bad_msh)) is None
