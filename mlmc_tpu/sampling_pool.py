@@ -550,11 +550,14 @@ class DeviceBatchPool(SamplingPool):
             elapsed = time.perf_counter() - t0
         else:
             # timing must include a device->host TRANSFER: over the remote
-            # tunnel block_until_ready acknowledges enqueue only (CLAUDE.md)
-            fine = np.asarray(fine)[:n]
+            # tunnel block_until_ready acknowledges enqueue only (CLAUDE.md).
+            # device_get pipelines the three fetches into ~one round trip
+            # (sequential np.asarray calls paid one each)
+            fine, coarse, failed = jax.device_get((fine, coarse, failed))
             elapsed = time.perf_counter() - t0
-            coarse = np.asarray(coarse)[:n]
-            failed = np.asarray(failed)[:n]
+            fine = fine[:n]
+            coarse = coarse[:n]
+            failed = failed[:n]
 
         ok = ~failed
         failed_out = [(sid, "result is nan")
