@@ -8,8 +8,12 @@ Re-design of reference mlmc/quantity/quantity_estimate.py:6-156. Differences:
   (DAG ops -> nan mask -> fine-coarse diff -> sum / sum-of-squares) is
   compiled ONCE per (level-kind, chunk-shape) and reused for every chunk —
   the moment Vandermonde and the reductions fuse into a single XLA kernel,
-* accumulation across chunks happens in float64 when x64 is enabled
-  (CPU tests / parity checks) and float32 with compensated ordering on TPU.
+* cross-chunk accumulation: the eager/fused-per-chunk paths accumulate
+  per-chunk device sums into host float64; the single-dispatch tier
+  tree-reduces stacked per-chunk partials in the accumulator dtype
+  (error ~eps·log2(n_chunks) above the per-chunk floor). The compensated
+  (Kahan) and double-float guarantees live in the dedicated kernel tiers
+  (ops/fused_estimate, ops/pallas_kernels, ops/pallas_extended).
 
 The one-pass telescoping estimator itself is unchanged:
     mean = sum_l mean(fine_l - coarse_l),  var = sum_l var_l / n_l
@@ -175,11 +179,13 @@ def _build_single_dispatch(quantity, lids):
         M, n_pad, C = leaf.shape
         chunk = min(chunk_cap, n_pad)
         n_chunks = n_pad // chunk
-        slices = jnp.moveaxis(leaf.reshape(M, n_chunks, chunk, C), 1, 0)
         bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
 
-        def body(nv, xs):
-            x, base = xs
+        def body(nv, base):
+            # slice per step instead of pre-stacking a transposed copy of
+            # the whole leaf as scan operands (which kept leaf + copy live
+            # simultaneously — ~2x peak HBM per level)
+            x = jax.lax.dynamic_slice_in_dim(leaf, base, chunk, axis=1)
             y = dag_eval(x)
             if not jnp.issubdtype(y.dtype, jnp.floating):
                 y = y.astype(acc)
@@ -191,7 +197,7 @@ def _build_single_dispatch(quantity, lids):
                     (jnp.sum(d, axis=1), jnp.sum(d * d, axis=1)))
 
         nv, (s_c, sp_c) = jax.lax.scan(
-            body, jnp.zeros((), jnp.int32), (slices, bases))
+            body, jnp.zeros((), jnp.int32), bases)
         return jnp.sum(s_c, axis=0), jnp.sum(sp_c, axis=0), nv
 
     def program(leaves, n_trues):
@@ -244,6 +250,9 @@ def estimate_mean(quantity, single_dispatch=None):
     quantity_vec_size = quantity.size()
     quantity_storage = quantity.get_quantity_storage()
     level_ids = quantity_storage.level_ids()
+    if len(level_ids) == 0:
+        raise ValueError(
+            "estimate_mean: storage holds no collected results yet")
     n_levels = int(np.max(level_ids)) + 1
 
     n_samples = [0] * n_levels
@@ -252,7 +261,7 @@ def estimate_mean(quantity, single_dispatch=None):
     if single_dispatch is None:
         try:
             largest = max(quantity_storage.n_collected())
-        except Exception:
+        except ValueError:  # empty sequence only — real faults propagate
             largest = 0
         single_dispatch = (
             quantity.traceable()
@@ -277,7 +286,7 @@ def estimate_mean(quantity, single_dispatch=None):
     # worth it for real sample volumes, not for tiny interactive queries
     try:
         n_collected = max(quantity_storage.n_collected())
-    except Exception:
+    except ValueError:  # empty sequence only — real faults propagate
         n_collected = 0
     if quantity.traceable() and n_collected >= 8192:
         # cache the jitted composition on the node: repeated estimates over
@@ -306,8 +315,7 @@ def estimate_mean(quantity, single_dispatch=None):
             # remote-attached chip). Pad columns are excluded by POSITION
             # inside the kernel (n_true is a traced argument).
             n_true = leaf.shape[1]
-            bucket = 1 << max(int(n_true - 1).bit_length(), 10)
-            pad = bucket - n_true
+            pad = _pow2_pad(n_true) - n_true
             if pad:
                 leaf = jnp.pad(leaf, ((0, 0), (0, pad), (0, 0)),
                                constant_values=jnp.nan)

@@ -185,7 +185,11 @@ class _LevelData:
         if self._buf is None:
             cap = _pow2_at_least(need)
             self._buf = xp.zeros((cap,) + pairs.shape[1:], pairs.dtype)
-        elif need > self._buf.shape[0]:
+        elif pairs.dtype != self._buf.dtype:
+            # mixed-precision batches on one level: the jitted
+            # dynamic_update_slice rejects a dtype-mismatched update
+            pairs = pairs.astype(self._buf.dtype)
+        if need > self._buf.shape[0]:
             cap = _pow2_at_least(need, floor=2 * self._buf.shape[0])
             grown = xp.zeros((cap,) + self._buf.shape[1:], self._buf.dtype)
             self._buf = _device_append(grown, self._buf, 0)
@@ -261,6 +265,17 @@ class Memory(SampleStorage):
 
     def _levels_with_results(self):
         return [lid for lid, st in self._levels.items() if st.n_collected]
+
+    def _level_span(self):
+        """Number of KNOWN levels (scheduled, failed, costed or filled).
+
+        Per-level vectors must span every known level, not just those
+        that happen to have data yet — the sampler's wait loop and the
+        estimator's ``range(get_n_levels())`` both index by level id, so
+        an array sized by "levels with results" goes out of bounds (or
+        silently drops a trailing level) whenever a high level is still
+        empty or entirely failed."""
+        return max(self._levels) + 1 if self._levels else 0
 
     # -------------------------------------------------------------- write
     def save_samples(self, successful_samples, failed_samples):
@@ -345,18 +360,16 @@ class Memory(SampleStorage):
                 if st.scheduled is not None}
 
     def n_finished(self):
-        busy = [lid for lid, st in self._levels.items() if st.n_finished]
-        out = np.zeros(max(busy) + 1 if busy else 0)
-        for lid in busy:
-            out[lid] = self._levels[lid].n_finished
+        out = np.zeros(self._level_span())
+        for lid, st in self._levels.items():
+            out[lid] = st.n_finished
         return out
 
     def sample_pairs(self):
-        with_results = self._levels_with_results()
         # indexed by level id: a level whose samples ALL failed leaves a
         # None slot instead of shifting (or crashing) the later levels
-        out = [None] * (max(with_results) + 1 if with_results else 0)
-        for lid in with_results:
+        out = [None] * self._level_span()
+        for lid in self._levels_with_results():
             out[lid] = self.sample_pairs_level(ChunkSpec(level_id=lid))
         return out
 
@@ -375,6 +388,13 @@ class Memory(SampleStorage):
     def sample_pairs_level(self, chunk_spec):
         """:return: array [M, chunk size, 2] (level 0: [M, chunk size, 1])"""
         pairs = self._levels[int(chunk_spec.level_id)].pairs
+        if pairs is None:
+            # a known level with zero collected results (all failed or
+            # still scheduled): an empty chunk, correctly shaped
+            m = sum(int(np.prod(spec.shape)) * len(spec.times)
+                    * len(spec.locations)
+                    for spec in self._result_specification)
+            pairs = np.zeros((0, 2, m))
         if chunk_spec.chunk_slice is not None:
             pairs = pairs[chunk_spec.chunk_slice]
         # level 0 has no coarse part: strip the auxiliary zero slot
@@ -383,15 +403,14 @@ class Memory(SampleStorage):
         return pairs.transpose((2, 0, 1))  # [M, chunk size, 2]
 
     def get_n_ops(self):
-        # every level with a cost REPORT appears, including exact zeros
-        # (a missing level would desynchronize the allocation formula's
-        # cost vector from the variance vector)
-        busy = [lid for lid, st in self._levels.items()
-                if st.n_ops is not None]
-        out = [0.0] * (max(busy) + 1 if busy else 0)
-        for lid in busy:
-            t, n = self._levels[lid].n_ops
-            out[lid] = t / n if n else 0.0
+        # every KNOWN level appears, including cost 0.0 for levels that
+        # have not reported yet (a missing entry would desynchronize the
+        # allocation formula's cost vector from the variance vector)
+        out = [0.0] * self._level_span()
+        for lid, st in self._levels.items():
+            if st.n_ops is not None:
+                t, n = st.n_ops
+                out[lid] = t / n if n else 0.0
         return out
 
     def unfinished_ids(self):
@@ -409,14 +428,15 @@ class Memory(SampleStorage):
         return self._levels_with_results()
 
     def get_n_collected(self):
-        with_results = self._levels_with_results()
-        out = [0] * (max(with_results) + 1 if with_results else 0)
-        for lid in with_results:
+        out = [0] * self._level_span()
+        for lid in self._levels_with_results():
             out[int(lid)] = self._levels[lid].n_collected
         return out
 
     def get_n_levels(self):
-        return len(self._levels_with_results())
+        # ALL known levels (reference: the HDF backend counts level
+        # groups) — not just levels that already hold results
+        return self._level_span()
 
     def get_level_parameters(self):
         return self._level_parameters

@@ -433,3 +433,37 @@ def test_native_corrupted_inputs_fail_cleanly(tmp_path):
     # contract: malformed sections -> None (Python reader fallback),
     # never a crash (the 1e18 reserve throws, caught at the C ABI)
     assert native.parse_gmsh_mesh(str(bad_msh)) is None
+
+
+def test_memory_vectors_span_all_known_levels():
+    """Per-level vectors must span every KNOWN level, not just levels
+    that already hold results — a still-empty or all-failed high level
+    used to shorten (or crash) the sampler's and estimator's indexing."""
+    fmt = _result_format()
+    M = int(sum(np.prod(q.shape) * len(q.times) * len(q.locations)
+                for q in fmt))
+    storage = Memory()
+    storage.save_global_data(result_format=fmt,
+                             level_parameters=[[0.5], [0.25], [0.125]])
+    for lvl in range(3):
+        storage.save_scheduled_samples(lvl, ["L%02d_S%07d" % (lvl, 0)])
+    # level 0: one success; level 1: all failed; level 2: nothing finished
+    storage.save_samples(
+        {0: [("L00_S0000000", (np.zeros(M), np.zeros(M)))]},
+        {1: [("L01_S0000000", "boom")]})
+    storage.save_n_ops([(0, [1.0, 1])])
+
+    assert storage.get_n_levels() == 3
+    assert len(storage.get_n_collected()) == 3
+    assert storage.get_n_collected() == [1, 0, 0]
+    assert len(storage.n_finished()) == 3
+    assert storage.n_finished().tolist() == [1.0, 1.0, 0.0]
+    assert len(storage.get_n_ops()) == 3
+    assert storage.get_n_ops()[1:] == [0.0, 0.0]
+    pairs = storage.sample_pairs()
+    assert len(pairs) == 3 and pairs[1] is None and pairs[2] is None
+
+    # chunked read of a zero-collected level: empty, correctly shaped
+    spec = next(storage.chunks(level_id=1))
+    empty = storage.sample_pairs_level(spec)
+    assert empty.shape == (M, 0, 2)
