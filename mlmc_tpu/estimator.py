@@ -244,7 +244,9 @@ class Estimate:
                         f = y[m, :, 0]
                         c = (y[m, :, 1] if y.shape[2] > 1
                              else jnp.full_like(f, jnp.nan))
-                        pad = -len(f) % CH
+                        # every stream gets >= 1 chunk: a zero-chunk level
+                        # would leave its kernel output block unwritten
+                        pad = CH if len(f) == 0 else -len(f) % CH
                         if pad:
                             f = jnp.pad(f, (0, pad),
                                         constant_values=jnp.nan)
