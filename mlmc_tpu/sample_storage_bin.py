@@ -205,6 +205,12 @@ class SampleStorageBin(SampleStorage):
         sl = chunk_spec.chunk_slice
         if sl is None:
             sl = slice(0, self._n_level_collected(level_id), 1)
+        if self._n_level_collected(level_id) == 0:
+            # zero-collected level: no log file exists yet — an empty,
+            # correctly shaped chunk (mirrors Memory.sample_pairs_level)
+            m = int(self._meta["m"] or 0)
+            empty = np.zeros((0, 2 if level_id else 1, m))
+            return empty.transpose((2, 0, 1))
         reader = self._reader(level_id)
         chunk = reader.read(sl.start, sl.stop - sl.start)  # [N, 2, M]
         if level_id == 0:
@@ -212,15 +218,17 @@ class SampleStorageBin(SampleStorage):
         return chunk.transpose((2, 0, 1))
 
     def sample_pairs(self):
-        out = []
-        for level_id in self.get_level_ids():
+        # indexed by LEVEL ID (a gap must not shift later levels); empty
+        # levels leave a None slot, as in the Memory backend
+        levels = self.get_level_ids()
+        out = [None] * (max(levels) + 1 if levels else 0)
+        for level_id in levels:
             n = self._n_level_collected(level_id)
             if n == 0:
-                out.append([])
                 continue
             spec = ChunkSpec(chunk_id=0, chunk_slice=slice(0, n, 1),
                              level_id=level_id)
-            out.append(self.sample_pairs_level(spec))
+            out[level_id] = self.sample_pairs_level(spec)
         return out
 
     # ------------------------------------------------------------------ #
@@ -274,8 +282,13 @@ class SampleStorageBin(SampleStorage):
         return sorted(ids)
 
     def get_n_collected(self):
+        # indexed by level id, zero-filled (positional lists over a
+        # sorted id set desync on gaps)
         levels = self.get_level_ids()
-        return [self._n_level_collected(lvl) for lvl in levels]
+        out = [0] * (max(levels) + 1 if levels else 0)
+        for lvl in levels:
+            out[lvl] = self._n_level_collected(lvl)
+        return out
 
     def get_n_levels(self):
         return max(len(self._meta["level_parameters"]),
