@@ -162,6 +162,12 @@ class SampleStorageHDF(SampleStorage):
         """:return: np.ndarray [M, N, 2] ([M, N, 1] on level 0)"""
         level_id = int(chunk_spec.level_id or 0)
         raw = self._level_groups[level_id].collected(chunk_spec.chunk_slice)
+        if raw is None:
+            # zero-collected level (no dataset yet): empty, shaped chunk
+            m = sum(int(np.prod(spec.shape)) * len(spec.times)
+                    * len(spec.locations)
+                    for spec in self.load_result_format())
+            raw = np.zeros((0, 2, m))
         # on-disk [N, 2, M] -> estimation layout [M, N, C]; level 0 carries
         # no coarse slot
         n_slots = 1 if level_id == 0 else raw.shape[1]

@@ -203,8 +203,11 @@ class LevelGroup:
 
     def chunks(self, n_samples=None):
         if "collected_values" not in self.group:
-            raise AttributeError(
-                "No collected values in level group {}".format(self.level_id))
+            # a scheduled-but-empty level: one empty chunk, so level
+            # iteration stays uniform across backends
+            yield ChunkSpec(chunk_id=0, chunk_slice=slice(0, 0, 1),
+                            level_id=int(self.level_id))
+            return
         dataset = self.group["collected_values"]
         if n_samples is not None:
             yield ChunkSpec(chunk_id=0, chunk_slice=slice(0, n_samples, 1),

@@ -467,3 +467,30 @@ def test_memory_vectors_span_all_known_levels():
     spec = next(storage.chunks(level_id=1))
     empty = storage.sample_pairs_level(spec)
     assert empty.shape == (M, 0, 2)
+
+
+@pytest.mark.parametrize("kind", ["memory", "hdf", "bin"])
+def test_empty_level_chunk_reads(tmp_path, kind):
+    """Every backend returns an empty, correctly shaped chunk for a
+    scheduled-but-empty level instead of crashing on missing data."""
+    if kind == "bin":
+        import mlmc_tpu.native as native
+        if not native.available():
+            pytest.skip("native library unavailable")
+    fmt = _result_format()
+    M = int(sum(np.prod(q.shape) * len(q.times) * len(q.locations)
+                for q in fmt))
+    storage = _make_storage(kind, tmp_path)
+    storage.save_global_data(result_format=fmt,
+                             level_parameters=[[0.5], [0.25]])
+    for lvl in range(2):
+        storage.save_scheduled_samples(lvl, ["L%02d_S%07d" % (lvl, 0)])
+    # only level 0 collects anything
+    storage.save_samples(
+        {0: [("L00_S0000000", (np.zeros(M), np.zeros(M)))]}, {})
+
+    assert storage.get_n_levels() == 2
+    assert list(storage.get_n_collected()) == [1, 0]
+    spec = next(storage.chunks(level_id=1))
+    empty = storage.sample_pairs_level(spec)
+    assert empty.shape[0] == M and empty.shape[1] == 0
