@@ -70,7 +70,12 @@ class Sampler:
 
     @property
     def n_finished_samples(self):
-        return self.sample_storage.n_finished()
+        out = np.asarray(self.sample_storage.n_finished())
+        if len(out) < self.n_levels:
+            # defensive: a storage that sizes by levels-with-data would
+            # otherwise crash the wait loop's per-level indexing
+            out = np.pad(out, (0, self.n_levels - len(out)))
+        return out
 
     @staticmethod
     def _make_level_sims(level_parameters, sim_factory):
