@@ -86,7 +86,39 @@ def build_xla_step():
     return jax.jit(step), moments_fn
 
 
+def _device_watchdog(timeout_s=600):
+    """The axon tunnel can wedge (CLAUDE.md): device ops then hang
+    indefinitely and the whole benchmark run would produce NO artifact.
+    Probe with a tiny op under a watchdog; on timeout emit an explicit
+    error JSON line and exit instead of hanging past the driver's
+    patience."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        try:
+            float(jnp.sum(jnp.ones((8, 8))))
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "fused 5-level moment+cov estimate, 25 Legendre "
+                      "moments, 1e8 samples",
+            "value": None, "unit": "samples/s/chip", "vs_baseline": None,
+            "error": "device unreachable: tunnel probe exceeded "
+                     "{} s (known axon wedge state, recovers on its own "
+                     "schedule)".format(timeout_s)}))
+        sys.stdout.flush()
+        import os
+        os._exit(3)
+
+
 def main():
+    _device_watchdog()
     total = float(sum(N_PER_LEVEL))
     moments_fn = Legendre(N_MOMENTS, DOMAIN)
 
