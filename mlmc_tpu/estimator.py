@@ -170,8 +170,25 @@ class Estimate:
         interpret = jax.default_backend() != "tpu"
         fuse_ok = not (interpret and jax.local_device_count() == 1)
         if self._quantity.traceable() and fuse_ok:
-            flat = self._packed_program(moments_fn, basis, ref_domain,
-                                        tuple(components))
+            flat, lids = self._packed_program(moments_fn, basis, ref_domain,
+                                              tuple(components))
+            if len(lids) != n_levels:
+                # the program covers result-bearing level ids only; expand
+                # to the full known-level span with empty results so the
+                # positional per-level split below stays aligned
+                import jax as _jax
+                R = moments_fn.size
+                zero = type(flat[0])(
+                    sums=np.zeros(R), sums2=np.zeros(R),
+                    cov_fine=np.zeros((R, R)), cov_coarse=np.zeros((R, R)),
+                    n_valid=np.int32(0))
+                flat = _jax.device_get(flat)
+                full = []
+                n_l = len(lids)
+                for i, _m in enumerate(components):
+                    by_id = dict(zip(lids, flat[i * n_l:(i + 1) * n_l]))
+                    full.extend(by_id.get(l, zero) for l in range(n_levels))
+                flat = full
         else:
             level_qoi = self._gather_level_qoi()
             if len(components) > 1:
@@ -254,7 +271,10 @@ class Estimate:
                                         constant_values=jnp.nan)
                         n_chunks = len(f) // CH
                         chunks_per_stream.append(n_chunks)
-                        hasc.append(0 if lvl == 0 else 1)
+                        # by LEVEL ID, not position: if level 0 itself had
+                        # no results, position 0 would be a coarse-bearing
+                        # level
+                        hasc.append(0 if lids[lvl] == 0 else 1)
                         nsamp_p.append(jnp.full((n_chunks,), n_true,
                                                 jnp.int32))
                         fine_p.append(f.astype(jnp.float32))
@@ -270,7 +290,8 @@ class Estimate:
             program = cache[prog_key] = jax.jit(program)
 
         return program(tuple(leaves),
-                       tuple(jnp.asarray(n, jnp.int32) for n in n_trues))
+                       tuple(jnp.asarray(n, jnp.int32)
+                             for n in n_trues)), lids
 
     def _fast_level_results(self, moments_fn, component=0):
         """Per-level kernel accumulators for one QoI component.
@@ -522,9 +543,14 @@ class Estimate:
         flat = raw.reshape(raw.shape[0], -1)
         reg_vars = flat.copy()
         for m in range(flat.shape[1]):
-            if np.allclose(flat[:, m], 0.0):
+            col = flat[:, m]
+            finite = np.isfinite(col)
+            if np.allclose(col[finite], 0.0):
+                # identically-zero column (e.g. moment 0): an inf slot
+                # only means "level not measured yet" — it is still zero
+                reg_vars[:, m] = np.where(finite, col, 0.0)
                 continue
-            reg_vars[:, m] = self._moment_variance_regression(flat[:, m], sim_steps)
+            reg_vars[:, m] = self._moment_variance_regression(col, sim_steps)
         return reg_vars
 
     @staticmethod

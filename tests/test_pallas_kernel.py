@@ -656,3 +656,41 @@ def test_structured_diff_vars_shared_validity():
         dag_vars = np.asarray(dag.l_vars).reshape(raw_fast.shape)
         assert np.allclose(raw_fast, dag_vars, rtol=1e-3, atol=1e-7), (
             force_eager, np.abs(raw_fast - dag_vars).max())
+
+
+def test_fast_tier_with_empty_trailing_level():
+    """A scheduled-but-empty level must flow through the packed fast tier
+    as an empty stream (inf diff-var, zero count) without misaligning the
+    per-level split or the positional has-coarse flags."""
+    from mlmc_tpu import DeviceMemory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+
+    sim = SynthSimulation(dict(distr="norm", complexity=2))
+    storage = DeviceMemory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=41, min_bucket=64,
+                                               device_results=True),
+                      sim, [[0.5], [0.25], [0.125], [0.0625], [0.03125]])
+    # the last level becomes known to the storage (scheduled) but never
+    # collects anything — the all-failed / not-yet-drained async scenario
+    sampler.set_initial_n_samples([200, 120, 80, 60, 0])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    storage.save_scheduled_samples(4, ["L04_S0000000"])
+    assert storage.get_n_levels() == 5
+    assert storage.get_n_collected()[4] == 0
+
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = q["length"][1]["10"][0, 0]
+    mfn = Legendre(5, (-4.0, 4.0))
+    est = est_mod.Estimate(vq, storage, mfn)
+    raw, ns = est.estimate_diff_vars_fast()
+    assert raw.shape[0] == 5
+    assert ns.tolist() == [200, 120, 80, 60, 0]
+    assert np.all(np.isinf(raw[4]))
+    means, _vars = est.estimate_moments_fast(mfn)
+    assert means[0] == 1.0 and np.all(np.isfinite(means))
+    # the regression fills the empty level with a finite prediction
+    vars_, _ = est.estimate_diff_vars_regression(
+        [200, 120, 80, 60, 0], raw_vars=raw)
+    assert np.all(np.isfinite(vars_))
