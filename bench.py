@@ -86,14 +86,23 @@ def build_xla_step():
     return jax.jit(step), moments_fn
 
 
-def _device_watchdog(timeout_s=600):
+def _device_watchdog(timeout_s=None):
     """The axon tunnel can wedge (CLAUDE.md): device ops then hang
     indefinitely and the whole benchmark run would produce NO artifact.
     Probe with a tiny op under a watchdog; on timeout emit an explicit
     error JSON line and exit instead of hanging past the driver's
-    patience."""
+    patience.
+
+    The wedge clears on its own schedule (observed 30 min to hours), and
+    the hung probe op completes the moment it does — so the watchdog
+    WAITS for the full patience window (MLMC_BENCH_WATCHDOG_S, default
+    1200 s), logging progress to stderr every minute, rather than giving
+    up after one short probe."""
+    import os
     import threading
 
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("MLMC_BENCH_WATCHDOG_S", 1200))
     done = threading.Event()
 
     def probe():
@@ -104,17 +113,24 @@ def _device_watchdog(timeout_s=600):
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    if not done.wait(timeout_s):
-        print(json.dumps({
-            "metric": "fused 5-level moment+cov estimate, 25 Legendre "
-                      "moments, 1e8 samples",
-            "value": None, "unit": "samples/s/chip", "vs_baseline": None,
-            "error": "device unreachable: tunnel probe exceeded "
-                     "{} s (known axon wedge state, recovers on its own "
-                     "schedule)".format(timeout_s)}))
-        sys.stdout.flush()
-        import os
-        os._exit(3)
+    waited = 0.0
+    while not done.wait(60.0):
+        waited += 60.0
+        if waited >= timeout_s:
+            print(json.dumps({
+                "metric": "fused 5-level moment+cov estimate, 25 Legendre "
+                          "moments, 1e8 samples",
+                "value": None, "unit": "samples/s/chip",
+                "vs_baseline": None,
+                "error": "device unreachable: tunnel probe exceeded "
+                         "{:.0f} s (known axon wedge state, recovers on "
+                         "its own schedule)".format(waited)}))
+            sys.stdout.flush()
+            os._exit(3)
+        print("bench: device probe still pending after {:.0f} s "
+              "(axon tunnel wedge?); waiting up to {:.0f} s".format(
+                  waited, timeout_s), file=sys.stderr)
+        sys.stderr.flush()
 
 
 def main():
