@@ -136,6 +136,14 @@ class FracturedDiffusionSimulation(DiffusionSimulation):
       frac_aperture (physical; cells are at least one h wide).
     """
 
+    # Discontinuous 1e3-contrast fracture channels put eigenvalue clusters
+    # beyond the scaled spectral preconditioner's reach: measured CG at
+    # 64^2 needs up to ~24n iterations to converge the outflow flux (the
+    # smooth-field default of 10n silently returned fluxes 3-43% off).
+    # CG stops at CG_TOL once reached, so the higher cap only costs
+    # iterations a sample actually needs.
+    CG_MAXITER_FACTOR = 32
+
     @classmethod
     def _conductivity(cls, config, key, n):
         k_field, k_frac = jax.random.split(key)

@@ -55,6 +55,10 @@ class DiffusionSimulation(Simulation):
     # relative residual target: f32 CG plateaus ~1e-7; 1e-6 is reliably
     # reachable and far below the MLMC sampling error of any config
     CG_TOL = 1e-6
+    # iteration cap = factor * n; CG stops at CG_TOL long before this on
+    # smooth lognormal fields (~20-40 iterations at 64^2 with the scaled
+    # spectral preconditioner), so the cap only pays when a field needs it
+    CG_MAXITER_FACTOR = 10
 
     def __init__(self, config=None):
         """:param config: dict with keys
@@ -264,7 +268,7 @@ class DiffusionSimulation(Simulation):
         else:
             M = lambda r: r / diag.reshape(-1)
 
-        maxiter = config.get("cg_maxiter_factor", 10) * n
+        maxiter = config.get("cg_maxiter_factor", cls.CG_MAXITER_FACTOR) * n
         p, _ = jax.scipy.sparse.linalg.cg(
             matvec, b, tol=config.get("cg_tol", cls.CG_TOL),
             maxiter=maxiter, M=M)

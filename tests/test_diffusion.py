@@ -188,6 +188,27 @@ def test_spectral_preconditioner():
     assert abs(flux(p_jac) - flux(p_tight)) > 1e-2 * abs(flux(p_tight))
 
 
+def test_fractured_cg_budget():
+    """Discontinuous 1e3-contrast fracture fields need ~24n CG iterations
+    at 64^2 — the smooth-field default cap (10n) silently returned fluxes
+    3-43% off. FracturedDiffusionSimulation raises its default cap to 32n;
+    this pins the default-config flux to a 64n-budget reference."""
+    import jax
+    import jax.numpy as jnp
+    from mlmc_tpu.random.frac_geom import FracturedDiffusionSimulation as F
+
+    sim = F(dict(sigma=1.0, corr_length=0.2, field_method="circulant",
+                 frac_contrast=1e3))
+    cfg = dict(sim.level_instance([1 / 64], [0]).config_dict)
+    assert "cg_maxiter_factor" not in cfg  # the class default must apply
+    flux = lambda K, p: float(jnp.sum(2.0 * K[:, -1] * p[:, -1]))
+    for seed in (0, 2, 4):  # seed 2/4 were the worst offenders at 10n
+        K = F._conductivity(cfg, jax.random.key(seed), 64)
+        f_def = flux(K, F._solve_pressure(cfg, K))
+        f_ref = flux(K, F._solve_pressure(dict(cfg, cg_maxiter_factor=64), K))
+        assert abs(f_def - f_ref) < 1e-3 * abs(f_ref)
+
+
 def test_scaled_spectral_high_contrast():
     """sigma=2 lognormal at 64^2: the diagonally-scaled spectral
     preconditioner (M = W C_1^{-1} W, W^2 = diag_C / diag_A) converges
