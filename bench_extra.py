@@ -87,6 +87,29 @@ def bench_diffusion():
                 **stats)
 
 
+def bench_fractured():
+    """Fractured Darcy (the reference's geomop+flow123d fracture workflow,
+    device-native): 1e3-contrast fracture network rasterized into the
+    circulant GRF, solved by the scaled-spectral-preconditioned CG under
+    its 32n iteration cap (discontinuous contrast needs ~24n; see
+    sim/diffusion.py and tests/test_diffusion.py::test_fractured_cg_budget)."""
+    from mlmc_tpu.random.frac_geom import FracturedDiffusionSimulation
+
+    sim = FracturedDiffusionSimulation(dict(
+        sigma=1.0, corr_length=0.3, field_method="circulant",
+        n_fractures=24, frac_contrast=1e3))
+    level_sim = sim.level_instance([1 / 64], [1 / 16])
+    cfg = level_sim.config_dict
+    B = 1024
+    dt, stats = _timed_batches(
+        lambda k: FracturedDiffusionSimulation.calculate_batch(cfg, k), B,
+        reps=2)
+    return dict(workload="fractured Darcy 64^2+16^2, contrast 1e3, "
+                         "24 fractures, CG 32n cap",
+                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
+                **stats)
+
+
 def bench_maxent35():
     """BASELINE config 3: maxent PDF from 35 moments of a two-Gaussian
     mixture (reference harness: test/test_distribution.py:262-354 pattern —
@@ -413,6 +436,7 @@ def bench_rng_quality():
 
 
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
+           "fractured": bench_fractured,
            "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
            "e2e": bench_e2e_adaptive, "e2e_fused": bench_e2e_fused,
            "rng": bench_rng_quality}
