@@ -22,21 +22,14 @@ class Estimate:
     """Wrapper over (quantity, sample_storage, moments_fn)."""
 
     def __init__(self, quantity, sample_storage, moments_fn=None):
-        self._quantity = quantity
+        self._quantity, self._moments_fn = quantity, moments_fn
         self._sample_storage = sample_storage
-        self._moments_fn = moments_fn
 
-    @property
-    def quantity(self):
-        return self._quantity
+    quantity = property(
+        lambda self: self._quantity,
+        lambda self, q: setattr(self, "_quantity", q))
 
-    @quantity.setter
-    def quantity(self, quantity):
-        self._quantity = quantity
-
-    @property
-    def n_moments(self):
-        return self._moments_fn.size
+    n_moments = property(lambda self: self._moments_fn.size)
 
     def _resolve_moments(self, moments_fn, remember=False):
         """Explicit argument wins over the instance default; ``remember``

@@ -120,24 +120,17 @@ class Moments:
         return self._eval_all(value, i + 1)[..., i]
 
     def eval_all(self, value, size=None):
-        if size is None:
-            size = self.size
-        return self._eval_all(value, size)
+        return self._eval_all(value, self.size if size is None else size)
 
     def eval_all_der(self, value, size=None, degree=1):
-        if size is None:
-            size = self.size
-        return self._eval_all_der(value, size, degree)
+        return self._eval_all_der(
+            value, self.size if size is None else size, degree)
 
     def eval_diff(self, value, size=None):
-        if size is None:
-            size = self.size
-        return self._eval_diff(value, size)
+        return self._eval_diff(value, self.size if size is None else size)
 
     def eval_diff2(self, value, size=None):
-        if size is None:
-            size = self.size
-        return self._eval_diff2(value, size)
+        return self._eval_diff2(value, self.size if size is None else size)
 
     # hook for fused kernels: evaluate on already-transformed values
     def _eval_ref(self, t, size):

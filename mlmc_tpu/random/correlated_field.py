@@ -130,15 +130,16 @@ class RandomFieldBase:
 class SpatialCorrelatedField(RandomFieldBase):
     """Dense-covariance KL/SVD generator (reference :369-498)."""
 
+    def _drop_factor(self):
+        # any cached decomposition is invalid once points/params change
+        self.cov_mat = self._cov_l_factor = None
+
     def _initialize(self, **kwargs):
-        self.cov_mat = None
-        self._n_approx_terms = None
-        self._cov_l_factor = None
-        self._sqrt_ev = None
+        self._drop_factor()
+        self._n_approx_terms = self._sqrt_ev = None
 
     def _set_points(self):
-        self.cov_mat = None
-        self._cov_l_factor = None
+        self._drop_factor()
 
     def cov_matrix(self):
         """Dense covariance matrix at the set points (reference :390-412)."""
