@@ -294,6 +294,7 @@ _MOCK_FLOW123D = '''#!/usr/bin/env python3
 """Mock flow123d: flux := mean(conductivity) read from the fields file;
 fails if the rendered YAML still contains un-substituted placeholders."""
 import os, sys
+sys.path.insert(0, {repo_root!r})  # runs with cwd=scratch dir, no PYTHONPATH
 import numpy as np
 from mlmc_tpu.tool.gmsh_io import GmshIO
 args = sys.argv[1:]
@@ -312,8 +313,9 @@ with open(os.path.join(outdir, "water_balance.yaml"), "w") as f:
 
 
 def _write_executable(path, text):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(path, "w") as f:
-        f.write(text)
+        f.write(text.replace("{repo_root!r}", repr(repo_root)))
     os.chmod(path, 0o755)
 
 
