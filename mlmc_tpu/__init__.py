@@ -53,9 +53,12 @@ def _enable_persistent_compile_cache():
     try:
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # remote-tunnel AOT compiles are worth caching even when the local
-        # trace+lower step is fast; keep the default 1s threshold low enough
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache EVERYTHING: over the remote tunnel even a trivial
+        # broadcast/convert/append executable costs ~0.4 s of AOT round
+        # trip, and the e2e adaptive loop dispatches ~14 such one-off
+        # shapes per process (measured: ~5 s/run that the 0.5 s threshold
+        # silently kept uncached forever)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache is an optimization, never a hard dependency
         pass
 

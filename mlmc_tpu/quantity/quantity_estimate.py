@@ -144,7 +144,45 @@ def _gather_raw_leaves(quantity_storage):
             payload = np.concatenate([payload, pad], axis=0)
         leaves.append(payload)
         n_trues.append(n)
-    return leaves, n_trues, lids
+    return _equalize_device_leaves(leaves), n_trues, lids
+
+
+#: skip leaf equalization when it would allocate more than this many extra
+#: bytes of transient HBM (structured quantities at large capacity)
+_EQUALIZE_BYTE_BUDGET = 1 << 29
+
+
+def _equalize_device_leaves(leaves):
+    """Pad DEVICE leaves to one shared sample-axis capacity.
+
+    The jitted estimation programs (single-dispatch tier, packed fast
+    tier) re-trace per leaf-shape combination. Per-level pow2 capacities
+    drift between runs — measured per-sample costs jitter the allocation,
+    which flips borderline capacity doublings — so the COMBINATION rarely
+    repeats and each adaptive run was paying fresh multi-second remote AOT
+    compiles for programs the persistent cache had "already" seen at a
+    sibling combo. Padding every level to the max capacity makes the
+    executable key depend on ONE number (the max), which is stable.
+
+    Device-only: the pads are HBM-to-HBM copies (sub-ms); padding HOST
+    leaves would inflate the host->device transfer instead. Tails beyond
+    n_true are excluded by position in every consumer, so the pad value
+    (NaN) is never observed.
+    """
+    if len(leaves) <= 1 or not all(
+            isinstance(leaf, jax.Array) for leaf in leaves):
+        return leaves
+    n_max = max(leaf.shape[0] for leaf in leaves)
+    extra = sum((n_max - leaf.shape[0]) * int(np.prod(leaf.shape[1:]))
+                for leaf in leaves)
+    if extra * 4 > _EQUALIZE_BYTE_BUDGET:
+        return leaves
+    return [leaf if leaf.shape[0] == n_max else
+            jnp.pad(leaf, [(0, n_max - leaf.shape[0])]
+                    + [(0, 0)] * (leaf.ndim - 1),
+                    constant_values=(np.nan if jnp.issubdtype(
+                        leaf.dtype, jnp.floating) else 0))
+            for leaf in leaves]
 
 
 def _normalize_leaf(leaf, is_level0, acc):
