@@ -29,15 +29,19 @@ def _timed_batches(batch_fn, B, reps):
 
     @jax.jit
     def run(seed):
-        acc = mean = nan_frac = None
-        for r in range(reps):
+        def one(r):
             keys = jax.random.split(jax.random.fold_in(seed, r), B)
             fine, coarse, _ = batch_fn(keys)
-            s = jnp.sum(fine) + jnp.sum(coarse)
-            acc = s if acc is None else acc + s
-            if r == 0:
-                mean = jnp.nanmean(fine)
-                nan_frac = jnp.mean(jnp.isnan(fine).astype(jnp.float32))
+            return fine, jnp.sum(fine) + jnp.sum(coarse)
+
+        fine0, acc0 = one(0)
+        mean = jnp.nanmean(fine0)
+        nan_frac = jnp.mean(jnp.isnan(fine0).astype(jnp.float32))
+        # fori_loop keeps the traced program ONE batch body regardless of
+        # reps (an unrolled python loop made deep-rep dispatches — needed
+        # to amortize the ~30 ms tunnel round trip past heavy per-batch
+        # bodies like the Darcy CG — prohibitively slow to compile)
+        acc = jax.lax.fori_loop(1, reps, lambda r, a: a + one(r)[1], acc0)
         # one [3] transfer forces completion without extra round trips
         return jnp.stack([acc.astype(jnp.float32).ravel()[0],
                           mean.astype(jnp.float32).ravel()[0], nan_frac])
@@ -79,8 +83,10 @@ def bench_diffusion():
     level_sim = sim.level_instance([1 / 64], [1 / 16])
     cfg = level_sim.config_dict
     B = 1024  # the batched CG is latency-bound below ~1k samples/batch
+    # 16 batches/dispatch: one coupled batch computes in ~17 ms on the
+    # v5e, so the ~30 ms tunnel round trip needs deeper amortization
     dt, stats = _timed_batches(
-        lambda k: DiffusionSimulation.calculate_batch(cfg, k), B, reps=4)
+        lambda k: DiffusionSimulation.calculate_batch(cfg, k), B, reps=16)
     return dict(workload="Darcy 64^2+16^2 grids, CG solve, "
                          "circulant-embedding GRF",
                 samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
@@ -103,7 +109,7 @@ def bench_fractured():
     B = 1024
     dt, stats = _timed_batches(
         lambda k: FracturedDiffusionSimulation.calculate_batch(cfg, k), B,
-        reps=2)
+        reps=8)
     return dict(workload="fractured Darcy 64^2+16^2, contrast 1e3, "
                          "24 fractures, CG 32n cap",
                 samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
