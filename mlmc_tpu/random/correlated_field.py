@@ -28,6 +28,7 @@ vmap pipelines; calling ``sample()`` without a key uses a stateful host
 counter (reference-compatible convenience).
 """
 import copy
+import functools
 
 import numpy as np
 import jax
@@ -309,6 +310,7 @@ class CirculantEmbeddingField(RandomFieldBase):
         self._eig = jnp.asarray(eig)
         self._emb_shape = emb_shape
         self._emb_size = int(np.prod(emb_shape))
+        self._dft_mats = None  # built lazily for the matmul-DFT path
 
     def set_points(self, points=None, mu=None, sigma=None):
         """Points are fixed to the grid; only mu/sigma may be updated."""
@@ -322,13 +324,49 @@ class CirculantEmbeddingField(RandomFieldBase):
         if sigma is not None:
             self.sigma = np.array(sigma, dtype=float)
 
+    #: embedding sizes up to this use the matmul DFT (2D only): the crop
+    #: to the grid folds into the DFT row count, so the whole transform is
+    #: six MXU matmuls — ~10x XLA's small-size complex fftn on TPU. Past
+    #: it the O(M^1.5) matmul flops overtake the O(M log M) FFT.
+    DFT_MATMUL_MAX_EMB = 512 * 512
+
+    def _dft_matrices(self):
+        if self._dft_mats is None:
+            dtype = self._eig.dtype  # follows the enabled precision
+            mats = []
+            for m, n in zip(self._emb_shape, self.grid_shape):
+                jk = np.outer(np.arange(n), np.arange(m)) * (2 * np.pi / m)
+                mats.append((jnp.asarray(np.cos(jk), dtype),
+                             jnp.asarray(np.sin(jk), dtype)))
+            self._dft_mats = mats
+        return self._dft_mats
+
     def _sample(self, key):
         # X = Re(F sqrt(Lambda) xi)/sqrt(M), xi complex with unit-variance
         # real+imag parts (E[xi xi^H] = 2I)  =>  Cov(X) = C exactly
         kr, ki = jax.random.split(key)
         shape = self._emb_shape
-        w = jax.random.normal(kr, shape) + 1j * jax.random.normal(ki, shape)
-        field = jnp.fft.fftn(jnp.sqrt(self._eig) * w).real / jnp.sqrt(self._emb_size)
+        wr = jax.random.normal(kr, shape)
+        wi = jax.random.normal(ki, shape)
+        s = jnp.sqrt(self._eig)
+        if len(shape) == 2 and self._emb_size <= self.DFT_MATMUL_MAX_EMB:
+            # Re(F1c A F2c^T) with A = s*(wr + i wi), Fkc = (C - iS) cropped
+            # to the grid rows — six real matmuls, all MXU-shaped:
+            #   B = F1c A        = (C1 Ar + S1 Ai) + i (C1 Ai - S1 Ar)
+            #   Re(B F2c^T)      = Br C2^T + Bi S2^T
+            (c1, s1), (c2, s2) = self._dft_matrices()
+            ar = s * wr
+            ai = s * wi
+            # HIGHEST: the TPU default f32 matmul is ONE bf16 pass (8
+            # mantissa bits), which would corrupt the exact covariance
+            mm = functools.partial(jnp.matmul,
+                                   precision=jax.lax.Precision.HIGHEST)
+            br = mm(c1, ar) + mm(s1, ai)
+            bi = mm(c1, ai) - mm(s1, ar)
+            field = (mm(br, c2.T) + mm(bi, s2.T)) / np.sqrt(self._emb_size)
+            return field.reshape(-1)
+        w = wr + 1j * wi
+        field = jnp.fft.fftn(s * w).real / jnp.sqrt(self._emb_size)
         # crop embedding torus back to the grid
         slices = tuple(slice(0, s) for s in self.grid_shape)
         return field[slices].reshape(-1)

@@ -169,3 +169,29 @@ def test_fields_region_args_must_pair():
         fields.set_points(pts, region_map={"ground": 1})  # map without ids
     fields.set_points(pts)  # no regions at all: every point, every field
     assert fields.sample()["k"].shape == (10,)
+
+
+def test_circulant_matmul_dft_matches_fftn():
+    """The TPU matmul-DFT path of the circulant sampler must reproduce the
+    fftn path exactly (same key, same eigenvalues): the six-matmul form is
+    the SAME transform with the crop folded into the DFT row count, so any
+    deviation beyond rounding is a construction bug (wrong sign convention,
+    missing imaginary cross-term, bf16 matmul precision)."""
+    import jax
+    from mlmc_tpu.random.correlated_field import CirculantEmbeddingField
+
+    def build():
+        f = CirculantEmbeddingField(corr_length=0.3, dim=2,
+                                    grid_shape=(64, 48), grid_step=1 / 64.0)
+        f.set_points(mu=0.0, sigma=1.0)
+        return f
+
+    fm = build()
+    assert fm._emb_size <= fm.DFT_MATMUL_MAX_EMB  # matmul path active
+    ff = build()
+    ff.DFT_MATMUL_MAX_EMB = 0  # force the fftn path
+    key = jax.random.key(5)
+    a = np.asarray(fm._sample(key))
+    b = np.asarray(ff._sample(key))
+    assert a.shape == b.shape == (64 * 48,)
+    assert np.abs(a - b).max() < 1e-10  # x64 suite: rounding-level only
