@@ -70,67 +70,19 @@ class ExtendedMomentResult(NamedTuple):
 
 # ------------------------------------------------------------------ #
 # error-free transformations (branch-free; FMA contraction only helps)
+# shared with the on-device maxent solver via ops/df64.py
 # ------------------------------------------------------------------ #
-def _two_sum(a, b):
-    """Exact addition: fl(a+b) plus its rounding error (Knuth)."""
-    s = a + b
-    bb = s - a
-    return s, (a - (s - bb)) + (b - bb)
-
-
-def _fast_two_sum(a, b):
-    """Exact addition assuming |a| >= |b|."""
-    s = a + b
-    return s, b - (s - a)
-
-
-def _split12(a):
-    """Dekker split into 12-bit halves."""
-    c = a * 4097.0
-    ah = c - (c - a)
-    return ah, a - ah
-
-
-def _two_prod(a, b):
-    """Exact product: fl(a*b) plus its rounding error (Dekker; an FMA
-    contraction of any sub-term only makes the error term sharper)."""
-    p = a * b
-    ah, al = _split12(a)
-    bh, bl = _split12(b)
-    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
-
-
-def _df_add(ahi, alo, bhi, blo):
-    """df + df (Joldes et al. accurate DW+DW, ~2^-48 relative error)."""
-    sh, sl = _two_sum(ahi, bhi)
-    th, tl = _two_sum(alo, blo)
-    vh, vl = _fast_two_sum(sh, sl + th)
-    return _fast_two_sum(vh, vl + tl)
-
-
-def _df_neg(hi, lo):
-    return -hi, -lo
-
-
-def _df_mul(ahi, alo, bhi, blo):
-    """df * df (products of the lows dropped: O(2^-49) relative)."""
-    p, e = _two_prod(ahi, bhi)
-    return _fast_two_sum(p, e + (ahi * blo + alo * bhi))
-
-
-def _df_mul_f32(ahi, alo, c):
-    """df * exact-f32 scalar (small-int recurrence coefficients)."""
-    p, e = _two_prod(ahi, c)
-    return _fast_two_sum(p, e + alo * c)
-
-
-def _df_div_f32(ahi, alo, c):
-    """df / exact-f32 scalar via one Newton correction step."""
-    q0 = ahi / c
-    p, e = _two_prod(q0, c)
-    # remainder a - q0*c computed exactly then divided once more
-    r_hi, r_lo = _df_add(ahi, alo, -p, -e)
-    return _fast_two_sum(q0, (r_hi + r_lo) / c)
+from mlmc_tpu.ops.df64 import (  # noqa: E402
+    two_sum as _two_sum,
+    fast_two_sum as _fast_two_sum,
+    two_prod as _two_prod,
+    df_add as _df_add,
+    df_neg as _df_neg,
+    df_mul as _df_mul,
+    df_mul_f32 as _df_mul_f32,
+    df_div_f32 as _df_div_f32,
+    df_const as _df_const,
+)
 
 
 def _df_reduce_lanes(hi, lo, width):
@@ -149,13 +101,6 @@ def _round8(x):
     primitive survives XLA's algebraic simplifier; the classic add-big
     trick is folded away)."""
     return jnp.round(x * 256.0) * jnp.float32(1.0 / 256.0)
-
-
-def _df_const(value):
-    """Split a host f64 constant into an (hi, lo) f32 pair."""
-    hi = np.float32(value)
-    lo = np.float32(np.float64(value) - np.float64(hi))
-    return float(hi), float(lo)
 
 
 # ------------------------------------------------------------------ #

@@ -15,7 +15,9 @@ whose gradient is exactly the moment residual ``mu/sigma - int rho phi/sigma``
 * the Newton iteration runs as a SINGLE jitted ``lax.while_loop`` on device:
   functional / gradient / Hessian are quadrature dot-products over a fixed
   Gauss-Legendre panel grid, so each iteration is two small matmuls (MXU)
-  plus a solve of an R x R system,
+  plus a solve of an R x R system; on f32-only TPUs the same iteration runs
+  in double-float (two-f32) arithmetic (``_newton_solve_df``, ops/df64) and
+  matches the f64 solve to ~1e-13,
 * scipy's adaptive quadrature (reference :198-238 reuses ``info['alist']``)
   is replaced by a host-side h-adaptive panel builder (Gauss-21 per panel,
   bisect-worst-first on the same integrand ``rho * phi_last``); the panel set
@@ -200,8 +202,8 @@ def _newton_solve(q_mom, q_weights, mu_scaled, lam0, tol, max_iter=40):
 def _newton_solve_np(q_mom, q_weights, mu_scaled, lam0, tol, max_iter=40):
     """Host-numpy mirror of ``_newton_solve`` (identical math).
 
-    Used when the default device has no native f64 (TPU emulates it, and
-    the R<=40-sized problem is far below device-dispatch granularity).
+    Selectable via ``solver_backend='numpy'`` and used as the parity
+    reference for the device solvers in tests.
     """
     R = q_mom.shape[1]
     eye = np.eye(R)
@@ -241,6 +243,99 @@ def _newton_solve_np(q_mom, q_weights, mu_scaled, lam0, tol, max_iter=40):
         gnorm = np.linalg.norm(gradient(lam))
         it += 1
     return lam, gnorm, it
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _newton_solve_df(q_hi, q_lo, w_hi, w_lo, mu_hi, mu_lo,
+                     lam_hi0, lam_lo0, tol, max_iter=60):
+    """Double-float Newton for the maxent dual — runs on f32-only TPUs.
+
+    Same mathematics as ``_newton_solve`` but every f64-sensitive quantity
+    (multipliers, exponents, density weights, functional, gradient) is a
+    two-f32 pair (ops/df64), tracking the f64 solve to ~1e-13. The Newton
+    DIRECTION only needs f32: the Hessian is assembled from the df heads
+    and solved in f32 (HIGHEST-precision matmul) — an inexact-Newton step
+    whose error contracts linearly once the df gradient is accurate, so a
+    couple of extra iterations replace an (expensive) df linear solve.
+
+    Near the optimum the Armijo decrease falls below even df resolution;
+    when no backtracking step is accepted AND the gradient is already
+    small, the full Newton step is taken unconditionally (F is convex and
+    H SPD, so the step is descent up to solve error).
+
+    Exponents clip at +-80 instead of the reference's +-200
+    (simple_distribution.py:104): f32 overflows at e^88, and converged
+    normalized densities live at O(1) exponents — the clip only flattens
+    wild early iterates, which backtracking handles either way.
+
+    :return: (lam_hi, lam_lo, grad_norm, n_iter)
+    """
+    from mlmc_tpu.ops import df64
+
+    tol = jnp.asarray(tol, jnp.float32)
+    R = q_hi.shape[1]
+    eye = jnp.eye(R, dtype=jnp.float32)
+
+    def rho_w(lh, ll):
+        ph, plo = df64.df_dot(q_hi, q_lo, lh[None, :], ll[None, :], axis=1)
+        eh, el = df64.df_exp(-ph, -plo)
+        return df64.df_mul(eh, el, w_hi, w_lo)
+
+    def functional(lh, ll):
+        lin = df64.df_dot(mu_hi, mu_lo, lh, ll, axis=0)
+        mass = df64.df_sum(*rho_w(lh, ll), axis=0)
+        return df64.df_add(lin[0], lin[1], mass[0], mass[1])
+
+    def gradient(lh, ll):
+        rwh, rwl = rho_w(lh, ll)
+        ih, il = df64.df_dot(q_hi, q_lo, rwh[:, None], rwl[:, None], axis=0)
+        return df64.df_sub(mu_hi, mu_lo, ih, il)
+
+    def body(state):
+        lh, ll, _, it = state
+        gh, gl = gradient(lh, ll)
+        rwh, rwl = rho_w(lh, ll)
+        rw = rwh + rwl
+        weighted = q_hi * rw[:, None]
+        H = jax.lax.dot_general(
+            weighted, q_hi, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        nu = jnp.float32(3e-7) * jnp.trace(H) / R + jnp.float32(1e-30)
+        d = jax.scipy.linalg.solve(H + nu * eye, -(gh + gl), assume_a="pos")
+        f0h, f0l = functional(lh, ll)
+        gnorm0 = jnp.linalg.norm(gh)
+        slope = (gh + gl) @ d
+
+        def ls_body(k, carry):
+            alpha, accepted = carry
+            step = jnp.where(accepted, alpha,
+                             jnp.float32(2.0) ** (-k.astype(jnp.float32)))
+            sh, sl = df64.two_prod(step, d)
+            f1h, f1l = functional(*df64.df_add(lh, ll, sh, sl))
+            dh, dl = df64.df_sub(f1h, f1l, f0h, f0l)
+            ok = (dh - jnp.float32(1e-4) * step * slope) + dl <= 0
+            return (jnp.where(accepted, alpha, jnp.where(ok, step, alpha)),
+                    accepted | ok)
+
+        alpha, accepted = jax.lax.fori_loop(
+            0, 40, ls_body, (jnp.float32(0.0), jnp.asarray(False)))
+        # Armijo unresolvable in df near the optimum: trust the full step
+        tiny = gnorm0 < jnp.float32(1e-6) * (1.0 + jnp.abs(f0h))
+        alpha = jnp.where(accepted, alpha,
+                          jnp.where(tiny, jnp.float32(1.0), alpha))
+        sh, sl = df64.two_prod(alpha, d)
+        lh2, ll2 = df64.df_add(lh, ll, sh, sl)
+        gh2, _ = gradient(lh2, ll2)
+        return lh2, ll2, jnp.linalg.norm(gh2), it + 1
+
+    def cond(state):
+        _, _, gnorm, it = state
+        return (gnorm > tol) & (it < max_iter)
+
+    g0h, _ = gradient(lam_hi0, lam_lo0)
+    state0 = (lam_hi0, lam_lo0, jnp.linalg.norm(g0h), jnp.asarray(0))
+    return jax.lax.while_loop(cond, body, state0)
 
 
 def _device_has_native_f64():
@@ -285,11 +380,12 @@ class SimpleDistribution:
         self._penalty_coef = 0  # reference default: endpoint penalty off
         self._max_newton_iter = 40
         self._max_panels = 256
-        # 'jax' = jitted device Newton; 'numpy' = host mirror; 'auto' picks
-        # numpy when the default device emulates f64 (TPU) — the R<=40-sized
-        # solve is far below device-dispatch granularity there
+        # 'jax' = jitted f64 device Newton; 'jax_df' = double-float (two-f32)
+        # device Newton for f32-only hardware; 'numpy' = host mirror.
+        # 'auto' picks 'jax' where the device has native f64 and 'jax_df' on
+        # TPU — the solve runs ON the target hardware either way.
         if solver_backend == "auto":
-            solver_backend = "jax" if _device_has_native_f64() else "numpy"
+            solver_backend = "jax" if _device_has_native_f64() else "jax_df"
         self._solver_backend = solver_backend
 
     # ------------------------------------------------------------------ #
@@ -514,6 +610,26 @@ class SimpleDistribution:
                 lam_j, gnorm_j, nit = _newton_solve_np(
                     q_mom, self._quad_weights, mu_scaled, lam, tol,
                     max_iter=self._max_newton_iter)
+            elif self._solver_backend == "jax_df":
+                # pad to a pow2 bucket (zero rows with zero weights are
+                # exact no-ops: exp(0)*0 contributes nothing) so jit
+                # compiles once per bucket; inputs df-split to (hi, lo)
+                from mlmc_tpu.ops import df64
+
+                q = q_mom.shape[0]
+                bucket = 1 << max(q - 1, 1).bit_length()
+                q_mom_p = np.zeros((bucket, q_mom.shape[1]))
+                q_mom_p[:q] = q_mom
+                w_p = np.zeros(bucket)
+                w_p[:q] = self._quad_weights
+                lam_hi, lam_lo, gnorm_j, nit = _newton_solve_df(
+                    *map(jnp.asarray, (*df64.df_split_array(q_mom_p),
+                                       *df64.df_split_array(w_p),
+                                       *df64.df_split_array(mu_scaled),
+                                       *df64.df_split_array(lam))),
+                    jnp.float32(tol),
+                    max_iter=self._max_newton_iter)
+                lam_j = df64.df_to_f64(lam_hi, lam_lo)
             else:
                 # pad the quad axis to a power-of-two bucket (zero rows with
                 # zero weights are exact no-ops) so jit compiles once per

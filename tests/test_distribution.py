@@ -208,3 +208,56 @@ def test_config3_two_gaussians_35_moments():
     dens = d.density(np.array([0.0, 2.5, 5.0]))
     assert dens[0] > dens[1] and dens[2] > dens[1]
     assert solve_s < 60
+
+
+def test_df_solver_matches_f64_on_same_grid():
+    """The double-float device Newton (`solver_backend='jax_df'` — the
+    production TPU path) tracks the f64 host solve on an identical
+    quadrature grid to ~1e-12 in the multipliers."""
+    import jax.numpy as jnp
+    from mlmc_tpu.ops import df64
+    from mlmc_tpu.tool.simple_distribution import (
+        _newton_solve_df, _newton_solve_np)
+
+    Q, R = 512, 10
+    x = np.linspace(-1, 1, Q)
+    w = np.full(Q, 2.0 / Q)
+    q_mom = np.polynomial.legendre.legvander(x, R - 1)
+    mu = np.zeros(R)
+    mu[0], mu[1], mu[2] = 1.0, 0.3, 0.1
+    lam0 = np.zeros(R)
+    lam0[0] = -np.log(0.5)
+
+    lam_np, gn_np, _ = _newton_solve_np(q_mom, w, mu, lam0, 1e-10)
+    args = (*df64.df_split_array(q_mom), *df64.df_split_array(w),
+            *df64.df_split_array(mu), *df64.df_split_array(lam0))
+    lh, ll, gn_df, it = _newton_solve_df(
+        *map(jnp.asarray, args), jnp.float32(1e-10), max_iter=40)
+    lam_df = df64.df_to_f64(lh, ll)
+    assert float(gn_df) < 1e-9
+    assert np.abs(lam_np - lam_df).max() < 1e-10, np.abs(lam_np - lam_df).max()
+
+
+def test_df_solver_end_to_end_density_parity():
+    """Orthogonalized-basis maxent fit: the df backend reproduces the f64
+    host backend's DENSITY to ~1e-12 (the production construct_density
+    pipeline always orthogonalizes, which conditions the Hessian and
+    makes the multipliers well-determined)."""
+    cut = CutDistribution(stats.norm(0, 1), quantile=0.001)
+    R = 16
+    mfn = Legendre(R, cut.domain, safe_eval=False)
+    cov = sd.compute_semiexact_cov(mfn, cut.pdf, tol=1e-13)
+    orto, _info = sd.construct_ortogonal_moments(mfn, cov, tol=1e-10)
+    exact = sd.compute_semiexact_moments(orto, cut.pdf, tol=1e-13)
+    md = np.stack((exact, np.ones(orto.size)), axis=1)
+
+    dens = {}
+    for backend in ("numpy", "jax_df"):
+        d = sd.SimpleDistribution(orto, md, domain=cut.domain,
+                                  solver_backend=backend)
+        res = d.estimate_density_minimize(tol=1e-10)
+        assert res.success, (backend, res.message)
+        xs = np.linspace(cut.domain[0], cut.domain[1], 501)
+        dens[backend] = d.density(xs)
+    diff = np.abs(dens["numpy"] - dens["jax_df"]).max()
+    assert diff < 1e-11, diff
