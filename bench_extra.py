@@ -96,9 +96,10 @@ def bench_diffusion():
 def bench_fractured():
     """Fractured Darcy (the reference's geomop+flow123d fracture workflow,
     device-native): 1e3-contrast fracture network rasterized into the
-    circulant GRF, solved by the scaled-spectral-preconditioned CG under
-    its 32n iteration cap (discontinuous contrast needs ~24n; see
-    sim/diffusion.py and tests/test_diffusion.py::test_fractured_cg_budget)."""
+    circulant GRF, solved by multigrid-preconditioned CG (the class
+    default: the V-cycle's coarse-space correction takes the worst-sample
+    iteration count from ~24n scaled-spectral to <=67 at 64^2; see
+    sim/diffusion.py and tests/test_diffusion.py)."""
     from mlmc_tpu.random.frac_geom import FracturedDiffusionSimulation
 
     sim = FracturedDiffusionSimulation(dict(
@@ -111,7 +112,7 @@ def bench_fractured():
         lambda k: FracturedDiffusionSimulation.calculate_batch(cfg, k), B,
         reps=8)
     return dict(workload="fractured Darcy 64^2+16^2, contrast 1e3, "
-                         "24 fractures, CG 32n cap",
+                         "24 fractures, MG-CG",
                 samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
                 **stats)
 

@@ -137,11 +137,15 @@ class FracturedDiffusionSimulation(DiffusionSimulation):
     """
 
     # Discontinuous 1e3-contrast fracture channels put eigenvalue clusters
-    # beyond the scaled spectral preconditioner's reach: measured CG at
-    # 64^2 needs up to ~24n iterations to converge the outflow flux (the
-    # smooth-field default of 10n silently returned fluxes 3-43% off).
-    # CG stops at CG_TOL once reached, so the higher cap only costs
-    # iterations a sample actually needs.
+    # beyond any diagonal/spectral scaling's reach: measured CG at 64^2
+    # needs up to ~24n scaled-spectral iterations (914 at the worst of 8
+    # draws), and a vmapped batch pays its worst sample. The geometric
+    # multigrid V-cycle preconditioner's coarse-space correction removes
+    # the channel modes too: <=67 iterations on the same fields, so MG is
+    # the class default. The spectral cap stays raised for users who
+    # override precond (the smooth-field default of 10n silently returned
+    # fluxes 3-43% off on these fields).
+    PRECOND = "mg"
     CG_MAXITER_FACTOR = 32
 
     @classmethod
