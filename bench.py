@@ -311,6 +311,7 @@ def main():
 
     # ---------------- maxent PDF from the estimate (config 3) ----------- #
     maxent_s = None
+    maxent_backend = None
     result = None
     try:
         import mlmc_tpu.tool.simple_distribution as sd
@@ -325,6 +326,7 @@ def main():
                                       domain=moments_fn.domain)
             result = d.estimate_density_minimize(tol=1e-9)
         maxent_s = time.perf_counter() - t1
+        maxent_backend = d._solver_backend
     except Exception:
         print("bench: maxent path FAILED:", file=sys.stderr)
         traceback.print_exc()
@@ -345,6 +347,8 @@ def main():
             "rng_quality": rng_quality,
             "maxent_solve_s": round(maxent_s, 3) if maxent_s else None,
             "maxent_converged": bool(result.success) if result else None,
+            "maxent_solver_backend": maxent_backend,
+            "maxent_grad_norm": float(result.fun_norm) if result else None,
             "mean_p1": float(est["mean"][1]),
             "n_valid": est["n_samples"].tolist(),
         },

@@ -276,18 +276,22 @@ class DiffusionSimulation(Simulation):
             levels.append((Kx, Ky, Kleft, Kright, diag, n))
             Kx, Ky, Kleft, Kright = cls._galerkin_coarsen(Kx, Ky, Kleft, Kright)
             n = n // 2
-        # dense coarsest operator via matvec on identity columns
+        # dense coarsest operator via matvec on identity columns; invert
+        # ONCE in setup — the coarsest correction inside the CG loop is
+        # then a single [c^2, c^2] matvec (MXU-friendly; re-factorizing
+        # per iteration would dominate the cycle cost), and the inverse of
+        # the tiny SPD system is plenty accurate for a preconditioner
         eye = jnp.eye(n * n, dtype=Kx.dtype)
         A_c = jax.vmap(
             lambda col: cls._stencil_matvec(
                 col.reshape(n, n), Kx, Ky, Kleft, Kright).reshape(-1),
             out_axes=1)(eye)
+        A_c_inv = jnp.linalg.inv(A_c)
         c_n = n
 
         def vcycle(r, lvl):
             if lvl == len(levels):
-                return jax.scipy.linalg.solve(
-                    A_c, r.reshape(-1), assume_a="pos").reshape(c_n, c_n)
+                return (A_c_inv @ r.reshape(-1)).reshape(c_n, c_n)
             Kx_l, Ky_l, Kl_l, Kr_l, diag, n_l = levels[lvl]
             mv = lambda p: cls._stencil_matvec(p, Kx_l, Ky_l, Kl_l, Kr_l)
             x = (omega / diag) * r

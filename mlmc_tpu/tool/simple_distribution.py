@@ -339,8 +339,16 @@ def _newton_solve_df(q_hi, q_lo, w_hi, w_lo, mu_hi, mu_lo,
 
 
 def _device_has_native_f64():
+    """True when the default device executes f64 natively.
+
+    Checks the device's platform AND device_kind: TPU plugins may register
+    under a different platform name (the axon tunnel registers 'axon' but
+    its device_kind is 'TPU v5 lite')."""
     try:
-        return jax.default_backend() not in ("tpu",)
+        dev = jax.devices()[0]
+        plat = (getattr(dev, "platform", "") or "").lower()
+        kind = (getattr(dev, "device_kind", "") or "").lower()
+        return not any("tpu" in s or "axon" in s for s in (plat, kind))
     except Exception:
         return True
 
