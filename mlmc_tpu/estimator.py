@@ -403,10 +403,6 @@ class Estimate:
             moment_pipeline_from_samples_extended)
 
         basis = self._fast_basis(moments_fn)
-        if basis == "fourier":
-            raise NotImplementedError(
-                "extended tier supports legendre/monomial only (fourier's "
-                "transcendentals have no error-free f32 transform)")
         interpret = jax.default_backend() != "tpu"
         level_qoi = self._gather_level_qoi()
         out = {}

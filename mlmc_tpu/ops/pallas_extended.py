@@ -14,8 +14,8 @@ values, mlmc/moments.py:195-197) on identical f32 QoI inputs:
 
 * transform      t = (x - shift)*scale as df ops with df-split constants
 * recurrence     Legendre/Monomial rows in df arithmetic (two_prod via
-                 Dekker splits — contraction-safe: FMA only sharpens the
-                 error terms, never breaks them)
+                 Dekker splits; see ops/df64.py on compiler contraction
+                 and the raw-vs-snapped EFT flavors)
 * reductions     pairwise-halving lane folds with df adds
 * cross-chunk    sequential df accumulation into paired (hi, lo) blocks
 
@@ -33,9 +33,11 @@ sums < 2^8); the h.l cross terms, l.l tail, and the df-lo cross terms ride
 as plain f32 dots (magnitudes <= 2^-9 / 2^-24 keep their rounding
 ~1e-10 relative); segment results df-accumulate.
 
-Supported bases: legendre, monomial. (Fourier needs cos/sin — f32
-transcendentals round at eps32 per value with no cheap error-free
-transformation, so it cannot meet the 1e-10 target; use the fast tier.)
+Supported bases: legendre, monomial, fourier. Fourier's transcendentals
+have no error-free f32 transform, but df arithmetic does not need one:
+the seed sin/cos come from a range-reduced df Taylor evaluation
+(ops/df64.df_sincos, ~1e-14 absolute on [0, 2pi]) and the higher modes
+from the angle-addition recurrence in df ops.
 
 Opt-in tier: ~6-10x the VPU work of the fast tier — use it for final
 estimates, not inside the adaptive loop.
@@ -69,29 +71,26 @@ class ExtendedMomentResult(NamedTuple):
 
 
 # ------------------------------------------------------------------ #
-# error-free transformations (branch-free; FMA contraction only helps)
-# shared with the on-device maxent solver via ops/df64.py
+# error-free transformations shared with the maxent solver (ops/df64.py)
 # ------------------------------------------------------------------ #
-from mlmc_tpu.ops.df64 import (  # noqa: E402
-    two_sum as _two_sum,
-    fast_two_sum as _fast_two_sum,
-    two_prod as _two_prod,
-    df_add as _df_add,
-    df_neg as _df_neg,
-    df_mul as _df_mul,
-    df_mul_f32 as _df_mul_f32,
-    df_div_f32 as _df_div_f32,
-    df_const as _df_const,
-)
+from mlmc_tpu.ops import df64 as _df64  # noqa: E402
+
+_df_const = _df64.df_const
+#: Mosaic-compiled kernel bodies use the raw EFT flavor (reduce_precision
+#: has no Mosaic lowering and the raw kernels are hardware-validated);
+#: interpret mode compiles through XLA:CPU, whose fusion rematerialization
+#: + FMA contraction breaks raw EFTs (see ops/df64.py) -> snapped flavor.
+def _eft_for(interpret):
+    return _df64._default if interpret else _df64.raw
 
 
-def _df_reduce_lanes(hi, lo, width):
+def _df_reduce_lanes(hi, lo, width, eft):
     """Pairwise-halving lane reduction down to ``_LANES`` lanes; every
     fold is a df add."""
     while width > _LANES:
         half = width // 2
-        hi, lo = _df_add(hi[:, :half], lo[:, :half],
-                         hi[:, half:], lo[:, half:])
+        hi, lo = eft.df_add(hi[:, :half], lo[:, :half],
+                            hi[:, half:], lo[:, half:])
         width = half
     return hi, lo
 
@@ -107,7 +106,7 @@ def _round8(x):
 # df basis rows
 # ------------------------------------------------------------------ #
 def _df_basis_rows(phi_hi, phi_lo, t_hi, t_lo, valid, vf, n_moments,
-                   basis):
+                   basis, eft):
     """Write df basis rows into the [R_PAD, chunk] (hi, lo) scratch pair.
 
     Row semantics mirror pallas_kernels._basis_rows: row 0 carries the
@@ -126,25 +125,43 @@ def _df_basis_rows(phi_hi, phi_lo, t_hi, t_lo, valid, vf, n_moments,
         p2 = (vf[0], zero)
         p1 = (t_hi[0], t_lo[0])
         for n in range(2, n_moments):
-            a = _df_mul(t_hi[0], t_lo[0], *p1)
-            a = _df_mul_f32(*a, jnp.float32(2 * n - 1))
-            b = _df_mul_f32(*p2, jnp.float32(n - 1))
-            num = _df_add(*a, *_df_neg(*b))
-            cur = _df_div_f32(*num, jnp.float32(n))
+            a = eft.df_mul(t_hi[0], t_lo[0], *p1)
+            a = eft.df_mul_f32(*a, jnp.float32(2 * n - 1))
+            b = eft.df_mul_f32(*p2, jnp.float32(n - 1))
+            num = eft.df_add(*a, *eft.df_neg(*b))
+            cur = eft.df_div_f32(*num, jnp.float32(n))
             phi_hi[n, :] = cur[0]
             phi_lo[n, :] = cur[1]
             p2, p1 = p1, cur
     elif basis == "monomial":
         power = (vf[0], zero)
         for n in range(1, n_moments):
-            power = _df_mul(*power, t_hi[0], t_lo[0])
+            power = eft.df_mul(*power, t_hi[0], t_lo[0])
             phi_hi[n, :] = power[0]
             phi_lo[n, :] = power[1]
+    elif basis == "fourier":
+        # df seed sin/cos (range-reduced Taylor, ops/df64.df_sincos:
+        # ~1e-14 absolute on [0, 2pi]) + angle-addition recurrence in df,
+        # mirroring the fast tier's row order (pallas_kernels._basis_rows).
+        # Invalid columns: t is zeroed above, so cos would be 1 — mask the
+        # SEED by vf and every recurrence product propagates the zero.
+        (s_h, s_l), (c_h, c_l) = _df64.df_sincos(t_hi[0], t_lo[0], eft)
+        c1 = (c_h * vf[0], c_l * vf[0])
+        s1 = (s_h * vf[0], s_l * vf[0])
+        ck, sk = c1, s1
+        for i in range(1, n_moments):
+            if i % 2 == 1:
+                phi_hi[i, :] = ck[0]
+                phi_lo[i, :] = ck[1]
+            else:
+                phi_hi[i, :] = sk[0]
+                phi_lo[i, :] = sk[1]
+                new_c = eft.df_add(*eft.df_mul(*ck, *c1),
+                                   *eft.df_neg(*eft.df_mul(*sk, *s1)))
+                new_s = eft.df_add(*eft.df_mul(*sk, *c1), *eft.df_mul(*ck, *s1))
+                ck, sk = new_c, new_s
     else:
-        raise ValueError(
-            "extended tier supports legendre/monomial only (got %r); "
-            "fourier's transcendentals have no error-free f32 transform"
-            % (basis,))
+        raise ValueError("unknown basis %r" % (basis,))
     for n in range(n_moments, R_PAD):
         phi_hi[n, :] = zero
         phi_lo[n, :] = zero
@@ -153,15 +170,15 @@ def _df_basis_rows(phi_hi, phi_lo, t_hi, t_lo, valid, vf, n_moments,
 # ------------------------------------------------------------------ #
 # kernel body
 # ------------------------------------------------------------------ #
-def _df_accumulate_terms(t_hi, t_lo, acc_hi, acc_lo, chunk):
+def _df_accumulate_terms(t_hi, t_lo, acc_hi, acc_lo, chunk, eft):
     """Lane-reduce df terms and fold into [R_PAD, _LANES] df accumulators."""
-    r_hi, r_lo = _df_reduce_lanes(t_hi, t_lo, chunk)
-    n_hi, n_lo = _df_add(acc_hi[...], acc_lo[...], r_hi, r_lo)
+    r_hi, r_lo = _df_reduce_lanes(t_hi, t_lo, chunk, eft)
+    n_hi, n_lo = eft.df_add(acc_hi[...], acc_lo[...], r_hi, r_lo)
     acc_hi[...] = n_hi
     acc_lo[...] = n_lo
 
 
-def _df_accumulate_cov(p_hi, p_lo, cov_hi, cov_lo, chunk):
+def _df_accumulate_cov(p_hi, p_lo, cov_hi, cov_lo, chunk, eft):
     """Segmented split-precision phi @ phi^T into df accumulators.
 
     p_hi = h + l with h on the 8-bit grid: dot(h, h^T) in bf16 is exact
@@ -197,16 +214,17 @@ def _df_accumulate_cov(p_hi, p_lo, cov_hi, cov_lo, chunk):
         seg_crossT = dot(small, hf)
         seg_ll = dot(small, small)
         hi, lo = cov_hi[...], cov_lo[...]
-        hi, lo = _df_add(hi, lo, seg_exact, jnp.zeros_like(seg_exact))
-        hi, lo = _df_add(hi, lo, seg_cross + seg_crossT, seg_ll)
+        hi, lo = eft.df_add(hi, lo, seg_exact, jnp.zeros_like(seg_exact))
+        hi, lo = eft.df_add(hi, lo, seg_cross + seg_crossT, seg_ll)
         cov_hi[...] = hi
         cov_lo[...] = lo
 
 
 def _accumulate_qoi_chunk_ext(fine, coarse, i, refs, scratch, *,
                               n_moments, chunk, scale_df, shift_df,
-                              offset_df, n_total, ref_lo=-1.0, ref_hi=1.0,
-                              basis="legendre", is_level0=False):
+                              offset_df, n_total, eft, ref_lo=-1.0,
+                              ref_hi=1.0, basis="legendre",
+                              is_level0=False):
     """df analogue of pallas_kernels._accumulate_qoi_chunk: the transform,
     basis rows, terms, and accumulation all run in double-float."""
     (sums_hi, sums_lo, sums2_hi, sums2_lo,
@@ -215,11 +233,11 @@ def _accumulate_qoi_chunk_ext(fine, coarse, i, refs, scratch, *,
 
     def transform(x):
         # t = (x - shift) * scale + offset with df-split f64 constants
-        d = _two_sum(x, jnp.float32(-shift_df[0]))
+        d = eft.two_sum(x, jnp.float32(-shift_df[0]))
         d = (d[0], d[1] + jnp.float32(-shift_df[1]))
-        t = _df_mul(*d, jnp.float32(scale_df[0]), jnp.float32(scale_df[1]))
-        return _df_add(*t, jnp.float32(offset_df[0]),
-                       jnp.float32(offset_df[1]))
+        t = eft.df_mul(*d, jnp.float32(scale_df[0]), jnp.float32(scale_df[1]))
+        return eft.df_add(*t, jnp.float32(offset_df[0]),
+                          jnp.float32(offset_df[1]))
 
     tf_hi, tf_lo = transform(fine)
     tc_hi, tc_lo = transform(coarse)
@@ -230,20 +248,21 @@ def _accumulate_qoi_chunk_ext(fine, coarse, i, refs, scratch, *,
         valid = valid & (tc_hi >= ref_lo) & (tc_hi <= ref_hi)
     vf = valid.astype(jnp.float32)
 
-    _df_basis_rows(pf_hi, pf_lo, tf_hi, tf_lo, valid, vf, n_moments, basis)
+    _df_basis_rows(pf_hi, pf_lo, tf_hi, tf_lo, valid, vf, n_moments,
+                   basis, eft)
     fh, fl = pf_hi[...], pf_lo[...]
-    _df_accumulate_cov(fh, fl, covf_hi, covf_lo, chunk)
+    _df_accumulate_cov(fh, fl, covf_hi, covf_lo, chunk, eft)
     if is_level0:
         d_hi, d_lo = fh, fl
     else:
         _df_basis_rows(pc_hi, pc_lo, tc_hi, tc_lo, valid, vf, n_moments,
-                       basis)
+                       basis, eft)
         ch, cl = pc_hi[...], pc_lo[...]
-        _df_accumulate_cov(ch, cl, covc_hi, covc_lo, chunk)
-        d_hi, d_lo = _df_add(fh, fl, -ch, -cl)
-    _df_accumulate_terms(d_hi, d_lo, sums_hi, sums_lo, chunk)
-    sq = _df_mul(d_hi, d_lo, d_hi, d_lo)
-    _df_accumulate_terms(*sq, sums2_hi, sums2_lo, chunk)
+        _df_accumulate_cov(ch, cl, covc_hi, covc_lo, chunk, eft)
+        d_hi, d_lo = eft.df_add(fh, fl, -ch, -cl)
+    _df_accumulate_terms(d_hi, d_lo, sums_hi, sums_lo, chunk, eft)
+    sq = eft.df_mul(d_hi, d_lo, d_hi, d_lo)
+    _df_accumulate_terms(*sq, sums2_hi, sums2_lo, chunk, eft)
     n_valid_ref[0, 0] += jnp.sum(vf).astype(jnp.int32)
 
 
@@ -321,7 +340,7 @@ def _samples_dispatch_ext(fine, coarse, n_total, *, n_moments, domain,
     kernel = functools.partial(
         _samples_kernel_ext, n_moments=n_moments, chunk=chunk,
         scale_df=_df_const(scale), shift_df=_df_const(shift),
-        offset_df=_df_const(offset),
+        offset_df=_df_const(offset), eft=_eft_for(interpret),
         ref_lo=ref_lo, ref_hi=ref_hi, basis=basis, is_level0=is_level0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -90,3 +90,40 @@ def test_exact_pow2():
     k = jnp.arange(-126, 128, dtype=jnp.float32)
     s = np.asarray(jax.jit(df64._exact_pow2)(k), dtype=np.float64)
     assert np.array_equal(s, 2.0 ** np.arange(-126, 128, dtype=np.float64))
+
+
+def test_df_sincos_accuracy(rng):
+    x = rng.uniform(0, 2 * np.pi, 20000)
+    (sh, sl), (ch, cl) = jax.jit(df64.df_sincos)(*_split(x))
+    assert np.abs(df64.df_to_f64(sh, sl) - np.sin(x)).max() < 1e-13
+    assert np.abs(df64.df_to_f64(ch, cl) - np.cos(x)).max() < 1e-13
+    # wider range: error grows ~3e-15 * (1 + |k|) with the quadrant count
+    x = rng.uniform(-200, 200, 20000)
+    (sh, sl), (ch, cl) = jax.jit(df64.df_sincos)(*_split(x))
+    assert np.abs(df64.df_to_f64(sh, sl) - np.sin(x)).max() < 1e-12
+    assert np.abs(df64.df_to_f64(ch, cl) - np.cos(x)).max() < 1e-12
+
+
+def test_eft_survives_fusion_composition(rng):
+    """Regression for an XLA:CPU miscompilation class: once a df value
+    gains a second consumer fusion, cheap products/sums are
+    REMATERIALIZED per fusion and contracted into FMAs inconsistently,
+    silently costing ~1 ulp of the hi limb (3e-8 relative — measured on
+    exactly this composition before the reduce_precision snapping in
+    ops/df64). optimization_barrier and value-preserving launderings are
+    stripped by this XLA version and do NOT help."""
+    x = rng.uniform(0, 2 * np.pi, 4000)
+    th, tl = _split(x)
+
+    def chain(th, tl):
+        (s, c) = df64.df_sincos(th, tl)
+        cc = df64.df_mul(c[0], c[1], c[0], c[1])
+        ss = df64.df_mul(s[0], s[1], s[0], s[1])
+        # cos(2t) = cos^2 - sin^2: full cancellation near odd pi/4
+        out = df64.df_add(*cc, *df64.df_neg(*ss))
+        return out, cc, ss
+
+    out, cc, ss = jax.jit(chain)(th, tl)
+    c64 = np.cos(x)
+    assert np.abs(df64.df_to_f64(*cc) - c64 * c64).max() < 1e-13
+    assert np.abs(df64.df_to_f64(*out) - np.cos(2 * x)).max() < 1e-13

@@ -543,15 +543,53 @@ def test_extended_from_samples_bases_and_nan():
     assert abs(r0.sums[0] - valid0.sum()) < 1e-9
 
 
-def test_extended_rejects_fourier():
+def test_extended_fourier_tracks_f64():
+    """Fourier extended tier: df sin/cos seed + df angle-addition
+    recurrence tracks an all-f64 numpy pipeline on identical f32 QoIs
+    (this basis was excluded before ops/df64.df_sincos existed — f32
+    transcendentals have no error-free transform, df Taylor does not
+    need one)."""
     from mlmc_tpu.ops.pallas_extended import (
         moment_pipeline_from_samples_extended)
 
-    with pytest.raises(ValueError):
-        moment_pipeline_from_samples_extended(
-            np.ones(100, np.float32), None, 5, domain=(0, 2),
-            ref_domain=(0.0, 6.283185307179586), basis="fourier",
-            is_level0=True, chunk=1024, interpret=True)
+    rng = np.random.default_rng(5)
+    n = 3000
+    fine = rng.normal(0.2, 0.8, size=n).astype(np.float32)
+    coarse = (fine + rng.normal(0, 0.05, size=n)).astype(np.float32)
+    fine[::97] = np.nan
+    domain = (-3.5, 3.5)
+    a, b = domain
+    two_pi = 2.0 * np.pi
+    R = 9
+
+    scale = two_pi / (b - a)
+    t_f = (fine.astype(np.float64) - a) * scale
+    t_c = (coarse.astype(np.float64) - a) * scale
+    valid = (t_f >= 0) & (t_f <= two_pi) & (t_c >= 0) & (t_c <= two_pi)
+
+    def rows(t):
+        t = np.where(valid, t, 0.0)
+        phi = np.zeros((R, n))
+        phi[0] = valid.astype(float)
+        k = np.arange(1, R // 2 + 1)
+        kx = t[None, :] * k[:, None]
+        phi[1::2] = np.cos(kx)[: (R - 1 + 1) // 2] * valid
+        phi[2::2] = np.sin(kx)[: (R - 1) // 2] * valid
+        return phi
+
+    dphi = rows(t_f) - rows(t_c)
+    r = moment_pipeline_from_samples_extended(
+        fine, coarse, R, domain=domain, ref_domain=(0.0, two_pi),
+        basis="fourier", chunk=1024, interpret=True)
+    assert r.n_valid == int(valid.sum())
+    s_abs = np.abs(dphi).sum(axis=1)
+    dev = np.abs(r.sums - dphi.sum(axis=1)) / np.maximum(s_abs, 1.0)
+    assert np.max(dev) < 1e-11, np.max(dev)
+    # covariance blocks too (8-bit split path needs |phi| <= 1: holds)
+    pf = rows(t_f)
+    cov_ref = pf @ pf.T
+    dev_c = np.abs(r.cov_fine - cov_ref) / np.maximum(np.abs(pf) @ np.abs(pf).T, 1.0)
+    assert np.max(dev_c) < 1e-9, np.max(dev_c)
 
 
 def test_estimate_moments_extended_matches_f64_dag():
