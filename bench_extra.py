@@ -117,6 +117,25 @@ def bench_fractured():
                 **stats)
 
 
+def bench_transport():
+    """Solute transport (the reference's 02_conc workflow, device-native):
+    Darcy velocity field from a circulant log-normal GRF + upwind FV
+    advection; QoI = 8-point breakthrough curve at the outflow edge."""
+    from mlmc_tpu.sim.transport import TransportSimulation
+
+    sim = TransportSimulation(dict(sigma=1.0, corr_length=0.3,
+                                   field_method="circulant"))
+    level_sim = sim.level_instance([1 / 64], [1 / 16])
+    cfg = level_sim.config_dict
+    B = 1024
+    dt, stats = _timed_batches(
+        lambda k: TransportSimulation.calculate_batch(cfg, k), B, reps=8)
+    return dict(workload="transport 64^2+16^2, upwind FV breakthrough, "
+                         "circulant GRF",
+                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
+                **stats)
+
+
 def bench_maxent35():
     """BASELINE config 3: maxent PDF from 35 moments of a two-Gaussian
     mixture (reference harness: test/test_distribution.py:262-354 pattern —
@@ -443,7 +462,7 @@ def bench_rng_quality():
 
 
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
-           "fractured": bench_fractured,
+           "fractured": bench_fractured, "transport": bench_transport,
            "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
            "e2e": bench_e2e_adaptive, "e2e_fused": bench_e2e_fused,
            "rng": bench_rng_quality}
