@@ -137,7 +137,11 @@ class Sampler:
 
         batch_hook = getattr(self._sampling_pool, "schedule_level_batch", None)
         if batch_hook is not None:
-            batch_hook(level_sim, tags.indices)
+            # hand the contiguous range itself: batch pools can then derive
+            # sample indices ON DEVICE from the start scalar instead of
+            # uploading a [count] index array per dispatch (~0.13 s for a
+            # 1M-slice over the remote tunnel)
+            batch_hook(level_sim, range(tags.start, tags.stop))
         else:
             for tag in tags:
                 self._sampling_pool.schedule_sample(tag, level_sim)
@@ -231,6 +235,18 @@ class Sampler:
         """
         self.ask_sampling_pool_for_samples(timeout=timeout)
         n_estimated = np.asarray(n_estimated)
+        # reserve device-storage capacity for the FULL allocation estimate
+        # now, even though each round only schedules a fraction of the gap:
+        # the single-dispatch estimation programs are shape-keyed on the
+        # (shared) level capacity, so growing it once here instead of
+        # per-round keeps every later round on one compiled executable
+        # (measured ~1.5 s per capacity step over the remote chip: an
+        # executable deserialize + first dispatch each adaptive round)
+        reserve = getattr(self.sample_storage, "reserve_capacity", None)
+        if reserve is not None:
+            for level_id, n in enumerate(n_estimated):
+                if np.isfinite(n):
+                    reserve(int(level_id), int(np.ceil(n)))
         scheduled = np.asarray(self.l_scheduled_samples(), dtype=float)
 
         gap = n_estimated - scheduled

@@ -357,6 +357,12 @@ class DeviceBatchPool(SamplingPool):
         randomness while staying replayable."""
         level_id = level_sim.level_id
         self._level_sims[level_id] = level_sim
+        if isinstance(indices, range) and not renew and indices.step == 1:
+            # contiguous fresh batch: keep the range lazy — execute_level
+            # derives indices on device from the start scalar (no [count]
+            # index/attempt upload per dispatch)
+            self._pending.setdefault(level_id, []).append((indices, None))
+            return
         indices = np.asarray(indices, dtype=np.int64)
         if renew:
             att_map = self._attempts.setdefault(level_id, {})
@@ -387,7 +393,7 @@ class DeviceBatchPool(SamplingPool):
     def n_pending(self):
         return sum(sum(len(seg[0]) for seg in v) for v in self._pending.values())
 
-    def _batch_fn(self, level_id, bucket):
+    def _batch_fn(self, level_id, bucket, mode="array"):
         """jit-compiled batch executable.
 
         Cached per (level, bucket size); simulations declaring
@@ -404,9 +410,9 @@ class DeviceBatchPool(SamplingPool):
         if dyn_names:
             # structural static differences (is_level0) keep separate keys
             cache_key = ("shared", getattr(level_sim, "shared_token", 0),
-                         bucket, bool(config.get("is_level0", False)))
+                         bucket, bool(config.get("is_level0", False)), mode)
         else:
-            cache_key = (level_id, bucket)
+            cache_key = (level_id, bucket, mode)
         static_cfg = None
         if dyn_names:
             static_cfg = {k: v for k, v in config.items()
@@ -416,7 +422,7 @@ class DeviceBatchPool(SamplingPool):
                 # a level-varying entry was NOT declared in DYNAMIC_CONFIG:
                 # sharing would silently bake the first level's value into
                 # every level — fall back to a per-level executable
-                cache_key = (level_id, bucket)
+                cache_key = (level_id, bucket, mode)
         if cache_key not in self._jit_cache:
             # the (level_key, index) -> sample key derivation AND the
             # NaN-failure detection run INSIDE the executable: one dispatch
@@ -439,7 +445,24 @@ class DeviceBatchPool(SamplingPool):
                               | jnp.any(jnp.isnan(coarse), axis=1))
                 return fine, coarse, failed
 
-            if dyn_names:
+            if mode == "range":
+                # contiguous fresh batch: only the start scalar crosses the
+                # link; indices/attempts build on device (iota / zeros)
+                def expand(start):
+                    idxs = start + jax.lax.iota(jnp.uint32, bucket)
+                    return idxs, jnp.zeros((bucket,), jnp.uint32)
+
+                if dyn_names:
+                    baked_cfg = dict(static_cfg)
+
+                    def fn(dyn_vals, level_key, start):
+                        cfg = dict(baked_cfg)
+                        cfg.update(zip(dyn_names, dyn_vals))
+                        return run(cfg, level_key, *expand(start))
+                else:
+                    def fn(level_key, start):
+                        return run(config, level_key, *expand(start))
+            elif dyn_names:
                 baked_cfg = dict(static_cfg)
 
                 def fn(dyn_vals, level_key, idxs, attempts):
@@ -452,6 +475,9 @@ class DeviceBatchPool(SamplingPool):
             if self._sharding is not None:
                 # data-parallel over the sample mesh: batch axis sharded,
                 # XLA partitions the vmapped computation across devices
+                # (range mode never reaches here: execute_level materializes
+                # index arrays when a sharding is set)
+                assert mode == "array", "sharded pools use array batches"
                 in_sh = self._sharding.batch_sharding()
                 shardings = ((None, None, in_sh, in_sh) if dyn_names
                              else (None, in_sh, in_sh))
@@ -479,8 +505,23 @@ class DeviceBatchPool(SamplingPool):
         segments = self._pending.pop(level_id, None)
         if not segments:
             return {}, {}
-        idxs = np.concatenate([seg[0] for seg in segments])
-        attempts = np.concatenate([seg[1] for seg in segments])
+        if (self._sharding is None
+                and all(isinstance(seg[0], range) for seg in segments)
+                and all(segments[i][0].stop == segments[i + 1][0].start
+                        for i in range(len(segments) - 1))):
+            # contiguous fresh batches: indices are derived ON DEVICE from
+            # the start scalar — no [count] index/attempt host->device
+            # upload per dispatch (~0.26 s per 1M slice over the tunnel)
+            idxs = range(segments[0][0].start, segments[-1][0].stop)
+            attempts = None
+        else:
+            arrs = [np.arange(seg[0].start, seg[0].stop, dtype=np.int64)
+                    if isinstance(seg[0], range) else seg[0]
+                    for seg in segments]
+            atts = [np.zeros(len(seg[0]), dtype=np.uint32)
+                    if seg[1] is None else seg[1] for seg in segments]
+            idxs = np.concatenate(arrs)
+            attempts = np.concatenate(atts)
 
         succ_all, fail_all = {}, {}
         # when the batch is sliced, every slice (incl. the remainder) uses
@@ -491,6 +532,7 @@ class DeviceBatchPool(SamplingPool):
         for start in range(0, len(idxs), self._max_batch):
             s, f = self._run_batch(level_id,
                                    idxs[start:start + self._max_batch],
+                                   None if attempts is None else
                                    attempts[start:start + self._max_batch],
                                    force_bucket=force)
             for k, v in s.items():
@@ -520,11 +562,18 @@ class DeviceBatchPool(SamplingPool):
             d = self._sharding.n_devices
             bucket = -(-bucket // d) * d
 
-        idxs = idxs.astype(np.uint32)
-        # pad to bucket with repeats of the last sample (discarded later)
-        pad = bucket - n
-        idxs_p = np.concatenate([idxs, np.full(pad, idxs[-1] if n else 0, dtype=np.uint32)])
-        att_p = np.concatenate([attempts, np.zeros(pad, dtype=np.uint32)])
+        is_range = isinstance(idxs, range)
+        if is_range:
+            start = idxs.start
+            # host-side index vector only for ids/failure reporting below —
+            # it never crosses the device link
+            idxs = np.arange(start, idxs.stop, dtype=np.uint32)
+        else:
+            idxs = idxs.astype(np.uint32)
+            # pad to bucket with repeats of the last sample (discarded later)
+            pad = bucket - n
+            idxs_p = np.concatenate([idxs, np.full(pad, idxs[-1] if n else 0, dtype=np.uint32)])
+            att_p = np.concatenate([attempts, np.zeros(pad, dtype=np.uint32)])
 
         level_key = jax.random.fold_in(self._root_key, level_id)
 
@@ -532,15 +581,19 @@ class DeviceBatchPool(SamplingPool):
         # the first call of this (key, bucket) still compiles is tracked so
         # compile time never pollutes the C_l cost model (a remote AOT
         # compile costs 10-30 s vs milliseconds of sample compute)
-        fn = self._batch_fn(level_id, bucket)
-        warm_key = (level_id, bucket)
+        fn = self._batch_fn(level_id, bucket,
+                            mode="range" if is_range else "array")
+        warm_key = (level_id, bucket, is_range)
         first_call = warm_key not in self._warm
         self._warm.add(warm_key)
 
         t0 = time.perf_counter()
         self.n_dispatches += 1
-        fine, coarse, failed = fn(level_key, jnp.asarray(idxs_p),
-                                  jnp.asarray(att_p))
+        if is_range:
+            fine, coarse, failed = fn(level_key, jnp.uint32(start))
+        else:
+            fine, coarse, failed = fn(level_key, jnp.asarray(idxs_p),
+                                      jnp.asarray(att_p))
         if self._device_results:
             # payload stays in HBM at BUCKET shape — slicing a device array
             # to the batch-specific count would compile a fresh executable

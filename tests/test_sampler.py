@@ -91,6 +91,36 @@ def test_device_pool_max_batch_slicing():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-14)
 
 
+def test_device_pool_range_mode_bit_parity():
+    """The scalar-start (range) dispatch derives indices ON DEVICE; it must
+    produce bitwise the results of the explicit index-array path (same
+    fold_in(level_key, index) keys)."""
+    import numpy as np
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm(), complexity=2))
+    results = []
+    for as_range in (True, False):
+        storage = Memory()
+        pool = DeviceBatchPool(seed=6, min_bucket=64, max_batch=256)
+        sampler = Sampler(storage, pool, sim, [[0.1], [0.01]])
+        if as_range:
+            sampler.set_initial_n_samples([500, 100])
+            sampler.schedule_samples()
+        else:
+            # bypass the sampler's range hand-off: explicit index arrays
+            for lvl, n in ((0, 500), (1, 100)):
+                pool.schedule_level_batch(
+                    sampler._level_sim_objects[lvl],
+                    np.arange(n, dtype=np.int64))
+        sampler.ask_sampling_pool_for_samples()
+        results.append(storage.sample_pairs())
+    for a, b in zip(*results):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape and np.array_equal(a, b, equal_nan=True)
+
+
 def test_vectorized_scheduling_cost():
     """Scheduling is O(1) per level, not O(n) per sample: queueing a
     MILLION samples per level costs milliseconds (the reference's
