@@ -67,6 +67,10 @@ class TransportSimulation(DiffusionSimulation):
     - ``source_box``: initial-concentration region as (x0, x1, y0, y1)
       in unit-square coordinates (default a block left of center —
       the "repo" region of the reference template),
+    - ``observe_points``: (x, y) cell locations whose concentration time
+      series join the QoI (the reference template declares a chain of
+      ``observe_points`` between source and outlet,
+      02_conc_tmpl.yaml:94-135); default 4 points on the flow centerline,
     - ``cfl``: CFL safety factor (default 0.5),
     - ``steps_per_cell``: static step budget = steps_per_cell * n
       (default 96 — sized so sigma<=1 log-normal fields cover the default
@@ -82,10 +86,12 @@ class TransportSimulation(DiffusionSimulation):
     # default breakthrough horizon: pore velocity at K=1 is 1/PHI = 10,
     # source center to outlet = 0.75 -> arrival ~0.075; observe to ~5x that
     OBS_TIMES = tuple(float(t) for t in np.linspace(0.05, 0.4, 8))
+    OBSERVE_POINTS = ((0.45, 0.5), (0.6, 0.5), (0.75, 0.5), (0.9, 0.5))
 
     def __init__(self, config=None):
         super().__init__(config)
         self._config.setdefault("obs_times", self.OBS_TIMES)
+        self._config.setdefault("observe_points", self.OBSERVE_POINTS)
 
     def level_instance(self, fine_level_params: List[float],
                        coarse_level_params: List[float]) -> LevelSimulation:
@@ -131,9 +137,12 @@ class TransportSimulation(DiffusionSimulation):
 
     @classmethod
     def _breakthrough(cls, config, K, n, n_steps):
-        """Integrate transport on one grid; return the outflux-rate series
-        interpolated to ``obs_times`` (NaN when the CFL-stable step cannot
-        cover the horizon within the static step budget)."""
+        """Integrate transport on one grid; return the flat QoI vector:
+        the outflux-rate series at ``obs_times`` followed by the
+        concentration time series at every ``observe_points`` cell
+        ([time, location] order, matching ``result_format``). NaN when the
+        CFL-stable step cannot cover the horizon within the static step
+        budget."""
         phi = config.get("porosity", cls.PHI)
         D = config.get("diffusion", 0.0)
         cfl = config.get("cfl", cls.CFL)
@@ -159,11 +168,23 @@ class TransportSimulation(DiffusionSimulation):
 
         c0 = cls._initial_concentration(config, n).astype(Fx.dtype)
 
+        # observation cells: the point grid is static config, so the
+        # gather indices are compile-time constants
+        pts = config.get("observe_points", cls.OBSERVE_POINTS)
+        cols = jnp.asarray([min(int(p[0] * n), n - 1) for p in pts],
+                           jnp.int32)
+        rows = jnp.asarray([min(int(p[1] * n), n - 1) for p in pts],
+                           jnp.int32)
+
         def out_rate(c):
             return jnp.sum(F_out * jnp.where(F_out > 0, c[:, -1], 0.0))
 
+        def observe(c):
+            return (out_rate(c),
+                    c[rows, cols] if len(pts) else jnp.zeros((0,), c.dtype))
+
         def step(c, _):
-            rate = out_rate(c)
+            obs = observe(c)
             Mx = Fx * jnp.where(Fx > 0, c[:, :-1], c[:, 1:])
             My = Fy * jnp.where(Fy > 0, c[:-1, :], c[1:, :])
             M_in = F_in * jnp.where(F_in > 0, 0.0, c[:, 0])   # inlet conc 0
@@ -175,12 +196,17 @@ class TransportSimulation(DiffusionSimulation):
                    - jnp.concatenate([Mx, M_out[:, None]], 1)
                    + jnp.concatenate([zy, My], 0)
                    - jnp.concatenate([My, zy], 0))
-            return c + (dt / vol) * net, rate
+            return c + (dt / vol) * net, obs
 
-        c_end, rates = jax.lax.scan(step, c0, None, length=n_steps)
-        series = jnp.concatenate([rates, out_rate(c_end)[None]])
+        c_end, (rates, cpts) = jax.lax.scan(step, c0, None, length=n_steps)
+        rate_end, cpt_end = observe(c_end)
+        series = jnp.concatenate([rates, rate_end[None]])
+        cpt_series = jnp.concatenate([cpts, cpt_end[None]], axis=0)
         times = jnp.arange(n_steps + 1) * dt
-        qoi = jnp.interp(obs_times, times, series)
+        qoi_flux = jnp.interp(obs_times, times, series)
+        qoi_conc = jax.vmap(
+            lambda s: jnp.interp(obs_times, times, s))(cpt_series.T)  # [P,T]
+        qoi = jnp.concatenate([qoi_flux, qoi_conc.T.ravel()])
         covered = dt * n_steps >= t_end * (1.0 - 1e-6)
         return jnp.where(covered, qoi, jnp.nan)
 
@@ -217,7 +243,13 @@ class TransportSimulation(DiffusionSimulation):
         return n * n * (np.log(max(n, 2.0)) + 0.25 * n)
 
     def result_format(self) -> List[QuantitySpec]:
-        obs = self._config.get("obs_times", self.OBS_TIMES)
-        return [QuantitySpec(name="conc_flux", unit="kg/s", shape=(1,),
-                             times=[float(t) for t in obs],
-                             locations=["outflow"])]
+        obs = [float(t) for t in self._config.get("obs_times",
+                                                  self.OBS_TIMES)]
+        pts = self._config.get("observe_points", self.OBSERVE_POINTS)
+        specs = [QuantitySpec(name="conc_flux", unit="kg/s", shape=(1,),
+                              times=obs, locations=["outflow"])]
+        if len(pts):
+            specs.append(QuantitySpec(
+                name="conc", unit="1", shape=(1,), times=obs,
+                locations=["(%g, %g)" % (p[0], p[1]) for p in pts]))
+        return specs

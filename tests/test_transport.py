@@ -28,8 +28,8 @@ def test_mass_conservation_constant_k():
                                    obs_times=obs, steps_per_cell=16))
     cfg = _single_level_cfg(sim, n=32)
     fine, _ = TransportSimulation.calculate(cfg, seed=1)
-    series = np.asarray(fine)
-    assert np.all(np.isfinite(series))
+    series = np.asarray(fine)[:len(obs)]   # flux spec precedes conc spec
+    assert np.all(np.isfinite(np.asarray(fine)))
     assert np.all(series > -1e-8)
     # rate ~ 0 before the front arrives and after it has passed
     assert series[0] < 1e-6
@@ -49,7 +49,7 @@ def test_breakthrough_timing_constant_k():
                                    obs_times=obs, steps_per_cell=16))
     cfg = _single_level_cfg(sim, n=64)
     fine, _ = TransportSimulation.calculate(cfg, seed=1)
-    series = np.asarray(fine)
+    series = np.asarray(fine)[:len(obs)]
     t_peak = obs[int(np.argmax(series))]
     assert 0.03 < t_peak < 0.15, t_peak
 
@@ -64,12 +64,31 @@ def test_fine_coarse_coupling():
     fine, coarse, failed = TransportSimulation.calculate_batch(
         level_sim.config_dict, keys)
     assert not np.any(np.asarray(failed))
-    f = np.asarray(fine)
-    c = np.asarray(coarse)
+    f = np.asarray(fine)[:, :6]    # flux part of the QoI vector
+    c = np.asarray(coarse)[:, :6]
     # compare the curves where they carry signal (late-time obs points)
     j = f.mean(axis=0).argmax()
     assert np.var(f[:, j] - c[:, j]) < 0.5 * np.var(f[:, j]), (
         np.var(f[:, j] - c[:, j]), np.var(f[:, j]))
+
+
+def test_observe_point_series():
+    """Point-concentration time series (the reference template's
+    observe_points): bounded in [0, 1], and points farther downstream
+    peak later for a constant-K flow."""
+    obs = tuple(np.linspace(5e-3, 0.25, 50))
+    pts = ((0.5, 0.5), (0.7, 0.5), (0.9, 0.5))
+    sim = TransportSimulation(dict(sigma=0.0, corr_length=0.2,
+                                   obs_times=obs, steps_per_cell=16,
+                                   observe_points=pts))
+    cfg = _single_level_cfg(sim, n=64)
+    fine, _ = TransportSimulation.calculate(cfg, seed=1)
+    T, P = len(obs), len(pts)
+    conc = np.asarray(fine)[T:].reshape(T, P)
+    assert np.all(conc > -1e-5) and np.all(conc < 1.0 + 1e-5)
+    peaks = [obs[int(np.argmax(conc[:, p]))] for p in range(P)]
+    assert peaks[0] < peaks[1] < peaks[2], peaks
+    assert conc.max() > 0.05   # the plume actually passes the points
 
 
 def test_cfl_budget_failure():
