@@ -245,8 +245,14 @@ class Sampler:
         reserve = getattr(self.sample_storage, "reserve_capacity", None)
         if reserve is not None:
             for level_id, n in enumerate(n_estimated):
-                if np.isfinite(n):
-                    reserve(int(level_id), int(np.ceil(n)))
+                if np.isfinite(n) and n > 0:
+                    # ~10% headroom: variance estimates sharpen between
+                    # rounds, and an allocation drifting just past a pow2
+                    # boundary late in the run would otherwise trigger one
+                    # more capacity step (pow2 rounding absorbs the
+                    # headroom everywhere except at boundaries, which is
+                    # exactly where it prevents the swap)
+                    reserve(int(level_id), int(np.ceil(1.1 * n)))
         scheduled = np.asarray(self.l_scheduled_samples(), dtype=float)
 
         gap = n_estimated - scheduled
