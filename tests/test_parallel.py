@@ -34,6 +34,33 @@ def test_sharded_device_pool():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
 
+def test_sharded_device_pool_transport():
+    """A scan-heavy application sim (solute transport: CG solve + CFL time
+    stepping per sample) shards over the mesh identically to the
+    single-device pool — the partitioned batch axis must not perturb the
+    per-sample physics."""
+    from mlmc_tpu.sim.transport import TransportSimulation
+
+    obs = tuple(np.linspace(0.05, 0.2, 4))
+    sim = TransportSimulation(dict(sigma=0.3, corr_length=0.3,
+                                   field_method="circulant",
+                                   obs_times=obs, steps_per_cell=16,
+                                   observe_points=((0.75, 0.5),)))
+    results = []
+    for sharding in [None, SampleMesh()]:
+        storage = Memory()
+        pool = DeviceBatchPool(seed=4, sharding=sharding, min_bucket=8)
+        sampler = Sampler(storage, pool, sim, [[1 / 8], [1 / 16]])
+        sampler.set_initial_n_samples([16, 8])
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+        results.append(storage.sample_pairs())
+    for a, b in zip(*results):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        assert np.allclose(a, b, atol=1e-10, equal_nan=True)
+
+
 def test_sharded_step_mesh_invariance():
     """Estimates are identical (up to reduction order) for 1 vs 8 devices."""
     mfn = Legendre(7, (-4.0, 4.0))
