@@ -63,7 +63,8 @@ class TransportSimulation(DiffusionSimulation):
     - ``porosity``: medium porosity phi (default 0.1),
     - ``diffusion``: isotropic diffusive face coefficient D (default 0),
     - ``obs_times``: observation times of the breakthrough curve
-      (default 8 points spanning [0.25, 2.0] advective times at K=1),
+      (default 8 points spanning [0.05, 0.4] — about 0.7 to 5 advective
+      transit times at K=1),
     - ``source_box``: initial-concentration region as (x0, x1, y0, y1)
       in unit-square coordinates (default a block left of center —
       the "repo" region of the reference template),
@@ -181,9 +182,9 @@ class TransportSimulation(DiffusionSimulation):
         # observation cells: the point grid is static config, so the
         # gather indices are compile-time constants
         pts = config.get("observe_points", cls.OBSERVE_POINTS)
-        cols = jnp.asarray([min(int(p[0] * n), n - 1) for p in pts],
+        cols = jnp.asarray([min(int(pt[0] * n), n - 1) for pt in pts],
                            jnp.int32)
-        rows = jnp.asarray([min(int(p[1] * n), n - 1) for p in pts],
+        rows = jnp.asarray([min(int(pt[1] * n), n - 1) for pt in pts],
                            jnp.int32)
 
         def out_rate(c):
