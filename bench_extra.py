@@ -161,6 +161,12 @@ def bench_maxent35():
     mu = sd.compute_semiexact_moments(orto, pdf)
     moments_data = np.stack((mu, np.ones(orto.size)), axis=1)
 
+    # warm pass: the device Newton jits one executable per (panel-bucket,
+    # R) shape — per-process compile/deserialize stays outside the timed
+    # solve (same discipline as bench.py and the kernel tiers)
+    sd.SimpleDistribution(orto, moments_data,
+                          domain=mfn.domain).estimate_density_minimize(
+        tol=1e-10)
     t0 = time.perf_counter()
     d = sd.SimpleDistribution(orto, moments_data, domain=mfn.domain)
     result = d.estimate_density_minimize(tol=1e-10)
