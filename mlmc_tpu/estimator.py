@@ -918,3 +918,68 @@ def determine_n_samples(n_levels, n_samples=None):
     if len(spec) > 2:
         return np.asarray(spec, dtype=int)
     return np.rint(np.geomspace(spec[0], spec[1], n_levels)).astype(int)
+
+
+def estimate_convergence_rates(level_means, level_vars, level_steps,
+                               n_ops=None):
+    """MLMC complexity-theorem rates by log-log least squares over levels.
+
+    Giles' theorem parameters (Giles 2015, Acta Numerica 24): the weak
+    rate ``alpha`` (|E[Y_l]| ~ h^alpha), the variance rate ``beta``
+    (V_l ~ h^beta) and, when measured per-level costs are supplied, the
+    cost rate ``gamma`` (C_l ~ h^-gamma). beta > gamma puts the workload
+    in the optimal O(eps^-2) complexity regime. Level 0 is the coarse
+    anchor and does not follow the asymptotic decay, so fits use levels
+    >= 1 (the same convention as the reference's variance regression,
+    reference estimator.py:87-134, which smooths V_l with a quadratic
+    log-log model instead of extracting the rate).
+
+    :param level_means: per-level telescoped diff means [L] (e.g.
+        ``QuantityMean.l_means`` of the plain quantity)
+    :param level_vars: per-level diff variances [L]
+    :param level_steps: level discretization steps h_l [L] (first entry
+        of each level-parameter vector)
+    :param n_ops: optional measured per-sample cost per level [L]
+    :return: dict with ``alpha``, ``beta`` (and ``gamma``), each the
+        fitted d log(.) / d log(h) slope (sign-adjusted so positive
+        means the textbook decay), plus ``n_fit_levels``
+    """
+    h = np.asarray(level_steps, dtype=float).reshape(len(level_means), -1)[:, 0]
+    m = np.abs(np.asarray(level_means, dtype=float).ravel())
+    v = np.asarray(level_vars, dtype=float).ravel()
+
+    def _fit(y):
+        y1, h1 = y[1:], h[1:]
+        mask = np.isfinite(y1) & (y1 > 0) & np.isfinite(h1) & (h1 > 0)
+        if mask.sum() < 2:
+            return np.nan, int(mask.sum())
+        A = np.stack([np.log(h1[mask]), np.ones(int(mask.sum()))], axis=1)
+        coef, *_ = np.linalg.lstsq(A, np.log(y1[mask]), rcond=None)
+        return float(coef[0]), int(mask.sum())
+
+    alpha, n_fit = _fit(m)
+    beta, _ = _fit(v)
+    rates = {"alpha": alpha, "beta": beta, "n_fit_levels": n_fit}
+    if n_ops is not None:
+        g, _ = _fit(np.asarray(n_ops, dtype=float).ravel())
+        rates["gamma"] = -g if np.isfinite(g) else np.nan
+    return rates
+
+
+def richardson_extrapolation(level_means, level_steps, alpha):
+    """Bias-corrected MLMC mean by Richardson extrapolation.
+
+    For a weak rate alpha and refinement factor r = h_{L-1}/h_L, the
+    remaining discretization bias of the telescoped estimate is
+    ``E[Y_L] / (r^alpha - 1)`` (Giles 2015, eq. 2.8); adding it
+    extrapolates the mean to the h -> 0 limit.
+
+    :return: (extrapolated mean, estimated remaining bias)
+    """
+    m = np.asarray(level_means, dtype=float).ravel()
+    h = np.asarray(level_steps, dtype=float).reshape(len(m), -1)[:, 0]
+    if len(m) < 2 or not np.isfinite(alpha) or alpha <= 0:
+        return float(m.sum()), np.nan
+    r = h[-2] / h[-1]
+    bias = float(m[-1] / (r ** alpha - 1.0))
+    return float(m.sum() + bias), bias

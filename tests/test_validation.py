@@ -40,6 +40,47 @@ def _exact_moments(mfn, distr, h):
     ])
 
 
+def test_convergence_rates_exact():
+    """alpha/beta/gamma recover exactly from exactly-log-linear data, and
+    Richardson extrapolation removes the discretization bias exactly for
+    geometric steps."""
+    h = 0.5 ** np.arange(5)
+    a, c = 2.0, 0.3
+    means = np.empty(5)
+    means[0] = 1.0 - c * h[0] ** a                   # coarse anchor
+    means[1:] = c * (h[:-1] ** a - h[1:] ** a)       # telescoped diffs
+    variances = 0.7 * h ** 3.0
+    n_ops = 2.0 * h ** -2.0
+
+    rates = est_mod.estimate_convergence_rates(means, variances, h, n_ops)
+    assert abs(rates["alpha"] - a) < 1e-10, rates
+    assert abs(rates["beta"] - 3.0) < 1e-10, rates
+    assert abs(rates["gamma"] - 2.0) < 1e-10, rates
+
+    extrap, bias = est_mod.richardson_extrapolation(means, h, rates["alpha"])
+    assert abs(bias - c * h[-1] ** a) < 1e-12
+    assert abs(extrap - 1.0) < 1e-12          # true h->0 value
+    assert abs(means.sum() - 1.0) > 1e-5      # ...which the raw sum misses
+
+
+def test_convergence_rates_mlmc(mlmc_run):
+    """Rates estimated from a real MLMC run are finite and positive: the
+    synthetic QoI y + h*sqrt(1e-4+|y|) has first-order weak error and
+    second-order diff variance in h."""
+    import mlmc_tpu.quantity.quantity_estimate as qe
+
+    distr, sampler, storage, est, mfn = mlmc_run
+    root = make_root_quantity(storage, q_specs=SynthSimulation(
+        dict(distr=distr, complexity=2)).result_format())
+    vq = root["length"][1]["10"][0, 0]
+    m = qe.estimate_mean(vq)
+    rates = est_mod.estimate_convergence_rates(
+        m.l_means, m.l_vars, storage.get_level_parameters(),
+        storage.get_n_ops())
+    assert np.isfinite(rates["alpha"]) and rates["alpha"] > 0.3, rates
+    assert np.isfinite(rates["beta"]) and rates["beta"] > 0.8, rates
+
+
 def test_moment_means_validation(mlmc_run):
     distr, sampler, storage, est, mfn = mlmc_run
     # telescoped estimate converges to the FINEST level's exact moments
