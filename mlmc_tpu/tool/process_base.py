@@ -305,6 +305,28 @@ class ProcessBase:
                                file=out_file or "")
         return estimator.var_bs_log_l_vars
 
+    def analyze_convergence_rates(self, estimator, sampler=None):
+        """Giles complexity-theorem rates from the collected levels: alpha
+        (weak), beta (variance), gamma (cost) plus the Richardson-
+        extrapolated mean (new diagnostic; the reference only smooths the
+        level variances, estimator.py:87-134, without extracting rates)."""
+        import mlmc_tpu.quantity.quantity_estimate as qe
+
+        storage = estimator._sample_storage
+        m = qe.estimate_mean(estimator.quantity)
+        rates = est_mod.estimate_convergence_rates(
+            m.l_means, m.l_vars, storage.get_level_parameters(),
+            storage.get_n_ops())
+        extrap, bias = est_mod.richardson_extrapolation(
+            m.l_means, storage.get_level_parameters(), rates["alpha"])
+        print("rates: alpha=%.3g beta=%.3g gamma=%s" % (
+            rates["alpha"], rates["beta"],
+            "%.3g" % rates["gamma"] if "gamma" in rates else "n/a"))
+        print("mean %.6g, Richardson-extrapolated %.6g (bias est. %.2g)"
+              % (float(np.sum(np.asarray(m.l_means, dtype=float))),
+                 extrap, bias))
+        return rates, extrap
+
     def rm_files(self, work_dir):
         """Clean a work dir (reference rm_files)."""
         if os.path.isdir(work_dir):

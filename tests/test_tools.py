@@ -266,6 +266,14 @@ def test_process_base_analysis_recipes(tmp_path, run_small_mlmc):
     for f in ("reg_var_err", "reg_lvl_var_err", "log_var_err"):
         assert (tmp_path / (f + ".pdf")).exists()
 
+    # complexity-theorem diagnostics (new recipe): the 2-level fixture has
+    # a single diff level, so rates degrade to NaN gracefully while the
+    # (un-extrapolatable) mean stays finite; >=3-level rate recovery is
+    # covered in tests/test_validation.py
+    rates, extrap = pb.analyze_convergence_rates(est)
+    assert rates["n_fit_levels"] == 1 and np.isnan(rates["alpha"]), rates
+    assert np.isfinite(extrap)
+
 
 def test_variance_of_variance_closed_form_matches_quadrature():
     """The closed-form Var[log chi2_df] = trigamma(df/2) must agree with
