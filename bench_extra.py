@@ -314,6 +314,60 @@ def bench_quantity_algebra():
     return out
 
 
+def bench_e2e_darcy():
+    """End-to-end adaptive PDE MLMC: the full target-variance loop over
+    the Darcy diffusion simulation (3 grid levels, circulant GRF, CG
+    solves) plus convergence-rate diagnostics — the workload the
+    reference runs through PBS-clustered flow123d jobs over hours/days
+    (tool/flow_mc.py:213-217 budgets 10-20 min per FINE sample)."""
+    import mlmc_tpu.estimator as est_mod
+    import mlmc_tpu.quantity.quantity_estimate as qe
+    from mlmc_tpu import (DeviceMemory, DeviceBatchPool, Sampler, Legendre,
+                          DiffusionSimulation, make_root_quantity)
+
+    t0 = time.perf_counter()
+    sim = DiffusionSimulation(dict(sigma=1.0, corr_length=0.3,
+                                   field_method="circulant"))
+    storage = DeviceMemory()
+    pool = DeviceBatchPool(seed=23, device_results=True,
+                           min_bucket=1 << 12, max_batch=1 << 14)
+    sampler = Sampler(storage, pool, sim, [[1 / 16], [1 / 32], [1 / 64]])
+    sampler.set_initial_n_samples([2000, 500, 100])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    root = make_root_quantity(storage, sim.result_format())
+    q = root["flux"][0]["outflow"][0]
+    mfn = Legendre(15, (0.05, 8.0))
+    est = est_mod.Estimate(q, storage, mfn)
+    target_var = 1e-6
+    rounds = 0
+    while rounds < 12:
+        raw_vars, _ns = est.estimate_diff_vars_fast()
+        variances, n_ops = est.estimate_diff_vars_regression(
+            sampler._n_scheduled_samples, raw_vars=raw_vars)
+        n_est = est_mod.estimate_n_samples_for_target_variance(
+            target_var, variances, n_ops, n_levels=sampler.n_levels)
+        if sampler.process_adding_samples(n_est, 0, 0.3):
+            break
+        rounds += 1
+    m = qe.estimate_mean(q)
+    rates = est_mod.estimate_convergence_rates(
+        m.l_means, m.l_vars, storage.get_level_parameters(),
+        storage.get_n_ops())
+    wall = time.perf_counter() - t0
+    return dict(workload="adaptive Darcy MLMC to target_var=1e-6 "
+                         "(16^2/32^2/64^2 grids, circulant GRF)",
+                wall_s=round(wall, 2),
+                n_samples=int(np.sum(storage.get_n_collected())),
+                n_per_level=[int(v) for v in storage.get_n_collected()],
+                adaptive_rounds=rounds,
+                mean_flux=float(np.ravel(np.asarray(m.mean))[0]),
+                alpha=round(float(rates["alpha"]), 3),
+                beta=round(float(rates["beta"]), 3),
+                gamma=round(float(rates.get("gamma", np.nan)), 3))
+
+
 def bench_e2e_adaptive():
     """End-to-end production path on one chip: adaptive target-variance
     loop (DeviceBatchPool + HBM-resident DeviceMemory) followed by the
@@ -471,6 +525,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "fractured": bench_fractured, "transport": bench_transport,
            "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
            "e2e": bench_e2e_adaptive, "e2e_fused": bench_e2e_fused,
+           "e2e_darcy": bench_e2e_darcy,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":
