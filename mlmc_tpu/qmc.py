@@ -1,0 +1,313 @@
+"""Multilevel quasi-Monte Carlo (MLQMC) driver — beyond-reference tier.
+
+The reference framework is plain Monte Carlo: its estimator variance
+decays as 1/N and its adaptive loop (reference mlmc/sampler.py:195-229 +
+mlmc/estimator.py:366-385) allocates samples by the sqrt(V/C) rule. For
+smooth QoIs the randomized-QMC estimator variance decays close to 1/N²,
+so the same target variance needs orders of magnitude fewer samples.
+This driver implements the Giles-Waterhouse multilevel QMC algorithm
+("Multilevel quasi-Monte Carlo path simulation", 2009): each level runs
+R independent Owen-scramblings of one Sobol' sequence, the level
+estimator variance is measured ACROSS the randomizations, and the level
+whose variance is cheapest to reduce gets its point count doubled until
+the total meets the target.
+
+Design (TPU-first, mirrors FusedMLMC's streaming economics):
+- points are generated on device (`ops.sobol`: XOR/hash integer work),
+  pushed through the level function and reduced to per-randomization
+  sums in ONE dispatch per extension — nothing but [R]-vectors ever
+  crosses the host<->device link;
+- doubling EXTENDS the sequence (Sobol' prefixes nest, and a fixed
+  scramble seed keeps the extension consistent), so no work is repeated
+  and every evaluated point contributes to the final estimate;
+- ONE executable per level serves the whole adaptive run: the chunk
+  shape is fixed and the trip count is a traced operand (the fused
+  driver's dynamic-trip-count economics), so a run costs L compiles
+  total and the persistent compilation cache serves later processes.
+
+Contract: ``level_fns[l](u [n, d_l]) -> (fine [n], coarse [n])`` pure
+jnp (level 0 returns coarse == 0). QMC points cannot be dropped without
+bias, so level functions must be total — non-finite results fail the
+run loudly instead of being masked (plain MC with renewals is the tool
+for failure-prone simulations).
+"""
+import time
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.ops import sobol
+from mlmc_tpu.random.distributions import as_jax_distr
+
+__all__ = ["MLQMC", "QMCLevelState", "synth_qmc_level_fns",
+           "qmc_level_fns_from_normals"]
+
+
+class QMCLevelState:
+    """Per-level accumulators: R randomization sums over the point prefix."""
+
+    def __init__(self, n_rand, dtype):
+        self.n = 0
+        self.sums = np.zeros(n_rand, dtype=dtype)       # Σ_i diff_i per r
+        self.sums_sq = np.zeros(n_rand, dtype=dtype)    # Σ_i diff_i² per r
+        self.elapsed = 0.0
+
+
+class MLQMC:
+    """Adaptive multilevel QMC over Owen-scrambled Sobol' points.
+
+    :param level_fns: per-level ``f(u [n, d_l]) -> (fine [n], coarse [n])``
+    :param dims: per-level point dimension d_l (int or per-level list)
+    :param n_randomizations: independent scramblings per level (the
+        variance sample size; Giles-Waterhouse use 32)
+    :param seed: scramble master seed
+    :param cost_per_sample: optional per-level relative costs for the
+        allocation rule; measured wall time is used when omitted
+    :param chunk_size: points per scan step inside an extension dispatch
+    """
+
+    def __init__(self, level_fns: Sequence[Callable], dims,
+                 n_randomizations: int = 32, seed: int = 0,
+                 cost_per_sample: Optional[Sequence[float]] = None,
+                 chunk_size: int = 1 << 15, dtype=None):
+        self._fns = list(level_fns)
+        n_levels = len(self._fns)
+        if np.isscalar(dims):
+            dims = [int(dims)] * n_levels
+        if len(dims) != n_levels:
+            raise ValueError("dims must match level_fns")
+        self._dims = [int(d) for d in dims]
+        self._R = int(n_randomizations)
+        if self._R < 2:
+            raise ValueError("need >= 2 randomizations to estimate variance")
+        self._chunk = int(chunk_size)
+        if self._chunk & (self._chunk - 1):
+            raise ValueError("chunk_size must be a power of two")
+        self._dtype = jnp.dtype(dtype or jnp.result_type(float))
+        self._dvs = {d: jnp.asarray(sobol.direction_numbers(d))
+                     for d in set(self._dims)}
+        key = jax.random.key(seed)
+        self._seeds = [
+            jax.vmap(lambda k, d=d: sobol.scramble_seeds(k, d))(
+                jax.random.split(jax.random.fold_in(key, lev), self._R))
+            for lev, d in enumerate(self._dims)]          # [R, d_l] uint32
+        self._levels = [QMCLevelState(self._R, self._dtype)
+                        for _ in range(n_levels)]
+        self._fixed_cost = (None if cost_per_sample is None
+                            else np.asarray(cost_per_sample, dtype=float))
+        self._eval_cache = {}
+
+    # ------------------------------------------------------------------ #
+    @property
+    def n_levels(self):
+        return len(self._fns)
+
+    @property
+    def n_samples(self):
+        """Per-level point counts (each counted once; every randomization
+        re-uses the same sequence positions under a different scramble)."""
+        return np.array([s.n for s in self._levels])
+
+    def _eval_fn(self, level, n):
+        """Compiled extension program for one level:
+        ``(start, n_chunks, seeds [R, d]) -> (sums, sums_sq) [R]``.
+
+        ONE executable per level serves every extension size: the chunk
+        shape is fixed on first use (min(chunk_size, first n)) and the
+        trip count is a traced operand of a ``fori_loop`` — the same
+        dynamic-trip-count economics as the fused driver (a doubling
+        schedule would otherwise mint one remote AOT compile per size).
+        """
+        cached = self._eval_cache.get(level)
+        if cached is not None:
+            return cached
+        dv = self._dvs[self._dims[level]]
+        level_fn = self._fns[level]
+        chunk = min(self._chunk, n)
+        dtype = self._dtype
+
+        if dtype == jnp.float32:
+            # compensated cross-chunk carry via the fusion-hardened EFT
+            # (ops/df64) — the randomization spread being measured is far
+            # below sqrt(n)·eps32 random-walk noise at bench sizes
+            from mlmc_tpu.ops.df64 import two_sum
+        else:
+            def two_sum(a, b):
+                return a + b, jnp.zeros_like(a)
+
+        def one_rand(start, n_chunks, seeds):
+            def body(c, carry):
+                s, cs, s2, cs2 = carry
+                u = sobol.sobol_uniforms(
+                    dv, start + c.astype(jnp.uint32) * jnp.uint32(chunk),
+                    chunk, seeds, dtype=dtype)
+                fine, coarse = level_fn(u)
+                d = (fine - coarse).astype(dtype)
+                s, e = two_sum(s, jnp.sum(d))
+                s2, e2 = two_sum(s2, jnp.sum(d * d))
+                return (s, cs + e, s2, cs2 + e2)
+
+            z = jnp.zeros((), dtype)
+            s, cs, s2, cs2 = jax.lax.fori_loop(
+                0, n_chunks, body, (z, z, z, z))
+            return s + cs, s2 + cs2
+
+        def batch(start, n_chunks, seeds):
+            return jax.vmap(lambda sd: one_rand(start, n_chunks, sd))(seeds)
+
+        cached = (jax.jit(batch), chunk)
+        self._eval_cache[level] = cached
+        return cached
+
+    def extend(self, level, n_add):
+        """Evaluate points [n, n + n_add) of level ``level``'s sequence
+        under every randomization and fold them into the accumulators."""
+        state = self._levels[level]
+        n_add = int(n_add)
+        if state.n + n_add > (1 << 30):
+            raise ValueError(
+                "Sobol' direction numbers carry 30 bits: %d points exceed "
+                "the 2^30 sequence capacity" % (state.n + n_add))
+        fn, chunk = self._eval_fn(level, n_add)
+        n_chunks, rem = divmod(n_add, chunk)
+        if rem:
+            raise ValueError(
+                "extension size %d is not a multiple of this level's "
+                "chunk %d (extensions after the first must be multiples; "
+                "run() keeps everything power-of-two)" % (n_add, chunk))
+        t0 = time.perf_counter()
+        sums, sums_sq = fn(jnp.uint32(state.n), n_chunks,
+                           self._seeds[level])
+        sums, sums_sq = np.asarray(sums), np.asarray(sums_sq)
+        state.elapsed += time.perf_counter() - t0
+        if not (np.all(np.isfinite(sums)) and np.all(np.isfinite(sums_sq))):
+            raise FloatingPointError(
+                "level %d produced non-finite results; QMC points cannot be "
+                "dropped without bias — fix the level function or use the "
+                "MC drivers (FusedMLMC / Sampler) with failure renewal"
+                % level)
+        state.sums += sums
+        state.sums_sq += sums_sq
+        state.n += int(n_add)
+
+    # ------------------------------------------------------------------ #
+    def level_estimates(self):
+        """(means [L], est_vars [L]) — per-level estimator mean and the
+        variance OF THAT MEAN measured across randomizations."""
+        means, est_vars = [], []
+        for s in self._levels:
+            y_r = s.sums / max(s.n, 1)
+            means.append(float(np.mean(y_r)))
+            est_vars.append(float(np.var(y_r, ddof=1) / self._R))
+        return np.array(means), np.array(est_vars)
+
+    def point_variances(self):
+        """Per-level plain-MC per-point variances (pooled across
+        randomizations) — what a pseudo-random estimator's variance per
+        sample would be; the QMC gain factor is
+        ``point_var / (n · est_var · R)``."""
+        out = []
+        for s in self._levels:
+            n = max(s.n, 2)
+            v_r = (s.sums_sq / n - (s.sums / n) ** 2) * n / (n - 1)
+            out.append(float(np.mean(v_r)))
+        return np.array(out)
+
+    def _costs(self):
+        if self._fixed_cost is not None:
+            return self._fixed_cost
+        measured = np.array([s.elapsed / max(s.n, 1) for s in self._levels])
+        if not np.all(measured > 0):
+            measured = np.ones(self.n_levels)
+        return measured
+
+    def run(self, target_var, n_init: int = 256, max_rounds: int = 60):
+        """Adaptive loop: double the point count of the level whose
+        estimator variance is cheapest to halve until Σ_l V_l <= target.
+
+        :return: dict with mean, estimator variance, per-level breakdown
+            and the measured QMC-vs-MC variance-reduction factors
+        """
+        n_init = max(2, int(n_init))
+        n_init = 1 << (n_init - 1).bit_length()   # next power of two
+        for lev in range(self.n_levels):
+            if self._levels[lev].n == 0:
+                self.extend(lev, n_init)
+        rounds = 0
+        while rounds < max_rounds:
+            _, est_vars = self.level_estimates()
+            if float(np.sum(est_vars)) <= target_var:
+                break
+            costs = self._costs()
+            ns = self.n_samples
+            # doubling level l removes ~V_l/2 variance at cost C_l·n_l
+            payoff = est_vars / (costs * ns)
+            lev = int(np.argmax(payoff))
+            self.extend(lev, int(ns[lev]))
+            rounds += 1
+        means, est_vars = self.level_estimates()
+        point_vars = self.point_variances()
+        ns = self.n_samples
+        total = ns * self._R
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gain = point_vars / (est_vars * total)
+        return dict(mean=float(np.sum(means)),
+                    var=float(np.sum(est_vars)),
+                    level_means=means, level_vars=est_vars,
+                    n_samples=ns, n_evaluations=total,
+                    n_randomizations=self._R, rounds=rounds,
+                    target_met=bool(np.sum(est_vars) <= target_var),
+                    mc_variance_reduction=gain)
+
+
+# ---------------------------------------------------------------------- #
+# adapters
+# ---------------------------------------------------------------------- #
+def synth_qmc_level_fns(level_parameters, distr="norm", nan_fraction=0.0):
+    """QMC level functions for the synthetic benchmark QoI
+    ``y + h·sqrt(1e-4 + |y|)`` (reference mlmc/sim/synth_simulation.py:
+    38-46, fine and coarse sharing the draw).
+
+    :return: (level_fns, dims) for :class:`MLQMC`
+    """
+    if nan_fraction:
+        raise ValueError("QMC has no unbiased failure-renewal story; "
+                         "use the MC drivers for nan_fraction > 0")
+    from mlmc_tpu.sim.synth_simulation import SynthSimulation
+
+    d = as_jax_distr(distr)
+    fns = []
+    for lev, params in enumerate(level_parameters):
+        fine_step = float(params[0])
+        coarse_step = 0.0 if lev == 0 else float(level_parameters[lev - 1][0])
+
+        def fn(u, fine_step=fine_step, coarse_step=coarse_step):
+            y = d.sample_uniforms(u)
+            fine = SynthSimulation.sample_fn(y, fine_step)
+            coarse = (jnp.zeros_like(fine) if coarse_step == 0
+                      else SynthSimulation.sample_fn(y, coarse_step))
+            return fine, coarse
+
+        fns.append(fn)
+    return fns, [d.qmc_dim] * len(fns)
+
+
+def qmc_level_fns_from_normals(normal_fns: List[Callable], n_normals):
+    """Adapt level functions written over standard-normal blocks:
+    ``normal_fns[l](z [n, m_l]) -> (fine, coarse)`` — the natural shape
+    for GRF/spectral sims whose randomness is a fixed block of normals.
+
+    :return: (level_fns, dims) for :class:`MLQMC`
+    """
+    if np.isscalar(n_normals):
+        n_normals = [int(n_normals)] * len(normal_fns)
+
+    fns = []
+    for fn, m in zip(normal_fns, n_normals):
+        def qfn(u, fn=fn):
+            return fn(sobol.normals_from_uniforms(u))
+
+        fns.append(qfn)
+    return fns, [int(m) for m in n_normals]

@@ -16,8 +16,20 @@ import jax.numpy as jnp
 class JaxDistr:
     """Base: pure key-driven sampler with scipy-compatible helpers."""
 
+    #: uniforms consumed per variate by ``sample_uniforms`` (QMC dimension)
+    qmc_dim = 1
+
     def sample(self, key, shape=()):
         raise NotImplementedError
+
+    def sample_uniforms(self, u):
+        """Traceable inverse-transform sampling: ``u [..., qmc_dim]`` in
+        (0, 1) -> variates ``[...]``. Drives the quasi-Monte Carlo path
+        (mlmc_tpu.qmc), where the low-discrepancy structure of ``u`` must
+        survive the transform — hence inverse-CDF, not rejection."""
+        raise NotImplementedError(
+            "%s has no uniform-transform sampler (needed for QMC)"
+            % type(self).__name__)
 
     def _scipy(self):
         raise NotImplementedError
@@ -49,6 +61,9 @@ class Norm(JaxDistr):
     def sample(self, key, shape=()):
         return self.loc + self.scale * jax.random.normal(key, shape)
 
+    def sample_uniforms(self, u):
+        return self.loc + self.scale * jax.scipy.special.ndtri(u[..., 0])
+
     def _scipy(self):
         import scipy.stats as st
 
@@ -65,6 +80,9 @@ class LogNorm(JaxDistr):
     def sample(self, key, shape=()):
         return self.scale * jnp.exp(self.s * jax.random.normal(key, shape))
 
+    def sample_uniforms(self, u):
+        return self.scale * jnp.exp(self.s * jax.scipy.special.ndtri(u[..., 0]))
+
     def _scipy(self):
         import scipy.stats as st
 
@@ -78,6 +96,9 @@ class Uniform(JaxDistr):
 
     def sample(self, key, shape=()):
         return jax.random.uniform(key, shape, minval=self.lo, maxval=self.hi)
+
+    def sample_uniforms(self, u):
+        return self.lo + (self.hi - self.lo) * u[..., 0]
 
     def _scipy(self):
         import scipy.stats as st
@@ -95,12 +116,19 @@ class TwoGaussians(JaxDistr):
     mu2: float = 5.0
     s2: float = 1.0
 
+    qmc_dim = 2
+
     def sample(self, key, shape=()):
         k1, k2, k3 = jax.random.split(key, 3)
         pick = jax.random.uniform(k1, shape) < self.w
         a = self.mu1 + self.s1 * jax.random.normal(k2, shape)
         b = self.mu2 + self.s2 * jax.random.normal(k3, shape)
         return jnp.where(pick, a, b)
+
+    def sample_uniforms(self, u):
+        pick = u[..., 0] < self.w
+        z = jax.scipy.special.ndtri(u[..., 1])
+        return jnp.where(pick, self.mu1 + self.s1 * z, self.mu2 + self.s2 * z)
 
     def pdf(self, x):
         import scipy.stats as st
@@ -122,6 +150,14 @@ class TwoGaussians(JaxDistr):
         a = rng.normal(self.mu1, self.s1, size=size)
         b = rng.normal(self.mu2, self.s2, size=size)
         return np.where(pick, a, b)
+
+    def mean(self):
+        return self.w * self.mu1 + (1 - self.w) * self.mu2
+
+    def var(self):
+        m = self.mean()
+        return (self.w * (self.s1 ** 2 + self.mu1 ** 2)
+                + (1 - self.w) * (self.s2 ** 2 + self.mu2 ** 2) - m ** 2)
 
     def ppf(self, q):
         # numeric inversion over a generous bracket
