@@ -492,8 +492,31 @@ def bench_qmc():
     point_vars = ml.point_variances()
     mc_required = float(np.sum(np.sqrt(point_vars))) ** 2 / target_var
     n_evals = int(np.sum(res["n_evaluations"]))
-    return dict(workload="MLQMC (scrambled Sobol, 5-level synth QoI) to "
-                         "target_var=1e-12, 16 randomizations",
+
+    # second workload: the shooting ODE (config 2) — phases from Sobol
+    from mlmc_tpu.sim.shooting import ShootingSimulation1D
+    from mlmc_tpu.qmc import shooting_qmc_level_fns
+
+    shoot_cfg = dict(start_position=(0.0, 0.0), start_velocity=(10.0, 0.0),
+                     area_borders=(-2000.0, 2000.0, -2000.0, 2000.0),
+                     max_time=10.0, complexity=1000, n_modes=256,
+                     fields_params=dict(model="gauss", corr_length=0.1,
+                                        sigma=0.5, log=False))
+    # steps give 200/500/1000 Euler elements (W is [n, n]: keep n ~1e3)
+    sfns, sdims = shooting_qmc_level_fns(
+        ShootingSimulation1D(shoot_cfg), [[5.0], [2.0], [1.0]])
+    sml = MLQMC(sfns, sdims, n_randomizations=16, seed=13,
+                chunk_size=1 << 13)
+    t2 = time.perf_counter()
+    sres = sml.run(target_var=1e-8, n_init=1 << 12)
+    shoot_wall = time.perf_counter() - t2
+    s_point_vars = sml.point_variances()
+    s_mc = float(np.sum(np.sqrt(s_point_vars))) ** 2 / 1e-8
+    s_evals = int(np.sum(sres["n_evaluations"]))
+
+    return dict(workload="MLQMC (scrambled Sobol): 5-level synth QoI to "
+                         "target_var=1e-12 + 3-level shooting ODE (256 "
+                         "spectral phase dims) to 1e-8, 16 randomizations",
                 wall_s=round(wall, 2),
                 qmc_evaluations=n_evals,
                 mc_optimal_evaluations=int(mc_required),
@@ -502,7 +525,17 @@ def bench_qmc():
                     round(float(g), 1) for g in res["mc_variance_reduction"]],
                 target_met=res["target_met"],
                 mean=res["mean"],
-                points_per_s=float("%.3g" % evals_per_s))
+                points_per_s=float("%.3g" % evals_per_s),
+                shooting=dict(
+                    wall_s=round(shoot_wall, 2),
+                    qmc_evaluations=s_evals,
+                    mc_optimal_evaluations=int(s_mc),
+                    mc_over_qmc=round(s_mc / max(s_evals, 1), 1),
+                    variance_reduction_per_level=[
+                        round(float(g), 1)
+                        for g in sres["mc_variance_reduction"]],
+                    target_met=sres["target_met"],
+                    mean=sres["mean"]))
 
 
 def bench_rng_quality():

@@ -135,6 +135,7 @@ from mlmc_tpu.sim.diffusion import DiffusionSimulation
 from mlmc_tpu.sim.transport import TransportSimulation
 from mlmc_tpu.sim.flow_sim import FlowSim
 from mlmc_tpu.qmc import (
-    MLQMC, synth_qmc_level_fns, qmc_level_fns_from_normals)
+    MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
+    darcy_qmc_level_fns, qmc_level_fns_from_normals)
 
 __version__ = "0.1.0"

@@ -42,6 +42,7 @@ from mlmc_tpu.ops import sobol
 from mlmc_tpu.random.distributions import as_jax_distr
 
 __all__ = ["MLQMC", "QMCLevelState", "synth_qmc_level_fns",
+           "shooting_qmc_level_fns", "darcy_qmc_level_fns",
            "qmc_level_fns_from_normals"]
 
 
@@ -292,6 +293,80 @@ def synth_qmc_level_fns(level_parameters, distr="norm", nan_fraction=0.0):
 
         fns.append(fn)
     return fns, [d.qmc_dim] * len(fns)
+
+
+def shooting_qmc_level_fns(sim, level_parameters, component=0):
+    """QMC level functions for the shooting ODE sims: the per-sample
+    randomness is a block of spectral-mode phases (uniform on [0, 2pi)),
+    so the low-discrepancy points drive the phases directly. For non-log
+    force fields the QoI is ADDITIVE across modes, so scrambled Sobol'
+    collapses the variance even at d = n_modes (superposition dimension
+    one); log fields remain smooth integrands.
+
+    The QoI is NaN when a trajectory leaves ``area_borders``; QMC cannot
+    drop points unbiasedly, so configure borders the trajectories cannot
+    reach (MLQMC.extend raises loudly otherwise).
+
+    :param sim: a ShootingSimulation1D/2D instance
+    :param level_parameters: as for Sampler ([[fine_step], ...])
+    :param component: index into the flattened result (0 = final y / x)
+    :return: (level_fns, dims) for :class:`MLQMC`
+    """
+    cls = type(sim)
+    fns, dims = [], []
+    for lev, params in enumerate(level_parameters):
+        coarse = [0] if lev == 0 else level_parameters[lev - 1]
+        cfg = sim.level_instance(params, coarse).config_dict
+        d = cfg["_wave_numbers"].shape[0] * cls.N_FORCE_AXES
+
+        def fn(u, cfg=cfg):
+            trig = cls._phase_trig_from_uniforms(cfg, u)
+            fine = cls._calculate_level(cfg, None, "fine", trig=trig)
+            if cfg["coarse"]["n_elements"] > 0:
+                coarse_r = cls._calculate_level(cfg, None, "coarse",
+                                                trig=trig)
+            else:
+                coarse_r = jnp.zeros_like(fine)
+            return fine[:, component], coarse_r[:, component]
+
+        fns.append(fn)
+        dims.append(d)
+    return fns, dims
+
+
+def darcy_qmc_level_fns(sim, level_parameters):
+    """QMC level functions for :class:`DiffusionSimulation` with the RFF
+    field (``field_method='rff'``): the per-sample randomness is the
+    block of spectral mode phases, driven directly by the points. The
+    outflow flux is a smooth functional of the phases (through exp and
+    the CG pressure solve — fixed iteration budget, no data-dependent
+    control flow), so scrambled points reduce the variance of the PDE
+    MLMC estimator itself.
+
+    :param sim: a DiffusionSimulation (field_method='rff'; the circulant
+        path has no phase parametrization and is rejected)
+    :param level_parameters: as for Sampler ([[fine_step], ...])
+    :return: (level_fns, dims) for :class:`MLQMC`
+    """
+    cls = type(sim)
+    fns, dims = [], []
+    for lev, params in enumerate(level_parameters):
+        coarse = [0] if lev == 0 else level_parameters[lev - 1]
+        cfg = sim.level_instance(params, coarse).config_dict
+        if "_wave_vectors" not in cfg:
+            raise ValueError(
+                "darcy_qmc_level_fns needs field_method='rff' "
+                "(got %r)" % (cfg.get("field_method", "rff"),))
+
+        def fn(u, cfg=cfg):
+            phases = 2 * np.pi * u                      # [n, M]
+            fine, coarse_r = jax.vmap(
+                lambda ph: cls._calculate_one(cfg, None, phases=ph))(phases)
+            return fine[:, 0], coarse_r[:, 0]
+
+        fns.append(fn)
+        dims.append(int(cfg["_wave_vectors"].shape[0]))
+    return fns, dims
 
 
 def qmc_level_fns_from_normals(normal_fns: List[Callable], n_normals):

@@ -149,7 +149,11 @@ class FracturedDiffusionSimulation(DiffusionSimulation):
     CG_MAXITER_FACTOR = 32
 
     @classmethod
-    def _conductivity(cls, config, key, n):
+    def _conductivity(cls, config, key, n, phases=None):
+        if phases is not None:
+            raise ValueError(
+                "fractured conductivity has key-driven geometry randomness "
+                "beyond the field phases; no QMC parametrization")
         k_field, k_frac = jax.random.split(key)
         bulk = super()._conductivity(config, k_field, n)
         segments = sample_fracture_network(

@@ -111,14 +111,21 @@ class DiffusionSimulation(Simulation):
 
     # ------------------------------------------------------------------ #
     @classmethod
-    def _conductivity(cls, config, key, n):
+    def _conductivity(cls, config, key, n, phases=None):
         """K = exp(sigma * G) at cell centers of an n x n grid.
 
         Fine/coarse coupling: the SAME key produces the same underlying
         field realization on both grids — RFF shares modes+phases; the
         circulant method samples the fine grid exactly (FFT embedding) and
-        the coarse grid point-samples that realization."""
+        the coarse grid point-samples that realization.
+
+        :param phases: optional [M] RFF mode phases replacing the key draw
+            — the QMC entry point (the phases are the sim's only
+            per-sample randomness on the RFF path)."""
         sigma = config.get("sigma", 1.0)
+        if phases is not None and "_circ_eig" in config:
+            raise ValueError(
+                "phase-driven (QMC) sampling needs field_method='rff'")
         if "_circ_eig" in config:
             eig = config["_circ_eig"]
             emb = eig.shape[0]
@@ -140,7 +147,9 @@ class DiffusionSimulation(Simulation):
         centers = (jnp.arange(n) + 0.5) * h
         X, Y = jnp.meshgrid(centers, centers, indexing="ij")
         pts = jnp.stack([X.ravel(), Y.ravel()], axis=1)      # [n*n, 2]
-        phases = jax.random.uniform(key, (k_vec.shape[0],), maxval=2 * np.pi)
+        if phases is None:
+            phases = jax.random.uniform(key, (k_vec.shape[0],),
+                                        maxval=2 * np.pi)
         g = jnp.sqrt(2.0 / k_vec.shape[0]) * jnp.sum(
             jnp.cos(pts @ k_vec.T + phases[None, :]), axis=1)
         return jnp.exp(sigma * g).reshape(n, n)
@@ -381,7 +390,7 @@ class DiffusionSimulation(Simulation):
         return p.reshape(n, n)
 
     @classmethod
-    def _sample_flux(cls, config, key, n):
+    def _sample_flux(cls, config, key, n, phases=None):
         """Total outflow through the right edge == effective conductivity.
 
         Transmissibility of a boundary half-face is 2K (face length h over
@@ -389,7 +398,7 @@ class DiffusionSimulation(Simulation):
         Homogeneous check: K=k0 gives linear p with p_last = h/2 and
         flux = n * 2 k0 h/2 = k0 — the Darcy value for a unit square.
         """
-        K = cls._conductivity(config, key, n)
+        K = cls._conductivity(config, key, n, phases=phases)
         p = cls._solve_pressure(config, K)
         return jnp.sum(2.0 * K[:, -1] * p[:, -1])
 
@@ -404,7 +413,10 @@ class DiffusionSimulation(Simulation):
         return K_fine[idx][:, idx]
 
     @classmethod
-    def _calculate_one(cls, config, key):
+    def _calculate_one(cls, config, key, phases=None):
+        if phases is not None and "_circ_eig" in config:
+            raise ValueError(
+                "phase-driven (QMC) sampling needs field_method='rff'")
         if "_circ_eig" in config and config["coarse_n"] > 0:
             # ONE embedding FFT per sample: the coarse grid point-samples
             # the fine realization instead of re-drawing it (the coupled
@@ -416,9 +428,11 @@ class DiffusionSimulation(Simulation):
             pc = cls._solve_pressure(config, K_coarse)
             coarse = jnp.sum(2.0 * K_coarse[:, -1] * pc[:, -1])
         else:
-            fine = cls._sample_flux(config, key, config["fine_n"])
+            fine = cls._sample_flux(config, key, config["fine_n"],
+                                    phases=phases)
             if config["coarse_n"] > 0:
-                coarse = cls._sample_flux(config, key, config["coarse_n"])
+                coarse = cls._sample_flux(config, key, config["coarse_n"],
+                                          phases=phases)
             else:
                 coarse = jnp.zeros_like(fine)
         return fine[None], coarse[None]

@@ -92,6 +92,9 @@ class ShootingSimulation1D(Simulation):
                                nan_result_is_failure=False)
 
     # ------------------------------------------------------------------ #
+    #: uniforms consumed per sample by the QMC path (n_modes * force axes)
+    N_FORCE_AXES = 1
+
     @classmethod
     def _phase_trig(cls, config, keys):
         """Per-sample phase trig: keys [B] -> (cos phi, sin phi) [B, M, A]
@@ -102,18 +105,34 @@ class ShootingSimulation1D(Simulation):
         return jnp.cos(phases)[..., None], jnp.sin(phases)[..., None]
 
     @classmethod
-    def _force_field_batch(cls, config, keys, times):
+    def _phase_trig_from_uniforms(cls, config, u):
+        """QMC entry: uniforms [B, M*A] -> (cos phi, sin phi) [B, M, A].
+        The phases are the sim's ONLY per-sample randomness, so driving
+        them from low-discrepancy points makes the whole trajectory QoI a
+        QMC integrand (additive across modes for non-log fields — ideal
+        scrambling territory)."""
+        M = config["_wave_numbers"].shape[0]
+        phases = 2 * np.pi * u.reshape(u.shape[0], M, cls.N_FORCE_AXES)
+        return jnp.cos(phases), jnp.sin(phases)
+
+    @classmethod
+    def _force_field_batch(cls, config, keys, times, trig=None):
         """Spectral GRF on the MXU: ``cos(tk + phi)`` splits into
         sample-independent ``cos(tk)/sin(tk)`` [M, T] matrices contracted
         with per-sample phase trig — ONE [B, M*A] x [M*A-ish, T] matmul
-        per level batch. :return: [B, T, A] force values."""
+        per level batch. :return: [B, T, A] force values.
+
+        :param trig: optional precomputed (cos phi, sin phi) [B, M, A] —
+            shared by fine+coarse (the level coupling) and by the QMC path
+        """
         k = config["_wave_numbers"]
         fp = config.get("fields_params", {})
         sigma = fp.get("sigma", 1.0)
         log = fp.get("log", True)
         tk = times[None, :] * k[:, None]                     # [M, T]
         C, S = jnp.cos(tk), jnp.sin(tk)
-        cosp, sinp = cls._phase_trig(config, keys)           # [B, M, A]
+        cosp, sinp = trig if trig is not None \
+            else cls._phase_trig(config, keys)               # [B, M, A]
         # einsum over modes; HIGHEST: the default TPU dot is one bf16 pass
         field = (jnp.einsum("bma,mt->bta", cosp, C,
                             precision=jax.lax.Precision.HIGHEST)
@@ -173,7 +192,7 @@ class ShootingSimulation1D(Simulation):
         return cls._finals_from_acc(config, acc, n_elements)
 
     @classmethod
-    def _calculate_level(cls, config, keys, which):
+    def _calculate_level(cls, config, keys, which, trig=None):
         n = config[which]["n_elements"]
         times = jnp.linspace(0.0, config["max_time"], n)
         fp = config.get("fields_params", {})
@@ -192,12 +211,13 @@ class ShootingSimulation1D(Simulation):
             hi = jax.lax.Precision.HIGHEST
             Cw = scale * jnp.matmul(jnp.cos(tk), W.T, precision=hi)
             Sw = scale * jnp.matmul(jnp.sin(tk), W.T, precision=hi)
-            cosp, sinp = cls._phase_trig(config, keys)       # [B, M, A]
+            cosp, sinp = trig if trig is not None \
+                else cls._phase_trig(config, keys)           # [B, M, A]
             acc = (jnp.einsum("bma,mt->bta", cosp, Cw, precision=hi)
                    - jnp.einsum("bma,mt->bta", sinp, Sw, precision=hi))
             finals = cls._finals_from_acc(config, acc, n)
         else:
-            forces = cls._force_field_batch(config, keys, times)
+            forces = cls._force_field_batch(config, keys, times, trig=trig)
             finals = cls._trajectory_finals(config, forces, n)
         return cls._extract_result(finals)
 
@@ -215,9 +235,10 @@ class ShootingSimulation1D(Simulation):
     @classmethod
     def calculate_batch(cls, config, keys, attempts=None):
         """Level batch: keys [B] -> (fine [B, M], coarse [B, M], failed [B])."""
-        fine = cls._calculate_level(config, keys, "fine")
+        trig = cls._phase_trig(config, keys)  # drawn ONCE: the coupling
+        fine = cls._calculate_level(config, keys, "fine", trig=trig)
         if config["coarse"]["n_elements"] > 0:
-            coarse = cls._calculate_level(config, keys, "coarse")
+            coarse = cls._calculate_level(config, keys, "coarse", trig=trig)
         else:
             coarse = jnp.zeros_like(fine)
         # NaN QoI (out of borders) is a valid stored result in the reference,
@@ -237,6 +258,7 @@ class ShootingSimulation2D(ShootingSimulation1D):
     """2D shooting: QoI = final position (x, y); independent force per axis."""
 
     result_dim = 2
+    N_FORCE_AXES = 2
 
     @classmethod
     def _phase_trig(cls, config, keys):

@@ -151,6 +151,89 @@ def test_mlqmc_level_fns_from_normals_adapter():
     assert est_vars[0] < 1e-5
 
 
+def test_shooting_qmc_matches_mc_and_collapses_variance():
+    """The shooting adapter drives the spectral phases from scrambled
+    Sobol' points: means must agree with the key-driven MC batch path
+    within combined statistical error, and the measured RQMC variance
+    reduction must be large (the non-log QoI is additive across modes)."""
+    from mlmc_tpu.sim.shooting import ShootingSimulation1D
+    from mlmc_tpu.qmc import shooting_qmc_level_fns
+
+    config = dict(start_position=(0.0, 0.0), start_velocity=(10.0, 0.0),
+                  area_borders=(-1000.0, 1000.0, -1000.0, 1000.0),
+                  max_time=10.0, complexity=100,
+                  n_modes=32, fields_params=dict(model="gauss",
+                                                 corr_length=0.3,
+                                                 sigma=0.5, log=False))
+    sim = ShootingSimulation1D(config)
+    level_params = [[1.0], [0.25]]
+    fns, dims = shooting_qmc_level_fns(sim, level_params)
+    assert dims == [32, 32]
+    ml = MLQMC(fns, dims, n_randomizations=8, seed=4, chunk_size=1 << 10)
+    res = ml.run(target_var=1e-6, n_init=1 << 10)
+    assert res["target_met"]
+    assert np.all(res["mc_variance_reduction"] > 20.0), \
+        res["mc_variance_reduction"]
+
+    # MC cross-check of the telescoped mean through calculate_batch
+    ls = [sim.level_instance(p, [0] if i == 0 else level_params[i - 1])
+          for i, p in enumerate(level_params)]
+    key = jax.random.key(17)
+    mc_mean, mc_var = 0.0, 0.0
+    n_mc = 4096
+    for lev, level_sim in enumerate(ls):
+        keys = jax.random.split(jax.random.fold_in(key, lev), n_mc)
+        fine, coarse, _ = ShootingSimulation1D.calculate_batch(
+            level_sim.config_dict, keys)
+        d = np.asarray(fine[:, 0] - coarse[:, 0])
+        assert np.all(np.isfinite(d))
+        mc_mean += d.mean()
+        mc_var += d.var(ddof=1) / n_mc
+    err = abs(res["mean"] - mc_mean)
+    assert err < 6.0 * np.sqrt(res["var"] + mc_var), (res["mean"], mc_mean)
+
+
+def test_darcy_qmc_matches_mc_and_reduces_variance():
+    """PDE MLMC under QMC: the RFF phases come from scrambled Sobol'
+    points; the outflow-flux estimate must agree with the key-driven MC
+    batch path, with a real variance reduction."""
+    from mlmc_tpu.sim.diffusion import DiffusionSimulation
+    from mlmc_tpu.qmc import darcy_qmc_level_fns
+
+    sim = DiffusionSimulation(dict(sigma=0.8, corr_length=0.4,
+                                   field_method="rff", n_modes=32))
+    level_params = [[1 / 4], [1 / 8]]
+    fns, dims = darcy_qmc_level_fns(sim, level_params)
+    assert dims == [32, 32]
+    ml = MLQMC(fns, dims, n_randomizations=8, seed=6, chunk_size=1 << 8)
+    res = ml.run(target_var=2e-6, n_init=1 << 8, max_rounds=10)
+    assert np.isfinite(res["mean"]) and res["mean"] > 0
+    # level 0 (the absolute-value level, where nearly all the variance
+    # lives) gains an order of magnitude; the fine-coarse DIFFERENCE is a
+    # rougher functional of the phases, so its gain is modest
+    gains = res["mc_variance_reduction"]
+    assert gains[0] > 10.0 and np.all(gains > 1.5), gains
+
+    mc_mean, mc_var, key = 0.0, 0.0, jax.random.key(29)
+    n_mc = 512
+    for lev, params in enumerate(level_params):
+        coarse = [0] if lev == 0 else level_params[lev - 1]
+        cfg = sim.level_instance(params, coarse).config_dict
+        keys = jax.random.split(jax.random.fold_in(key, lev), n_mc)
+        fine, coarse_r, _ = DiffusionSimulation.calculate_batch(cfg, keys)
+        d = np.asarray(fine[:, 0] - coarse_r[:, 0])
+        mc_mean += d.mean()
+        mc_var += d.var(ddof=1) / n_mc
+    err = abs(res["mean"] - mc_mean)
+    assert err < 6.0 * np.sqrt(res["var"] + mc_var), (res["mean"], mc_mean)
+
+    # the circulant path has no phase parametrization: must refuse
+    circ = DiffusionSimulation(dict(sigma=0.8, corr_length=0.4,
+                                    field_method="circulant"))
+    with pytest.raises(ValueError):
+        darcy_qmc_level_fns(circ, level_params)
+
+
 def test_mlqmc_rejects_failure_modes():
     with pytest.raises(ValueError):
         synth_qmc_level_fns([[0.5]], distr="norm", nan_fraction=0.1)
@@ -173,12 +256,13 @@ def test_mlqmc_distribution_transforms():
     from mlmc_tpu.random.distributions import as_jax_distr
 
     dv_cache = {}
-    for name in ("norm", "lognorm", "uniform", "two_gaussians"):
+    for idx, name in enumerate(("norm", "lognorm", "uniform",
+                                "two_gaussians")):
         d = as_jax_distr(name)
         dim = d.qmc_dim
         dv = dv_cache.setdefault(
             dim, jnp.asarray(sobol.direction_numbers(dim)))
-        seeds = sobol.scramble_seeds(jax.random.key(hash(name) % 1000), dim)
+        seeds = sobol.scramble_seeds(jax.random.key(idx), dim)
         u = sobol.sobol_uniforms(dv, 0, 8192, seeds, dtype=jnp.float64)
         y = np.asarray(d.sample_uniforms(u))
         assert abs(y.mean() - d.mean()) < 0.05 * max(1.0, abs(d.mean()) + d.var())
