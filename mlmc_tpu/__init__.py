@@ -136,6 +136,7 @@ from mlmc_tpu.sim.transport import TransportSimulation
 from mlmc_tpu.sim.flow_sim import FlowSim
 from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
-    darcy_qmc_level_fns, qmc_level_fns_from_normals)
+    darcy_qmc_level_fns, qmc_level_fns_from_normals,
+    moments_qmc_level_fns)
 
 __version__ = "0.1.0"

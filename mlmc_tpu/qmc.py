@@ -43,16 +43,18 @@ from mlmc_tpu.random.distributions import as_jax_distr
 
 __all__ = ["MLQMC", "QMCLevelState", "synth_qmc_level_fns",
            "shooting_qmc_level_fns", "darcy_qmc_level_fns",
-           "qmc_level_fns_from_normals"]
+           "qmc_level_fns_from_normals", "moments_qmc_level_fns"]
 
 
 class QMCLevelState:
-    """Per-level accumulators: R randomization sums over the point prefix."""
+    """Per-level accumulators: R randomization sums over the point prefix
+    (shape [R] for scalar QoIs, [R, K] for vector QoIs)."""
 
-    def __init__(self, n_rand, dtype):
+    def __init__(self, n_rand, dtype, qoi_dim=None):
+        shape = (n_rand,) if qoi_dim is None else (n_rand, qoi_dim)
         self.n = 0
-        self.sums = np.zeros(n_rand, dtype=dtype)       # Σ_i diff_i per r
-        self.sums_sq = np.zeros(n_rand, dtype=dtype)    # Σ_i diff_i² per r
+        self.sums = np.zeros(shape, dtype=dtype)     # Σ_i diff_i per r(,k)
+        self.sums_sq = np.zeros(shape, dtype=dtype)  # Σ_i diff_i² per r(,k)
         self.elapsed = 0.0
 
 
@@ -67,12 +69,19 @@ class MLQMC:
     :param cost_per_sample: optional per-level relative costs for the
         allocation rule; measured wall time is used when omitted
     :param chunk_size: points per scan step inside an extension dispatch
+    :param qoi_dim: None for scalar level functions (``fine/coarse [n]``);
+        an int K makes the driver vector-valued (``fine/coarse [n, K]``,
+        e.g. a moment vector) — the adaptive loop then targets the WORST
+        component (max_k Σ_l V_{l,k} <= target_var), matching the
+        reference sampler's max-over-moments allocation rule
+        (reference mlmc/sampler.py:195-229 via estimator n_estimated)
     """
 
     def __init__(self, level_fns: Sequence[Callable], dims,
                  n_randomizations: int = 32, seed: int = 0,
                  cost_per_sample: Optional[Sequence[float]] = None,
-                 chunk_size: int = 1 << 15, dtype=None):
+                 chunk_size: int = 1 << 15, dtype=None,
+                 qoi_dim: Optional[int] = None):
         self._fns = list(level_fns)
         n_levels = len(self._fns)
         if np.isscalar(dims):
@@ -94,7 +103,8 @@ class MLQMC:
             jax.vmap(lambda k, d=d: sobol.scramble_seeds(k, d))(
                 jax.random.split(jax.random.fold_in(key, lev), self._R))
             for lev, d in enumerate(self._dims)]          # [R, d_l] uint32
-        self._levels = [QMCLevelState(self._R, self._dtype)
+        self._qoi_dim = None if qoi_dim is None else int(qoi_dim)
+        self._levels = [QMCLevelState(self._R, self._dtype, self._qoi_dim)
                         for _ in range(n_levels)]
         self._fixed_cost = (None if cost_per_sample is None
                             else np.asarray(cost_per_sample, dtype=float))
@@ -138,6 +148,8 @@ class MLQMC:
             def two_sum(a, b):
                 return a + b, jnp.zeros_like(a)
 
+        qoi_shape = () if self._qoi_dim is None else (self._qoi_dim,)
+
         def one_rand(start, n_chunks, seeds):
             def body(c, carry):
                 s, cs, s2, cs2 = carry
@@ -146,11 +158,11 @@ class MLQMC:
                     chunk, seeds, dtype=dtype)
                 fine, coarse = level_fn(u)
                 d = (fine - coarse).astype(dtype)
-                s, e = two_sum(s, jnp.sum(d))
-                s2, e2 = two_sum(s2, jnp.sum(d * d))
+                s, e = two_sum(s, jnp.sum(d, axis=0))
+                s2, e2 = two_sum(s2, jnp.sum(d * d, axis=0))
                 return (s, cs + e, s2, cs2 + e2)
 
-            z = jnp.zeros((), dtype)
+            z = jnp.zeros(qoi_shape, dtype)
             s, cs, s2, cs2 = jax.lax.fori_loop(
                 0, n_chunks, body, (z, z, z, z))
             return s + cs, s2 + cs2
@@ -195,25 +207,25 @@ class MLQMC:
 
     # ------------------------------------------------------------------ #
     def level_estimates(self):
-        """(means [L], est_vars [L]) — per-level estimator mean and the
-        variance OF THAT MEAN measured across randomizations."""
+        """(means [L(,K)], est_vars [L(,K)]) — per-level estimator mean and
+        the variance OF THAT MEAN measured across randomizations."""
         means, est_vars = [], []
         for s in self._levels:
             y_r = s.sums / max(s.n, 1)
-            means.append(float(np.mean(y_r)))
-            est_vars.append(float(np.var(y_r, ddof=1) / self._R))
+            means.append(np.mean(y_r, axis=0))
+            est_vars.append(np.var(y_r, axis=0, ddof=1) / self._R)
         return np.array(means), np.array(est_vars)
 
     def point_variances(self):
         """Per-level plain-MC per-point variances (pooled across
         randomizations) — what a pseudo-random estimator's variance per
         sample would be; the QMC gain factor is
-        ``point_var / (n · est_var · R)``."""
+        ``point_var / (n · est_var · R)``. Shape [L] or [L, K]."""
         out = []
         for s in self._levels:
             n = max(s.n, 2)
             v_r = (s.sums_sq / n - (s.sums / n) ** 2) * n / (n - 1)
-            out.append(float(np.mean(v_r)))
+            out.append(np.mean(v_r, axis=0))
         return np.array(out)
 
     def _costs(self):
@@ -224,9 +236,17 @@ class MLQMC:
             measured = np.ones(self.n_levels)
         return measured
 
+    def _worst(self, per_level):
+        """Collapse [L(,K)] per-level values to [L]: vector QoIs are
+        driven by their worst component (the reference's max-over-moments
+        allocation rule)."""
+        per_level = np.asarray(per_level)
+        return per_level if per_level.ndim == 1 else per_level.max(axis=-1)
+
     def run(self, target_var, n_init: int = 256, max_rounds: int = 60):
         """Adaptive loop: double the point count of the level whose
-        estimator variance is cheapest to halve until Σ_l V_l <= target.
+        estimator variance is cheapest to halve until Σ_l V_l <= target
+        (for vector QoIs: until max_k Σ_l V_{l,k} <= target).
 
         :return: dict with mean, estimator variance, per-level breakdown
             and the measured QMC-vs-MC variance-reduction factors
@@ -239,12 +259,12 @@ class MLQMC:
         rounds = 0
         while rounds < max_rounds:
             _, est_vars = self.level_estimates()
-            if float(np.sum(est_vars)) <= target_var:
+            if float(np.max(np.sum(est_vars, axis=0))) <= target_var:
                 break
             costs = self._costs()
             ns = self.n_samples
             # doubling level l removes ~V_l/2 variance at cost C_l·n_l
-            payoff = est_vars / (costs * ns)
+            payoff = self._worst(est_vars) / (costs * ns)
             lev = int(np.argmax(payoff))
             self.extend(lev, int(ns[lev]))
             rounds += 1
@@ -252,14 +272,18 @@ class MLQMC:
         point_vars = self.point_variances()
         ns = self.n_samples
         total = ns * self._R
+        var = np.sum(est_vars, axis=0)
+        total_b = total if est_vars.ndim == 1 else total[:, None]
         with np.errstate(divide="ignore", invalid="ignore"):
-            gain = point_vars / (est_vars * total)
-        return dict(mean=float(np.sum(means)),
-                    var=float(np.sum(est_vars)),
+            gain = point_vars / (est_vars * total_b)
+        scalar = est_vars.ndim == 1
+        return dict(mean=float(np.sum(means)) if scalar
+                    else np.sum(means, axis=0),
+                    var=float(var) if scalar else var,
                     level_means=means, level_vars=est_vars,
                     n_samples=ns, n_evaluations=total,
                     n_randomizations=self._R, rounds=rounds,
-                    target_met=bool(np.sum(est_vars) <= target_var),
+                    target_met=bool(np.max(var) <= target_var),
                     mc_variance_reduction=gain)
 
 
@@ -367,6 +391,61 @@ def darcy_qmc_level_fns(sim, level_parameters):
         fns.append(fn)
         dims.append(int(cfg["_wave_vectors"].shape[0]))
     return fns, dims
+
+
+def moments_qmc_level_fns(level_fns, dims, moments, out_of_domain="error"):
+    """Lift scalar QMC level functions to MOMENT-VECTOR level functions,
+    so the full maxent density pipeline rides the QMC tier: the driver
+    then estimates all R moment means (with cross-randomization error
+    bars) in one adaptive run, and ``(means, vars)`` feed
+    :class:`~mlmc_tpu.tool.simple_distribution.SimpleDistribution`
+    directly — the reference's density workflow
+    (reference mlmc/estimator.py:116-134) at QMC convergence rates.
+
+    Level-0 coarse results are identically zero in the scalar contract;
+    the lifted function zeroes the coarse moment BLOCK there (phi(0) is
+    not the zero vector), matching the estimators' telescoping
+    convention (reference mlmc/quantity/quantity_estimate.py:64-77).
+
+    :param level_fns: scalar level functions, as produced by the other
+        adapters in this module
+    :param dims: their per-level point dimensions
+    :param moments: a :class:`~mlmc_tpu.moments.Moments` basis; its
+        domain must cover the reachable QoI range
+    :param out_of_domain: ``"error"`` — values outside the moment domain
+        become NaN and fail the run loudly (QMC points cannot be dropped
+        without bias); ``"clip"`` — clamp values to the domain edges
+        first (bias bounded by P(outside)·max|phi|; same order as the
+        reference's quantile-domain NaN masking, but deterministic)
+    :return: (vector_level_fns, dims, qoi_dim) for :class:`MLQMC`
+    """
+    if out_of_domain not in ("error", "clip"):
+        raise ValueError("out_of_domain must be 'error' or 'clip'")
+    if out_of_domain == "clip":
+        # a non-NaN evaluator + explicit clamp: no NaN path at all
+        moments = type(moments)(moments.size, moments.domain,
+                                log=moments._is_log, safe_eval=False)
+        lo, hi = moments.domain
+
+        def prep(v):
+            return jnp.clip(v, lo, hi)
+    else:
+        def prep(v):
+            return v
+
+    out_fns = []
+    for lev, fn in enumerate(level_fns):
+        def qfn(u, fn=fn, lev=lev):
+            fine, coarse = fn(u)
+            fine_m = moments.eval_all(prep(fine))
+            if lev == 0:
+                coarse_m = jnp.zeros_like(fine_m)
+            else:
+                coarse_m = moments.eval_all(prep(coarse))
+            return fine_m, coarse_m
+
+        out_fns.append(qfn)
+    return out_fns, list(dims), moments.size
 
 
 def qmc_level_fns_from_normals(normal_fns: List[Callable], n_normals):

@@ -267,3 +267,106 @@ def test_mlqmc_distribution_transforms():
         y = np.asarray(d.sample_uniforms(u))
         assert abs(y.mean() - d.mean()) < 0.05 * max(1.0, abs(d.mean()) + d.var())
         assert abs(y.var() - d.var()) < 0.1 * max(1.0, d.var())
+
+
+# ---------------------------------------------------------------------- #
+# vector QoIs: moment vectors through the QMC tier
+# ---------------------------------------------------------------------- #
+def test_mlqmc_moment_vector_matches_quadrature():
+    """The lifted moment-vector driver telescopes every Legendre moment
+    to its exact (quadrature) value, with honest cross-randomization
+    error bars, and the level-0 coarse moment block is zeroed (phi(0)
+    is NOT the zero vector)."""
+    from mlmc_tpu.moments import Legendre
+    from mlmc_tpu.qmc import moments_qmc_level_fns
+
+    def g0(u):
+        x = u[:, 0]
+        return x, jnp.zeros_like(x)
+
+    def g1(u):
+        x = u[:, 0]
+        return x * x, x
+
+    R = 8
+    mfn = Legendre(R, (0.0, 1.0))
+    fns, dims, K = moments_qmc_level_fns([g0, g1], [1, 1], mfn)
+    assert K == R
+    ml = MLQMC(fns, dims, n_randomizations=8, seed=3, qoi_dim=K,
+               chunk_size=1 << 10, cost_per_sample=[1.0, 2.0])
+    res = ml.run(target_var=1e-9, n_init=1024, max_rounds=20)
+    assert res["target_met"]
+    assert res["mean"].shape == (R,)
+
+    # exact telescoped moments: E[phi_k(x^2)], x ~ U(0, 1)
+    t, w = np.polynomial.legendre.leggauss(64)
+    x = (t + 1.0) / 2.0
+    phi = np.asarray(mfn.eval_all_np(x * x))
+    exact = phi.T @ (w / 2.0)
+
+    err = np.abs(res["mean"] - exact)
+    bound = 6.0 * np.sqrt(res["var"]) + 1e-10
+    assert np.all(err < bound), (err, bound)
+    # the constant moment is exact and variance-free
+    assert abs(res["mean"][0] - 1.0) < 1e-12
+    assert res["var"][0] == 0.0
+    # smooth 1D integrands: scrambled-net variance far below plain MC
+    gain = np.asarray(res["mc_variance_reduction"])[:, 1:]
+    assert np.median(gain[np.isfinite(gain)]) > 5.0
+
+
+def test_mlqmc_moments_out_of_domain_error_and_clip():
+    from mlmc_tpu.moments import Legendre
+    from mlmc_tpu.qmc import moments_qmc_level_fns
+
+    def g0(u):
+        x = u[:, 0]
+        return x, jnp.zeros_like(x)
+
+    mfn = Legendre(4, (0.0, 0.5))          # half the points fall outside
+    fns, dims, K = moments_qmc_level_fns([g0], [1], mfn)
+    ml = MLQMC(fns, dims, n_randomizations=4, qoi_dim=K)
+    with pytest.raises(FloatingPointError):
+        ml.extend(0, 64)
+
+    fns, dims, K = moments_qmc_level_fns([g0], [1], mfn,
+                                         out_of_domain="clip")
+    ml = MLQMC(fns, dims, n_randomizations=4, qoi_dim=K)
+    ml.extend(0, 64)                       # clamps instead of failing
+    means, _ = ml.level_estimates()
+    assert np.all(np.isfinite(means))
+    with pytest.raises(ValueError):
+        moments_qmc_level_fns([g0], [1], mfn, out_of_domain="drop")
+
+
+def test_mlqmc_moments_to_maxent_density_e2e():
+    """The reference's density workflow (sample moments + variances ->
+    maxent solve -> pdf; reference mlmc/estimator.py:116-134) rides the
+    QMC tier end to end: a Gaussian QoI reconstructed from QMC moment
+    estimates matches the exact pdf in KL."""
+    from scipy import stats
+
+    from mlmc_tpu.moments import Legendre
+    from mlmc_tpu.qmc import moments_qmc_level_fns
+    import mlmc_tpu.tool.simple_distribution as sd
+
+    def normal_fn(z):
+        return z[:, 0], jnp.zeros(z.shape[0])
+
+    base_fns, dims = qmc_level_fns_from_normals([normal_fn], 1)
+    mfn = Legendre(16, (-5.0, 5.0), safe_eval=False)
+    fns, dims, K = moments_qmc_level_fns(base_fns, dims, mfn,
+                                         out_of_domain="clip")
+    ml = MLQMC(fns, dims, n_randomizations=8, seed=11, qoi_dim=K,
+               chunk_size=1 << 12, cost_per_sample=[1.0])
+    res = ml.run(target_var=1e-8, n_init=4096, max_rounds=14)
+
+    # unit variances into the solve, like the reference density workflow
+    # (estimator construct_density; the sigma column conditions the
+    # Newton system rather than carrying statistics)
+    moment_data = np.stack((res["mean"], np.ones(K)), axis=1)
+    d = sd.SimpleDistribution(mfn, moment_data, domain=mfn.domain)
+    result = d.estimate_density_minimize(tol=1e-7)
+    assert result.success, result.message
+    kl = sd.KL_divergence(stats.norm(0, 1).pdf, d.density, -5.0, 5.0)
+    assert kl < 1e-3, kl
