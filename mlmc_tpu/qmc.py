@@ -75,13 +75,18 @@ class MLQMC:
         component (max_k Σ_l V_{l,k} <= target_var), matching the
         reference sampler's max-over-moments allocation rule
         (reference mlmc/sampler.py:195-229 via estimator n_estimated)
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        the R randomizations are embarrassingly parallel, so each
+        extension shard_maps them across the mesh (R must divide by the
+        device count); per-device work and the host<->device traffic
+        ([R]-vectors) are unchanged, wall time divides by the pod size
     """
 
     def __init__(self, level_fns: Sequence[Callable], dims,
                  n_randomizations: int = 32, seed: int = 0,
                  cost_per_sample: Optional[Sequence[float]] = None,
                  chunk_size: int = 1 << 15, dtype=None,
-                 qoi_dim: Optional[int] = None):
+                 qoi_dim: Optional[int] = None, mesh=None):
         self._fns = list(level_fns)
         n_levels = len(self._fns)
         if np.isscalar(dims):
@@ -104,6 +109,11 @@ class MLQMC:
                 jax.random.split(jax.random.fold_in(key, lev), self._R))
             for lev, d in enumerate(self._dims)]          # [R, d_l] uint32
         self._qoi_dim = None if qoi_dim is None else int(qoi_dim)
+        self._mesh = mesh
+        if mesh is not None and self._R % mesh.n_devices:
+            raise ValueError(
+                "n_randomizations=%d must divide by the mesh's %d devices"
+                % (self._R, mesh.n_devices))
         self._levels = [QMCLevelState(self._R, self._dtype, self._qoi_dim)
                         for _ in range(n_levels)]
         self._fixed_cost = (None if cost_per_sample is None
@@ -149,6 +159,18 @@ class MLQMC:
                 return a + b, jnp.zeros_like(a)
 
         qoi_shape = () if self._qoi_dim is None else (self._qoi_dim,)
+        if self._mesh is not None:
+            # inside shard_map the carry depends on the per-shard seeds:
+            # mark the zero initializer as varying over the mesh axis
+            axis_names = (self._mesh.axis_name,)
+
+            def mark(z):
+                if hasattr(jax.lax, "pcast"):
+                    return jax.lax.pcast(z, axis_names, to="varying")
+                return jax.lax.pvary(z, axis_names)
+        else:
+            def mark(z):
+                return z
 
         def one_rand(start, n_chunks, seeds):
             def body(c, carry):
@@ -162,13 +184,25 @@ class MLQMC:
                 s2, e2 = two_sum(s2, jnp.sum(d * d, axis=0))
                 return (s, cs + e, s2, cs2 + e2)
 
-            z = jnp.zeros(qoi_shape, dtype)
+            z = mark(jnp.zeros(qoi_shape, dtype))
             s, cs, s2, cs2 = jax.lax.fori_loop(
                 0, n_chunks, body, (z, z, z, z))
             return s + cs, s2 + cs2
 
         def batch(start, n_chunks, seeds):
             return jax.vmap(lambda sd: one_rand(start, n_chunks, sd))(seeds)
+
+        if self._mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:           # older jax
+                from jax.experimental.shard_map import shard_map
+            axis = self._mesh.axis_name
+            batch = shard_map(
+                batch, mesh=self._mesh.mesh,
+                in_specs=(P(), P(), P(axis)),   # seeds [R, d] fan out
+                out_specs=(P(axis), P(axis)))   # [R]-vector sums gather
 
         cached = (jax.jit(batch), chunk)
         self._eval_cache[level] = cached

@@ -370,3 +370,30 @@ def test_mlqmc_moments_to_maxent_density_e2e():
     assert result.success, result.message
     kl = sd.KL_divergence(stats.norm(0, 1).pdf, d.density, -5.0, 5.0)
     assert kl < 1e-3, kl
+
+
+def test_mlqmc_sharded_randomizations_match_single_device():
+    """The R randomizations shard_map across the pod: the sharded driver
+    reproduces the single-device driver's accumulators (the reference's
+    PBS fan-out, as one jitted program over the mesh)."""
+    from mlmc_tpu.parallel.mesh import sample_mesh
+
+    fns, dims = synth_qmc_level_fns([[0.5], [0.25]], distr="norm")
+    kw = dict(n_randomizations=8, seed=21, chunk_size=1 << 9,
+              cost_per_sample=[1.0, 2.0])
+    single = MLQMC(fns, dims, **kw)
+    sharded = MLQMC(fns, dims, mesh=sample_mesh(8), **kw)
+    for ml in (single, sharded):
+        ml.extend(0, 1024)
+        ml.extend(1, 512)
+        ml.extend(1, 512)           # extensions reuse the executable
+    for s1, s2 in zip(single._levels, sharded._levels):
+        np.testing.assert_allclose(s2.sums, s1.sums, rtol=1e-12)
+        np.testing.assert_allclose(s2.sums_sq, s1.sums_sq, rtol=1e-12)
+    m1, v1 = single.level_estimates()
+    m2, v2 = sharded.level_estimates()
+    np.testing.assert_allclose(m2, m1, rtol=1e-12)
+    np.testing.assert_allclose(v2, v1, rtol=1e-10)
+
+    with pytest.raises(ValueError):
+        MLQMC(fns, dims, n_randomizations=6, mesh=sample_mesh(8))
