@@ -427,6 +427,18 @@ def darcy_qmc_level_fns(sim, level_parameters):
     return fns, dims
 
 
+def _without_safe_eval(moments):
+    """Rebuild a moment basis with ``safe_eval=False`` (no NaN clipping),
+    recursing through :class:`~mlmc_tpu.moments.TransformedMoments`."""
+    from mlmc_tpu.moments import TransformedMoments
+
+    if isinstance(moments, TransformedMoments):
+        return TransformedMoments(_without_safe_eval(moments._origin),
+                                  moments._transform_mat)
+    return type(moments)(moments.size, moments.domain,
+                         log=moments._is_log, safe_eval=False)
+
+
 def moments_qmc_level_fns(level_fns, dims, moments, out_of_domain="error"):
     """Lift scalar QMC level functions to MOMENT-VECTOR level functions,
     so the full maxent density pipeline rides the QMC tier: the driver
@@ -457,8 +469,7 @@ def moments_qmc_level_fns(level_fns, dims, moments, out_of_domain="error"):
         raise ValueError("out_of_domain must be 'error' or 'clip'")
     if out_of_domain == "clip":
         # a non-NaN evaluator + explicit clamp: no NaN path at all
-        moments = type(moments)(moments.size, moments.domain,
-                                log=moments._is_log, safe_eval=False)
+        moments = _without_safe_eval(moments)
         lo, hi = moments.domain
 
         def prep(v):

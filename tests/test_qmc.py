@@ -338,6 +338,19 @@ def test_mlqmc_moments_out_of_domain_error_and_clip():
     with pytest.raises(ValueError):
         moments_qmc_level_fns([g0], [1], mfn, out_of_domain="drop")
 
+    # clip mode recurses through TransformedMoments (the orthogonalized
+    # basis of the density workflow) instead of choking on its ctor
+    from mlmc_tpu.moments import TransformedMoments
+
+    tmfn = TransformedMoments(mfn, np.eye(4)[:3])
+    fns, dims, K = moments_qmc_level_fns([g0], [1], tmfn,
+                                         out_of_domain="clip")
+    assert K == 3
+    ml = MLQMC(fns, dims, n_randomizations=4, qoi_dim=K)
+    ml.extend(0, 64)
+    means, _ = ml.level_estimates()
+    assert np.all(np.isfinite(means))
+
 
 def test_mlqmc_moments_to_maxent_density_e2e():
     """The reference's density workflow (sample moments + variances ->
