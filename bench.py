@@ -309,6 +309,17 @@ def main():
         print("bench: rng-quality path FAILED:", file=sys.stderr)
         traceback.print_exc()
 
+    # ---------------- MLQMC tier (beyond-reference capability) ---------- #
+    qmc_evidence = None
+    try:
+        from bench_extra import bench_qmc_compact
+
+        qmc_evidence = bench_qmc_compact()
+    except Exception:
+        qmc_evidence = {"error": "qmc path failed"}
+        print("bench: qmc path FAILED:", file=sys.stderr)
+        traceback.print_exc()
+
     # ---------------- maxent PDF from the estimate (config 3) ----------- #
     maxent_s = None
     maxent_backend = None
@@ -351,6 +362,7 @@ def main():
             "precision_vs_f64": precision,
             "extended_precision": extended,
             "rng_quality": rng_quality,
+            "qmc": qmc_evidence,
             "maxent_solve_s": round(maxent_s, 3) if maxent_s else None,
             "maxent_converged": bool(result.success) if result else None,
             "maxent_solver_backend": maxent_backend,

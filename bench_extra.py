@@ -454,6 +454,34 @@ def bench_e2e_fused():
                 density_converged=bool(getattr(result, "success", True)))
 
 
+def bench_qmc_compact():
+    """Compact MLQMC evidence for the headline bench artifact: the
+    5-level synth QoI to target_var=1e-12, reporting the evaluation
+    count variance-optimally-allocated plain MC would need for the same
+    target. One warm adaptive run, no throughput probe, no shooting
+    workload — see ``bench_qmc`` for the full measurement."""
+    from mlmc_tpu.qmc import MLQMC, synth_qmc_level_fns
+
+    level_params = [[0.5], [0.25], [0.125], [0.0625], [0.03125]]
+    fns, dims = synth_qmc_level_fns(level_params, distr="norm")
+    target_var = 1e-12
+    ml = MLQMC(fns, dims, n_randomizations=16, seed=11,
+               chunk_size=1 << 16)
+    ml.extend(0, 1 << 16)   # warm the executable set
+    t0 = time.perf_counter()
+    res = ml.run(target_var=target_var, n_init=1 << 14)
+    wall = time.perf_counter() - t0
+    point_vars = ml.point_variances()
+    mc_required = float(np.sum(np.sqrt(point_vars))) ** 2 / target_var
+    n_evals = int(np.sum(res["n_evaluations"]))
+    return dict(target_var=target_var,
+                wall_s=round(wall, 2),
+                qmc_evaluations=n_evals,
+                mc_optimal_evaluations=int(mc_required),
+                mc_over_qmc=round(mc_required / max(n_evals, 1), 1),
+                target_met=res["target_met"])
+
+
 def bench_qmc():
     """Multilevel quasi-Monte Carlo tier (no reference analogue — the
     reference is pseudo-random end to end): Owen-scrambled Sobol' points
