@@ -138,6 +138,6 @@ from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
     moments_qmc_level_fns)
-from mlmc_tpu.sensitivity import sobol_indices
+from mlmc_tpu.sensitivity import sobol_indices, sobol_indices_mlmc
 
 __version__ = "0.1.0"

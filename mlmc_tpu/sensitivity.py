@@ -11,6 +11,15 @@ estimators — the configuration recommended by Saltelli et al. 2010,
 workload: one design matrix of ``n·(d+2)`` model evaluations, reduced to
 ``2d+4`` accumulator scalars, all inside one jitted program.
 
+Two estimators:
+
+- :func:`sobol_indices` — single model, the standard pick-freeze run;
+- :func:`sobol_indices_mlmc` — a level hierarchy ``f_0 … f_L`` (the
+  MLMC contract: each level evaluates fine AND coarse on the same
+  input): every pick-freeze expectation telescopes across levels
+  (Mycek & Le Maître 2019, "Multilevel Monte Carlo estimators for
+  Sobol' indices"), so most design evaluations hit the cheap levels.
+
 TPU-first design (mirrors `mlmc_tpu.qmc.MLQMC`'s streaming economics):
 
 - the pick-freeze blocks A and B are the first/last ``d`` columns of ONE
@@ -31,7 +40,7 @@ Estimators (per scrambling; f_A, f_B, f_ABi are the model on the A / B /
 - first order (Jansen):  V_i  = V − Σ_j (f_B − f_ABi)² / (2n)
 - total effect (Jansen): VT_i =      Σ_j (f_A − f_ABi)² / (2n)
 """
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 import jax
@@ -39,7 +48,7 @@ import jax.numpy as jnp
 
 from mlmc_tpu.ops import sobol
 
-__all__ = ["sobol_indices", "SobolIndices"]
+__all__ = ["sobol_indices", "sobol_indices_mlmc", "SobolIndices"]
 
 
 class SobolIndices(dict):
@@ -47,6 +56,111 @@ class SobolIndices(dict):
     ``res["first_order"]``)."""
 
     __getattr__ = dict.__getitem__
+
+
+def _check_args(dim, n_randomizations, chunk_size):
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if n_randomizations < 2:
+        raise ValueError("need >= 2 randomizations for standard errors")
+    if chunk_size & (chunk_size - 1):
+        raise ValueError("chunk_size must be a power of two")
+
+
+def _round_to_chunks(n, chunk_size):
+    chunk = min(int(chunk_size), max(64, 1 << (int(n) - 1).bit_length()))
+    n_chunks = -(-int(n) // chunk)
+    return chunk, n_chunks, n_chunks * chunk
+
+
+def _design_program(level_fn, dim, chunk, work_dtype, transform):
+    """Jittable ``(n_chunks, seeds [R, 2d]) -> six accumulators`` running
+    the pick-freeze design through ``level_fn(x) -> (fine, coarse)`` and
+    accumulating the TELESCOPED terms (single-level callers return
+    ``coarse = 0`` and XLA folds the zero subtractions away):
+
+    ``sa = Σ Δ(A)``, ``sa2 = Σ Δ²(A)`` (Δ² meaning fine² − coarse²),
+    same for B, and per input factor i
+    ``d1_i = Σ [(f_B − f_ABi)² − (c_B − c_ABi)²]``,
+    ``dt_i = Σ [(f_A − f_ABi)² − (c_A − c_ABi)²]``.
+    """
+    dv = jnp.asarray(sobol.direction_numbers(2 * dim))
+    eye = jnp.eye(dim, dtype=bool)
+
+    if work_dtype == jnp.float32:
+        from mlmc_tpu.ops.df64 import two_sum
+    else:
+        def two_sum(a, b):
+            return a + b, jnp.zeros_like(a)
+
+    def eval_blocks(start, sds):
+        u = sobol.sobol_uniforms(dv, start, chunk, sds, dtype=work_dtype)
+        a, b = u[:, :dim], u[:, dim:]
+        if transform is not None:
+            a, b = transform(a), transform(b)
+        f_a, c_a = level_fn(a)
+        f_b, c_b = level_fn(b)
+        # AB_i: A with column i taken from B — [d, chunk, dim]
+        ab = jnp.where(eye[:, None, :], b[None], a[None])
+        f_ab, c_ab = level_fn(ab.reshape(dim * chunk, dim))
+        return ((f_a, c_a), (f_b, c_b),
+                (f_ab.reshape(dim, chunk), c_ab.reshape(dim, chunk)))
+
+    def one_rand(n_chunks, sds):
+        zs = jnp.zeros((), work_dtype)
+        zd = jnp.zeros((dim,), work_dtype)
+        init = ((zs, zs), (zs, zs), (zs, zs), (zs, zs), (zd, zd), (zd, zd))
+
+        def add(c, x):
+            s, e = two_sum(c[0], x.astype(work_dtype))
+            return s, c[1] + e
+
+        def body(c, carry):
+            sa, sa2, sb, sb2, d1, dt = carry
+            (f_a, c_a), (f_b, c_b), (f_ab, c_ab) = eval_blocks(
+                jnp.uint32(c) * jnp.uint32(chunk), sds)
+            sa = add(sa, jnp.sum(f_a - c_a))
+            sa2 = add(sa2, jnp.sum(f_a * f_a - c_a * c_a))
+            sb = add(sb, jnp.sum(f_b - c_b))
+            sb2 = add(sb2, jnp.sum(f_b * f_b - c_b * c_b))
+            d1 = add(d1, jnp.sum((f_b[None] - f_ab) ** 2
+                                 - (c_b[None] - c_ab) ** 2, axis=1))
+            dt = add(dt, jnp.sum((f_a[None] - f_ab) ** 2
+                                 - (c_a[None] - c_ab) ** 2, axis=1))
+            return sa, sa2, sb, sb2, d1, dt
+
+        out = jax.lax.fori_loop(0, n_chunks, body, init)
+        return tuple(s + e for s, e in out)
+
+    @jax.jit
+    def run(n_chunks, seeds):
+        return jax.vmap(lambda sd: one_rand(n_chunks, sd))(seeds)
+
+    return run
+
+
+def _fetch_accumulators(run, n_chunks, seeds):
+    out = jax.device_get(run(n_chunks, seeds))
+    out = tuple(np.asarray(x, np.float64) for x in out)
+    if not all(np.all(np.isfinite(x)) for x in out):
+        raise FloatingPointError(
+            "model produced non-finite values on the design; Sobol-index "
+            "estimators cannot drop points without bias")
+    return out
+
+
+def _aggregate(s1, st, var, m, n, R, n_evaluations):
+    def agg(x):
+        return (np.mean(x, axis=0),
+                np.std(x, axis=0, ddof=1) / np.sqrt(R))
+
+    s1_m, s1_se = agg(s1)
+    st_m, st_se = agg(st)
+    return SobolIndices(
+        first_order=s1_m, first_order_se=s1_se,
+        total_effect=st_m, total_effect_se=st_se,
+        variance=float(np.mean(var)), mean=float(np.mean(m)),
+        n=n, n_randomizations=R, n_evaluations=n_evaluations)
 
 
 def sobol_indices(fn: Callable, dim: int, n: int = 1 << 13,
@@ -77,81 +191,19 @@ def sobol_indices(fn: Callable, dim: int, n: int = 1 << 13,
         ``mean``, ``n`` and ``n_evaluations``
     """
     dim = int(dim)
-    if dim < 1:
-        raise ValueError("dim must be >= 1")
     R = int(n_randomizations)
-    if R < 2:
-        raise ValueError("need >= 2 randomizations for standard errors")
-    chunk = int(chunk_size)
-    if chunk & (chunk - 1):
-        raise ValueError("chunk_size must be a power of two")
-    n = int(n)
-    chunk = min(chunk, max(64, 1 << (n - 1).bit_length()))
-    n_chunks = -(-n // chunk)
-    n = n_chunks * chunk
+    _check_args(dim, R, int(chunk_size))
+    chunk, n_chunks, n = _round_to_chunks(n, chunk_size)
     work_dtype = jnp.dtype(dtype or jnp.result_type(float))
 
-    dv = jnp.asarray(sobol.direction_numbers(2 * dim))
-    key = jax.random.key(seed)
+    def level_fn(x):
+        y = fn(x)
+        return y, jnp.zeros_like(y)
+
+    run = _design_program(level_fn, dim, chunk, work_dtype, transform)
     seeds = jax.vmap(lambda k: sobol.scramble_seeds(k, 2 * dim))(
-        jax.random.split(key, R))                    # [R, 2d]
-
-    if work_dtype == jnp.float32:
-        from mlmc_tpu.ops.df64 import two_sum
-    else:
-        def two_sum(a, b):
-            return a + b, jnp.zeros_like(a)
-
-    eye = jnp.eye(dim, dtype=bool)
-
-    def eval_blocks(start, sds):
-        u = sobol.sobol_uniforms(dv, start, chunk, sds, dtype=work_dtype)
-        a, b = u[:, :dim], u[:, dim:]
-        if transform is not None:
-            a, b = transform(a), transform(b)
-        f_a = fn(a)
-        f_b = fn(b)
-        # AB_i: A with column i taken from B — [d, chunk, dim]
-        ab = jnp.where(eye[:, None, :], b[None], a[None])
-        f_ab = fn(ab.reshape(dim * chunk, dim)).reshape(dim, chunk)
-        return f_a.astype(work_dtype), f_b.astype(work_dtype), \
-            f_ab.astype(work_dtype)
-
-    def one_rand(n_chunks, sds):
-        zs = jnp.zeros((), work_dtype)
-        zd = jnp.zeros((dim,), work_dtype)
-        init = ((zs, zs), (zs, zs), (zs, zs), (zs, zs), (zd, zd), (zd, zd))
-
-        def add(c, x):
-            s, e = two_sum(c[0], x)
-            return s, c[1] + e
-
-        def body(c, carry):
-            sa, sa2, sb, sb2, d1, dt = carry
-            f_a, f_b, f_ab = eval_blocks(
-                jnp.uint32(c) * jnp.uint32(chunk), sds)
-            sa = add(sa, jnp.sum(f_a))
-            sa2 = add(sa2, jnp.sum(f_a * f_a))
-            sb = add(sb, jnp.sum(f_b))
-            sb2 = add(sb2, jnp.sum(f_b * f_b))
-            d1 = add(d1, jnp.sum((f_b[None] - f_ab) ** 2, axis=1))
-            dt = add(dt, jnp.sum((f_a[None] - f_ab) ** 2, axis=1))
-            return sa, sa2, sb, sb2, d1, dt
-
-        out = jax.lax.fori_loop(0, n_chunks, body, init)
-        return tuple(s + e for s, e in out)
-
-    @jax.jit
-    def run(n_chunks, seeds):
-        return jax.vmap(lambda sd: one_rand(n_chunks, sd))(seeds)
-
-    sa, sa2, sb, sb2, d1, dt = jax.device_get(run(n_chunks, seeds))
-    sa, sa2, sb, sb2 = (np.asarray(x, np.float64) for x in (sa, sa2, sb, sb2))
-    d1, dt = np.asarray(d1, np.float64), np.asarray(dt, np.float64)
-    if not all(np.all(np.isfinite(x)) for x in (sa, sa2, sb, sb2, d1, dt)):
-        raise FloatingPointError(
-            "model produced non-finite values on the design; Sobol-index "
-            "estimators cannot drop points without bias")
+        jax.random.split(jax.random.key(seed), R))
+    sa, sa2, sb, sb2, d1, dt = _fetch_accumulators(run, n_chunks, seeds)
 
     m = (sa + sb) / (2 * n)                       # [R]
     var = ((sa2 + sb2) / (2 * n) - m * m) * (2 * n) / (2 * n - 1)
@@ -160,15 +212,76 @@ def sobol_indices(fn: Callable, dim: int, n: int = 1 << 13,
                          "Sobol' indices are undefined")
     s1 = (var[:, None] - d1 / (2 * n)) / var[:, None]      # [R, d]
     st = (dt / (2 * n)) / var[:, None]
+    return _aggregate(s1, st, var, m, n, R, R * n * (dim + 2))
 
-    def agg(x):
-        return (np.mean(x, axis=0),
-                np.std(x, axis=0, ddof=1) / np.sqrt(R))
 
-    s1_m, s1_se = agg(s1)
-    st_m, st_se = agg(st)
-    return SobolIndices(
-        first_order=s1_m, first_order_se=s1_se,
-        total_effect=st_m, total_effect_se=st_se,
-        variance=float(np.mean(var)), mean=float(np.mean(m)),
-        n=n, n_randomizations=R, n_evaluations=R * n * (dim + 2))
+def sobol_indices_mlmc(level_fns: Sequence[Callable], dim: int,
+                       n_per_level: Sequence[int],
+                       n_randomizations: int = 8, seed: int = 0,
+                       chunk_size: int = 1 << 11, dtype=None,
+                       transform: Optional[Callable] = None
+                       ) -> SobolIndices:
+    """Multilevel Sobol' indices: telescope every pick-freeze expectation
+    across a model hierarchy (Mycek & Le Maître 2019), so the accuracy of
+    the finest model costs mostly coarse-level evaluations.
+
+    Each level function follows the MLMC contract of `mlmc_tpu.qmc`:
+    ``level_fns[l](x [m, dim]) -> (fine [m], coarse [m])`` with BOTH
+    models evaluated on the same input (level 0 returns ``coarse == 0``).
+    Every estimator ingredient — E[f], E[f²] and the Jansen difference
+    terms E[(f_B − f_ABi)²], E[(f_A − f_ABi)²] — is a plain expectation,
+    so each telescopes as ``Σ_l E[g_l − g_{l−1}]`` with independent
+    scrambled designs per level.
+
+    The variance uses the population form ``V = E[f²] − E[f]²``
+    (an unbiased cross-level correction does not exist in closed form;
+    the O(1/n) bias is far below the index standard errors at any
+    reasonable design size).
+
+    :param n_per_level: design size per level (decreasing, like MLMC
+        sample allocations); each is rounded up to a chunk multiple
+    :return: :class:`SobolIndices`; ``n`` and ``level_terms`` hold the
+        per-level design sizes and the per-level telescoped contributions
+        to (V, mean) for diagnostics
+    """
+    dim = int(dim)
+    R = int(n_randomizations)
+    _check_args(dim, R, int(chunk_size))
+    L = len(level_fns)
+    if len(n_per_level) != L:
+        raise ValueError("n_per_level must match level_fns")
+    work_dtype = jnp.dtype(dtype or jnp.result_type(float))
+    key = jax.random.key(seed)
+
+    m = np.zeros(R)
+    ef2 = np.zeros(R)
+    t1 = np.zeros((R, dim))
+    tt = np.zeros((R, dim))
+    ns, level_v, level_m = [], [], []
+    n_evaluations = 0
+    for lev, (fn, n_l) in enumerate(zip(level_fns, n_per_level)):
+        chunk, n_chunks, n_l = _round_to_chunks(n_l, chunk_size)
+        ns.append(n_l)
+        n_evaluations += 2 * R * n_l * (dim + 2)  # fine + coarse
+        run = _design_program(fn, dim, chunk, work_dtype, transform)
+        seeds = jax.vmap(lambda k: sobol.scramble_seeds(k, 2 * dim))(
+            jax.random.split(jax.random.fold_in(key, lev), R))
+        sa, sa2, sb, sb2, d1, dt = _fetch_accumulators(run, n_chunks,
+                                                       seeds)
+        m += (sa + sb) / (2 * n_l)
+        ef2 += (sa2 + sb2) / (2 * n_l)
+        t1 += d1 / (2 * n_l)
+        tt += dt / (2 * n_l)
+        level_v.append(float(np.mean((sa2 + sb2) / (2 * n_l))))
+        level_m.append(float(np.mean((sa + sb) / (2 * n_l))))
+
+    var = ef2 - m * m                              # [R], population form
+    if np.any(var <= 0):
+        raise ValueError(
+            "telescoped variance is not positive — coarse levels "
+            "overwhelm the fine correction at these design sizes")
+    s1 = (var[:, None] - t1) / var[:, None]
+    st = tt / var[:, None]
+    out = _aggregate(s1, st, var, m, np.asarray(ns), R, n_evaluations)
+    out["level_terms"] = dict(e_f2=level_v, mean=level_m)
+    return out

@@ -88,6 +88,44 @@ def test_validation_errors():
                       n_randomizations=2)
 
 
+def test_mlmc_sobol_indices_telescope_to_fine_model():
+    """Two-level telescoped pick-freeze: a cheap surrogate carries the
+    bulk and a small fine-correction design fixes it up — the result
+    matches the FINE model's closed-form indices (Mycek & Le Maitre
+    2019 estimator structure)."""
+    from mlmc_tpu.sensitivity import sobol_indices_mlmc
+
+    def coarse_model(u):
+        # deliberately wrong b and a missing interaction term
+        x = 2 * jnp.pi * u - jnp.pi
+        return jnp.sin(x[:, 0]) + A_ISH * jnp.sin(x[:, 1]) ** 2
+
+    def level0(u):
+        y = coarse_model(u)
+        return y, jnp.zeros_like(y)
+
+    def level1(u):
+        return ishigami(u), coarse_model(u)
+
+    s_exact, st_exact, v_exact = ishigami_exact()
+    res = sobol_indices_mlmc([level0, level1], dim=3,
+                             n_per_level=[1 << 13, 1 << 11],
+                             n_randomizations=8, seed=3)
+    np.testing.assert_allclose(res.first_order, s_exact, atol=2e-2)
+    np.testing.assert_allclose(res.total_effect, st_exact, atol=2e-2)
+    np.testing.assert_allclose(res.variance, v_exact, rtol=2e-2)
+    # the fine correction is a small fraction of the coarse bulk
+    assert abs(res.level_terms["e_f2"][1]) < 0.5 * res.level_terms["e_f2"][0]
+    # telescoped == single-level on the fine model, within joint error
+    direct = sobol_indices(ishigami, dim=3, n=1 << 13,
+                           n_randomizations=8, seed=3)
+    np.testing.assert_allclose(res.first_order, direct.first_order,
+                               atol=2e-2)
+
+    with pytest.raises(ValueError):
+        sobol_indices_mlmc([level0], dim=3, n_per_level=[64, 64])
+
+
 def test_small_n_rounds_up_to_chunk_multiple():
     res = sobol_indices(ishigami, dim=3, n=100, n_randomizations=2,
                         seed=0, chunk_size=1 << 11)
