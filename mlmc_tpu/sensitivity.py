@@ -73,7 +73,30 @@ def _round_to_chunks(n, chunk_size):
     return chunk, n_chunks, n_chunks * chunk
 
 
-def _design_program(level_fn, dim, chunk, work_dtype, transform):
+_PROGRAM_CACHE = {}
+
+
+def _design_program_cached(level_fn, dim, chunk, work_dtype, transform,
+                           single=False):
+    """Per-process program cache: a fresh ``jax.jit`` closure per call
+    would re-trace and re-fetch the executable every time (~0.4 s over a
+    remote tunnel even with the persistent compile cache). Keyed on the
+    function objects, so repeat calls with the same model hit.
+    ``single`` wraps a scalar model as a zero-coarse level INSIDE the
+    builder, keeping the cache key on the user's function object."""
+    key = (level_fn, transform, dim, chunk, str(work_dtype), single)
+    run = _PROGRAM_CACHE.get(key)
+    if run is None:
+        if len(_PROGRAM_CACHE) >= 128:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+        run = _design_program(level_fn, dim, chunk, work_dtype, transform,
+                              single)
+        _PROGRAM_CACHE[key] = run
+    return run
+
+
+def _design_program(level_fn, dim, chunk, work_dtype, transform,
+                    single=False):
     """Jittable ``(n_chunks, seeds [R, 2d]) -> six accumulators`` running
     the pick-freeze design through ``level_fn(x) -> (fine, coarse)`` and
     accumulating the TELESCOPED terms (single-level callers return
@@ -84,6 +107,13 @@ def _design_program(level_fn, dim, chunk, work_dtype, transform):
     ``d1_i = Σ [(f_B − f_ABi)² − (c_B − c_ABi)²]``,
     ``dt_i = Σ [(f_A − f_ABi)² − (c_A − c_ABi)²]``.
     """
+    if single:
+        scalar_fn = level_fn
+
+        def level_fn(x):  # noqa: F811 — zero coarse, folded away by XLA
+            y = scalar_fn(x)
+            return y, jnp.zeros_like(y)
+
     dv = jnp.asarray(sobol.direction_numbers(2 * dim))
     eye = jnp.eye(dim, dtype=bool)
 
@@ -196,11 +226,8 @@ def sobol_indices(fn: Callable, dim: int, n: int = 1 << 13,
     chunk, n_chunks, n = _round_to_chunks(n, chunk_size)
     work_dtype = jnp.dtype(dtype or jnp.result_type(float))
 
-    def level_fn(x):
-        y = fn(x)
-        return y, jnp.zeros_like(y)
-
-    run = _design_program(level_fn, dim, chunk, work_dtype, transform)
+    run = _design_program_cached(fn, dim, chunk, work_dtype, transform,
+                                 single=True)
     seeds = jax.vmap(lambda k: sobol.scramble_seeds(k, 2 * dim))(
         jax.random.split(jax.random.key(seed), R))
     sa, sa2, sb, sb2, d1, dt = _fetch_accumulators(run, n_chunks, seeds)
@@ -263,7 +290,7 @@ def sobol_indices_mlmc(level_fns: Sequence[Callable], dim: int,
         chunk, n_chunks, n_l = _round_to_chunks(n_l, chunk_size)
         ns.append(n_l)
         n_evaluations += 2 * R * n_l * (dim + 2)  # fine + coarse
-        run = _design_program(fn, dim, chunk, work_dtype, transform)
+        run = _design_program_cached(fn, dim, chunk, work_dtype, transform)
         seeds = jax.vmap(lambda k: sobol.scramble_seeds(k, 2 * dim))(
             jax.random.split(jax.random.fold_in(key, lev), R))
         sa, sa2, sb, sb2, d1, dt = _fetch_accumulators(run, n_chunks,
