@@ -505,11 +505,13 @@ def bench_qmc():
     res = ml.run(target_var=target_var, n_init=1 << 14)
     wall = time.perf_counter() - t0
 
-    # throughput probe: repeat one extension size so the timed call runs
-    # a warm executable (each extension size compiles its own program)
+    # throughput probe: ONE deep dispatch (the dynamic trip count lets a
+    # 2^21-point extension reuse the warm executable — 33.6M evaluations
+    # against the ~30 ms tunnel round trip, which used to dominate the
+    # old 1M-eval probe and report 3.6e7 instead of the device rate)
     big = int(np.argmax(res["n_samples"]))
-    n_probe = int(res["n_samples"][big])
-    ml.extend(big, n_probe)   # warms the size-n_probe executable
+    n_probe = 1 << 21
+    ml.extend(big, n_probe)   # warms the level executable at this depth
     t1 = time.perf_counter()
     ml.extend(big, n_probe)
     dt = time.perf_counter() - t1
