@@ -136,6 +136,43 @@ def bench_transport():
                 **stats)
 
 
+def bench_sde():
+    """SDE path MLMC (no reference analogue — the reference has no SDE
+    family): (a) coupled Milstein GBM level-batch throughput at 256+64
+    steps, (b) the full MLQMC European-call pricing run (Brownian-bridge
+    Sobol' points) with its error against Black-Scholes."""
+    from mlmc_tpu.qmc import MLQMC
+    from mlmc_tpu.sim.sde import (SDESimulation, black_scholes_call,
+                                  european_call, gbm, sde_qmc_level_fns)
+
+    rate, sigma = 0.05, 0.2
+    discount = float(np.exp(-rate))
+    sim = SDESimulation(dict(model=gbm(rate, sigma, 1.0), scheme="milstein",
+                             payoff=european_call(1.0, discount)))
+    cfg = sim.level_instance([1 / 256], [1 / 64]).config_dict
+    B = 1 << 16
+    dt, stats = _timed_batches(
+        lambda k: SDESimulation.calculate_batch(cfg, k), B, reps=8)
+
+    fns, dims = sde_qmc_level_fns(sim, [[1 / 8], [1 / 32], [1 / 128]])
+    ml = MLQMC(fns, dims, n_randomizations=12, seed=7, chunk_size=1 << 11)
+    ml.extend(0, 1 << 11)     # warm the executable set
+    t0 = time.perf_counter()
+    res = ml.run(target_var=1e-9, n_init=1 << 11)
+    qmc_wall = time.perf_counter() - t0
+    bs = black_scholes_call(1.0, 1.0, rate, sigma, 1.0)
+    return dict(workload="GBM Milstein 256+64-step coupled batches + "
+                         "MLQMC European call to target_var=1e-9",
+                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
+                qmc_price_wall_s=round(qmc_wall, 2),
+                qmc_evaluations=int(np.sum(res["n_evaluations"])),
+                price=float(res["mean"]),
+                black_scholes=bs,
+                price_err=float(abs(res["mean"] - bs)),
+                target_met=res["target_met"],
+                **stats)
+
+
 def bench_maxent35():
     """BASELINE config 3: maxent PDF from 35 moments of a two-Gaussian
     mixture (reference harness: test/test_distribution.py:262-354 pattern —
@@ -682,6 +719,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "e2e": bench_e2e_adaptive, "e2e_fused": bench_e2e_fused,
            "e2e_darcy": bench_e2e_darcy,
            "qmc": bench_qmc,
+           "sde": bench_sde,
            "sensitivity": bench_sensitivity,
            "rng": bench_rng_quality}
 

@@ -56,6 +56,10 @@ def density_from_qmc_moments():
           % (result.success, kl))
 
 
-if __name__ == "__main__":
+def main():
     scalar_qoi()
     density_from_qmc_moments()
+
+
+if __name__ == "__main__":
+    main()

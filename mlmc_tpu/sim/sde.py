@@ -1,0 +1,473 @@
+"""SDE path simulation — the workload multilevel Monte Carlo was invented
+for (Giles, "Multilevel Monte Carlo path simulation", Oper. Res. 56(3),
+2008). Beyond-reference capability: GeoMop/MLMC ships synthetic, shooting
+and PDE forward models only (reference mlmc/sim/, examples/shooting/) and
+has no stochastic-differential-equation family; this module adds it with
+the same Simulation contract (reference mlmc/sim/simulation.py:7-33), so
+every estimator, storage, pool, QMC and density tier applies unchanged.
+
+The model is ``dS = a(S, t) dt + b(S, t) dW`` on [0, T]; level l
+integrates with ``n_l = round(T / h_l)`` steps and the MLMC coupling
+shares ONE Brownian path: each coarse increment is the sum of its
+``m = n_fine / n_coarse`` fine increments.
+
+TPU-first design:
+
+* a whole level batch advances as ``[B]`` state vectors inside one
+  ``lax.scan`` over coarse steps (fine substeps unrolled — the refine
+  factor is a small static int); nothing per-sample ever runs on host,
+* Brownian increments are derived counter-style from per-sample PRNG keys
+  (``normal(fold_in(key, step))``) inside the scan — no ``[B, T]``
+  increment array is materialized, so million-sample level batches fit
+  in HBM at any path length,
+* path functionals (terminal, running average/max/min) accumulate in the
+  carry, so Asian/lookback payoffs cost nothing extra,
+* the antithetic estimator (Giles & Szpruch, "Antithetic multilevel Monte
+  Carlo estimation for multi-dimensional SDEs without Levy area
+  simulation", Ann. Appl. Prob. 24(4), 2014) reverses each coarse
+  interval's fine increments for a twin fine path and averages the two
+  payoffs — same Brownian budget, one extra VPU stream. The gain exists
+  where increment ORDER matters (path averages/extrema, additive-noise
+  models: measured ~3-4x per level); it is an exact no-op for terminal
+  payoffs of multiplicative schemes like GBM, whose per-step factors
+  commute,
+* the QMC adapter maps low-discrepancy points through a Brownian-bridge
+  construction (one precomputed ``[n, n]`` matmul — MXU work) so the
+  early Sobol' dimensions carry the large-scale path structure, the
+  classical recipe for making path integrals low-effective-dimension.
+
+Schemes: Euler-Maruyama (weak order 1, MLMC variance decay beta ~ 1 for
+Lipschitz payoffs) and Milstein (beta ~ 2; needs ``diffusion_ds``).
+"""
+import dataclasses
+from collections import deque
+from typing import Callable, List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.sim.simulation import Simulation
+from mlmc_tpu.quantity.quantity_spec import QuantitySpec
+from mlmc_tpu.level_simulation import LevelSimulation
+
+__all__ = [
+    "SDEModel", "gbm", "ornstein_uhlenbeck", "cir",
+    "PathFunctionals", "european_call", "european_put", "asian_call",
+    "lookback_call", "digital_call", "terminal_value",
+    "black_scholes_call", "SDESimulation", "sde_qmc_level_fns",
+    "brownian_bridge_increments",
+]
+
+
+# ---------------------------------------------------------------------- #
+# models
+# ---------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class SDEModel:
+    """Scalar SDE ``dS = drift(S, t) dt + diffusion(S, t) dW``.
+
+    :param drift/diffusion: pure jnp callables ``(s, t) -> value``
+    :param diffusion_ds: ``d diffusion / d s`` — required by Milstein
+    :param s0: initial value
+    """
+
+    drift: Callable
+    diffusion: Callable
+    diffusion_ds: Optional[Callable] = None
+    s0: float = 1.0
+
+
+def gbm(mu=0.05, sigma=0.2, s0=1.0):
+    """Geometric Brownian motion ``dS = mu S dt + sigma S dW`` — the
+    Black-Scholes asset; closed-form option prices make it the standard
+    MLMC validation model (Giles 2008 §5)."""
+    return SDEModel(drift=lambda s, t: mu * s,
+                    diffusion=lambda s, t: sigma * s,
+                    diffusion_ds=lambda s, t: jnp.full_like(s, sigma),
+                    s0=s0)
+
+
+def ornstein_uhlenbeck(kappa=1.0, theta=0.0, sigma=0.5, s0=1.0):
+    """Mean-reverting OU ``dS = kappa (theta - S) dt + sigma dW``; the
+    exact terminal law is Gaussian with
+    ``mean = theta + (s0-theta) e^{-kappa T}``,
+    ``var = sigma^2 (1 - e^{-2 kappa T}) / (2 kappa)``."""
+    return SDEModel(drift=lambda s, t: kappa * (theta - s),
+                    diffusion=lambda s, t: jnp.full_like(s, sigma),
+                    diffusion_ds=lambda s, t: jnp.zeros_like(s),
+                    s0=s0)
+
+
+def cir(kappa=1.0, theta=1.0, sigma=0.5, s0=1.0):
+    """Cox-Ingersoll-Ross ``dS = kappa (theta - S) dt + sigma sqrt(S) dW``
+    in the full-truncation Euler form (Lord, Koekkoek & van Dijk 2010):
+    coefficients consume ``max(S, 0)`` so paths stay finite even when the
+    discrete iterate dips negative. The sqrt diffusion is not Lipschitz at
+    0 — use the Euler scheme (Milstein's ``b b'`` blows up there)."""
+    return SDEModel(drift=lambda s, t: kappa * (theta - jnp.maximum(s, 0.0)),
+                    diffusion=lambda s, t: sigma * jnp.sqrt(
+                        jnp.maximum(s, 0.0)),
+                    diffusion_ds=None,
+                    s0=s0)
+
+
+# ---------------------------------------------------------------------- #
+# payoffs
+# ---------------------------------------------------------------------- #
+class PathFunctionals(NamedTuple):
+    """Per-sample path functionals over the discrete grid (incl. S0)."""
+
+    terminal: jnp.ndarray
+    average: jnp.ndarray
+    maximum: jnp.ndarray
+    minimum: jnp.ndarray
+
+
+def european_call(strike, discount=1.0):
+    return lambda pf: discount * jnp.maximum(pf.terminal - strike, 0.0)
+
+
+def european_put(strike, discount=1.0):
+    return lambda pf: discount * jnp.maximum(strike - pf.terminal, 0.0)
+
+
+def asian_call(strike, discount=1.0):
+    """Arithmetic-average Asian call on the discrete grid average."""
+    return lambda pf: discount * jnp.maximum(pf.average - strike, 0.0)
+
+
+def lookback_call(discount=1.0):
+    """Floating-strike lookback: ``S_T - min_t S_t``."""
+    return lambda pf: discount * (pf.terminal - pf.minimum)
+
+
+def digital_call(strike, discount=1.0):
+    """Cash-or-nothing: pays 1 if ``S_T > K``. Discontinuous — MLMC
+    variance decays at beta ~ 1/2 per level (Giles 2008 §5.3); expect to
+    need more levels/samples than the smooth payoffs."""
+    return lambda pf: discount * (pf.terminal > strike).astype(
+        pf.terminal.dtype)
+
+
+def terminal_value():
+    return lambda pf: pf.terminal
+
+
+def black_scholes_call(s0, strike, rate, sigma, T):
+    """Closed-form Black-Scholes European call price (host helper for
+    validating GBM MLMC runs with ``mu = rate`` and
+    ``european_call(strike, discount=exp(-rate T))``)."""
+    import scipy.stats as st
+
+    if sigma <= 0 or T <= 0:
+        return max(s0 - strike * np.exp(-rate * T), 0.0)
+    d1 = (np.log(s0 / strike) + (rate + 0.5 * sigma ** 2) * T) \
+        / (sigma * np.sqrt(T))
+    d2 = d1 - sigma * np.sqrt(T)
+    return float(s0 * st.norm.cdf(d1)
+                 - strike * np.exp(-rate * T) * st.norm.cdf(d2))
+
+
+# ---------------------------------------------------------------------- #
+# coupled-path kernel
+# ---------------------------------------------------------------------- #
+def _scheme_step(model, scheme, s, t, dw, dt):
+    """One integration step of a [B] state batch."""
+    a = model.drift(s, t)
+    b = model.diffusion(s, t)
+    s_new = s + a * dt + b * dw
+    if scheme == "milstein":
+        bp = model.diffusion_ds(s, t)
+        s_new = s_new + 0.5 * b * bp * (dw * dw - dt)
+    return s_new
+
+
+def _run_substeps(model, scheme, state, dws, t0, dt, m, reverse):
+    """Advance one (state, sum, max, min) tuple through ``m`` unrolled
+    substeps fed by the [B, m] increment block (reversed for the
+    antithetic twin)."""
+    s, sm, mx, mn = state
+    for i in range(m):
+        dw = dws[:, m - 1 - i] if reverse else dws[:, i]
+        s = _scheme_step(model, scheme, s, t0 + i * dt, dw, dt)
+        sm = sm + s
+        mx = jnp.maximum(mx, s)
+        mn = jnp.minimum(mn, s)
+    return (s, sm, mx, mn)
+
+
+def coupled_path_functionals(config, keys=None, z=None):
+    """Integrate a coupled (fine, coarse) level batch and return its path
+    functionals.
+
+    :param config: dict with ``model`` (SDEModel), ``scheme``
+        ('euler' | 'milstein'), ``total_time``, ``n_fine``, ``n_coarse``
+        (0 on level 0), ``antithetic`` (bool)
+    :param keys: [B] PRNG keys — increments derive counter-style inside
+        the scan (``normal(fold_in(key, coarse_step))``), nothing [B, T]
+        is materialized
+    :param z: alternatively, explicit standard-normal increments
+        [B, n_fine] (the QMC path; mutually exclusive with ``keys``)
+    :return: (fine, fine_antithetic | None, coarse | None) as
+        :class:`PathFunctionals`
+    """
+    model = config["model"]
+    scheme = config.get("scheme", "euler")
+    if scheme not in ("euler", "milstein"):
+        raise ValueError("scheme must be 'euler' or 'milstein'")
+    if scheme == "milstein" and model.diffusion_ds is None:
+        raise ValueError("Milstein needs SDEModel.diffusion_ds")
+    T = float(config["total_time"])
+    n_f = int(config["n_fine"])
+    n_c = int(config["n_coarse"])
+    is_l0 = n_c == 0
+    m = 1 if is_l0 else n_f // n_c
+    if not is_l0 and n_f != m * n_c:
+        raise ValueError("n_fine=%d must be a multiple of n_coarse=%d"
+                         % (n_f, n_c))
+    trips = n_f if is_l0 else n_c
+    dt_f = T / n_f
+    dt_c = dt_f * m
+    anti = bool(config.get("antithetic", False)) and m > 1
+
+    if (keys is None) == (z is None):
+        raise ValueError("pass exactly one of keys / z")
+    if z is not None:
+        dtype = z.dtype
+        B = z.shape[0]
+        sqrt_dt = jnp.asarray(np.sqrt(dt_f), dtype)
+
+        def dw_at(c):
+            return sqrt_dt * jax.lax.dynamic_slice_in_dim(z, c * m, m, 1)
+    else:
+        dtype = jnp.result_type(float)
+        B = keys.shape[0]
+        sqrt_dt = jnp.asarray(np.sqrt(dt_f), dtype)
+
+        def dw_at(c):
+            return sqrt_dt * jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, c), (m,),
+                                            dtype))(keys)
+
+    s0 = jnp.full((B,), model.s0, dtype)
+    zero = jnp.zeros((B,), dtype)
+    init = (s0, zero, s0, s0)        # (state, sum-of-nodes, max, min)
+
+    def body(carry, c):
+        fine, fine_a, coarse = carry
+        dws = dw_at(c)               # [B, m]
+        t0 = c.astype(dtype) * dt_c
+        fine = _run_substeps(model, scheme, fine, dws, t0, dt_f, m, False)
+        if anti:
+            fine_a = _run_substeps(model, scheme, fine_a, dws, t0, dt_f, m,
+                                   True)
+        if not is_l0:
+            s, sm, mx, mn = coarse
+            s = _scheme_step(model, scheme, s, t0, jnp.sum(dws, axis=1),
+                             dt_c)
+            coarse = (s, sm + s, jnp.maximum(mx, s), jnp.minimum(mn, s))
+        return (fine, fine_a, coarse), None
+
+    steps = jnp.arange(trips)        # int: feeds fold_in / dynamic_slice
+    (fine, fine_a, coarse), _ = jax.lax.scan(body, (init, init, init), steps)
+
+    def functionals(st, n_nodes):
+        s, sm, mx, mn = st
+        return PathFunctionals(terminal=s, average=(s0 + sm) / (n_nodes + 1),
+                               maximum=mx, minimum=mn)
+
+    return (functionals(fine, n_f),
+            functionals(fine_a, n_f) if anti else None,
+            None if is_l0 else functionals(coarse, n_c))
+
+
+# ---------------------------------------------------------------------- #
+# Simulation integration
+# ---------------------------------------------------------------------- #
+class SDESimulation(Simulation):
+    """MLMC over SDE paths under the standard Simulation contract: level
+    parameters are time steps ``[h]``, ``n_l = round(T / h_l)``, the
+    coupling shares one Brownian path, and the payoff (or the raw path
+    functionals) is the stored QoI.
+
+    Config keys:
+
+    * ``model``: :class:`SDEModel` (or ``'gbm' | 'ou' | 'cir'`` with
+      defaults)
+    * ``total_time``: horizon T (default 1.0)
+    * ``scheme``: ``'euler'`` (default) or ``'milstein'``
+    * ``payoff``: callable ``PathFunctionals -> [B]`` (default terminal
+      value)
+    * ``antithetic``: Giles-Szpruch twin-path fine estimator (default
+      False; payoff QoI only — averaging FUNCTIONALS before a nonlinear
+      payoff would bias the telescope)
+    * ``qoi``: ``'payoff'`` (default) or ``'functionals'`` — the latter
+      stores (terminal, average, maximum, minimum) so payoffs can be
+      composed post-hoc in the Quantity algebra
+    """
+
+    _MODELS = {"gbm": gbm, "ou": ornstein_uhlenbeck, "cir": cir}
+
+    def __init__(self, config=None):
+        super().__init__()
+        config = dict(config or {})
+        model = config.get("model", "gbm")
+        if isinstance(model, str):
+            model = self._MODELS[model.lower()]()
+        config["model"] = model
+        config.setdefault("total_time", 1.0)
+        config.setdefault("scheme", "euler")
+        config.setdefault("payoff", terminal_value())
+        config.setdefault("antithetic", False)
+        config.setdefault("qoi", "payoff")
+        if config["qoi"] not in ("payoff", "functionals"):
+            raise ValueError("qoi must be 'payoff' or 'functionals'")
+        if config["qoi"] == "functionals" and config["antithetic"]:
+            raise ValueError(
+                "antithetic applies to payoff QoIs: the twin paths must be "
+                "averaged AFTER the payoff, which post-hoc composition "
+                "cannot do")
+        self.config = config
+        self.need_workspace = False
+
+    # -------------------------------------------------------------- #
+    def level_instance(self, fine_level_params: List[float],
+                       coarse_level_params: List[float]) -> LevelSimulation:
+        T = float(self.config["total_time"])
+        n_f = int(round(T / float(fine_level_params[0])))
+        h_c = float(coarse_level_params[0])
+        n_c = 0 if h_c == 0 else int(round(T / h_c))
+        if n_f < 1 or (n_c and (n_f % n_c or n_f <= n_c)):
+            raise ValueError(
+                "fine step must refine the coarse step by an integer "
+                "factor > 1 (got n_fine=%d, n_coarse=%d)" % (n_f, n_c))
+        config = dict(self.config, n_fine=n_f, n_coarse=n_c,
+                      res_format=self.result_format())
+        return LevelSimulation(config_dict=config,
+                               task_size=self.n_ops_estimate(
+                                   fine_level_params[0]),
+                               nan_result_is_failure=False)
+
+    # -------------------------------------------------------------- #
+    @staticmethod
+    def _assemble(config, pf, pf_anti):
+        """Apply the payoff (averaging the antithetic twin) or stack the
+        functionals; returns a [B, M] result block."""
+        if config["qoi"] == "payoff":
+            payoff = config["payoff"]
+            v = payoff(pf)
+            if pf_anti is not None:
+                v = 0.5 * (v + payoff(pf_anti))
+            return v[:, None]
+        return jnp.stack([pf.terminal, pf.average, pf.maximum, pf.minimum],
+                         axis=1)
+
+    @staticmethod
+    def calculate_batch(config, keys, attempts=None):
+        """Level batch: keys [B] -> (fine [B, M], coarse [B, M], failed [B]).
+
+        NaN/inf results (a model escaping its domain) are stored and
+        masked during estimation, like the shooting sims' out-of-border
+        paths — never failed samples.
+        """
+        pf_f, pf_fa, pf_c = coupled_path_functionals(config, keys=keys)
+        fine = SDESimulation._assemble(config, pf_f, pf_fa)
+        if pf_c is None:
+            coarse = jnp.zeros_like(fine)
+        else:
+            coarse = SDESimulation._assemble(config, pf_c, None)
+        return fine, coarse, jnp.zeros(fine.shape[0], dtype=bool)
+
+    @staticmethod
+    def calculate(config, seed):
+        """Host single-sample path (reference calculate contract)."""
+        key = jax.random.key(np.uint32(seed))
+        fine, coarse, _ = SDESimulation.calculate_batch(config, key[None])
+        return np.asarray(fine[0]), np.asarray(coarse[0])
+
+    # -------------------------------------------------------------- #
+    def n_ops_estimate(self, step):
+        return float(self.config["total_time"]) / float(step)
+
+    def result_format(self) -> List[QuantitySpec]:
+        T = self.config["total_time"]
+        if self.config["qoi"] == "payoff":
+            return [QuantitySpec(name="payoff", unit="1", shape=(1,),
+                                 times=[T], locations=["-"])]
+        return [QuantitySpec(name=n, unit="1", shape=(1,), times=[T],
+                             locations=["-"])
+                for n in ("terminal", "average", "maximum", "minimum")]
+
+
+# ---------------------------------------------------------------------- #
+# quasi-Monte Carlo adapter
+# ---------------------------------------------------------------------- #
+def brownian_bridge_increments(n):
+    """Brownian-bridge construction matrix ``R [n, n]``: for BB-ordered
+    i.i.d. standard normals ``z`` (dimension 0 = the terminal value, then
+    breadth-first midpoints), ``z @ R.T`` are the n standard-normal PATH
+    increments. ``R @ R.T = I`` exactly (the bridge is an orthogonal
+    re-parametrization), but the low-index dimensions carry the path's
+    large-scale structure — which is what makes Sobol' points effective
+    on path integrals (Moskowitz & Caflisch 1996).
+    """
+    n = int(n)
+    rows = np.zeros((n + 1, n))       # W(t_i)/sqrt(dt) as combos of z
+    rows[n, 0] = np.sqrt(n)
+    k = 1
+    queue = deque([(0, n)])
+    while queue:
+        lo, hi = queue.popleft()
+        if hi - lo < 2:
+            continue
+        mid = (lo + hi) // 2
+        rows[mid] = ((hi - mid) * rows[lo] + (mid - lo) * rows[hi]) \
+            / (hi - lo)
+        rows[mid, k] += np.sqrt((mid - lo) * (hi - mid) / (hi - lo))
+        k += 1
+        queue.append((lo, mid))
+        queue.append((mid, hi))
+    return np.diff(rows, axis=0)
+
+
+def sde_qmc_level_fns(sim, level_parameters, bridge=True):
+    """QMC level functions for :class:`SDESimulation`: each point
+    dimension drives one Brownian increment of the fine path (the coarse
+    path consumes their sums — the same coupling as the MC path), with an
+    optional Brownian-bridge reordering so the leading Sobol' dimensions
+    set the terminal value and the large-scale path shape.
+
+    The payoff QoI must be finite everywhere (QMC points cannot be
+    dropped without bias — MLQMC.extend raises loudly otherwise).
+
+    :param sim: an :class:`SDESimulation` (``qoi='payoff'``)
+    :param level_parameters: as for Sampler (``[[h0], [h1], ...]``)
+    :param bridge: route points through the Brownian-bridge matrix
+        (one [n, n] MXU matmul per batch); False = raw increment order
+    :return: (level_fns, dims) for :class:`~mlmc_tpu.qmc.MLQMC`
+    """
+    if sim.config["qoi"] != "payoff":
+        raise ValueError("QMC drives scalar payoffs; build the sim with "
+                         "qoi='payoff'")
+    fns, dims = [], []
+    for lev, params in enumerate(level_parameters):
+        coarse = [0] if lev == 0 else level_parameters[lev - 1]
+        cfg = sim.level_instance(params, coarse).config_dict
+        n_f = cfg["n_fine"]
+        R = brownian_bridge_increments(n_f) if bridge else None
+
+        def fn(u, cfg=cfg, R=R):
+            z = jax.scipy.special.ndtri(u)
+            if R is not None:
+                z = jnp.matmul(z, jnp.asarray(R.T, z.dtype),
+                               precision=jax.lax.Precision.HIGHEST)
+            pf_f, pf_fa, pf_c = coupled_path_functionals(cfg, z=z)
+            fine = SDESimulation._assemble(cfg, pf_f, pf_fa)[:, 0]
+            if pf_c is None:
+                return fine, jnp.zeros_like(fine)
+            return fine, SDESimulation._assemble(cfg, pf_c, None)[:, 0]
+
+        fns.append(fn)
+        dims.append(n_f)
+    return fns, dims
