@@ -173,6 +173,53 @@ def bench_sde():
                 **stats)
 
 
+def bench_mimc():
+    """Multi-index Monte Carlo (no reference analogue): the 1-D
+    random-conductivity heat equation over (space x time) indices,
+    adaptive run to a target variance, plus the measured optimal-work
+    ratio against single-axis (diagonal) MLMC on the same problem."""
+    import jax.numpy as jnp
+    from mlmc_tpu.mimc import (MIMC, heat_mimc_value_fn,
+                               mixed_difference_terms, total_degree_set)
+
+    fn, d = heat_mimc_value_fn(sigma=0.5, n0=(4, 4), total_time=0.25)
+    iset = total_degree_set(d, 4)
+    m = MIMC(fn, iset, seed=3, chunk_size=1 << 12)
+    for a in iset:           # warm every per-index executable
+        m.extend(a, 1 << 12)
+    t0 = time.perf_counter()
+    res = m.run(target_var=1e-9)
+    wall = time.perf_counter() - t0
+
+    # work comparison at matched depth: cost model = nx * nt
+    import jax
+    keys = jax.random.split(jax.random.key(2), 4096)
+    cost = lambda a: 2.0 ** (a[0] + a[1])
+    mimc_sum = 0.0
+    for alpha in iset:
+        vals = 0
+        for corner, sign in mixed_difference_terms(alpha):
+            vals = vals + sign * np.asarray(fn(corner, keys))
+        mimc_sum += np.sqrt(vals.var() * cost(alpha))
+    mlmc_sum, prev = 0.0, None
+    for lev in range(5):
+        cur = np.asarray(fn((lev, lev), keys))
+        diff = cur if prev is None else cur - prev
+        mlmc_sum += np.sqrt(diff.var() * cost((lev, lev)))
+        prev = cur
+    return dict(workload="MIMC heat equation (space x time indices), "
+                         "total-degree 4, target_var=1e-9",
+                wall_s=round(wall, 2),
+                mean=round(res["mean"], 6),
+                var=float("%.3g" % res["var"]),
+                n_total=int(np.sum(res["n_samples"])),
+                n_indices=len(iset),
+                rounds=res["rounds"],
+                target_met=res["target_met"],
+                work_ratio_vs_diag_mlmc=round(
+                    float(mimc_sum ** 2 / mlmc_sum ** 2), 3))
+
+
 def bench_maxent35():
     """BASELINE config 3: maxent PDF from 35 moments of a two-Gaussian
     mixture (reference harness: test/test_distribution.py:262-354 pattern —
@@ -720,6 +767,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "e2e_darcy": bench_e2e_darcy,
            "qmc": bench_qmc,
            "sde": bench_sde,
+           "mimc": bench_mimc,
            "sensitivity": bench_sensitivity,
            "rng": bench_rng_quality}
 

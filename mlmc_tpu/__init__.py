@@ -142,5 +142,7 @@ from mlmc_tpu.qmc import (
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
     moments_qmc_level_fns)
 from mlmc_tpu.sensitivity import sobol_indices, sobol_indices_mlmc
+from mlmc_tpu.mimc import (MIMC, total_degree_set, full_tensor_set,
+                           heat_mimc_value_fn)
 
 __version__ = "0.1.0"

@@ -1,0 +1,147 @@
+"""Multi-index Monte Carlo (mlmc_tpu/mimc.py) — beyond-reference tier.
+
+Layers: exact telescoping algebra, index-set utilities and validation,
+the adaptive driver against a closed-form limit, product-rate decay of
+the mixed differences on the heat equation, and the complexity argument
+(MIMC optimal work < single-axis MLMC optimal work on an anisotropic
+problem).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.mimc import (MIMC, full_tensor_set, heat_mimc_value_fn,
+                           mixed_difference_terms, synth_mimc_value_fn,
+                           total_degree_set)
+
+
+def _det_value(alpha):
+    return (np.sin(alpha[0] * 1.3) + np.cos(alpha[1] * 0.7)
+            + 0.1 * alpha[0] * alpha[1])
+
+
+def test_mixed_difference_telescopes_exactly():
+    """Over a full tensor set the mixed differences telescope to the
+    far-corner value — the algebraic identity behind the estimator."""
+    for maxes in [(3, 2), (2, 2, 1), (4,)]:
+        total = 0.0
+        for alpha in full_tensor_set(maxes):
+            for corner, sign in mixed_difference_terms(alpha):
+                total += sign * _det_value((corner + (0, 0))[:2])
+        assert abs(total - _det_value((maxes + (0, 0))[:2])) < 1e-12, maxes
+
+
+def test_mixed_difference_terms_boundary_convention():
+    assert mixed_difference_terms((0, 0)) == [((0, 0), 1)]
+    assert sorted(mixed_difference_terms((2, 0))) == [((1, 0), -1),
+                                                      ((2, 0), 1)]
+    terms = dict(mixed_difference_terms((1, 1)))
+    assert terms == {(1, 1): 1, (0, 1): -1, (1, 0): -1, (0, 0): 1}
+
+
+def test_index_sets():
+    td = total_degree_set(2, 2)
+    assert td == [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (2, 0)]
+    # anisotropic weights shrink the expensive axis
+    tdw = total_degree_set(2, 2, weights=(1.0, 2.0))
+    assert (0, 1) in tdw and (0, 2) not in tdw
+    ft = full_tensor_set((1, 1))
+    assert ft == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    with pytest.raises(ValueError, match="downward closed"):
+        MIMC(lambda a, k: jnp.zeros(k.shape[0]), [(0, 0), (1, 1)])
+    with pytest.raises(ValueError, match="duplicates"):
+        MIMC(lambda a, k: jnp.zeros(k.shape[0]), [(0,), (0,)])
+    with pytest.raises(ValueError, match="positive"):
+        total_degree_set(2, 2, weights=(1.0, -1.0))
+
+
+def test_driver_matches_closed_form_and_meets_target():
+    fn, d = synth_mimc_value_fn(mean=1.0)
+    m = MIMC(fn, total_degree_set(d, 4), seed=1, chunk_size=1 << 12)
+    res = m.run(target_var=1e-6)
+    assert res["target_met"]
+    # statistical error band + the index-set truncation remainder
+    err = abs(res["mean"] - 1.0)
+    assert err < 6 * np.sqrt(res["var"]) + 5e-3, (err, res["var"])
+    # allocation concentrates where variance/cost is worst: (0,0) holds
+    # the O(1) variance, every other index holds only decayed differences
+    assert res["n_samples"][0] == res["n_samples"].max()
+    # streams continue across rounds: counts are whole chunks
+    assert np.all(res["n_samples"] % (1 << 12) == 0)
+
+
+def test_heat_equation_product_rate_decay():
+    """|E[Delta]| and V[Delta] must decay at PRODUCT rates when both
+    axes refine — the structural premise of MIMC (measured on the
+    implicit-Euler heat solve: E ratios ~5-7, V ratios ~40-50)."""
+    fn, _ = heat_mimc_value_fn(sigma=0.5, n0=(4, 4), total_time=0.25)
+    keys = jax.random.split(jax.random.key(0), 256)
+
+    def delta_stats(alpha):
+        vals = 0
+        for corner, sign in mixed_difference_terms(alpha):
+            vals = vals + sign * np.asarray(fn(corner, keys))
+        return abs(vals.mean()), vals.var()
+
+    e11, v11 = delta_stats((1, 1))
+    e22, v22 = delta_stats((2, 2))
+    e33, v33 = delta_stats((3, 3))
+    assert e22 < 0.5 * e11 and e33 < 0.5 * e22, (e11, e22, e33)
+    assert v22 < 0.15 * v11 and v33 < 0.15 * v22, (v11, v22, v33)
+
+
+def test_heat_deterministic_limit():
+    """sigma=0 reduces to the constant-coefficient heat equation whose
+    QoI has the closed form (2/pi) exp(-pi^2 T); refining both axes must
+    approach it monotonically."""
+    fn, _ = heat_mimc_value_fn(sigma=0.0, n0=(4, 4), total_time=0.25)
+    keys = jax.random.split(jax.random.key(0), 2)
+    exact = 2 / np.pi * np.exp(-np.pi ** 2 * 0.25)
+    errs = [abs(float(fn(a, keys)[0]) - exact)
+            for a in [(0, 0), (2, 2), (4, 4)]]
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 0.08 * errs[0]
+
+
+def test_mimc_beats_single_axis_mlmc_on_anisotropic_problem():
+    """Optimal-work comparison at equal target variance: MIMC over the
+    total-degree set vs single-axis MLMC over the diagonal (refine both
+    axes together — what the reference's scalar level hierarchy forces).
+    Work = (sum sqrt(V C))^2 / eps^2 for both (eps^2 cancels in the
+    ratio). With x-axis variance decay 4^-0.75 ax against per-sample
+    cost 2^(ax+ay), the diagonal's sqrt(V_l C_l) terms GROW with level
+    (the divergent-work MLMC regime) while MIMC's sum over the
+    total-degree set converges — so the win must widen with depth."""
+    fn, d = synth_mimc_value_fn(mean=1.0, c=2.0, rates=(0.75, 1.5),
+                                noise=0.3)
+    keys = jax.random.split(jax.random.key(2), 8192)
+    cost = lambda a: 2.0 ** (a[0] + a[1])
+
+    def work_ratio(L):
+        mimc_sum = 0.0
+        for alpha in total_degree_set(2, L):
+            vals = 0
+            for corner, sign in mixed_difference_terms(alpha):
+                vals = vals + sign * np.asarray(fn(corner, keys))
+            mimc_sum += np.sqrt(vals.var() * cost(alpha))
+        mlmc_sum, prev = 0.0, None
+        for lev in range(L + 1):
+            cur = np.asarray(fn((lev, lev), keys))
+            diff = cur if prev is None else cur - prev
+            mlmc_sum += np.sqrt(diff.var() * cost((lev, lev)))
+            prev = cur
+        return mimc_sum ** 2 / mlmc_sum ** 2
+
+    r5, r7 = work_ratio(5), work_ratio(7)
+    assert r7 < 0.5, r7                     # decisive win (measured 0.40)
+    assert r7 < r5, (r5, r7)                # and it widens with depth
+
+
+def test_nonfinite_raises():
+    def bad_fn(alpha, keys):
+        return jnp.full(keys.shape[0], np.nan)
+
+    m = MIMC(bad_fn, [(0,)], chunk_size=64)
+    with pytest.raises(FloatingPointError):
+        m.extend((0,), 64)
