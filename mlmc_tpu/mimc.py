@@ -107,11 +107,16 @@ class MIMC:
     :param cost_fn: optional ``alpha -> relative cost`` for the
         allocation rule; measured wall time per sample is used if omitted
     :param chunk_size: samples per device loop step
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        each chunk's samples shard across the mesh (chunk_size must
+        divide by the device count) with a psum of the two accumulator
+        scalars; the sample-index -> key mapping is IDENTICAL for any
+        device count, so estimates are bit-reproducible across pod sizes
     """
 
     def __init__(self, value_fn: Callable, index_set: Sequence[Tuple[int, ...]],
                  seed: int = 0, cost_fn: Optional[Callable] = None,
-                 chunk_size: int = 1 << 13, dtype=None):
+                 chunk_size: int = 1 << 13, dtype=None, mesh=None):
         self._fn = value_fn
         self._set = [tuple(int(a) for a in alpha) for alpha in index_set]
         if not self._set:
@@ -131,6 +136,11 @@ class MIMC:
                 "biased); missing %s" % sorted(missing)[:4])
         self.d = d
         self._chunk = int(chunk_size)
+        self._mesh = mesh
+        if mesh is not None and self._chunk % mesh.n_devices:
+            raise ValueError(
+                "chunk_size=%d must divide by the mesh's %d devices"
+                % (self._chunk, mesh.n_devices))
         self._dtype = jnp.dtype(dtype or jnp.result_type(float))
         self._root = jax.random.key(seed)
         self._states = {a: _IndexState() for a in self._set}
@@ -156,21 +166,53 @@ class MIMC:
         chunk = self._chunk
         dtype = self._dtype
         fn = self._fn
+        mesh = self._mesh
+        sub = chunk if mesh is None else chunk // mesh.n_devices
         idx_key = jax.random.fold_in(self._root, self._set.index(alpha))
 
-        def body(c, carry):
+        def body(c, carry, offset):
             s, s2 = carry
             base = jax.vmap(lambda i: jax.random.fold_in(idx_key, i))(
-                c * chunk + jnp.arange(chunk, dtype=jnp.uint32))
-            delta = jnp.zeros((chunk,), dtype)
+                c * chunk + offset + jnp.arange(sub, dtype=jnp.uint32))
+            delta = jnp.zeros((sub,), dtype)
             for corner, sign in terms:
                 delta = delta + sign * fn(corner, base).astype(dtype)
             return (s + jnp.sum(delta), s2 + jnp.sum(delta * delta))
 
-        @jax.jit
-        def run(start, n_chunks):
-            z = jnp.zeros((), dtype)
-            return jax.lax.fori_loop(start, start + n_chunks, body, (z, z))
+        if mesh is None:
+            @jax.jit
+            def run(start, n_chunks):
+                z = jnp.zeros((), dtype)
+                return jax.lax.fori_loop(
+                    start, start + n_chunks,
+                    lambda c, carry: body(c, carry, jnp.uint32(0)), (z, z))
+        else:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:           # older jax
+                from jax.experimental.shard_map import shard_map
+            axis = mesh.axis_name
+
+            def mark(z):
+                # the fori_loop carry becomes device-varying after the
+                # first chunk; mark the zero initializer accordingly
+                if hasattr(jax.lax, "pcast"):
+                    return jax.lax.pcast(z, (axis,), to="varying")
+                return jax.lax.pvary(z, (axis,))
+
+            def sharded(start, n_chunks):
+                offset = (jax.lax.axis_index(axis).astype(jnp.uint32)
+                          * jnp.uint32(sub))
+                z = mark(jnp.zeros((), dtype))
+                s, s2 = jax.lax.fori_loop(
+                    start, start + n_chunks,
+                    lambda c, carry: body(c, carry, offset), (z, z))
+                return jax.lax.psum(s, axis), jax.lax.psum(s2, axis)
+
+            run = jax.jit(shard_map(sharded, mesh=mesh.mesh,
+                                    in_specs=(P(), P()),
+                                    out_specs=(P(), P())))
 
         self._eval_cache[alpha] = run
         return run

@@ -145,3 +145,31 @@ def test_nonfinite_raises():
     m = MIMC(bad_fn, [(0,)], chunk_size=64)
     with pytest.raises(FloatingPointError):
         m.extend((0,), 64)
+
+
+def test_mesh_sharded_extension_matches_single_device():
+    """mesh= shards each chunk across the 8-device virtual mesh with the
+    SAME sample-index -> key mapping: per-index sums must match the
+    single-device driver to reduction-order rounding."""
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    fn, d = synth_mimc_value_fn(mean=1.0)
+    iset = total_degree_set(2, 2)
+    m1 = MIMC(fn, iset, seed=5, chunk_size=1 << 10)
+    m8 = MIMC(fn, iset, seed=5, chunk_size=1 << 10, mesh=SampleMesh())
+    for a in iset:
+        m1.extend(a, 1 << 11)
+        m8.extend(a, 1 << 11)
+    mu1, v1, n1 = m1.estimates()
+    mu8, v8, n8 = m8.estimates()
+    assert np.array_equal(n1, n8)
+    np.testing.assert_allclose(mu1, mu8, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(v1, v8, rtol=1e-10, atol=1e-13)
+
+
+def test_mesh_chunk_divisibility_validated():
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    fn, d = synth_mimc_value_fn()
+    with pytest.raises(ValueError, match="divide"):
+        MIMC(fn, [(0, 0)], chunk_size=10, mesh=SampleMesh())
