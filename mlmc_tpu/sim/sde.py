@@ -234,6 +234,11 @@ def coupled_path_functionals(config, keys=None, z=None):
     if (keys is None) == (z is None):
         raise ValueError("pass exactly one of keys / z")
     if z is not None:
+        if z.ndim != 2 or z.shape[1] != n_f:
+            # dynamic_slice would silently CLAMP a too-narrow z, reusing
+            # the last increments — a correctness trap, not a shape error
+            raise ValueError("z must be [B, n_fine=%d], got %s"
+                             % (n_f, z.shape))
         dtype = z.dtype
         B = z.shape[0]
         sqrt_dt = jnp.asarray(np.sqrt(dt_f), dtype)

@@ -270,3 +270,13 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="exactly one"):
         coupled_path_functionals(
             dict(model=gbm(), total_time=1.0, n_fine=4, n_coarse=2))
+
+
+def test_z_width_validated():
+    """A too-narrow z matrix must raise (dynamic_slice would silently
+    clamp and reuse the last increments)."""
+    cfg = dict(model=gbm(), scheme="euler", total_time=1.0, n_fine=8,
+               n_coarse=4)
+    z = np.zeros((4, 6))
+    with pytest.raises(ValueError, match="n_fine"):
+        coupled_path_functionals(cfg, z=z)
