@@ -280,3 +280,96 @@ def test_z_width_validated():
     z = np.zeros((4, 6))
     with pytest.raises(ValueError, match="n_fine"):
         coupled_path_functionals(cfg, z=z)
+
+
+# ---------------------------------------------------------------------- #
+# multi-dimensional systems
+# ---------------------------------------------------------------------- #
+def test_heston_pricer_degenerates_to_black_scholes():
+    """xi -> 0 with v0 = theta freezes the variance at theta: the
+    semi-analytic Heston call must converge to Black-Scholes with
+    sigma = sqrt(theta)."""
+    from mlmc_tpu.sim.sde import heston_call_price
+
+    p_bs = black_scholes_call(1.0, 1.0, 0.05, 0.2, 1.0)
+    p_h = heston_call_price(1.0, 1.0, 0.05, kappa=2.0, theta=0.04,
+                            xi=1e-4, rho=0.0, v0=0.04, T=1.0)
+    assert abs(p_h - p_bs) < 1e-8, (p_h, p_bs)
+
+
+def test_heston_mlmc_matches_semi_analytic_price():
+    """Full-truncation Euler MLMC over the 2-D Heston system reprices
+    the European call against the characteristic-function pricer within
+    the telescoped 6-sigma band + an O(dt) bias allowance (measured err
+    8.5e-6 at these sizes)."""
+    from mlmc_tpu.sim.sde import (coupled_system_functionals, heston,
+                                  heston_call_price)
+
+    params = dict(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+    p_ref = heston_call_price(1.0, 1.0, 0.05, T=1.0, **params)
+    model = heston(mu=0.05, s0=1.0, **params)
+    disc = np.exp(-0.05)
+    payoff = lambda pf: disc * jnp.maximum(pf.terminal[:, 0] - 1.0, 0.0)
+    B = 1 << 16
+    keys = jax.random.split(jax.random.key(0), B)
+    total, var_total = 0.0, 0.0
+    for nf, nc in [(32, 0), (128, 32), (512, 128)]:
+        cfg = dict(model=model, total_time=1.0, n_fine=nf, n_coarse=nc)
+        pf_f, _, pf_c = jax.jit(
+            lambda k: coupled_system_functionals(cfg, k))(keys)
+        d = np.asarray(payoff(pf_f)
+                       - (payoff(pf_c) if pf_c is not None else 0.0))
+        total += d.mean()
+        var_total += d.var() / B
+    assert abs(total - p_ref) < 6 * np.sqrt(var_total) + 5e-4, (total, p_ref)
+
+
+def test_heston_level_variance_decays_and_antithetic_unbiased():
+    from mlmc_tpu.sim.sde import coupled_system_functionals, heston
+
+    model = heston()
+    payoff = lambda pf: jnp.maximum(pf.average[:, 0] - 1.0, 0.0)
+    B = 1 << 15
+    keys = jax.random.split(jax.random.key(4), B)
+
+    def lv(nf, nc, anti):
+        cfg = dict(model=model, total_time=1.0, n_fine=nf, n_coarse=nc,
+                   antithetic=anti)
+        pf_f, pf_fa, pf_c = jax.jit(
+            lambda k: coupled_system_functionals(cfg, k))(keys)
+        v = payoff(pf_f)
+        if anti:
+            v = 0.5 * (v + payoff(pf_fa))
+        d = np.asarray(v - payoff(pf_c))
+        return float(d.var()), float(d.mean())
+
+    v64, m64 = lv(64, 32, False)
+    v256, m256 = lv(256, 128, False)
+    assert v256 < 0.7 * v64, (v64, v256)          # beta ~ 1 Euler decay
+    va, ma = lv(64, 32, True)
+    assert va < 1.05 * v64                         # never a pessimization
+    assert abs(ma - m64) < 6 * np.sqrt(2 * v64 / B), (ma, m64)
+
+
+def test_system_simulation_contract():
+    """SDESystemSimulation through the Sampler: functionals QoI exposes
+    per-component terminal/average/max/min; the asset max bounds the
+    terminal and the variance component stays near theta."""
+    from mlmc_tpu.sim.sde import SDESystemSimulation
+
+    sim = SDESystemSimulation(dict(model="heston", qoi="functionals"))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=6), sim,
+                      [[1 / 16], [1 / 64]])
+    sampler.set_initial_n_samples([512, 128])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    root = make_root_quantity(storage, sim.result_format())
+    chunk = next(storage.chunks(level_id=0))
+    term = np.asarray(root["terminal"].samples(chunk))[:, :, 0]  # [2, N]
+    mx = np.asarray(root["maximum"].samples(chunk))[:, :, 0]
+    assert np.all(term[0] <= mx[0] + 1e-12)       # asset component
+    assert np.all(term[0] > 0)
+    assert 0.0 < term[1].mean() < 0.1             # variance ~ theta=0.04
+    with pytest.raises(ValueError, match="Euler"):
+        SDESystemSimulation(dict(model="heston", scheme="milstein"))
