@@ -144,5 +144,9 @@ from mlmc_tpu.qmc import (
 from mlmc_tpu.sensitivity import sobol_indices, sobol_indices_mlmc
 from mlmc_tpu.mimc import (MIMC, total_degree_set, full_tensor_set,
                            heat_mimc_value_fn)
+from mlmc_tpu.unbiased import (UnbiasedMLMC, GeometricLevels,
+                               sde_unbiased_level_fn)
+from mlmc_tpu.cdf_estimate import MultilevelCDF, simulation_pair_fn
+from mlmc_tpu.multifidelity import MFMC
 
 __version__ = "0.1.0"

@@ -1,0 +1,370 @@
+"""Multilevel distribution-function and quantile estimation — beyond-
+reference tier.
+
+The reference recovers densities from moment estimates via maximum
+entropy (reference mlmc/tool/simple_distribution.py; this repo's
+``tool.simple_distribution``), which is spectacular for smooth densities
+but basis-limited and gives no direct CDF/quantile error control. This
+module adds the complementary DIRECT estimator of Giles, Nagapetyan &
+Ritter ("Multilevel Monte Carlo approximation of distribution functions
+and densities", SIAM/ASA JUQ 3(1), 2015): telescope the SMOOTHED
+indicator
+
+    ``F(x) ~ E[ g((x - X)/delta) ]``,   g a polynomial sigmoid kernel,
+
+across the level hierarchy on a fixed evaluation grid. Smoothing does
+two jobs at once: it makes the functional Lipschitz, so the level
+corrections inherit the coupling's strong-convergence variance decay
+(a RAW indicator telescope decays only ~ O(h^{1/2})), and it caps the
+bias at O(delta^2) (O(delta^4) with the fourth-order kernel) — chosen
+from the bandwidth, independent of sample noise.
+
+TPU-first design (the per-level dispatch economics of
+:class:`~mlmc_tpu.mimc.MIMC` / :class:`~mlmc_tpu.unbiased.UnbiasedMLMC`):
+
+* each level owns ONE chunk-loop executable with a dynamic trip count;
+  a chunk evaluates the coupled pair, forms the [C, J] smoothed
+  indicator block against the static grid (pure VPU work — clip +
+  polynomial), and reduces to [J] running sums on device,
+* the per-level accumulators (g-sum, g-sum^2 elementwise, valid count)
+  come back as ONE flat vector per extension — a single tunnel round
+  trip regardless of grid size,
+* invalid pairs (either side non-finite, or flagged failed) are masked
+  on device and excluded from the count, matching the estimator tiers'
+  mask_nan semantics (reference mlmc/quantity/quantity_estimate.py
+  mask_nan_samples),
+* quantiles invert the monotone-projected CDF on the host (J-sized
+  work), with delta-method standard errors
+  ``se(q_p) = se(F(q_p)) / pdf(q_p)`` from the same accumulators.
+
+Contract: ``pair_fn(level, keys [C]) -> (fine [C], coarse [C], valid
+[C] bool)`` pure jnp; coarse is ignored at level 0. Adapters build this
+from any :class:`~mlmc_tpu.sim.simulation.Simulation` with a device
+batch path.
+"""
+import time
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["smoothed_indicator", "MultilevelCDF", "simulation_pair_fn"]
+
+
+def smoothed_indicator(s, order: int = 2):
+    """Polynomial sigmoid kernel ``g(s)``: 0 for s <= -1, 1 for s >= 1.
+
+    ``order=2``: integral of the Epanechnikov-squared (quartic) kernel —
+    ``g(s) = 1/2 + (15 s - 10 s^3 + 3 s^5)/16``, positive kernel, bias
+    O(delta^2). ``order=4``: a fourth-order (signed) kernel whose second
+    moment vanishes, bias O(delta^4) for C^4 densities — the
+    Giles-Nagapetyan-Ritter accuracy lever.
+    """
+    s = jnp.clip(s, -1.0, 1.0)
+    if order == 2:
+        return 0.5 + (15.0 * s - 10.0 * s ** 3 + 3.0 * s ** 5) / 16.0
+    if order == 4:
+        # integral of k(u) = (105/64)(1 - 5 u^2 + 7 u^4 - 3 u^6) on [-1,1]
+        # (symmetric, integrates to 1, vanishing 2nd moment)
+        return 0.5 + (105.0 * s - 175.0 * s ** 3 + 147.0 * s ** 5
+                      - 45.0 * s ** 7) / 64.0
+    raise ValueError("kernel order must be 2 or 4")
+
+
+def _kernel_pdf(s, order):
+    """``g'(s)`` — the underlying density kernel (for PDF estimates)."""
+    inside = (s > -1.0) & (s < 1.0)
+    s = jnp.clip(s, -1.0, 1.0)
+    if order == 2:
+        k = 15.0 / 16.0 * (1.0 - s * s) ** 2
+    else:
+        k = 105.0 / 64.0 * (1.0 - 5.0 * s ** 2 + 7.0 * s ** 4
+                            - 3.0 * s ** 6)
+    return jnp.where(inside, k, 0.0)
+
+
+class _LevelState:
+    __slots__ = ("n", "n_valid", "g_sum", "g_sq", "p_sum", "p_sq",
+                 "elapsed")
+
+    def __init__(self, J):
+        self.n = 0
+        self.n_valid = 0
+        self.g_sum = np.zeros(J)
+        self.g_sq = np.zeros(J)
+        self.p_sum = np.zeros(J)
+        self.p_sq = np.zeros(J)
+        self.elapsed = 0.0
+
+
+class MultilevelCDF:
+    """Adaptive multilevel CDF/PDF/quantile estimator on a fixed grid.
+
+    :param pair_fn: ``(level, keys [C]) -> (fine [C], coarse [C],
+        valid [C])`` pure jnp (coarse ignored at level 0)
+    :param n_levels: hierarchy depth
+    :param grid: evaluation points x_j (1-D, strictly increasing)
+    :param bandwidth: smoothing delta (one value, or a per-level
+        sequence — level l's fine term uses delta_l and its coarse term
+        delta_{l-1}, so the telescope collapses exactly to
+        ``E[g_{delta_{L-1}}(f_{L-1})]`` and the bias is set by the
+        FINEST bandwidth — the Giles-Nagapetyan-Ritter joint
+        discretization+bandwidth telescope)
+    :param kernel_order: 2 (positive kernel, bias O(delta^2)) or 4
+        (signed, bias O(delta^4))
+    :param seed: PRNG root; level streams are ``fold_in(root, level)``
+    :param cost_fn: optional ``level -> relative cost`` for allocation
+    :param chunk_size: samples per device loop step
+    """
+
+    def __init__(self, pair_fn: Callable, n_levels: int,
+                 grid: Sequence[float], bandwidth, kernel_order: int = 2,
+                 seed: int = 0, cost_fn: Optional[Callable] = None,
+                 chunk_size: int = 1 << 12, dtype=None):
+        self._fn = pair_fn
+        self.n_levels = int(n_levels)
+        if self.n_levels < 1:
+            raise ValueError("need n_levels >= 1")
+        grid = np.asarray(grid, dtype=float)
+        if grid.ndim != 1 or grid.size < 2 or np.any(np.diff(grid) <= 0):
+            raise ValueError("grid must be 1-D strictly increasing with "
+                             ">= 2 points")
+        self.grid = grid
+        if np.ndim(bandwidth) == 0:
+            self._deltas = [float(bandwidth)] * self.n_levels
+        else:
+            self._deltas = [float(d) for d in bandwidth]
+            if len(self._deltas) != self.n_levels:
+                raise ValueError("per-level bandwidth needs n_levels values")
+        if min(self._deltas) <= 0:
+            raise ValueError("bandwidth must be positive")
+        if kernel_order not in (2, 4):
+            raise ValueError("kernel order must be 2 or 4")
+        self._order = int(kernel_order)
+        self._chunk = int(chunk_size)
+        self._dtype = jnp.dtype(dtype or jnp.result_type(float))
+        self._root = jax.random.key(seed)
+        self._cost_fn = cost_fn
+        self._states = [
+            _LevelState(grid.size) for _ in range(self.n_levels)]
+        self._programs = {}
+
+    # -------------------------------------------------------------- #
+    def _program(self, level):
+        run = self._programs.get(level)
+        if run is not None:
+            return run
+        fn = self._fn
+        chunk = self._chunk
+        dtype = self._dtype
+        order = self._order
+        delta_f = self._deltas[level]
+        delta_c = self._deltas[max(level - 1, 0)]
+        x = jnp.asarray(self.grid, dtype)
+        J = x.size
+        lkey = jax.random.fold_in(self._root, level)
+        is_l0 = level == 0
+
+        def g_block(v, valid, delta):
+            s = (x[None, :] - v[:, None]) / delta
+            g = smoothed_indicator(s, order)
+            p = _kernel_pdf(s, order) / delta
+            m = valid[:, None]
+            return jnp.where(m, g, 0.0), jnp.where(m, p, 0.0)
+
+        @jax.jit
+        def run(start, n_chunks):
+            def body(c, carry):
+                gs, gq, ps, pq, nv = carry
+                idx = c * jnp.uint32(chunk) + jnp.arange(
+                    chunk, dtype=jnp.uint32)
+                keys = jax.vmap(lambda i: jax.random.fold_in(lkey, i))(idx)
+                fine, coarse, valid = fn(level, keys)
+                fine = fine.astype(dtype)
+                valid = valid & jnp.isfinite(fine)
+                if not is_l0:
+                    coarse = coarse.astype(dtype)
+                    valid = valid & jnp.isfinite(coarse)
+                gf, pf = g_block(fine, valid, delta_f)
+                if is_l0:
+                    d, p = gf, pf
+                else:
+                    gc, pc = g_block(coarse, valid, delta_c)
+                    d, p = gf - gc, pf - pc
+                return (gs + jnp.sum(d, 0), gq + jnp.sum(d * d, 0),
+                        ps + jnp.sum(p, 0), pq + jnp.sum(p * p, 0),
+                        nv + jnp.sum(valid).astype(jnp.uint32))
+
+            z = jnp.zeros((J,), dtype)
+            gs, gq, ps, pq, nv = jax.lax.fori_loop(
+                start, start + n_chunks, body,
+                (z, z, z, z, jnp.zeros((), jnp.uint32)))
+            # ONE flat fetch per extension
+            return jnp.concatenate([gs, gq, ps, pq,
+                                    nv[None].astype(dtype)])
+
+        self._programs[level] = run
+        return run
+
+    def extend(self, level, n_add):
+        """Draw ``n_add`` more coupled pairs at ``level`` (rounded up to
+        whole chunks), continuing its stream."""
+        st = self._states[level]
+        n_chunks = -(-int(n_add) // self._chunk)
+        if n_chunks <= 0:
+            return
+        run = self._program(level)
+        start = st.n // self._chunk
+        t0 = time.perf_counter()
+        flat = np.asarray(run(jnp.uint32(start), jnp.uint32(n_chunks)))
+        st.elapsed += time.perf_counter() - t0
+        J = self.grid.size
+        if not np.all(np.isfinite(flat)):
+            raise FloatingPointError(
+                "level %d produced non-finite accumulators" % level)
+        st.g_sum += flat[:J]
+        st.g_sq += flat[J:2 * J]
+        st.p_sum += flat[2 * J:3 * J]
+        st.p_sq += flat[3 * J:4 * J]
+        st.n_valid += int(flat[4 * J])
+        st.n += n_chunks * self._chunk
+
+    # -------------------------------------------------------------- #
+    def estimates(self):
+        """CDF / PDF estimates and per-point variances.
+
+        The raw telescoped CDF is monotone-projected (running max then
+        min with [0, 1] clipping — the L2 projection onto monotone
+        staircases for this grid ordering) for the returned ``cdf``;
+        ``cdf_raw`` keeps the unprojected telescope.
+
+        :return: dict(x, cdf, cdf_raw, cdf_var, pdf, pdf_var, n_samples)
+        """
+        J = self.grid.size
+        cdf = np.zeros(J)
+        var = np.zeros(J)
+        pdf = np.zeros(J)
+        pvar = np.zeros(J)
+        ns = []
+        for st in self._states:
+            n = max(st.n_valid, 1)
+            mu = st.g_sum / n
+            cdf += mu
+            bessel = n / max(n - 1, 1)
+            v = np.maximum(st.g_sq / n - mu * mu, 0.0) * bessel
+            var += v / n
+            mp = st.p_sum / n
+            pdf += mp
+            pvar += np.maximum(st.p_sq / n - mp * mp, 0.0) * bessel / n
+            ns.append(st.n_valid)
+        mono = np.clip(np.maximum.accumulate(cdf), 0.0, 1.0)
+        return dict(x=self.grid, cdf=mono, cdf_raw=cdf, cdf_var=var,
+                    pdf=pdf, pdf_var=pvar, n_samples=np.array(ns))
+
+    def quantiles(self, ps):
+        """Quantiles by inverting the monotone-projected CDF with linear
+        interpolation, plus delta-method standard errors
+        ``se(q_p) = sqrt(Var[F(q_p)]) / pdf(q_p)``.
+
+        :return: (q [len(ps)], se [len(ps)])
+        """
+        est = self.estimates()
+        ps = np.atleast_1d(np.asarray(ps, dtype=float))
+        if np.any((ps <= 0) | (ps >= 1)):
+            raise ValueError("quantile levels must be in (0, 1)")
+        cdf, x = est["cdf"], est["x"]
+        if cdf[0] > ps.min() or cdf[-1] < ps.max():
+            raise ValueError(
+                "grid does not bracket the requested quantiles "
+                "(cdf spans [%.3g, %.3g])" % (cdf[0], cdf[-1]))
+        # strictly-increasing view for interp (ties get epsilon steps)
+        c = np.maximum.accumulate(cdf + 1e-12 * np.arange(len(cdf)))
+        q = np.interp(ps, c, x)
+        f_at_q = np.maximum(np.interp(q, x, est["pdf"]), 1e-300)
+        se_f = np.sqrt(np.interp(q, x, est["cdf_var"]))
+        return q, se_f / f_at_q
+
+    # -------------------------------------------------------------- #
+    def _costs(self):
+        if self._cost_fn is not None:
+            return np.array([float(self._cost_fn(lv))
+                             for lv in range(self.n_levels)])
+        measured = np.array([st.elapsed / max(st.n, 1)
+                             for st in self._states])
+        if not np.all(measured > 0):
+            measured = 2.0 ** np.arange(self.n_levels)
+        return measured
+
+    def run(self, target_var, n_init: int = None, max_rounds: int = 20):
+        """Adaptive loop on the WORST grid point: allocate
+        ``n_l ~ sqrt(V_l / C_l)`` against ``max_j Var[F(x_j)]`` until it
+        meets the target.
+
+        :return: :meth:`estimates` dict + rounds/target_met
+        """
+        n_init = int(n_init or 2 * self._chunk)
+        for lv in range(self.n_levels):
+            if self._states[lv].n == 0:
+                self.extend(lv, n_init)
+        rounds = 0
+        while rounds < max_rounds:
+            # per-level worst-point variance-per-sample
+            pvars, ns = [], []
+            for st in self._states:
+                n = max(st.n_valid, 1)
+                mu = st.g_sum / n
+                v = np.maximum(st.g_sq / n - mu * mu, 0.0)
+                pvars.append(v.max() * (n / max(n - 1, 1)))
+                ns.append(st.n_valid)
+            pvars = np.array(pvars)
+            ns = np.array(ns, dtype=float)
+            if float(np.sum(pvars / np.maximum(ns, 1))) <= target_var:
+                break
+            costs = self._costs()
+            lam = float(np.sum(np.sqrt(pvars * costs))) / target_var
+            n_opt = np.maximum(np.ceil(lam * np.sqrt(pvars / costs)),
+                               2 * self._chunk)
+            gaps = n_opt - ns
+            if not np.any(gaps > 0):
+                break
+            for lv, gap in enumerate(gaps):
+                if gap > 0:
+                    self.extend(lv, int(gap))
+            rounds += 1
+        est = self.estimates()
+        est.update(rounds=rounds,
+                   target_met=bool(est["cdf_var"].max() <= target_var))
+        return est
+
+
+# ---------------------------------------------------------------------- #
+# adapters
+# ---------------------------------------------------------------------- #
+def simulation_pair_fn(sim, level_parameters: List[List[float]],
+                       component: int = 0):
+    """Coupled-pair function from any Simulation with a device batch
+    path: level l evaluates ``calculate_batch`` under the
+    ``level_instance(params_l, params_{l-1})`` config and returns the
+    chosen component of (fine, coarse) plus the not-failed flag.
+
+    :param sim: a :class:`~mlmc_tpu.sim.simulation.Simulation`
+    :param level_parameters: as for Sampler (``[[h0], [h1], ...]``)
+    :param component: flat result component to estimate the CDF of
+    :return: (pair_fn, n_levels) for :class:`MultilevelCDF`
+    """
+    if not type(sim).has_batch_path():
+        raise ValueError("%s has no device batch path"
+                         % type(sim).__name__)
+    configs = []
+    for lev, params in enumerate(level_parameters):
+        coarse = [0] * len(params) if lev == 0 else level_parameters[lev - 1]
+        configs.append(sim.level_instance(list(params),
+                                          list(coarse)).config_dict)
+
+    def pair_fn(level, keys):
+        fine, coarse, failed = type(sim).calculate_batch(configs[level],
+                                                         keys)
+        return fine[:, component], coarse[:, component], ~failed
+
+    return pair_fn, len(level_parameters)
