@@ -760,6 +760,110 @@ def bench_rng_quality():
                 six_sigma_ok=bool(np.max(z_scores[1:]) < 6.0))
 
 
+def bench_unbiased():
+    """Unbiased randomized MLMC (no reference analogue): the coupled-sum
+    Rhee-Glynn estimator pricing a GBM Milstein European call with ZERO
+    discretization bias — the estimate targets Black-Scholes itself.
+    refine=4 keeps the random level ladder short (variance drops 16x,
+    cost 4x per level => geometric ratio 1/8)."""
+    from mlmc_tpu.sim.sde import (SDESimulation, black_scholes_call,
+                                  european_call, gbm)
+    from mlmc_tpu.unbiased import GeometricLevels, UnbiasedMLMC, \
+        sde_unbiased_level_fn
+
+    rate, sigma, strike = 0.05, 0.2, 1.05
+    sim = SDESimulation(dict(model=gbm(rate, sigma, 1.0), scheme="milstein",
+                             payoff=european_call(strike,
+                                                  float(np.exp(-rate)))))
+    mc = UnbiasedMLMC(sde_unbiased_level_fn(sim, n0=8, refine=4),
+                      GeometricLevels(0.125), estimator="coupled", seed=11,
+                      chunk_size=1 << 13, cost_fn=lambda lv: 4.0 ** lv)
+    mc.sample(1 << 14)        # warm the common executables
+    t0 = time.perf_counter()
+    out = mc.run(target_var=1e-8, n_init=1 << 15)
+    wall = time.perf_counter() - t0
+    bs = black_scholes_call(1.0, strike, rate, sigma, 1.0)
+    err = abs(out["mean"] - bs)
+    return dict(workload="Rhee-Glynn coupled-sum GBM Milstein call to "
+                         "target_var=1e-8 (zero discretization bias)",
+                wall_s=round(wall, 2),
+                draws=int(out["n_draws"]),
+                draws_per_s=round(out["n_draws"] / max(wall, 1e-9), 1),
+                levels_explored=len(out["levels"]),
+                price=float(out["mean"]), black_scholes=bs,
+                price_err=float(err), se=float(np.sqrt(out["var"])),
+                err_over_se=round(float(err / np.sqrt(out["var"])), 2),
+                target_met=out["target_met"])
+
+
+def bench_cdf():
+    """Multilevel CDF/quantile estimation (no reference analogue): the
+    GBM terminal-price distribution on a 257-point grid with the
+    order-4 kernel; quantiles vs the exact lognormal (the residual is
+    the finest level's Euler weak bias + smoothing, reported raw)."""
+    import scipy.stats as stats
+    from mlmc_tpu.cdf_estimate import MultilevelCDF, simulation_pair_fn
+    from mlmc_tpu.sim.sde import SDESimulation, gbm, terminal_value
+
+    rate, sigma = 0.05, 0.2
+    sim = SDESimulation(dict(model=gbm(rate, sigma, 1.0),
+                             payoff=terminal_value()))
+    pair_fn, L = simulation_pair_fn(
+        sim, [[1 / 4], [1 / 16], [1 / 64], [1 / 256]])
+    ml = MultilevelCDF(pair_fn, L, grid=np.linspace(0.4, 2.4, 257),
+                       bandwidth=0.02, kernel_order=4, seed=5,
+                       chunk_size=1 << 13, cost_fn=lambda lv: 4.0 ** lv)
+    ml.extend(0, 1 << 13)     # warm level 0
+    t0 = time.perf_counter()
+    est = ml.run(target_var=1e-6, n_init=1 << 14)
+    wall = time.perf_counter() - t0
+    ps = np.array([0.05, 0.5, 0.95])
+    q, se = ml.quantiles(ps)
+    exact_q = np.exp((rate - 0.5 * sigma ** 2) + sigma * stats.norm.ppf(ps))
+    exact_cdf = stats.norm.cdf(
+        (np.log(ml.grid) - (rate - 0.5 * sigma ** 2)) / sigma)
+    n_total = int(est["n_samples"].sum())
+    return dict(workload="GBM terminal CDF on 257 points, order-4 kernel, "
+                         "target_var=1e-6 (worst grid point)",
+                wall_s=round(wall, 2), n_pairs=n_total,
+                pairs_per_s=round(n_total / max(wall, 1e-9), 1),
+                cdf_sup_err=float(np.max(np.abs(est["cdf"] - exact_cdf))),
+                quantile_err_max=float(np.max(np.abs(q - exact_q))),
+                quantile_se_max=float(se.max()),
+                target_met=est["target_met"])
+
+
+def bench_mfmc():
+    """Multifidelity Monte Carlo (no reference analogue): the 1-D
+    random-conductivity heat equation at three resolutions as fidelity
+    models — the RFF field parametrization is resolution-independent, so
+    one key stream couples all fidelities. Reports pilot correlations,
+    the selected allocation and the closed-form speedup vs plain MC."""
+    from mlmc_tpu.mimc import heat_mimc_value_fn
+    from mlmc_tpu.multifidelity import MFMC
+
+    fn, _ = heat_mimc_value_fn(sigma=0.5, n0=(4, 4), total_time=0.25)
+    fidelities = [(3, 3), (1, 1), (0, 0)]
+    models = [lambda keys, a=a: fn(a, keys) for a in fidelities]
+    # work ~ nx * nt solves => relative cost 2^(a0+a1)
+    costs = [2.0 ** (a0 + a1) for a0, a1 in fidelities]
+    mf = MFMC(models, costs=costs, seed=2, chunk_size=1 << 12)
+    st = mf.pilot(1 << 13)
+    budget = 5e5              # in cost units; m_0 ~ budget / (w . r)
+    t0 = time.perf_counter()
+    out = mf.estimate(budget=budget)
+    wall = time.perf_counter() - t0
+    return dict(workload="heat-equation MFMC: 32-cell x 32-step fine vs "
+                         "8x8 / 4x4 surrogates, shared RFF fields",
+                wall_s=round(wall, 2),
+                rho=[round(float(r), 4) for r in st["rho"]],
+                subset=list(out["subset"]),
+                m=[int(v) for v in out["m"]],
+                mean=float(out["mean"]),
+                var=float("%.3g" % out["var"]),
+                speedup_vs_mc=round(float(out["speedup"]), 1))
+
+
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "fractured": bench_fractured, "transport": bench_transport,
            "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
@@ -769,6 +873,9 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "sde": bench_sde,
            "mimc": bench_mimc,
            "sensitivity": bench_sensitivity,
+           "unbiased": bench_unbiased,
+           "cdf": bench_cdf,
+           "mfmc": bench_mfmc,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

@@ -116,12 +116,17 @@ class MultilevelCDF:
     :param seed: PRNG root; level streams are ``fold_in(root, level)``
     :param cost_fn: optional ``level -> relative cost`` for allocation
     :param chunk_size: samples per device loop step
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        each chunk's pairs shard across the mesh (chunk_size must divide
+        by the device count) with a psum of the [J] accumulators; the
+        position -> key mapping is identical for any device count, so
+        estimates are bit-reproducible across pod sizes
     """
 
     def __init__(self, pair_fn: Callable, n_levels: int,
                  grid: Sequence[float], bandwidth, kernel_order: int = 2,
                  seed: int = 0, cost_fn: Optional[Callable] = None,
-                 chunk_size: int = 1 << 12, dtype=None):
+                 chunk_size: int = 1 << 12, dtype=None, mesh=None):
         self._fn = pair_fn
         self.n_levels = int(n_levels)
         if self.n_levels < 1:
@@ -143,6 +148,11 @@ class MultilevelCDF:
             raise ValueError("kernel order must be 2 or 4")
         self._order = int(kernel_order)
         self._chunk = int(chunk_size)
+        self._mesh = mesh
+        if mesh is not None and self._chunk % mesh.n_devices:
+            raise ValueError(
+                "chunk_size=%d must divide by the mesh's %d devices"
+                % (self._chunk, mesh.n_devices))
         self._dtype = jnp.dtype(dtype or jnp.result_type(float))
         self._root = jax.random.key(seed)
         self._cost_fn = cost_fn
@@ -165,6 +175,8 @@ class MultilevelCDF:
         J = x.size
         lkey = jax.random.fold_in(self._root, level)
         is_l0 = level == 0
+        mesh = self._mesh
+        sub = chunk if mesh is None else chunk // mesh.n_devices
 
         def g_block(v, valid, delta):
             s = (x[None, :] - v[:, None]) / delta
@@ -173,36 +185,80 @@ class MultilevelCDF:
             m = valid[:, None]
             return jnp.where(m, g, 0.0), jnp.where(m, p, 0.0)
 
-        @jax.jit
-        def run(start, n_chunks):
-            def body(c, carry):
-                gs, gq, ps, pq, nv = carry
-                idx = c * jnp.uint32(chunk) + jnp.arange(
-                    chunk, dtype=jnp.uint32)
-                keys = jax.vmap(lambda i: jax.random.fold_in(lkey, i))(idx)
-                fine, coarse, valid = fn(level, keys)
-                fine = fine.astype(dtype)
-                valid = valid & jnp.isfinite(fine)
-                if not is_l0:
-                    coarse = coarse.astype(dtype)
-                    valid = valid & jnp.isfinite(coarse)
-                gf, pf = g_block(fine, valid, delta_f)
-                if is_l0:
-                    d, p = gf, pf
-                else:
-                    gc, pc = g_block(coarse, valid, delta_c)
-                    d, p = gf - gc, pf - pc
-                return (gs + jnp.sum(d, 0), gq + jnp.sum(d * d, 0),
-                        ps + jnp.sum(p, 0), pq + jnp.sum(p * p, 0),
-                        nv + jnp.sum(valid).astype(jnp.uint32))
+        def body(c, carry, offset):
+            # Kahan-compensated cross-chunk accumulation per grid point
+            accs, comps, nv = carry
+            idx = (c * jnp.uint32(chunk) + offset
+                   + jnp.arange(sub, dtype=jnp.uint32))
+            keys = jax.vmap(lambda i: jax.random.fold_in(lkey, i))(idx)
+            fine, coarse, valid = fn(level, keys)
+            fine = fine.astype(dtype)
+            valid = valid & jnp.isfinite(fine)
+            if not is_l0:
+                coarse = coarse.astype(dtype)
+                valid = valid & jnp.isfinite(coarse)
+            gf, pf = g_block(fine, valid, delta_f)
+            if is_l0:
+                d, p = gf, pf
+            else:
+                gc, pc = g_block(coarse, valid, delta_c)
+                d, p = gf - gc, pf - pc
+            terms = (jnp.sum(d, 0), jnp.sum(d * d, 0),
+                     jnp.sum(p, 0), jnp.sum(p * p, 0))
+            new_accs, new_comps = [], []
+            for acc, comp, x in zip(accs, comps, terms):
+                y = x - comp
+                t = acc + y
+                new_accs.append(t)
+                new_comps.append((t - acc) - y)
+            return (tuple(new_accs), tuple(new_comps),
+                    nv + jnp.sum(valid).astype(jnp.uint32))
 
+        def loop(start, n_chunks, offset):
             z = jnp.zeros((J,), dtype)
-            gs, gq, ps, pq, nv = jax.lax.fori_loop(
-                start, start + n_chunks, body,
-                (z, z, z, z, jnp.zeros((), jnp.uint32)))
-            # ONE flat fetch per extension
-            return jnp.concatenate([gs, gq, ps, pq,
-                                    nv[None].astype(dtype)])
+            (accs, comps, nv) = jax.lax.fori_loop(
+                start, start + n_chunks,
+                lambda c, carry: body(c, carry, offset),
+                ((z, z, z, z), (z, z, z, z),
+                 jnp.zeros((), jnp.uint32)))
+            return [a - c for a, c in zip(accs, comps)], nv
+
+        if mesh is None:
+            @jax.jit
+            def run(start, n_chunks):
+                sums, nv = loop(start, n_chunks, jnp.uint32(0))
+                # ONE flat fetch per extension
+                return jnp.concatenate(sums + [nv[None].astype(dtype)])
+        else:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:               # older jax
+                from jax.experimental.shard_map import shard_map
+            axis = mesh.axis_name
+
+            def mark(z):
+                if hasattr(jax.lax, "pcast"):
+                    return jax.lax.pcast(z, (axis,), to="varying")
+                return jax.lax.pvary(z, (axis,))
+
+            def sharded(start, n_chunks):
+                offset = (jax.lax.axis_index(axis).astype(jnp.uint32)
+                          * jnp.uint32(sub))
+                z = mark(jnp.zeros((J,), dtype))
+                zc = mark(jnp.zeros((), jnp.uint32))
+                (accs, comps, nv) = jax.lax.fori_loop(
+                    start, start + n_chunks,
+                    lambda c, carry: body(c, carry, offset),
+                    ((z, z, z, z), (z, z, z, z), zc))
+                flat = jnp.concatenate(
+                    [a - c for a, c in zip(accs, comps)]
+                    + [nv[None].astype(dtype)])
+                return jax.lax.psum(flat, axis)
+
+            run = jax.jit(shard_map(sharded, mesh=mesh.mesh,
+                                    in_specs=(P(), P()),
+                                    out_specs=P()))
 
         self._programs[level] = run
         return run

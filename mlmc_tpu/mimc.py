@@ -171,21 +171,34 @@ class MIMC:
         idx_key = jax.random.fold_in(self._root, self._set.index(alpha))
 
         def body(c, carry, offset):
-            s, s2 = carry
+            # Kahan-compensated cross-chunk accumulation: at millions of
+            # samples in f32 the naive running sum loses ~3e-5 relative
+            # (ulp of the accumulator), comparable to the target se
+            s, cs, s2, cs2 = carry
             base = jax.vmap(lambda i: jax.random.fold_in(idx_key, i))(
                 c * chunk + offset + jnp.arange(sub, dtype=jnp.uint32))
             delta = jnp.zeros((sub,), dtype)
             for corner, sign in terms:
                 delta = delta + sign * fn(corner, base).astype(dtype)
-            return (s + jnp.sum(delta), s2 + jnp.sum(delta * delta))
+
+            def kadd(acc, comp, x):
+                y = x - comp
+                t = acc + y
+                return t, (t - acc) - y
+
+            s, cs = kadd(s, cs, jnp.sum(delta))
+            s2, cs2 = kadd(s2, cs2, jnp.sum(delta * delta))
+            return (s, cs, s2, cs2)
 
         if mesh is None:
             @jax.jit
             def run(start, n_chunks):
                 z = jnp.zeros((), dtype)
-                return jax.lax.fori_loop(
+                s, cs, s2, cs2 = jax.lax.fori_loop(
                     start, start + n_chunks,
-                    lambda c, carry: body(c, carry, jnp.uint32(0)), (z, z))
+                    lambda c, carry: body(c, carry, jnp.uint32(0)),
+                    (z, z, z, z))
+                return s - cs, s2 - cs2
         else:
             from jax.sharding import PartitionSpec as P
             try:
@@ -205,10 +218,11 @@ class MIMC:
                 offset = (jax.lax.axis_index(axis).astype(jnp.uint32)
                           * jnp.uint32(sub))
                 z = mark(jnp.zeros((), dtype))
-                s, s2 = jax.lax.fori_loop(
+                s, cs, s2, cs2 = jax.lax.fori_loop(
                     start, start + n_chunks,
-                    lambda c, carry: body(c, carry, offset), (z, z))
-                return jax.lax.psum(s, axis), jax.lax.psum(s2, axis)
+                    lambda c, carry: body(c, carry, offset), (z, z, z, z))
+                return (jax.lax.psum(s - cs, axis),
+                        jax.lax.psum(s2 - cs2, axis))
 
             run = jax.jit(shard_map(sharded, mesh=mesh.mesh,
                                     in_specs=(P(), P()),

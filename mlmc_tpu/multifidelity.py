@@ -111,19 +111,29 @@ class MFMC:
         @jax.jit
         def run(root, n_chunks):
             def body(c, carry):
-                s, xx = carry
+                # Kahan-compensated cross-chunk accumulation
+                s, cs, xx, cxx = carry
                 idx = c * jnp.uint32(chunk) + jnp.arange(chunk,
                                                          dtype=jnp.uint32)
                 keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
                 v = jnp.stack([m(keys).astype(dtype) for m in models])
-                return (s + jnp.sum(v, 1),
-                        xx + jnp.matmul(
-                            v, v.T, precision=jax.lax.Precision.HIGHEST))
 
-            s, xx = jax.lax.fori_loop(
-                jnp.uint32(0), n_chunks, body,
-                (jnp.zeros((Kp1,), dtype), jnp.zeros((Kp1, Kp1), dtype)))
-            return jnp.concatenate([s, xx.reshape(-1)])    # one flat fetch
+                def kadd(acc, comp, x):
+                    y = x - comp
+                    t = acc + y
+                    return t, (t - acc) - y
+
+                s, cs = kadd(s, cs, jnp.sum(v, 1))
+                xx, cxx = kadd(xx, cxx, jnp.matmul(
+                    v, v.T, precision=jax.lax.Precision.HIGHEST))
+                return (s, cs, xx, cxx)
+
+            zv = jnp.zeros((Kp1,), dtype)
+            zm = jnp.zeros((Kp1, Kp1), dtype)
+            s, cs, xx, cxx = jax.lax.fori_loop(
+                jnp.uint32(0), n_chunks, body, (zv, zv, zm, zm))
+            # one flat fetch
+            return jnp.concatenate([s - cs, (xx - cxx).reshape(-1)])
 
         self._pilot_program = run
         return run
@@ -245,19 +255,28 @@ class MFMC:
         @jax.jit
         def run(root, start, stop):
             def body(c, carry):
-                s, s2 = carry
+                s, cs, s2, cs2 = carry
                 idx = c * jnp.uint32(chunk) + jnp.arange(chunk,
                                                          dtype=jnp.uint32)
                 keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
                 d = fn(keys).astype(dtype)
                 d = jnp.where((idx >= start) & (idx < stop), d, 0)
-                return (s + jnp.sum(d), s2 + jnp.sum(d * d))
+
+                def kadd(acc, comp, x):
+                    y = x - comp
+                    t = acc + y
+                    return t, (t - acc) - y
+
+                s, cs = kadd(s, cs, jnp.sum(d))
+                s2, cs2 = kadd(s2, cs2, jnp.sum(d * d))
+                return (s, cs, s2, cs2)
 
             z = jnp.zeros((), dtype)
-            return jax.lax.fori_loop(start // jnp.uint32(chunk),
-                                     (stop + jnp.uint32(chunk - 1))
-                                     // jnp.uint32(chunk),
-                                     body, (z, z))
+            s, cs, s2, cs2 = jax.lax.fori_loop(
+                start // jnp.uint32(chunk),
+                (stop + jnp.uint32(chunk - 1)) // jnp.uint32(chunk),
+                body, (z, z, z, z))
+            return s - cs, s2 - cs2
 
         self._interval_programs[model_idx] = run
         return run

@@ -173,29 +173,59 @@ def black_scholes_call(s0, strike, rate, sigma, T):
 # ---------------------------------------------------------------------- #
 # coupled-path kernel
 # ---------------------------------------------------------------------- #
-def _scheme_step(model, scheme, s, t, dw, dt):
-    """One integration step of a [B] state batch."""
+def _scheme_increment(model, scheme, s, t, dw, dt):
+    """One integration INCREMENT of a [B] state batch."""
     a = model.drift(s, t)
     b = model.diffusion(s, t)
-    s_new = s + a * dt + b * dw
+    incr = a * dt + b * dw
     if scheme == "milstein":
         bp = model.diffusion_ds(s, t)
-        s_new = s_new + 0.5 * b * bp * (dw * dw - dt)
-    return s_new
+        incr = incr + 0.5 * b * bp * (dw * dw - dt)
+    return incr
 
 
-def _run_substeps(model, scheme, state, dws, t0, dt, m, reverse):
-    """Advance one (state, sum, max, min) tuple through ``m`` unrolled
-    substeps fed by the [B, m] increment block (reversed for the
-    antithetic twin)."""
-    s, sm, mx, mn = state
+def _df_add(hi, lo, x):
+    """Add ``x`` to the double-float pair ``(hi, lo)`` (two_sum + quick
+    renormalization): the state keeps ~2x the mantissa bits, so path
+    increments far below ``ulp(state)`` are never swallowed — the error
+    that otherwise FLOORS deep-level corrections on f32 hardware (at
+    ~1e6 steps the plain-f32 per-path noise reaches 1e-4-1e-3, orders
+    above the true O(h) correction scale)."""
+    s = hi + x
+    b = s - hi
+    err = (hi - (s - b)) + (x - b)
+    lo = lo + err
+    t = s + lo
+    return t, lo - (t - s)
+
+
+def _run_substeps(model, scheme, state, dws, t0, dt, m, reverse, df):
+    """Advance one path-functional carry through ``m`` unrolled substeps
+    fed by the [B, m] increment block (reversed for the antithetic
+    twin). ``df=False``: carry (s, sum, max, min); ``df=True``: carry
+    (s_hi, s_lo, sum_hi, sum_lo, max, min) with double-float state and
+    running-sum accumulation (coefficients still evaluate on the f32
+    ``hi`` — the 2x-mantissa pair only needs to protect the ADDITIONS,
+    which is where long-horizon f32 integration loses its accuracy)."""
+    if not df:
+        s, sm, mx, mn = state
+        for i in range(m):
+            dw = dws[:, m - 1 - i] if reverse else dws[:, i]
+            s = s + _scheme_increment(model, scheme, s, t0 + i * dt, dw, dt)
+            sm = sm + s
+            mx = jnp.maximum(mx, s)
+            mn = jnp.minimum(mn, s)
+        return (s, sm, mx, mn)
+    s, sl, sm, sml, mx, mn = state
     for i in range(m):
         dw = dws[:, m - 1 - i] if reverse else dws[:, i]
-        s = _scheme_step(model, scheme, s, t0 + i * dt, dw, dt)
-        sm = sm + s
+        incr = _scheme_increment(model, scheme, s, t0 + i * dt, dw, dt)
+        s, sl = _df_add(s, sl, incr)
+        sm, sml = _df_add(sm, sml, s)
+        sm, sml = _df_add(sm, sml, sl)
         mx = jnp.maximum(mx, s)
         mn = jnp.minimum(mn, s)
-    return (s, sm, mx, mn)
+    return (s, sl, sm, sml, mx, mn)
 
 
 def coupled_path_functionals(config, keys=None, z=None):
@@ -210,6 +240,14 @@ def coupled_path_functionals(config, keys=None, z=None):
         is materialized
     :param z: alternatively, explicit standard-normal increments
         [B, n_fine] (the QMC path; mutually exclusive with ``keys``)
+
+    Extra config keys: ``precision`` — ``'float'`` (default, native
+    dtype) or ``'df64'`` (double-float state/sum accumulation: protects
+    long-horizon integration on f32 hardware, where plain-f32 per-path
+    rounding noise floors at ~1e-4 around 1e6 steps — required for the
+    deep levels of :class:`~mlmc_tpu.unbiased.UnbiasedMLMC`); ``dtype``
+    — element dtype override for the keys path.
+
     :return: (fine, fine_antithetic | None, coarse | None) as
         :class:`PathFunctionals`
     """
@@ -219,6 +257,10 @@ def coupled_path_functionals(config, keys=None, z=None):
         raise ValueError("scheme must be 'euler' or 'milstein'")
     if scheme == "milstein" and model.diffusion_ds is None:
         raise ValueError("Milstein needs SDEModel.diffusion_ds")
+    precision = config.get("precision", "float")
+    if precision not in ("float", "df64"):
+        raise ValueError("precision must be 'float' or 'df64'")
+    df = precision == "df64"
     T = float(config["total_time"])
     n_f = int(config["n_fine"])
     n_c = int(config["n_coarse"])
@@ -247,7 +289,8 @@ def coupled_path_functionals(config, keys=None, z=None):
         def dw_at(c):
             return sqrt_dt * jax.lax.dynamic_slice_in_dim(z, c * m, m, 1)
     else:
-        dtype = jnp.result_type(float)
+        dtype = jnp.dtype(config["dtype"]) if "dtype" in config \
+            else jnp.result_type(float)
         B = keys.shape[0]
         sqrt_dt = jnp.asarray(np.sqrt(dt_f), dtype)
 
@@ -258,28 +301,36 @@ def coupled_path_functionals(config, keys=None, z=None):
 
     s0 = jnp.full((B,), model.s0, dtype)
     zero = jnp.zeros((B,), dtype)
-    init = (s0, zero, s0, s0)        # (state, sum-of-nodes, max, min)
+    if df:
+        init = (s0, zero, zero, zero, s0, s0)
+    else:
+        init = (s0, zero, s0, s0)    # (state, sum-of-nodes, max, min)
 
     def body(carry, c):
         fine, fine_a, coarse = carry
         dws = dw_at(c)               # [B, m]
         t0 = c.astype(dtype) * dt_c
-        fine = _run_substeps(model, scheme, fine, dws, t0, dt_f, m, False)
+        fine = _run_substeps(model, scheme, fine, dws, t0, dt_f, m, False,
+                             df)
         if anti:
             fine_a = _run_substeps(model, scheme, fine_a, dws, t0, dt_f, m,
-                                   True)
+                                   True, df)
         if not is_l0:
-            s, sm, mx, mn = coarse
-            s = _scheme_step(model, scheme, s, t0, jnp.sum(dws, axis=1),
-                             dt_c)
-            coarse = (s, sm + s, jnp.maximum(mx, s), jnp.minimum(mn, s))
+            coarse = _run_substeps(model, scheme, coarse,
+                                   jnp.sum(dws, axis=1, keepdims=True),
+                                   t0, dt_c, 1, False, df)
         return (fine, fine_a, coarse), None
 
     steps = jnp.arange(trips)        # int: feeds fold_in / dynamic_slice
     (fine, fine_a, coarse), _ = jax.lax.scan(body, (init, init, init), steps)
 
     def functionals(st, n_nodes):
-        s, sm, mx, mn = st
+        if df:
+            s, sl, sm, sml, mx, mn = st
+            s = s + sl
+            sm = sm + sml
+        else:
+            s, sm, mx, mn = st
         return PathFunctionals(terminal=s, average=(s0 + sm) / (n_nodes + 1),
                                maximum=mx, minimum=mn)
 

@@ -137,25 +137,36 @@ class UnbiasedMLMC:
         estimator exists to remove). With geometric ``r`` the excess
         probability is ``r^(max_level+1)``; pick it astronomically small
         or leave None.
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        each chunk's positions shard across the mesh (chunk_size must
+        divide by the device count) with a psum of the two accumulator
+        scalars; the position -> key mapping is IDENTICAL for any device
+        count, so estimates are bit-reproducible across pod sizes
     """
 
     def __init__(self, level_fn: Callable, levels: GeometricLevels,
                  estimator: str = "single", seed: int = 0,
                  cost_fn: Optional[Callable] = None,
                  chunk_size: int = 1 << 12, dtype=None,
-                 max_level: Optional[int] = None):
+                 max_level: Optional[int] = None, mesh=None):
         if estimator not in ("single", "coupled"):
             raise ValueError("estimator must be 'single' or 'coupled'")
         self._fn = level_fn
         self._dist = levels
         self._mode = estimator
         self._chunk = int(chunk_size)
+        self._mesh = mesh
+        if mesh is not None and self._chunk % mesh.n_devices:
+            raise ValueError(
+                "chunk_size=%d must divide by the mesh's %d devices"
+                % (self._chunk, mesh.n_devices))
         self._dtype = jnp.dtype(dtype or jnp.result_type(float))
         self._root = jax.random.key(seed)
         self._rng = np.random.default_rng(np.uint32(seed) ^ 0x5DEECE66)
         self._cost_fn = cost_fn
         self._max_level = None if max_level is None else int(max_level)
         self._states = {}
+        self._local_programs = {}     # mesh-bound: not globally shareable
         self.n_draws = 0              # total randomized draws B
 
     # -------------------------------------------------------------- #
@@ -169,10 +180,15 @@ class UnbiasedMLMC:
         """One executable per level: ``(lkey, start, stop) -> (sum, sum^2)``
         over stream positions [start, stop) — dynamic trip count, masked
         chunk tails, so every random count reuses it (and the stream key
-        is an operand, so instances with different seeds share it too)."""
-        per_fn = _PROGRAM_CACHE.get(self._fn)
-        if per_fn is None:
-            per_fn = _PROGRAM_CACHE[self._fn] = {}
+        is an operand, so instances with different seeds share it too).
+        With a mesh, each chunk's positions shard across devices (the
+        position -> key mapping is unchanged) and the scalars psum."""
+        if self._mesh is None:
+            per_fn = _PROGRAM_CACHE.get(self._fn)
+            if per_fn is None:
+                per_fn = _PROGRAM_CACHE[self._fn] = {}
+        else:
+            per_fn = self._local_programs       # mesh-bound closure
         sig = (self._chunk, self._dtype.name, level)
         run = per_fn.get(sig)
         if run is not None:
@@ -180,23 +196,73 @@ class UnbiasedMLMC:
         fn = self._fn
         chunk = self._chunk
         dtype = self._dtype
+        mesh = self._mesh
+        sub = chunk if mesh is None else chunk // mesh.n_devices
 
-        @jax.jit
-        def run(lkey, start, stop):
-            def body(c, carry):
-                s, s2 = carry
-                idx = c * jnp.uint32(chunk) + jnp.arange(chunk,
-                                                         dtype=jnp.uint32)
-                keys = jax.vmap(lambda i: jax.random.fold_in(lkey, i))(idx)
-                d = fn(level, keys).astype(dtype)
-                d = jnp.where((idx >= start) & (idx < stop), d, 0)
-                return (s + jnp.sum(d), s2 + jnp.sum(d * d))
+        def body(c, carry, lkey, start, stop, offset):
+            # Kahan-compensated cross-chunk accumulation: the in-chunk
+            # jnp.sum is a tree reduction, but naively adding chunk sums
+            # onto a growing scalar loses low bits at millions of draws
+            s, cs, s2, cs2 = carry
+            idx = (c * jnp.uint32(chunk) + offset
+                   + jnp.arange(sub, dtype=jnp.uint32))
+            keys = jax.vmap(lambda i: jax.random.fold_in(lkey, i))(idx)
+            d = fn(level, keys).astype(dtype)
+            d = jnp.where((idx >= start) & (idx < stop), d, 0)
 
-            z = jnp.zeros((), dtype)
-            return jax.lax.fori_loop(start // jnp.uint32(chunk),
-                                     (stop + jnp.uint32(chunk - 1))
-                                     // jnp.uint32(chunk),
-                                     body, (z, z))
+            def kadd(acc, comp, x):
+                y = x - comp
+                t = acc + y
+                return t, (t - acc) - y
+
+            s, cs = kadd(s, cs, jnp.sum(d))
+            s2, cs2 = kadd(s2, cs2, jnp.sum(d * d))
+            return (s, cs, s2, cs2)
+
+        def bounds(start, stop):
+            return (start // jnp.uint32(chunk),
+                    (stop + jnp.uint32(chunk - 1)) // jnp.uint32(chunk))
+
+        if mesh is None:
+            @jax.jit
+            def run(lkey, start, stop):
+                z = jnp.zeros((), dtype)
+                c0, c1 = bounds(start, stop)
+                s, cs, s2, cs2 = jax.lax.fori_loop(
+                    c0, c1, lambda c, carry: body(
+                        c, carry, lkey, start, stop, jnp.uint32(0)),
+                    (z, z, z, z))
+                return s - cs, s2 - cs2
+        else:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:               # older jax
+                from jax.experimental.shard_map import shard_map
+            axis = mesh.axis_name
+
+            def mark(z):
+                # the fori_loop carry becomes device-varying after the
+                # first chunk; mark the zero initializer accordingly
+                if hasattr(jax.lax, "pcast"):
+                    return jax.lax.pcast(z, (axis,), to="varying")
+                return jax.lax.pvary(z, (axis,))
+
+            def sharded(lkey, start, stop):
+                offset = (jax.lax.axis_index(axis).astype(jnp.uint32)
+                          * jnp.uint32(sub))
+                z = mark(jnp.zeros((), dtype))
+                c0, c1 = bounds(start, stop)
+                s, cs, s2, cs2 = jax.lax.fori_loop(
+                    c0, c1, lambda c, carry: body(
+                        c, carry, lkey, start, stop, offset),
+                    (z, z, z, z))
+                return (jax.lax.psum(s - cs, axis),
+                        jax.lax.psum(s2 - cs2, axis))
+
+            run = jax.jit(shard_map(sharded, mesh=mesh.mesh,
+                                    in_specs=(P(), P(), P()),
+                                    out_specs=(P(), P())))
 
         per_fn[sig] = run
         return run
@@ -298,9 +364,14 @@ class UnbiasedMLMC:
           ``Var(Z) = sum_l V_l/tail_l + sum_{l,k} mu_l mu_k
           (tail_max(l,k)/(tail_l tail_k) - 1)``.
 
-        Plug-in: per-level moments from the realized samples (deep rare
-        levels contribute noisy terms — exactly the levels the optimal
-        distribution makes negligible).
+        Plug-in: per-level moments from the realized samples. The
+        coupled form's DIAGONAL ``mu_l^2`` terms carry a huge
+        ``~1/tail_l`` weight, and ``E[mu_hat^2] = mu^2 + V/n`` — at
+        deep, rarely-visited levels the ``V/n`` noise would explode the
+        estimate (and the adaptive allocation with it), so the diagonal
+        uses the DEBIASED ``max(mu_hat^2 - V_hat/n, 0)`` (zero below 2
+        samples; such levels are revisited as B grows). Off-diagonal
+        products are unbiased as-is (independent level streams).
 
         :return: dict(mean, var, var_per_draw, cost_per_draw, levels,
             level_means, level_m2, n_samples, n_draws)
@@ -322,7 +393,13 @@ class UnbiasedMLMC:
             # tail_max(l,k) = min(tail_l, tail_k)
             t_joint = np.minimum(tails[:, None], tails[None, :])
             cross = (t_joint / (tails[:, None] * tails[None, :])) - 1.0
+            diag = np.diag(cross).copy()
+            np.fill_diagonal(cross, 0.0)
             var_z += float(mu @ cross @ mu)
+            v_bessel = v * (n / np.maximum(n - 1, 1))
+            mu2 = np.where(n >= 2,
+                           np.maximum(mu * mu - v_bessel / n, 0.0), 0.0)
+            var_z += float(np.sum(mu2 * diag))
         var_z = max(var_z, 0.0)
         costs = self._level_costs(levels)
         if self._mode == "single":
@@ -367,6 +444,10 @@ class UnbiasedMLMC:
             need = int(np.ceil(est["var_per_draw"] / target_var)) \
                 - self.n_draws
             need = min(need, int(growth_cap * self.n_draws))
+            # stay inside the uint32 stream guard (the coupled estimator
+            # touches level 0 on every draw) instead of dying mid-run
+            headroom = (1 << 32) - 2 * self._chunk - self.n_draws
+            need = min(need, headroom)
             if need <= 0:
                 break
             self.sample(max(need, self._chunk))
@@ -408,7 +489,8 @@ def synth_unbiased_level_fn(mean=1.0, c=0.5, rate=1.0, noise=1.0):
     return fn, float(mean)
 
 
-def sde_unbiased_level_fn(sim, n0: int = 2, refine: int = 2):
+def sde_unbiased_level_fn(sim, n0: int = 2, refine: int = 2,
+                          precision: str = "df64"):
     """Level-correction function for an
     :class:`~mlmc_tpu.sim.sde.SDESimulation` (``qoi='payoff'``): level l
     integrates with ``n0 * refine^l`` steps, the within-level fine/coarse
@@ -422,6 +504,13 @@ def sde_unbiased_level_fn(sim, n0: int = 2, refine: int = 2):
     estimator in its square-root-convergence regime with
     ``r = 2^{-3/2}`` optimal.
 
+    :param precision: integration accumulation mode (default ``'df64'``:
+        double-float state sums). The unbiased ladder is UNBOUNDED, and
+        plain-f32 path integration noise floors the level corrections at
+        ~1e-5-1e-3 beyond ~1e4 steps; the ``1/p_l`` weights amplify that
+        floor exponentially, corrupting both the estimate and its
+        variance on f32 hardware. ``'float'`` restores the raw native
+        path (fine on f64 backends).
     :return: level_fn for :class:`UnbiasedMLMC`
     """
     if sim.config["qoi"] != "payoff":
@@ -440,8 +529,9 @@ def sde_unbiased_level_fn(sim, n0: int = 2, refine: int = 2):
             n_f = n0 * refine ** level
             fine = [T / n_f]
             coarse = [0.0] if level == 0 else [T / (n_f // refine)]
-            cfg = configs[level] = sim.level_instance(fine,
-                                                      coarse).config_dict
+            cfg = dict(sim.level_instance(fine, coarse).config_dict,
+                       precision=precision)
+            configs[level] = cfg
         fine_v, coarse_v, _ = type(sim).calculate_batch(cfg, keys)
         return fine_v[:, 0] - coarse_v[:, 0]
 

@@ -206,3 +206,36 @@ def test_simulation_adapter_requires_batch_path():
     dummy.__class__ = NoBatch
     with pytest.raises(ValueError, match="batch path"):
         simulation_pair_fn(dummy, [[0.5]])
+
+
+# ------------------------------------------------------------------ #
+# mesh sharding
+# ------------------------------------------------------------------ #
+def test_mesh_sharded_matches_single_device():
+    """mesh= shards each chunk across the 8-device virtual mesh with the
+    SAME position -> key mapping: accumulators must match the
+    single-device estimator to reduction-order rounding."""
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    grid = np.linspace(-3.0, 3.0, 41)
+    fn = _gauss_pair_fn()
+    m1 = MultilevelCDF(fn, 3, grid, 0.1, seed=13, chunk_size=1 << 10)
+    m8 = MultilevelCDF(fn, 3, grid, 0.1, seed=13, chunk_size=1 << 10,
+                       mesh=SampleMesh())
+    for lv in range(3):
+        m1.extend(lv, 2048)
+        m8.extend(lv, 2048)
+    e1, e8 = m1.estimates(), m8.estimates()
+    assert np.array_equal(e1["n_samples"], e8["n_samples"])
+    np.testing.assert_allclose(e1["cdf"], e8["cdf"], rtol=1e-12,
+                               atol=1e-14)
+    np.testing.assert_allclose(e1["pdf"], e8["pdf"], rtol=1e-11,
+                               atol=1e-13)
+
+
+def test_mesh_chunk_divisibility_validated():
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    with pytest.raises(ValueError, match="divide"):
+        MultilevelCDF(_gauss_pair_fn(), 2, [0.0, 1.0], 0.1,
+                      chunk_size=10, mesh=SampleMesh())

@@ -194,3 +194,61 @@ def test_sde_adapter_validation():
     sim2 = SDESimulation({})
     with pytest.raises(ValueError, match="refine"):
         sde_unbiased_level_fn(sim2, n0=4, refine=1)
+
+
+# ------------------------------------------------------------------ #
+# mesh sharding + extended-precision integration
+# ------------------------------------------------------------------ #
+def test_mesh_sharded_matches_single_device():
+    """mesh= shards each chunk across the 8-device virtual mesh with the
+    SAME position -> key mapping: per-level sums must match the
+    single-device estimator to reduction-order rounding."""
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    fn, _ = synth_unbiased_level_fn(mean=1.0)
+    m1 = UnbiasedMLMC(fn, GeometricLevels(0.4), estimator="single",
+                      seed=21, chunk_size=1 << 10)
+    m8 = UnbiasedMLMC(fn, GeometricLevels(0.4), estimator="single",
+                      seed=21, chunk_size=1 << 10, mesh=SampleMesh())
+    m1.sample(3000)
+    m8.sample(3000)
+    e1, e8 = m1.estimates(), m8.estimates()
+    assert np.array_equal(e1["n_samples"], e8["n_samples"])
+    np.testing.assert_allclose(e1["mean"], e8["mean"], rtol=1e-12)
+    np.testing.assert_allclose(e1["var_per_draw"], e8["var_per_draw"],
+                               rtol=1e-10)
+
+
+def test_mesh_chunk_divisibility_validated():
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    fn, _ = synth_unbiased_level_fn()
+    with pytest.raises(ValueError, match="divide"):
+        UnbiasedMLMC(fn, GeometricLevels(0.5), chunk_size=10,
+                     mesh=SampleMesh())
+
+
+def test_df64_protects_long_horizon_f32_integration():
+    """The f32 noise floor that motivates precision='df64': integrate
+    one 32768-step Milstein GBM path batch from the SAME normals in
+    (a) f64, (b) plain f32, (c) df64-over-f32 — the double-float state
+    must track the f64 terminal 10x+ closer than plain f32."""
+    import jax
+    import jax.numpy as jnp
+    from mlmc_tpu.sim.sde import coupled_path_functionals, gbm
+
+    n = 1 << 15
+    z64 = jax.random.normal(jax.random.key(3), (32, n), jnp.float64)
+    base = dict(model=gbm(0.05, 0.2, 1.0), scheme="milstein",
+                total_time=1.0, n_fine=n, n_coarse=0)
+    t64 = np.asarray(coupled_path_functionals(base, z=z64)[0].terminal)
+    z32 = z64.astype(jnp.float32)
+    t32 = np.asarray(coupled_path_functionals(base, z=z32)[0].terminal)
+    tdf = np.asarray(coupled_path_functionals(
+        dict(base, precision="df64"), z=z32)[0].terminal)
+    err32 = np.abs(t32 - t64).max()
+    errdf = np.abs(tdf - t64).max()
+    assert errdf < err32 / 10.0, (err32, errdf)
+    assert errdf < 5e-5
+    with pytest.raises(ValueError, match="precision"):
+        coupled_path_functionals(dict(base, precision="quad"), z=z32)
