@@ -833,6 +833,40 @@ def bench_cdf():
                 target_met=est["target_met"])
 
 
+def bench_nested():
+    """Nested-expectation MLMC (no reference analogue): unbiased EVPPI
+    estimation of the Gaussian information problem — the Rhee-Glynn
+    driver over Giles-Goda antithetic inner-count corrections, checked
+    against the closed form E[max(0, mu+Y)]."""
+    from mlmc_tpu.nested import (nested_level_fn, g_max0,
+                                 gaussian_information_fn,
+                                 evppi_gaussian_exact)
+    from mlmc_tpu.unbiased import GeometricLevels, UnbiasedMLMC
+
+    sigma_y, sigma_x, mu = 1.3, 2.0, 0.2
+    inner = gaussian_information_fn(sigma_y, sigma_x, mu)
+    fn = nested_level_fn(inner, g=g_max0, n0=4)
+    mc = UnbiasedMLMC(fn, GeometricLevels(2.0 ** -1.25),
+                      estimator="single", seed=7, chunk_size=1 << 12,
+                      cost_fn=lambda lv: 2.0 ** lv)
+    mc.sample(1 << 14)        # warm the common executables
+    t0 = time.perf_counter()
+    out = mc.run(target_var=1e-7, n_init=1 << 16)
+    wall = time.perf_counter() - t0
+    exact = evppi_gaussian_exact(sigma_y, mu)
+    err = abs(out["mean"] - exact)
+    return dict(workload="unbiased nested EVPPI (Gaussian info problem) "
+                         "to target_var=1e-7",
+                wall_s=round(wall, 2), draws=int(out["n_draws"]),
+                draws_per_s=round(out["n_draws"] / max(wall, 1e-9), 1),
+                levels_explored=len(out["levels"]),
+                value=float(out["mean"]), exact=exact,
+                err=float(err), se=float(np.sqrt(out["var"])),
+                err_over_se=round(float(err / max(np.sqrt(out["var"]),
+                                                  1e-300)), 2),
+                target_met=out["target_met"])
+
+
 def bench_mfmc():
     """Multifidelity Monte Carlo (no reference analogue): the 1-D
     random-conductivity heat equation at three resolutions as fidelity
@@ -876,6 +910,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "unbiased": bench_unbiased,
            "cdf": bench_cdf,
            "mfmc": bench_mfmc,
+           "nested": bench_nested,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

@@ -148,5 +148,6 @@ from mlmc_tpu.unbiased import (UnbiasedMLMC, GeometricLevels,
                                sde_unbiased_level_fn)
 from mlmc_tpu.cdf_estimate import MultilevelCDF, simulation_pair_fn
 from mlmc_tpu.multifidelity import MFMC
+from mlmc_tpu.nested import nested_level_fn, evppi_level_fn
 
 __version__ = "0.1.0"
