@@ -777,7 +777,11 @@ def bench_unbiased():
                                                   float(np.exp(-rate)))))
     mc = UnbiasedMLMC(sde_unbiased_level_fn(sim, n0=8, refine=4),
                       GeometricLevels(0.125), estimator="coupled", seed=11,
-                      chunk_size=1 << 13, cost_fn=lambda lv: 4.0 ** lv)
+                      # deep levels draw 8^-l of the samples at 4^l cost:
+                      # shrink their chunks so a near-empty masked chunk
+                      # doesn't dominate the wall
+                      chunk_size=lambda lv: max((1 << 13) >> (2 * lv), 256),
+                      cost_fn=lambda lv: 4.0 ** lv)
     mc.sample(1 << 14)        # warm the common executables
     t0 = time.perf_counter()
     out = mc.run(target_var=1e-8, n_init=1 << 15)

@@ -129,9 +129,13 @@ class UnbiasedMLMC:
         count draws use an independent numpy generator
     :param cost_fn: optional ``level -> relative cost``; measured wall
         time per sample is used if omitted
-    :param chunk_size: samples per device loop step (counts are NOT
-        rounded up — the in-kernel mask keeps the realized counts exact,
-        which unbiasedness requires)
+    :param chunk_size: samples per device loop step — an int, or a
+        callable ``level -> int`` (counts are NOT rounded up — the
+        in-kernel mask keeps the realized counts exact, which
+        unbiasedness requires). Deep levels draw exponentially few
+        samples while costing exponentially more per sample, so a fixed
+        chunk wastes a nearly-empty masked chunk there; shrink it, e.g.
+        ``lambda lv: max(8192 >> lv, 256)``.
     :param max_level: optional hard cap; a count draw beyond it raises
         (never silently truncates — that would reintroduce the bias this
         estimator exists to remove). With geometric ``r`` the excess
@@ -154,7 +158,11 @@ class UnbiasedMLMC:
         self._fn = level_fn
         self._dist = levels
         self._mode = estimator
-        self._chunk = int(chunk_size)
+        if callable(chunk_size):
+            self._chunk_fn = lambda lv: int(chunk_size(lv))
+        else:
+            self._chunk_fn = lambda lv, c=int(chunk_size): c
+        self._chunk = self._chunk_fn(0)
         self._mesh = mesh
         if mesh is not None and self._chunk % mesh.n_devices:
             raise ValueError(
@@ -189,12 +197,18 @@ class UnbiasedMLMC:
                 per_fn = _PROGRAM_CACHE[self._fn] = {}
         else:
             per_fn = self._local_programs       # mesh-bound closure
-        sig = (self._chunk, self._dtype.name, level)
+        chunk = self._chunk_fn(level)
+        if chunk < 1:
+            raise ValueError("chunk_size(level=%d) must be >= 1" % level)
+        if self._mesh is not None and chunk % self._mesh.n_devices:
+            raise ValueError(
+                "chunk_size(level=%d)=%d must divide by the mesh's %d "
+                "devices" % (level, chunk, self._mesh.n_devices))
+        sig = (chunk, self._dtype.name, level)
         run = per_fn.get(sig)
         if run is not None:
             return run
         fn = self._fn
-        chunk = self._chunk
         dtype = self._dtype
         mesh = self._mesh
         sub = chunk if mesh is None else chunk // mesh.n_devices
@@ -273,7 +287,7 @@ class UnbiasedMLMC:
         if n_add <= 0:
             return
         st = self._state(level)
-        if st.n + n_add >= (1 << 32) - self._chunk:
+        if st.n + n_add >= (1 << 32) - self._chunk_fn(level):
             raise OverflowError("level %d stream exceeds uint32 positions"
                                 % level)
         run = self._program(level)
