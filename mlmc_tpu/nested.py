@@ -170,8 +170,17 @@ def evppi_level_fn(inner_fn: Callable, n0: int = 2, block: int = 1024):
     estimate the first term with this function and subtract the plain
     means (a by-product of any level-0 run).
     """
-    return nested_level_fn(inner_fn, g=lambda m: jnp.max(m, axis=-1),
-                           n0=n0, block=block)
+
+    def g(m):
+        if m.ndim != 2:
+            raise ValueError(
+                "evppi_level_fn expects multi-decision inner values "
+                "[C, n, D]; the inner_fn returned per-key means of rank "
+                "%d — for a scalar decision use nested_level_fn(g=g_max0)"
+                % m.ndim)
+        return jnp.max(m, axis=-1)
+
+    return nested_level_fn(inner_fn, g=g, n0=n0, block=block)
 
 
 # ---------------------------------------------------------------------- #

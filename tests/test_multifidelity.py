@@ -102,3 +102,23 @@ def test_validation_errors():
         mf.select_models(1.0)
     with pytest.raises(ValueError, match="one bias"):
         synth_fidelity_models(rhos=(0.9,), biases=(0.1, 0.2))
+
+
+def test_negative_correlation_surrogate():
+    """Anticorrelated surrogates reduce variance exactly like positive
+    ones (rho enters the allocation squared, alpha carries the sign)."""
+    models = synth_fidelity_models(sigma0=1.0, rhos=(-0.9,), biases=(0.0,))
+    mf = MFMC(models, costs=[1.0, 0.01], seed=4)
+    mf._pilot_stats = dict(sigma=np.ones(2),
+                           rho=np.array([1.0, -0.9]),
+                           costs=np.array([1.0, 0.01]),
+                           n_pilot=0, mean=np.zeros(2))
+    sel = mf.select_models(100.0)
+    assert sel["subset"] == (0, 1)
+    assert sel["alpha"][1] < 0
+    mf2 = MFMC(models, costs=[1.0, 0.01], seed=4)
+    mf2._pilot_stats = dict(sigma=np.ones(2),
+                            rho=np.array([1.0, 0.9]),
+                            costs=np.array([1.0, 0.01]),
+                            n_pilot=0, mean=np.zeros(2))
+    assert np.isclose(sel["var"], mf2.select_models(100.0)["var"])

@@ -118,3 +118,12 @@ def test_validation():
     assert d0.shape == (64,)
     d1 = np.asarray(fn(1, _keys(64)))
     assert np.all(np.isfinite(d1))
+
+
+def test_evppi_rejects_scalar_inner():
+    """A scalar inner_fn through evppi_level_fn would silently max over
+    the batch axis — it must raise instead."""
+    inner = gaussian_information_fn()
+    fn = evppi_level_fn(inner, n0=2)
+    with pytest.raises(ValueError, match="multi-decision"):
+        fn(1, _keys(16))
