@@ -1,0 +1,59 @@
+"""Bayesian Darcy inversion with multilevel MCMC.
+
+Infer the log-conductivity random field of the Darcy flow cell from noisy
+pressure observations, then report the posterior-mean outflow flux with
+an honest standard error — the INVERSE of the reference's forward
+cond_field workflow (reference mlmc/tool/flow_mc.py:91-455), which the
+reference framework cannot do at all.
+
+Pipeline (docs/mcmc.md):
+1. a synthetic experiment: draw a "true" field, observe pressures at 9
+   interior points, add measurement noise;
+2. a 16/32/64 grid hierarchy of posteriors over the SAME
+   resolution-independent RFF latent vector;
+3. level 0: batched pCN chains; levels 1-2: reflection-maximal coupled
+   chain pairs whose differences estimate the posterior corrections;
+4. telescoped posterior mean + across-chain CLT error, ESS/R-hat
+   diagnostics and coupling quality per level.
+
+Run: python examples/bayes_darcy.py  (a few minutes on CPU; seconds on TPU)
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from mlmc_tpu.mcmc import MLMCMC, make_darcy_inverse
+
+
+def main():
+    prob = make_darcy_inverse([16, 32, 64], n_modes=32, sigma=1.0,
+                              noise_std=0.02)
+    theta_true, clean_obs, data = prob["synthetic"](3)
+    print(f"observations ({len(data)} points, noise 0.02):")
+    print("  clean:", np.round(clean_obs, 3))
+    print("  noisy:", np.round(data, 3))
+
+    fns = prob["loglik_qoi_fns"](jnp.asarray(data))
+    ml = MLMCMC(fns, d=prob["d"])
+    out = ml.run(n_steps=[1000, 400, 200], n_chains=64)
+
+    res = out["results"]
+    print(f"\nlevel 0 (16^2): mean {out['level_means'][0][0]:+.4f} "
+          f"se {out['level_ses'][0][0]:.4f}  acc {res[0].acc_rate:.2f} "
+          f"ESS {res[0].ess:.0f}  R-hat {res[0].rhat:.3f}")
+    for l in (1, 2):
+        r = res[l]
+        print(f"level {l} correction: mean {out['level_means'][l][0]:+.5f} "
+              f"se {out['level_ses'][l][0]:.5f}  glued {r.glued_rate:.2f} "
+              f"mismatch {r.mismatch_rate:.3f}")
+    print(f"\nposterior-mean flux: {out['mean'][0]:.4f} "
+          f"+/- {out['se'][0]:.4f}  (wall {out['wall_s']:.1f} s)")
+
+    # how informative was the data? compare to the prior-mean misfit
+    th_hat = jnp.asarray(res[0].theta.mean(axis=0))
+    print("fine-level log-likelihood at posterior mean vs prior mean:",
+          f"{float(fns[-1](th_hat)[0]):.1f} vs "
+          f"{float(fns[-1](jnp.zeros(prob['d']))[0]):.1f}")
+
+
+if __name__ == "__main__":
+    main()
