@@ -915,7 +915,7 @@ def bench_mcmc():
     theta_true, clean, data = prob["synthetic"](3)
     fns = prob["loglik_qoi_fns"](jnp.asarray(data))
     ml = MLMCMC(fns, d=prob["d"])
-    n_steps, n_chains = [1200, 500, 250], 256
+    n_steps, n_chains = [4000, 600, 300], 256
     # warm the per-level executables so the wall is the chains, not AOT
     ml.run(n_steps=[3] * 3, n_chains=n_chains, burn=0,
            key=jax.random.key(0))

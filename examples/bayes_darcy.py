@@ -54,6 +54,16 @@ def main():
           f"{float(fns[-1](th_hat)[0]):.1f} vs "
           f"{float(fns[-1](jnp.zeros(prob['d']))[0]):.1f}")
 
+    # cheap derivative-free first pass: hierarchical ensemble Kalman
+    from mlmc_tpu.eki import hierarchical_esmda
+    fwds = [lambda th, n=n: prob["forward"](th, n)[0]
+            for n in prob["level_ns"]]
+    cal = hierarchical_esmda(fwds, jnp.asarray(data), noise_std=0.02,
+                             n_ens=64, n_steps=4, d=prob["d"])
+    print(f"\nES-MDA misfit (noise sds/obs): {cal['misfit'][0]:.1f} -> "
+          f"{cal['misfit'][-1]:.2f} with fine solves only in the tail "
+          f"({cal['n_forward']} per level)")
+
 
 if __name__ == "__main__":
     main()
