@@ -947,6 +947,87 @@ def bench_mcmc():
                 misfit_fit_vs_prior=[round(-ll_hat, 1), round(-ll_prior, 1)])
 
 
+def bench_bayes():
+    """Derivative-free and population Bayesian calibration (no reference
+    analogue): the same Darcy inverse problem as bench_mcmc solved by
+    (a) hierarchical ES-MDA — ensemble Kalman calibration paying fine
+    solves only for the tail updates — and (b) hierarchical tempered SMC
+    annealing on the coarse models, reporting the fine-model EVIDENCE
+    (with the Gaussian likelihood's normalizer restored host-side, so
+    log_evidence is the true marginal likelihood)."""
+    from mlmc_tpu.eki import hierarchical_esmda
+    from mlmc_tpu.smc import hierarchical_smc
+    from mlmc_tpu.mcmc import make_darcy_inverse
+
+    noise = 0.02
+    prob = make_darcy_inverse([16, 32, 64], n_modes=64, sigma=1.0,
+                              noise_std=noise)
+    theta_true, clean, data = prob["synthetic"](3)
+    fwds = [lambda th, n=n: prob["forward"](th, n)[0]
+            for n in prob["level_ns"]]
+
+    cal = hierarchical_esmda(fwds, jnp.asarray(data), noise_std=noise,
+                             n_ens=128, n_steps=6, d=prob["d"],
+                             key=jax.random.key(1))
+
+    fns = prob["loglik_qoi_fns"](jnp.asarray(data))
+    t0 = time.perf_counter()
+    smc = hierarchical_smc(fns, d=prob["d"], n_particles=1024,
+                           n_moves=6, key=jax.random.key(2))
+    smc_wall = time.perf_counter() - t0
+    log_norm = -0.5 * len(data) * np.log(2 * np.pi * noise ** 2)
+    n_solves = int(np.sum(smc["n_forward"]))
+    return dict(workload="Bayesian Darcy calibration: ES-MDA ensemble "
+                         "Kalman + tempered SMC with model evidence, "
+                         "16/32/64 hierarchy, 9 pressure obs",
+                esmda_misfit=[round(float(m), 2) for m in cal["misfit"]],
+                esmda_n_forward=cal["n_forward"],
+                esmda_wall_s=round(cal["wall_s"], 2),
+                smc_wall_s=round(smc_wall, 2),
+                smc_stages=len(smc["acc_rates"]),
+                smc_solves=n_solves,
+                smc_solves_per_s=round(n_solves / max(smc_wall, 1e-9), 1),
+                smc_n_forward=smc["n_forward"],
+                log_evidence=round(smc["log_evidence"] + log_norm, 2),
+                log_evidence_se=round(smc["log_evidence_se"], 3),
+                flux_mean=float(smc["mean"][0]),
+                flux_se=float(smc["se"][0]),
+                acc_final=round(smc["acc_rates"][-1], 3))
+
+
+def bench_rare():
+    """Rare-event tier (no reference analogue): P[Darcy flux > gamma]
+    on a 32^2 grid with an RFF log-conductivity prior — gamma set ~4.75
+    log-sds above the pilot log-mean, so plain MC would need ~1e8
+    solves for one hit; the subset ladder gets an island-CLT band from
+    ~1e5."""
+    from mlmc_tpu.rare import subset_simulation
+    from mlmc_tpu.mcmc import make_darcy_inverse
+
+    prob = make_darcy_inverse([32], n_modes=64, sigma=1.0)
+    flux = lambda th: prob["forward"](th, 32)[1]
+    pilot = jax.vmap(flux)(jax.random.normal(jax.random.key(0),
+                                             (4096, prob["d"])))
+    lg = jnp.log(pilot)
+    gamma = float(jnp.exp(jnp.mean(lg) + 4.75 * jnp.std(lg)))
+    out = subset_simulation(flux, gamma=gamma, d=prob["d"],
+                            n_particles=2048, n_moves=6,
+                            key=jax.random.key(1))
+    return dict(workload="Darcy flux tail: P[flux > mu+4.75sd(log)] on "
+                         "32^2, 128-d RFF prior, 2048-particle ladder",
+                gamma=round(gamma, 3),
+                p=float("%.3g" % out["p"]),
+                p_band=[float("%.3g" % out["p_lo"]),
+                        float("%.3g" % out["p_hi"])],
+                n_stages=out["n_stages"],
+                pde_solves=int(out["n_forward"]) + 4096,
+                wall_s=round(out["wall_s"], 2),
+                solves_per_s=round(out["n_forward"]
+                                   / max(out["wall_s"], 1e-9), 1),
+                acc_final=round(out["acc_rates"][-1], 3)
+                if out["acc_rates"] else None)
+
+
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "fractured": bench_fractured, "transport": bench_transport,
            "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
@@ -961,6 +1042,8 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "mfmc": bench_mfmc,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
+           "bayes": bench_bayes,
+           "rare": bench_rare,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

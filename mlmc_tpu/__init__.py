@@ -153,5 +153,6 @@ from mlmc_tpu.mcmc import (MLMCMC, run_pcn, run_coupled, run_mlda,
                            make_darcy_inverse)
 from mlmc_tpu.eki import esmda, hierarchical_esmda
 from mlmc_tpu.smc import smc_tempering, hierarchical_smc
+from mlmc_tpu.rare import subset_simulation
 
 __version__ = "0.1.0"

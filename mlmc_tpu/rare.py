@@ -1,0 +1,221 @@
+"""Rare-event probability estimation by subset simulation —
+beyond-reference tier.
+
+Estimates tail probabilities ``P[g(theta) > gamma]`` that are far too
+small for plain Monte Carlo (1e-5 .. 1e-12) at O(log 1/P) cost: subset
+simulation (Au & Beck, "Estimation of small failure probabilities in
+high dimensions by subset simulation", Prob. Eng. Mech. 16, 2001)
+factors the rare event through an adaptive ladder of intermediate
+thresholds
+
+    P[g > gamma] = prod_j P[g > gamma_{j+1} | g > gamma_j],
+
+each conditional probability ~``p0`` (default 0.1) estimated from a
+population kept in the conditional distribution by MCMC. Structurally
+this is the SMC sampler of mlmc_tpu/smc.py with indicator potentials:
+resample the exceeders, rejuvenate with CONDITIONAL pCN moves — the pCN
+proposal preserves the N(0, I) prior exactly, so the Metropolis accept
+is simply ``g(proposal) > gamma_j`` (Papaioannou et al. 2015, "MCMC
+algorithms for subset simulation").
+
+The reference framework has no rare-event capability; its nearest tool
+(and this module's natural companion) is the multilevel CDF estimator
+(mlmc_tpu/cdf_estimate.py), which telescopes DISCRETIZATION bias of
+moderate tail probabilities — subset simulation handles SMALLNESS.
+Compose them by subset-simulating the finest model and correcting with
+coupled coarse levels, or simply by choosing ``g`` as the finest-level
+functional (the per-stage populations are device batches, so fine
+solves are cheap).
+
+TPU-first design: the population IS the device batch, shaped
+``[n_islands, m]``. Each stage is ONE jitted program — systematic
+resampling of the per-island exceeders + a ``lax.scan`` of conditional
+pCN moves — with the per-island thresholds an OPERAND (one executable
+serves every stage). Only the [I, m] response vector crosses to the
+host per stage, where the next thresholds are read off island
+quantiles: a decision, not a computation. Error bars are across-island
+CLT errors (populations interact through resampling, so the naive
+binomial variance understates the error; islands are independent end
+to end).
+"""
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["subset_simulation"]
+
+
+def subset_simulation(g_fn: Callable, gamma: float, d: int,
+                      n_particles: int = 2048, p0: float = 0.1,
+                      n_moves: int = 6, beta: float = 0.5, key=None,
+                      max_stages: int = 60, prior_sampler=None,
+                      qoi_fn: Optional[Callable] = None, dtype=None,
+                      n_islands: int = 8):
+    """Estimate ``P[g_fn(theta) > gamma]`` under a N(0, I_d) prior.
+
+    :param g_fn: ``theta [d] -> scalar`` response, pure jnp (vmapped
+        over the population). For a non-Gaussian prior, absorb the
+        transform into ``g_fn`` (e.g. uniform: ``Phi(theta)``) — the
+        conditional pCN kernel is exact only for the standard normal.
+    :param gamma: the rare threshold.
+    :param p0: per-stage conditional probability level (the ladder
+        steps at the per-island (1-p0) population quantile).
+    :param n_moves: conditional pCN rejuvenation sweeps per stage.
+        ``beta`` is Robbins-Monro-adapted across stages toward the
+        0.30-0.50 acceptance band recommended for conditional sampling
+        (Papaioannou et al. 2015) — target 0.44.
+    :param prior_sampler: optional ``key -> theta [N, d]`` override for
+        the initial population (must still be N(0, I) for the kernel to
+        be exact; use this only to inject antithetic/QMC initial draws).
+    :param qoi_fn: optional ``theta [d] -> q [q]``; when given, the
+        returned dict carries the conditional expectation
+        ``E[qoi | g > gamma]`` with island errors — the "what does the
+        failure domain look like" diagnostic.
+    :return: dict with ``p`` (the probability), ``log_p``, ``log_p_se``
+        (across-island CLT error of log p), ``p_lo``/``p_hi`` (1-sigma
+        band), ``thresholds`` (the adaptive ladder), ``acc_rates``,
+        ``n_forward``, ``cond_qoi``/``cond_qoi_se`` (when ``qoi_fn``),
+        ``theta`` [N, d] final conditional population, ``wall_s``.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    dtype = dtype or jnp.asarray(1.0).dtype
+    if n_particles % n_islands:
+        raise ValueError(f"n_particles must be divisible by {n_islands} "
+                         "(islands)")
+    if not 0.0 < p0 < 1.0:
+        raise ValueError("p0 must be in (0, 1)")
+    m = n_particles // n_islands
+    if int(np.ceil((1.0 - p0) * m)) >= m:
+        raise ValueError("p0 too small for the island size: need "
+                         f"p0 * {m} >= 1 exceeder per island")
+    batch_g = jax.vmap(g_fn)
+
+    k_init, k_run = jax.random.split(key)
+    if prior_sampler is not None:
+        theta0 = prior_sampler(k_init)
+    else:
+        theta0 = jax.random.normal(k_init, (n_particles, d), dtype=dtype)
+    theta = jnp.asarray(theta0, dtype).reshape(n_islands, m, d)
+
+    def flat_g(theta):
+        return batch_g(theta.reshape(n_islands * m, d)).reshape(
+            n_islands, m)
+
+    def resample_exceeders(g, thr, k):
+        """Systematic resampling of the per-island exceeder sets
+        (uniform weights on {g > thr}); g [I, m], thr [I] -> idx [I, m].
+        """
+        w = (g > thr[:, None]).astype(dtype)
+        w = w / jnp.sum(w, axis=1, keepdims=True)
+        cum = jnp.cumsum(w, axis=1)
+        u = (jax.random.uniform(k, (n_islands, 1), dtype)
+             + jnp.arange(m, dtype=dtype)[None, :]) / m
+        idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cum, u)
+        return jnp.clip(idx, 0, m - 1)
+
+    @jax.jit
+    def stage(theta, g, thr, beta_c, k):
+        """One subset stage at per-island thresholds thr [I]: resample
+        the exceeders, then n_moves conditional pCN sweeps (accept iff
+        the proposal still exceeds — pCN preserves the prior)."""
+        k_r, k_m = jax.random.split(k)
+        idx = resample_exceeders(g, thr, k_r)
+        theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
+        g = jnp.take_along_axis(g, idx, axis=1)
+
+        def move(carry, kk):
+            th, g_c, acc = carry
+            xi = jax.random.normal(kk, th.shape, dtype)
+            prop = (jnp.sqrt(1.0 - beta_c * beta_c) * th + beta_c * xi)
+            g_p = flat_g(prop)
+            accept = g_p > thr[:, None]
+            th = jnp.where(accept[:, :, None], prop, th)
+            g_c = jnp.where(accept, g_p, g_c)
+            return (th, g_c, acc + jnp.mean(accept.astype(dtype))), None
+
+        (theta, g, acc), _ = jax.lax.scan(
+            move, (theta, g, jnp.zeros((), dtype)),
+            jax.random.split(k_m, n_moves))
+        return theta, g, acc / n_moves
+
+    t0 = time.perf_counter()
+    g = flat_g(theta)
+    g_h = np.asarray(jax.device_get(g), dtype=np.float64)
+    log_p_island = np.zeros(n_islands)
+    done = np.zeros(n_islands, dtype=bool)
+    thresholds, acc_rates = [], []
+    beta_c = float(beta)
+    n_fwd = n_particles
+    for stage_i in range(max_stages):
+        # per-island ladder step: the (1-p0) quantile, capped at gamma
+        thr = np.minimum(np.quantile(g_h, 1.0 - p0, axis=1), gamma)
+        frac = np.mean(g_h > thr[:, None], axis=1)
+        reached = thr >= gamma
+        newly = reached & ~done
+        # islands finishing this stage: final conditional factor
+        log_p_island[newly] += np.log(np.maximum(frac[newly], 1e-300))
+        done |= reached
+        if done.all():
+            thresholds.append(float(gamma))
+            break
+        # continuing islands accumulate their ~p0 factor; finished
+        # islands keep moving at gamma (their estimate is frozen, the
+        # moves only enrich the conditional population)
+        log_p_island[~done] += np.log(np.maximum(frac[~done], 1e-300))
+        thr[done] = gamma
+        thresholds.append(float(np.median(thr)))
+        if np.any(frac[~done] <= 0):
+            raise RuntimeError(
+                "an island lost all exceeders — increase n_particles or "
+                "p0 (per-island quantile produced an empty subset)")
+        theta, g, acc = stage(theta, g, jnp.asarray(thr, dtype),
+                              jnp.asarray(beta_c, dtype),
+                              jax.random.fold_in(k_run, stage_i))
+        n_fwd += n_particles * n_moves
+        g_h = np.asarray(jax.device_get(g), dtype=np.float64)
+        acc = float(acc)
+        acc_rates.append(acc)
+        # Robbins-Monro on logit(beta) toward 0.44 acceptance
+        logit = np.log(beta_c) - np.log1p(-beta_c)
+        beta_c = 1.0 / (1.0 + np.exp(-(logit + 0.8 * (acc - 0.44))))
+    else:
+        raise RuntimeError(
+            f"threshold ladder did not reach gamma={gamma} within "
+            f"{max_stages} stages (last ladder rung {thresholds[-1]:.4g})"
+            " — the response may be bounded below gamma")
+
+    # one final refresh AT gamma: the estimate above is already fixed,
+    # but islands finishing on the last rung carry populations
+    # conditioned on the PREVIOUS rung — resample the gamma-exceeders
+    # and move so the returned theta/qoi are conditional on the event
+    theta, g, _ = stage(theta, g,
+                        jnp.asarray(np.full(n_islands, gamma), dtype),
+                        jnp.asarray(beta_c, dtype),
+                        jax.random.fold_in(k_run, max_stages + 1))
+    n_fwd += n_particles * n_moves
+
+    wall = time.perf_counter() - t0
+    log_p_se = float(log_p_island.std(ddof=1) / np.sqrt(n_islands))
+    log_p = float(np.mean(log_p_island))
+    out = {"p": float(np.exp(log_p)), "log_p": log_p,
+           "log_p_se": log_p_se,
+           "p_lo": float(np.exp(log_p - log_p_se)),
+           "p_hi": float(np.exp(log_p + log_p_se)),
+           "thresholds": thresholds, "acc_rates": acc_rates,
+           "n_stages": len(acc_rates) + 1, "beta": beta_c,
+           "n_forward": n_fwd, "wall_s": wall,
+           "theta": np.asarray(
+               jax.device_get(theta)).reshape(n_particles, d)}
+    if qoi_fn is not None:
+        q = jax.vmap(qoi_fn)(theta.reshape(n_islands * m, d))
+        q_np = np.asarray(jax.device_get(q), dtype=np.float64).reshape(
+            n_islands, m, -1)
+        island_means = q_np.mean(axis=1)
+        out["cond_qoi"] = island_means.mean(axis=0)
+        out["cond_qoi_se"] = (island_means.std(axis=0, ddof=1)
+                              / np.sqrt(n_islands))
+    return out
