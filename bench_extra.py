@@ -995,6 +995,40 @@ def bench_bayes():
                 acc_final=round(smc["acc_rates"][-1], 3))
 
 
+def bench_collocation():
+    """Sparse-grid collocation (no reference analogue): E[Darcy flux]
+    on a 32^2 grid with an 8-parameter RFF log-conductivity — the
+    smooth-QoI regime where Smolyak beats sampling. Reports the level
+    ladder's internal convergence and the plain-MC standard error at
+    the SAME solve budget."""
+    from mlmc_tpu.collocation import SparseGrid
+    from mlmc_tpu.mcmc import make_darcy_inverse
+
+    prob = make_darcy_inverse([32], n_modes=4, sigma=1.0)
+    flux = lambda th: prob["forward"](th, 32)[1]
+    vals, nodes, walls = [], [], []
+    for w in (2, 3, 4):
+        grid = SparseGrid(prob["d"], w, rule="gauss-hermite")
+        t0 = time.perf_counter()
+        vals.append(float(grid.integrate(flux)))
+        walls.append(time.perf_counter() - t0)
+        nodes.append(grid.n_nodes)
+    # plain MC at the level-4 node budget
+    mc = jax.vmap(flux)(jax.random.normal(jax.random.key(0),
+                                          (nodes[-1], prob["d"])))
+    mc = np.asarray(jax.device_get(mc), dtype=np.float64)
+    return dict(workload="Darcy flux collocation: 8-d RFF, 32^2 grid, "
+                         "Gauss-Hermite Smolyak w=2..4",
+                n_nodes=nodes,
+                values=[round(v, 6) for v in vals],
+                ladder_deltas=[float("%.3g" % abs(b - a))
+                               for a, b in zip(vals, vals[1:])],
+                wall_s=[round(w_, 2) for w_ in walls],
+                mc_same_budget_se=float("%.3g" % (mc.std(ddof=1)
+                                                  / np.sqrt(len(mc)))),
+                solves_per_s=round(nodes[-1] / max(walls[-1], 1e-9), 1))
+
+
 def bench_rare():
     """Rare-event tier (no reference analogue): P[Darcy flux > gamma]
     on a 32^2 grid with an RFF log-conductivity prior — gamma set ~4.75
@@ -1044,6 +1078,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,
            "rare": bench_rare,
+           "collocation": bench_collocation,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

@@ -154,5 +154,6 @@ from mlmc_tpu.mcmc import (MLMCMC, run_pcn, run_coupled, run_mlda,
 from mlmc_tpu.eki import esmda, hierarchical_esmda
 from mlmc_tpu.smc import smc_tempering, hierarchical_smc
 from mlmc_tpu.rare import subset_simulation
+from mlmc_tpu.collocation import SparseGrid, multilevel_collocation
 
 __version__ = "0.1.0"
