@@ -155,5 +155,6 @@ from mlmc_tpu.eki import esmda, hierarchical_esmda
 from mlmc_tpu.smc import smc_tempering, hierarchical_smc
 from mlmc_tpu.rare import subset_simulation
 from mlmc_tpu.collocation import SparseGrid, multilevel_collocation
+from mlmc_tpu.pce import PCE, total_degree_indices
 
 __version__ = "0.1.0"
