@@ -1075,6 +1075,42 @@ def bench_pce():
                 mfmc_wall_s=round(mf_wall, 2))
 
 
+def bench_oed():
+    """Optimal experimental design (no reference analogue): which
+    pressure-observation layout to drill on the 16^2 Darcy cell —
+    a 3x3 spread vs a center cluster, ranked by nested-MC expected
+    information gain (each inner likelihood ratio is a PDE solve,
+    batched on the chip)."""
+    from mlmc_tpu.oed import eig_nmc
+    from mlmc_tpu.mcmc import make_darcy_inverse
+
+    g = np.linspace(0.2, 0.8, 3)
+    spread = [[x, y] for x in g for y in g]
+    c = np.linspace(0.45, 0.55, 3)
+    cluster = [[x, y] for x in c for y in c]
+    results = {}
+    for name, pts in (("spread", spread), ("cluster", cluster)):
+        prob = make_darcy_inverse([16], n_modes=8, sigma=1.0,
+                                  obs_points=pts, noise_std=0.05)
+        fwd = lambda th: prob["forward"](th, 16)[0]
+        t0 = time.perf_counter()
+        out = eig_nmc(fwd, 0.05, d=prob["d"], n_outer=1024, n_inner=256,
+                      key=jax.random.key(3), chunk_size=1024)
+        results[name] = dict(eig=round(out["eig"], 3),
+                             se=round(out["se"], 4),
+                             pde_solves=out["n_forward"],
+                             wall_s=round(time.perf_counter() - t0, 2))
+    better = max(results, key=lambda k: results[k]["eig"])
+    return dict(workload="Darcy OED: 9-obs spread vs center cluster, "
+                         "16-d RFF prior, nested-MC EIG",
+                designs=results, preferred=better,
+                separation_sigmas=round(
+                    abs(results["spread"]["eig"]
+                        - results["cluster"]["eig"])
+                    / max(np.hypot(results["spread"]["se"],
+                                   results["cluster"]["se"]), 1e-12), 1))
+
+
 def bench_rare():
     """Rare-event tier (no reference analogue): P[Darcy flux > gamma]
     on a 32^2 grid with an RFF log-conductivity prior — gamma set ~4.75
@@ -1126,6 +1162,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "rare": bench_rare,
            "collocation": bench_collocation,
            "pce": bench_pce,
+           "oed": bench_oed,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

@@ -156,5 +156,7 @@ from mlmc_tpu.smc import smc_tempering, hierarchical_smc
 from mlmc_tpu.rare import subset_simulation
 from mlmc_tpu.collocation import SparseGrid, multilevel_collocation
 from mlmc_tpu.pce import PCE, total_degree_indices
+from mlmc_tpu.oed import (eig_nmc, expected_information_gain,
+                          linear_gaussian_eig)
 
 __version__ = "0.1.0"
