@@ -198,10 +198,14 @@ def multilevel_collocation(fns: Sequence[Callable], d: int,
     if len(levels) != L:
         raise ValueError("need one sparse-grid level per model level")
     corrections, n_nodes = [], []
+    grids = {}                      # grid construction is host-side and
+    for w in set(levels):           # slow on 1 core: build each w once
+        grids[w] = SparseGrid(d, w, rule=rule)
     for lvl, (fn, w) in enumerate(zip(fns, levels)):
-        grid = SparseGrid(d, w, rule=rule)
+        grid = grids[w]
         if lvl == 0:
-            contrib = grid.integrate(fn, chunk_size=chunk_size)
+            contrib = grid.integrate(
+                lambda th: jnp.atleast_1d(fn(th)), chunk_size=chunk_size)
         else:
             prev = fns[lvl - 1]
             contrib = grid.integrate(
@@ -209,7 +213,7 @@ def multilevel_collocation(fns: Sequence[Callable], d: int,
                 - jnp.atleast_1d(prev(th)), chunk_size=chunk_size)
         corrections.append(contrib)
         n_nodes.append(grid.n_nodes)
-    rich = SparseGrid(d, max(levels), rule=rule)
     return {"mean": sum(corrections), "corrections": corrections,
             "n_nodes": n_nodes, "n_nodes_total": int(np.sum(n_nodes)),
-            "n_nodes_single": rich.n_nodes, "levels": list(levels)}
+            "n_nodes_single": grids[max(levels)].n_nodes,
+            "levels": list(levels)}

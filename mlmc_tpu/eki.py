@@ -45,6 +45,11 @@ def _as_alphas(n_steps, alphas, validate=True):
     if alphas is None:
         alphas = [float(n_steps)] * int(n_steps)
     alphas = [float(a) for a in alphas]
+    if len(alphas) != int(n_steps):
+        raise ValueError(
+            f"len(alphas) = {len(alphas)} must equal n_steps = "
+            f"{n_steps} — a shorter schedule would silently drop the "
+            "tail updates")
     s = sum(1.0 / a for a in alphas)
     if validate and abs(s - 1.0) > 1e-8:
         raise ValueError(
@@ -84,7 +89,7 @@ def esmda(forward: Callable, data, noise_std, n_ens: int = 64,
           n_steps: int = 4, alphas: Optional[Sequence[float]] = None,
           prior_sampler: Optional[Callable] = None, d: Optional[int] = None,
           key=None, theta0=None, jitter: float = 1e-9, dtype=None,
-          _validate_alphas: bool = True):
+          final_obs: bool = True, _validate_alphas: bool = True):
     """Ensemble smoother with multiple data assimilation.
 
     :param forward: ``theta [d] -> obs [K]`` pure jnp (vmapped over the
@@ -96,10 +101,15 @@ def esmda(forward: Callable, data, noise_std, n_ens: int = 64,
     :param prior_sampler: ``key -> theta [J, d]`` drawing the prior
         ensemble; default standard normal (requires ``d``).
     :param theta0: explicit initial ensemble [J, d] (overrides both).
+    :param final_obs: evaluate the forward once more on the FINAL
+        ensemble for ``obs`` and the closing ``misfit`` entry (skip for
+        intermediate hierarchical stages — it would be J wasted solves).
     :return: dict with ``theta`` [J, d] final ensemble, ``mean``/``std``
-        [d], ``obs`` [J, K] final forward values, ``misfit`` per-step
-        mean data misfit (in noise sds, RMS over observations),
-        ``wall_s``.
+        [d], ``obs`` [J, K] final forward values (None when
+        ``final_obs=False``), ``misfit`` per-step mean data misfit (in
+        noise sds, RMS over observations; includes the post-update
+        misfit only with ``final_obs``), ``n_forward`` actual forward
+        evaluations, ``wall_s``.
     """
     alphas = _as_alphas(n_steps, alphas, validate=_validate_alphas)
     if key is None:
@@ -131,27 +141,34 @@ def esmda(forward: Callable, data, noise_std, n_ens: int = 64,
             step, theta0,
             (jnp.asarray(alphas, dtype), jax.random.split(k_run,
                                                           len(alphas))))
-        return theta, rms, batch_fwd(theta)
+        return theta, rms, (batch_fwd(theta) if final_obs else None)
 
     t0 = time.perf_counter()
     theta, rms, G = run(theta0)
     theta_np, rms_np, G_np = jax.device_get((theta, rms, G))
     wall = time.perf_counter() - t0
-    final_rms = float(np.sqrt(np.mean(
-        ((G_np - np.asarray(data)[None, :]) / np.asarray(noise)) ** 2)))
+    misfit = list(np.asarray(rms_np))
+    if final_obs:
+        misfit.append(float(np.sqrt(np.mean(
+            ((G_np - np.asarray(data)[None, :])
+             / np.asarray(noise)) ** 2))))
     return {"theta": np.asarray(theta_np),
             "mean": np.asarray(theta_np).mean(axis=0),
             "std": np.asarray(theta_np).std(axis=0, ddof=1),
-            "obs": np.asarray(G_np),
-            "misfit": list(np.asarray(rms_np)) + [final_rms],
-            "n_forward": (len(alphas) + 1) * theta_np.shape[0],
+            "obs": np.asarray(G_np) if final_obs else None,
+            "misfit": misfit,
+            "n_forward": (len(alphas) + int(final_obs))
+            * theta_np.shape[0],
             "wall_s": wall}
 
 
 def hierarchical_esmda(forwards: Sequence[Callable], data, noise_std,
                        steps_per_level: Optional[Sequence[int]] = None,
                        n_ens: int = 64, n_steps: int = 4, key=None,
-                       **kwargs):
+                       alphas: Optional[Sequence[float]] = None,
+                       prior_sampler: Optional[Callable] = None,
+                       d: Optional[int] = None, theta0=None,
+                       jitter: float = 1e-9, dtype=None):
     """ES-MDA over a model hierarchy: early inflated updates run on the
     COARSE forwards, only the final ones on the fine model.
 
@@ -187,12 +204,13 @@ def hierarchical_esmda(forwards: Sequence[Callable], data, noise_std,
                          "fine step")
     if key is None:
         key = jax.random.key(0)
-    alphas = _as_alphas(n_steps, kwargs.pop("alphas", None))
+    alphas = _as_alphas(n_steps, alphas)
     keys = jax.random.split(key, L + 1)
-    theta = None
+    theta = theta0
     misfit, n_forward = [], []
     out = None
     pos = 0
+    last_lvl = max(lv for lv, t in enumerate(steps_per_level) if t > 0)
     for lvl, (fwd, t) in enumerate(zip(forwards, steps_per_level)):
         if t == 0:
             n_forward.append(0)
@@ -202,15 +220,12 @@ def hierarchical_esmda(forwards: Sequence[Callable], data, noise_std,
         pos += t
         out = esmda(fwd, data, noise_std, n_ens=n_ens, n_steps=t,
                     alphas=stage_alphas, _validate_alphas=False,
-                    key=keys[lvl + 1], theta0=theta,
-                    d=kwargs.get("d"),
-                    prior_sampler=kwargs.get("prior_sampler"),
-                    jitter=kwargs.get("jitter", 1e-9),
-                    dtype=kwargs.get("dtype"))
+                    key=keys[lvl + 1], theta0=theta, d=d,
+                    prior_sampler=prior_sampler, jitter=jitter,
+                    dtype=dtype, final_obs=(lvl == last_lvl))
         theta = out["theta"]
-        misfit.extend(out["misfit"][:-1])
-        n_forward.append(out["n_forward"] - theta.shape[0])
-    misfit.append(out["misfit"][-1])
+        misfit.extend(out["misfit"])
+        n_forward.append(out["n_forward"])
     out["misfit"] = misfit
     out["n_forward"] = n_forward
     return out

@@ -112,14 +112,17 @@ def eig_nmc(forward: Callable, noise_std, d: int, n_outer: int = 4096,
     inner = make_eig_inner(forward, noise_std, d)
     fn = jax.jit(nested_value_fn(inner, g=_neg_log, n0=n_inner,
                                  block=block), static_argnums=0)
-    vals = []
+    parts = []
     for s in range(0, n_outer, chunk_size):
         c = min(chunk_size, n_outer - s)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(s, s + c, dtype=jnp.uint32))
-        vals.append(np.asarray(jax.device_get(fn((0,), keys)),
-                               dtype=np.float64))
-    vals = np.concatenate(vals)
+        parts.append(fn((0,), keys))      # stays on device: dispatches
+    # overlap compute with transfer: ONE pipelined fetch at the end
+    # (per-chunk device_get would stall each next dispatch on a ~30 ms
+    # tunnel round trip — see CLAUDE.md fetch discipline)
+    vals = np.concatenate([np.asarray(p, dtype=np.float64)
+                           for p in jax.device_get(parts)])
     return {"eig": float(vals.mean()),
             "se": float(vals.std(ddof=1) / np.sqrt(len(vals))),
             "n_forward": n_outer * (n_inner + 1)}

@@ -156,22 +156,31 @@ def subset_simulation(g_fn: Callable, gamma: float, d: int,
         frac = np.mean(g_h > thr[:, None], axis=1)
         reached = thr >= gamma
         newly = reached & ~done
+        if np.any(frac[newly] <= 0):
+            # quantile >= gamma yet no STRICT exceeders: the response
+            # ties at gamma (e.g. clipped at the threshold) — the
+            # conditional kernel and the final refresh would divide by
+            # zero; fail loudly rather than return p ~ 0 silently
+            raise RuntimeError(
+                "an island reached gamma with zero strict exceeders — "
+                "the response ties at the threshold (clipped?); use a "
+                "strictly smaller gamma or perturb the response")
         # islands finishing this stage: final conditional factor
-        log_p_island[newly] += np.log(np.maximum(frac[newly], 1e-300))
+        log_p_island[newly] += np.log(frac[newly])
         done |= reached
         if done.all():
             thresholds.append(float(gamma))
             break
-        # continuing islands accumulate their ~p0 factor; finished
-        # islands keep moving at gamma (their estimate is frozen, the
-        # moves only enrich the conditional population)
-        log_p_island[~done] += np.log(np.maximum(frac[~done], 1e-300))
-        thr[done] = gamma
-        thresholds.append(float(np.median(thr)))
         if np.any(frac[~done] <= 0):
             raise RuntimeError(
                 "an island lost all exceeders — increase n_particles or "
                 "p0 (per-island quantile produced an empty subset)")
+        # continuing islands accumulate their ~p0 factor; finished
+        # islands keep moving at gamma (their estimate is frozen, the
+        # moves only enrich the conditional population)
+        log_p_island[~done] += np.log(frac[~done])
+        thr[done] = gamma
+        thresholds.append(float(np.median(thr)))
         theta, g, acc = stage(theta, g, jnp.asarray(thr, dtype),
                               jnp.asarray(beta_c, dtype),
                               jax.random.fold_in(k_run, stage_i))

@@ -71,6 +71,72 @@ def _logmeanexp(x):
     return float(m + np.log(np.mean(np.exp(x - m))))
 
 
+def _systematic_resample(log_w, u01, m, dtype):
+    """Per-island systematic resampling; log_w [I, m], u01 [I, 1]
+    uniforms -> idx [I, m]."""
+    w = jax.nn.softmax(log_w, axis=1)
+    cum = jnp.cumsum(w, axis=1)
+    u = (u01 + jnp.arange(m, dtype=dtype)[None, :]) / m
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cum, u)
+    return jnp.clip(idx, 0, m - 1)
+
+
+def _make_stage(flat_ll, n_islands, m, d, dtype, n_moves):
+    """One jitted SMC stage shared by the plain and hierarchical
+    drivers: systematic resampling at the given log-weights, then
+    ``n_moves`` pCN sweeps at the tempered target ``lam * ll``. The
+    temperature, step size and log-weights are OPERANDS — one
+    executable serves every stage of a run."""
+
+    @jax.jit
+    def stage(theta, ll, log_w, lam, beta_c, k):
+        k_r, k_m = jax.random.split(k)
+        u01 = jax.random.uniform(k_r, (n_islands, 1), dtype)
+        idx = _systematic_resample(log_w, u01, m, dtype)
+        theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
+        ll = jnp.take_along_axis(ll, idx, axis=1)
+
+        def move(carry, kk):
+            th, ll_c, acc = carry
+            k_xi, k_u = jax.random.split(kk)
+            flat = th.reshape(n_islands * m, d)
+            xi = jax.random.normal(k_xi, flat.shape, dtype)
+            prop = _pcn(flat, xi, beta_c).reshape(n_islands, m, d)
+            ll_p = flat_ll(prop)
+            log_u = jnp.log(jax.random.uniform(
+                k_u, (n_islands, m), dtype,
+                minval=jnp.finfo(dtype).tiny))
+            accept = log_u < lam * (ll_p - ll_c)
+            th = jnp.where(accept[:, :, None], prop, th)
+            ll_c = jnp.where(accept, ll_p, ll_c)
+            return (th, ll_c, acc + jnp.mean(accept.astype(dtype))), None
+
+        (theta, ll, acc), _ = jax.lax.scan(
+            move, (theta, ll, jnp.zeros((), dtype)),
+            jax.random.split(k_m, n_moves))
+        return theta, ll, acc / n_moves
+
+    return stage
+
+
+def _result_dict(theta, qoi, log_z_island, lambdas, acc_rates, beta_c,
+                 wall, n_particles, d, n_islands, extra=None):
+    """Assemble the common result payload (island CLT errors)."""
+    qoi_np = np.asarray(qoi, dtype=np.float64)
+    island_means = qoi_np.mean(axis=1)                   # [I, q]
+    out = {"theta": np.asarray(theta).reshape(n_particles, d),
+           "qoi": qoi_np.reshape(n_particles, -1),
+           "mean": qoi_np.reshape(n_particles, -1).mean(axis=0),
+           "se": island_means.std(axis=0, ddof=1) / np.sqrt(n_islands),
+           "log_evidence": float(np.mean(log_z_island)),
+           "log_evidence_se": float(log_z_island.std(ddof=1)
+                                    / np.sqrt(n_islands)),
+           "lambdas": lambdas, "acc_rates": acc_rates,
+           "beta": beta_c, "wall_s": wall}
+    out.update(extra or {})
+    return out
+
+
 def smc_tempering(loglik_qoi: Callable, d: int, n_particles: int = 256,
                   n_moves: int = 5, beta: float = 0.3,
                   ess_target: float = 0.5, key=None, max_stages: int = 200,
@@ -114,44 +180,9 @@ def smc_tempering(loglik_qoi: Callable, d: int, n_particles: int = 256,
         return (ll.reshape(n_islands, m),
                 qoi.reshape(n_islands, m, -1))
 
-    def systematic_resample(log_w, k):
-        """Per-island systematic resampling; log_w [I, m] -> idx [I, m]."""
-        w = jax.nn.softmax(log_w, axis=1)
-        cum = jnp.cumsum(w, axis=1)
-        u = (jax.random.uniform(k, (n_islands, 1), dtype)
-             + jnp.arange(m, dtype=dtype)[None, :]) / m
-        idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cum, u)
-        return jnp.clip(idx, 0, m - 1)
-
-    @jax.jit
-    def stage(theta, ll, lam_prev, lam, beta_c, k):
-        """Resample at the increment weights, then n_moves tempered pCN
-        moves. Temperatures and beta are operands."""
-        k_r, k_m = jax.random.split(k)
-        log_w = (lam - lam_prev) * ll
-        idx = systematic_resample(log_w, k_r)
-        theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
-        ll = jnp.take_along_axis(ll, idx, axis=1)
-
-        def move(carry, kk):
-            th, ll_c, acc = carry
-            k_xi, k_u = jax.random.split(kk)
-            flat = th.reshape(n_islands * m, d)
-            xi = jax.random.normal(k_xi, flat.shape, dtype)
-            prop = _pcn(flat, xi, beta_c).reshape(n_islands, m, d)
-            ll_p, _ = flat_ll(prop)
-            log_u = jnp.log(jax.random.uniform(
-                k_u, (n_islands, m), dtype,
-                minval=jnp.finfo(dtype).tiny))
-            accept = log_u < lam * (ll_p - ll_c)
-            th = jnp.where(accept[:, :, None], prop, th)
-            ll_c = jnp.where(accept, ll_p, ll_c)
-            return (th, ll_c, acc + jnp.mean(accept.astype(dtype))), None
-
-        (theta, ll, acc), _ = jax.lax.scan(
-            move, (theta, ll, jnp.zeros((), dtype)),
-            jax.random.split(k_m, n_moves))
-        return theta, ll, acc / n_moves
+    # the unused qoi output is dead-code-eliminated inside the move
+    stage = _make_stage(lambda th: flat_ll(th)[0], n_islands, m, d,
+                        dtype, n_moves)
 
     t0 = time.perf_counter()
     ll, qoi = flat_ll(theta)
@@ -164,7 +195,9 @@ def smc_tempering(loglik_qoi: Callable, d: int, n_particles: int = 256,
         lam_next = _next_lambda(lam, ll_h.ravel(), ess_target)
         for i in range(n_islands):
             log_z_island[i] += _logmeanexp((lam_next - lam) * ll_h[i])
-        theta, ll, acc = stage(theta, ll, lam, lam_next,
+        theta, ll, acc = stage(theta, ll,
+                               jnp.asarray(lam_next - lam, dtype) * ll,
+                               jnp.asarray(lam_next, dtype),
                                jnp.asarray(beta_c, dtype),
                                jax.random.fold_in(k_run, stage_i))
         ll_h = np.asarray(jax.device_get(ll), dtype=np.float64)
@@ -183,18 +216,11 @@ def smc_tempering(loglik_qoi: Callable, d: int, n_particles: int = 256,
     ll_fin, qoi = flat_ll(theta)
     theta_np, qoi_np = jax.device_get((theta, qoi))
     wall = time.perf_counter() - t0
-    qoi_np = np.asarray(qoi_np, dtype=np.float64)
-    island_means = qoi_np.mean(axis=1)                   # [I, q]
-    return {"theta": np.asarray(theta_np).reshape(n_particles, d),
-            "qoi": qoi_np.reshape(n_particles, -1),
-            "mean": qoi_np.reshape(n_particles, -1).mean(axis=0),
-            "se": island_means.std(axis=0, ddof=1) / np.sqrt(n_islands),
-            "log_evidence": float(np.mean(log_z_island)),
-            "log_evidence_se": float(log_z_island.std(ddof=1)
-                                     / np.sqrt(n_islands)),
-            "lambdas": lambdas, "acc_rates": acc_rates,
-            "beta": beta_c, "wall_s": wall,
-            "n_forward": (len(acc_rates) * n_moves + 2) * n_particles}
+    return _result_dict(
+        theta_np, qoi_np, log_z_island, lambdas, acc_rates, beta_c,
+        wall, n_particles, d, n_islands,
+        extra={"n_forward": (len(acc_rates) * n_moves + 2)
+               * n_particles})
 
 
 def _pcn(theta, xi, beta):
@@ -257,47 +283,11 @@ def _hier_smc_impl(fns, d, switches, n_particles=256, n_moves=5,
         ll, qoi = batches[lvl](theta.reshape(n_islands * m, d))
         return ll.reshape(n_islands, m), qoi.reshape(n_islands, m, -1)
 
-    def systematic_resample(log_w, k):
-        w = jax.nn.softmax(log_w, axis=1)
-        cum = jnp.cumsum(w, axis=1)
-        u = (jax.random.uniform(k, (n_islands, 1), dtype)
-             + jnp.arange(m, dtype=dtype)[None, :]) / m
-        idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cum, u)
-        return jnp.clip(idx, 0, m - 1)
-
     # one jitted stage kernel PER LEVEL (log_w passed in, temperatures
     # as operands — executables are reused across that level's stages)
-    def make_stage(lvl):
-        @jax.jit
-        def stage(theta, ll, log_w, lam, beta_c, k):
-            k_r, k_m = jax.random.split(k)
-            idx = systematic_resample(log_w, k_r)
-            theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
-            ll = jnp.take_along_axis(ll, idx, axis=1)
-
-            def move(carry, kk):
-                th, ll_c, acc = carry
-                k_xi, k_u = jax.random.split(kk)
-                flat = th.reshape(n_islands * m, d)
-                xi = jax.random.normal(k_xi, flat.shape, dtype)
-                prop = _pcn(flat, xi, beta_c).reshape(n_islands, m, d)
-                ll_p, _ = flat_ll(prop, lvl)
-                log_u = jnp.log(jax.random.uniform(
-                    k_u, (n_islands, m), dtype,
-                    minval=jnp.finfo(dtype).tiny))
-                accept = log_u < lam * (ll_p - ll_c)
-                th = jnp.where(accept[:, :, None], prop, th)
-                ll_c = jnp.where(accept, ll_p, ll_c)
-                return (th, ll_c,
-                        acc + jnp.mean(accept.astype(dtype))), None
-
-            (theta, ll, acc), _ = jax.lax.scan(
-                move, (theta, ll, jnp.zeros((), dtype)),
-                jax.random.split(k_m, n_moves))
-            return theta, ll, acc / n_moves
-        return stage
-
-    stages = [make_stage(l) for l in range(len(fns))]
+    stages = [_make_stage(lambda th, l=l: flat_ll(th, l)[0], n_islands,
+                          m, d, dtype, n_moves)
+              for l in range(len(fns))]
     t0 = time.perf_counter()
     lvl = 0
     ll, _ = flat_ll(theta, lvl)
@@ -348,15 +338,7 @@ def _hier_smc_impl(fns, d, switches, n_particles=256, n_moves=5,
     n_fwd[-1] += n_particles
     theta_np, qoi_np = jax.device_get((theta, qoi))
     wall = time.perf_counter() - t0
-    qoi_np = np.asarray(qoi_np, dtype=np.float64)
-    island_means = qoi_np.mean(axis=1)
-    return {"theta": np.asarray(theta_np).reshape(n_particles, d),
-            "qoi": qoi_np.reshape(n_particles, -1),
-            "mean": qoi_np.reshape(n_particles, -1).mean(axis=0),
-            "se": island_means.std(axis=0, ddof=1) / np.sqrt(n_islands),
-            "log_evidence": float(np.mean(log_z_island)),
-            "log_evidence_se": float(log_z_island.std(ddof=1)
-                                     / np.sqrt(n_islands)),
-            "lambdas": lambdas, "levels": levels,
-            "acc_rates": acc_rates, "beta": beta_c, "wall_s": wall,
-            "n_forward": n_fwd}
+    return _result_dict(
+        theta_np, qoi_np, log_z_island, lambdas, acc_rates, beta_c,
+        wall, n_particles, d, n_islands,
+        extra={"levels": levels, "n_forward": n_fwd})

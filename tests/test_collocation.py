@@ -121,6 +121,19 @@ def test_multilevel_collocation_telescope():
     assert out["n_nodes"][2] < 0.1 * out["n_nodes_single"]
 
 
+def test_multilevel_scalar_shapes_uniform():
+    """Scalar fns: every correction (including level 0) is [1]-shaped
+    and the mean is [1] regardless of L."""
+    fn = lambda th: jnp.exp(0.2 * th[0])
+    one = multilevel_collocation([fn], 2, levels=[3])
+    two = multilevel_collocation([fn, fn], 2, levels=[3, 2])
+    assert np.shape(one["mean"]) == (1,) == np.shape(two["mean"])
+    assert all(np.shape(c) == (1,) for c in one["corrections"])
+    assert all(np.shape(c) == (1,) for c in two["corrections"])
+    assert abs(float(two["mean"][0] - one["mean"][0])) < 1e-12
+    assert two["n_nodes_single"] == one["n_nodes"][0]
+
+
 def test_validation():
     with pytest.raises(ValueError, match="rule"):
         SparseGrid(2, 2, rule="monte-carlo")

@@ -52,7 +52,15 @@ def test_esmda_step_count_invariance_linear():
 def test_alpha_schedule_contract():
     fwd, y, _, _ = _linear_problem()
     with pytest.raises(ValueError, match="sum"):
-        esmda(fwd, y, noise_std=0.5, n_ens=8, d=3, alphas=[2.0, 3.0])
+        esmda(fwd, y, noise_std=0.5, n_ens=8, d=3, n_steps=2,
+              alphas=[2.0, 3.0])
+    # a schedule shorter than n_steps must not silently drop updates
+    with pytest.raises(ValueError, match="n_steps"):
+        esmda(fwd, y, noise_std=0.5, n_ens=8, d=3, n_steps=4,
+              alphas=[2.0, 2.0])
+    with pytest.raises(ValueError, match="n_steps"):
+        hierarchical_esmda([fwd, fwd], y, noise_std=0.5, n_ens=8, d=3,
+                           n_steps=4, alphas=[2.0, 2.0])
     # heteroscedastic noise vector accepted
     out = esmda(fwd, y, noise_std=jnp.full(5, 0.5), n_ens=64, n_steps=2,
                 d=3, key=jax.random.key(0))
@@ -82,3 +90,28 @@ def test_hierarchical_esmda_darcy():
     assert hier["misfit"][-1] < 1.3 * fine["misfit"][-1] + 0.2
     # fine solves: hierarchical pays them only on the last level's steps
     assert hier["n_forward"][-1] < fine["n_forward"]
+
+
+def test_forward_accounting_and_theta0():
+    """n_forward reports ACTUAL solves (intermediate stages skip the
+    final diagnostic pass), and a user initial ensemble is honored."""
+    fwd, y, _, _ = _linear_problem()
+    out = esmda(fwd, y, noise_std=0.5, n_ens=16, n_steps=3, d=3,
+                alphas=[3.0, 3.0, 3.0])
+    assert out["n_forward"] == 4 * 16          # 3 steps + final obs
+    assert len(out["misfit"]) == 4
+    hier = hierarchical_esmda([fwd, fwd], y, noise_std=0.5, n_ens=16,
+                              n_steps=4, d=3)
+    assert hier["n_forward"] == [2 * 16, 3 * 16]   # final obs fine-only
+    assert len(hier["misfit"]) == 5
+    # explicit theta0 must seed the first stage
+    theta0 = np.full((16, 3), 7.0)
+    out0 = esmda(fwd, y, noise_std=0.5, n_ens=16, n_steps=1,
+                 alphas=[1.0], theta0=theta0)
+    h0 = hierarchical_esmda([fwd, fwd], y, noise_std=0.5, n_ens=16,
+                            n_steps=2, theta0=theta0,
+                            key=jax.random.key(0))
+    # a constant ensemble has zero anomalies: the update is a no-op,
+    # so theta0 visibly propagates through both drivers
+    np.testing.assert_allclose(out0["theta"], theta0, atol=1e-12)
+    np.testing.assert_allclose(h0["theta"], theta0, atol=1e-12)

@@ -71,3 +71,8 @@ def test_validation():
         subset_simulation(lambda th: jnp.tanh(th[0]), gamma=2.0, d=2,
                           n_particles=512, max_stages=8,
                           key=jax.random.key(5))
+    # a response that TIES at gamma (clipped) must fail loudly, not
+    # return p ~ 0 with a NaN conditional population
+    with pytest.raises(RuntimeError, match="ties"):
+        subset_simulation(lambda th: jnp.minimum(th[0], 1.0), gamma=1.0,
+                          d=2, n_particles=512, key=jax.random.key(6))
