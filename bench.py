@@ -320,6 +320,17 @@ def main():
         print("bench: qmc path FAILED:", file=sys.stderr)
         traceback.print_exc()
 
+    # ------------- Bayesian/rare tiers (beyond-reference) --------------- #
+    bayes_evidence = None
+    try:
+        from bench_extra import bench_bayes_compact
+
+        bayes_evidence = bench_bayes_compact()
+    except Exception:
+        bayes_evidence = {"error": "bayes path failed"}
+        print("bench: bayes path FAILED:", file=sys.stderr)
+        traceback.print_exc()
+
     # ---------------- maxent PDF from the estimate (config 3) ----------- #
     maxent_s = None
     maxent_backend = None
@@ -363,6 +374,7 @@ def main():
             "extended_precision": extended,
             "rng_quality": rng_quality,
             "qmc": qmc_evidence,
+            "bayes": bayes_evidence,
             "maxent_solve_s": round(maxent_s, 3) if maxent_s else None,
             "maxent_converged": bool(result.success) if result else None,
             "maxent_solver_backend": maxent_backend,

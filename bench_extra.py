@@ -1111,6 +1111,108 @@ def bench_oed():
                                    results["cluster"]["se"]), 1e-12), 1))
 
 
+def bench_filter():
+    """Ensemble Kalman filtering (no reference analogue): the Lorenz-96
+    chaotic benchmark — 40 variables, 20 observed, ETKF at three
+    ensemble sizes; reports tracking RMSE (vs obs noise 1.0) and
+    assimilation throughput (member-steps/s: one RK4 model step +
+    analysis per member per cycle)."""
+    from mlmc_tpu.filter import enkf, lorenz96_step
+
+    d, T = 40, 200
+    step = lorenz96_step(dt=0.05)
+    key = jax.random.key(2)
+    x = 3.0 + jax.random.normal(jax.random.fold_in(key, 0), (1, d))
+    for t in range(100):
+        x = step(x, None, t)
+    rng = np.random.default_rng(3)
+    truth, ys = [], []
+    xt = x
+    for t in range(T):
+        xt = step(xt, None, t)
+        truth.append(np.asarray(xt[0]))
+        ys.append(truth[-1][::2] + rng.normal(size=d // 2))
+    truth, ys = np.array(truth), np.array(ys)
+    results = {}
+    for J in (64, 256, 1024):
+        x0 = np.asarray(x) + np.random.default_rng(4).normal(
+            size=(J, d))
+        out = enkf(step, lambda xx: xx[::2], ys, noise_std=1.0,
+                   n_ens=J, d=d, x0=x0, inflation=1.05, method="etkf",
+                   key=jax.random.key(5))
+        # warm pass for the timing (first call pays the AOT compile)
+        out = enkf(step, lambda xx: xx[::2], ys, noise_std=1.0,
+                   n_ens=J, d=d, x0=x0, inflation=1.05, method="etkf",
+                   key=jax.random.key(6))
+        rmse = float(np.sqrt(np.mean(
+            (out["means"][T // 2:] - truth[T // 2:]) ** 2)))
+        results[f"J{J}"] = dict(
+            rmse=round(rmse, 3),
+            spread=round(float(out["spread"][-1]), 3),
+            wall_s=round(out["wall_s"], 3),
+            member_steps_per_s=round(J * T / max(out["wall_s"], 1e-9)))
+    return dict(workload="Lorenz-96 ETKF: 40 vars, 20 obs, 200 cycles, "
+                         "inflation 1.05",
+                obs_noise=1.0, **results)
+
+
+def bench_bayes_compact():
+    """Compact on-chip closed-form evidence for the Bayesian/rare tiers
+    (run by bench.py so it lands in the BENCH artifact): on the SAME
+    3-d linear-Gaussian problem, (a) ES-MDA must land on the conjugate
+    posterior mean, (b) tempered SMC must recover the marginal
+    likelihood, and (c) subset simulation must reproduce the Gaussian
+    tail Phi(-4) ~ 3.17e-5 — all measured on the live device."""
+    from math import erfc, sqrt
+    from mlmc_tpu.eki import esmda
+    from mlmc_tpu.rare import subset_simulation
+    from mlmc_tpu.smc import smc_tempering
+
+    rng = np.random.default_rng(0)
+    d, K, noise = 3, 5, 0.5
+    A = jnp.asarray(rng.standard_normal((K, d)))
+    y = A @ jnp.asarray(rng.standard_normal(d))
+    An, yn = np.asarray(A, dtype=np.float64), np.asarray(y, np.float64)
+    Sig = np.linalg.inv(np.eye(d) + An.T @ An / noise ** 2)
+    mu = Sig @ An.T @ yn / noise ** 2
+    S = An @ An.T + noise ** 2 * np.eye(K)
+    log_z = -0.5 * (K * np.log(2 * np.pi) + np.linalg.slogdet(S)[1]
+                    + yn @ np.linalg.solve(S, yn))
+    const = -0.5 * K * np.log(2 * np.pi * noise ** 2)
+
+    t0 = time.perf_counter()
+    cal = esmda(lambda th: A @ th, y, noise, n_ens=2048, n_steps=4,
+                d=d, key=jax.random.key(1))
+    eki_err = float(np.max(np.abs(cal["mean"] - mu)))
+
+    def fn(th):
+        r = A @ th - y
+        return const - 0.5 * jnp.sum(r * r) / noise ** 2, th[:1]
+
+    smc = smc_tempering(fn, d=d, n_particles=1024, n_moves=6,
+                        key=jax.random.key(2))
+    smc_err_sig = (abs(smc["log_evidence"] - log_z)
+                   / max(smc["log_evidence_se"], 1e-12))
+
+    rare = subset_simulation(lambda th: th[0], gamma=4.0, d=d,
+                             n_particles=1024, n_moves=6,
+                             key=jax.random.key(3))
+    p_exact = 0.5 * erfc(4.0 / sqrt(2.0))
+    wall = time.perf_counter() - t0
+    return dict(eki_mean_err=float("%.3g" % eki_err),
+                eki_ok=bool(eki_err < 0.1),
+                smc_log_evidence=round(smc["log_evidence"], 3),
+                smc_log_evidence_exact=round(float(log_z), 3),
+                smc_err_sigmas=round(float(smc_err_sig), 2),
+                smc_stages=len(smc["acc_rates"]),
+                subset_p=float("%.3g" % rare["p"]),
+                subset_p_exact=float("%.3g" % p_exact),
+                subset_log_err_sigmas=round(
+                    abs(rare["log_p"] - np.log(p_exact))
+                    / max(rare["log_p_se"], 1e-12), 2),
+                wall_s=round(wall, 2))
+
+
 def bench_rare():
     """Rare-event tier (no reference analogue): P[Darcy flux > gamma]
     on a 32^2 grid with an RFF log-conductivity prior — gamma set ~4.75
@@ -1163,6 +1265,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "collocation": bench_collocation,
            "pce": bench_pce,
            "oed": bench_oed,
+           "filter": bench_filter,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

@@ -64,9 +64,9 @@ def subset_simulation(g_fn: Callable, gamma: float, d: int,
     :param p0: per-stage conditional probability level (the ladder
         steps at the per-island (1-p0) population quantile).
     :param n_moves: conditional pCN rejuvenation sweeps per stage.
-        ``beta`` is Robbins-Monro-adapted across stages toward the
-        0.30-0.50 acceptance band recommended for conditional sampling
-        (Papaioannou et al. 2015) — target 0.44.
+        ``beta`` is Robbins-Monro-adapted ON DEVICE after every sweep
+        toward the 0.44 acceptance recommended for conditional sampling
+        (Papaioannou et al. 2015), carrying across rungs.
     :param prior_sampler: optional ``key -> theta [N, d]`` override for
         the initial population (must still be N(0, I) for the kernel to
         be exact; use this only to inject antithetic/QMC initial draws).
@@ -118,29 +118,35 @@ def subset_simulation(g_fn: Callable, gamma: float, d: int,
         return jnp.clip(idx, 0, m - 1)
 
     @jax.jit
-    def stage(theta, g, thr, beta_c, k):
+    def stage(theta, g, thr, beta0, k):
         """One subset stage at per-island thresholds thr [I]: resample
         the exceeders, then n_moves conditional pCN sweeps (accept iff
-        the proposal still exceeds — pCN preserves the prior)."""
+        the proposal still exceeds — pCN preserves the prior). beta
+        adapts ON DEVICE after each sweep (Robbins-Monro on logit(beta)
+        toward the 0.44 conditional-sampling target, Papaioannou et al.
+        2015) and carries across rungs."""
         k_r, k_m = jax.random.split(k)
         idx = resample_exceeders(g, thr, k_r)
         theta = jnp.take_along_axis(theta, idx[:, :, None], axis=1)
         g = jnp.take_along_axis(g, idx, axis=1)
 
         def move(carry, kk):
-            th, g_c, acc = carry
+            th, g_c, beta_c, acc = carry
             xi = jax.random.normal(kk, th.shape, dtype)
             prop = (jnp.sqrt(1.0 - beta_c * beta_c) * th + beta_c * xi)
             g_p = flat_g(prop)
             accept = g_p > thr[:, None]
             th = jnp.where(accept[:, :, None], prop, th)
             g_c = jnp.where(accept, g_p, g_c)
-            return (th, g_c, acc + jnp.mean(accept.astype(dtype))), None
+            a = jnp.mean(accept.astype(dtype))
+            logit = jnp.log(beta_c) - jnp.log1p(-beta_c)
+            beta_c = jax.nn.sigmoid(logit + 0.5 * (a - 0.44))
+            return (th, g_c, beta_c, acc + a), None
 
-        (theta, g, acc), _ = jax.lax.scan(
-            move, (theta, g, jnp.zeros((), dtype)),
+        (theta, g, beta_c, acc), _ = jax.lax.scan(
+            move, (theta, g, beta0, jnp.zeros((), dtype)),
             jax.random.split(k_m, n_moves))
-        return theta, g, acc / n_moves
+        return theta, g, acc / n_moves, beta_c
 
     t0 = time.perf_counter()
     g = flat_g(theta)
@@ -181,16 +187,16 @@ def subset_simulation(g_fn: Callable, gamma: float, d: int,
         log_p_island[~done] += np.log(frac[~done])
         thr[done] = gamma
         thresholds.append(float(np.median(thr)))
-        theta, g, acc = stage(theta, g, jnp.asarray(thr, dtype),
-                              jnp.asarray(beta_c, dtype),
-                              jax.random.fold_in(k_run, stage_i))
+        theta, g, acc, beta_d = stage(theta, g, jnp.asarray(thr, dtype),
+                                      jnp.asarray(beta_c, dtype),
+                                      jax.random.fold_in(k_run, stage_i))
         n_fwd += n_particles * n_moves
-        g_h = np.asarray(jax.device_get(g), dtype=np.float64)
-        acc = float(acc)
+        # one bundled fetch: responses for the next rung decision plus
+        # the diagnostics and the in-kernel-adapted beta
+        g_h, acc, beta_c = jax.device_get((g, acc, beta_d))
+        g_h = np.asarray(g_h, dtype=np.float64)
+        acc, beta_c = float(acc), float(beta_c)
         acc_rates.append(acc)
-        # Robbins-Monro on logit(beta) toward 0.44 acceptance
-        logit = np.log(beta_c) - np.log1p(-beta_c)
-        beta_c = 1.0 / (1.0 + np.exp(-(logit + 0.8 * (acc - 0.44))))
     else:
         raise RuntimeError(
             f"threshold ladder did not reach gamma={gamma} within "
@@ -201,10 +207,10 @@ def subset_simulation(g_fn: Callable, gamma: float, d: int,
     # but islands finishing on the last rung carry populations
     # conditioned on the PREVIOUS rung — resample the gamma-exceeders
     # and move so the returned theta/qoi are conditional on the event
-    theta, g, _ = stage(theta, g,
-                        jnp.asarray(np.full(n_islands, gamma), dtype),
-                        jnp.asarray(beta_c, dtype),
-                        jax.random.fold_in(k_run, max_stages + 1))
+    theta, g, _, _ = stage(theta, g,
+                           jnp.asarray(np.full(n_islands, gamma), dtype),
+                           jnp.asarray(beta_c, dtype),
+                           jax.random.fold_in(k_run, max_stages + 1))
     n_fwd += n_particles * n_moves
 
     wall = time.perf_counter() - t0
