@@ -1156,6 +1156,86 @@ def bench_filter():
                 obs_noise=1.0, **results)
 
 
+def bench_particle():
+    """Particle filter tier (no reference analogue): (a) bootstrap PF
+    throughput on the 40-var Lorenz-96 model (2^15 particles x 200
+    cycles — propagation + weighting + systematic resampling per
+    cycle); (b) the MLPF on a 4-level Euler OU hierarchy — correction
+    decay across coupled levels and the fine-propagation savings vs a
+    fine-only filter at matched particle counts."""
+    from mlmc_tpu.filter import lorenz96_step
+    from mlmc_tpu.particle import (particle_filter,
+                                   multilevel_particle_filter)
+    from tests.test_particle import _ou_levels
+
+    d, T, N = 40, 200, 2 ** 15
+    step = lorenz96_step(dt=0.05)
+    key = jax.random.key(2)
+    x = 3.0 + jax.random.normal(jax.random.fold_in(key, 0), (1, d))
+    for t in range(100):
+        x = step(x, None, t)
+    rng = np.random.default_rng(3)
+    truth, ys = [], []
+    xt = x
+    for t in range(T):
+        xt = step(xt, None, t)
+        truth.append(np.asarray(xt[0]))
+        ys.append(truth[-1][::2] + rng.normal(size=d // 2))
+    truth, ys = np.array(truth), np.array(ys)
+
+    def ll(xx, y):
+        res = y - xx[::2]
+        return -0.5 * jnp.sum(res * res)
+
+    x0 = np.asarray(x) + np.random.default_rng(4).normal(size=(N, d))
+    pf = None
+    for k in (5, 6):     # second pass = warm timing
+        pf = particle_filter(step, ll, ys, n_particles=N, d=d,
+                             x0=x0, key=jax.random.key(k))
+    rmse = float(np.sqrt(np.mean(
+        (pf["means"][T // 2:] - truth[T // 2:]) ** 2)))
+
+    # MLPF: OU hierarchy, data simulated from the fine discretization
+    n_levels, T2, r = 4, 100, 0.5
+    make = _ou_levels(n_levels)
+    rng = np.random.default_rng(7)
+    xs, ysou = 0.0, []
+    for t in range(T2):
+        for _ in range(8):
+            xs = xs * (1.0 - 0.5 / 8) + np.sqrt(0.5 / 8) * \
+                rng.standard_normal()
+        ysou.append(xs + r * rng.standard_normal())
+    ysou = np.array(ysou)[:, None]
+
+    def llou(xx, y):
+        return -0.5 * ((y[0] - xx[0]) / r) ** 2
+
+    counts = [2 ** 15, 2 ** 14, 2 ** 13, 2 ** 12]
+    ml = None
+    for k in (8, 9):
+        ml = multilevel_particle_filter(
+            make, llou, ysou, n_levels=n_levels, d=1,
+            n_particles=counts, key=jax.random.key(k))
+    # fine-propagation cost: level-l filter runs 2^l Euler substeps
+    fine_subs = sum(n * (2 ** l + (2 ** (l - 1) if l else 0))
+                    for l, n in enumerate(counts))
+    fine_only_subs = counts[0] * 2 ** (n_levels - 1)
+    return dict(
+        workload="bootstrap PF Lorenz-96 (2^15 particles, 200 cycles) "
+                 "+ MLPF 4-level Euler OU",
+        pf_rmse=round(rmse, 3), pf_obs_noise=1.0,
+        pf_loglik=round(pf["loglik"], 1),
+        pf_resample_frac=round(pf["resample_frac"], 3),
+        pf_wall_s=round(pf["wall_s"], 3),
+        pf_particle_steps_per_s=round(N * T / max(pf["wall_s"], 1e-9)),
+        mlpf_correction_l1=[float("%.3g" % c)
+                            for c in ml["correction_l1"]],
+        mlpf_mean_se=float("%.3g" % np.mean(ml["means_se"])),
+        mlpf_wall_s=round(ml["wall_s"], 3),
+        mlpf_euler_substeps=fine_subs,
+        fine_only_substeps_same_n0=fine_only_subs)
+
+
 def bench_bayes_compact():
     """Compact on-chip closed-form evidence for the Bayesian/rare tiers
     (run by bench.py so it lands in the BENCH artifact): on the SAME
@@ -1266,6 +1346,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "pce": bench_pce,
            "oed": bench_oed,
            "filter": bench_filter,
+           "particle": bench_particle,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

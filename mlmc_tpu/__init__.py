@@ -159,5 +159,6 @@ from mlmc_tpu.pce import PCE, total_degree_indices
 from mlmc_tpu.oed import (eig_nmc, expected_information_gain,
                           linear_gaussian_eig)
 from mlmc_tpu.filter import enkf, kalman_filter, lorenz96_step
+from mlmc_tpu.particle import particle_filter, multilevel_particle_filter
 
 __version__ = "0.1.0"
