@@ -838,6 +838,71 @@ def bench_cdf():
                 target_met=est["target_met"])
 
 
+def bench_risk():
+    """Risk tier (no reference analogue): (a) 95% VaR + CVaR of the
+    GBM terminal LOSS distribution at MLMC cost, checked against the
+    exact lognormal closed forms; (b) CVaR-optimal hedging — minimize
+    CVaR_0.9 of a hedged terminal loss over the hedge ratio with the
+    whole-loop-jitted RU program."""
+    import scipy.stats as stats
+    from mlmc_tpu.cdf_estimate import simulation_pair_fn
+    from mlmc_tpu.risk import cvar_mlmc, optimize_cvar
+    from mlmc_tpu.sim.sde import SDESimulation, gbm, terminal_value
+
+    rate, sigma, alpha = 0.05, 0.2, 0.95
+    sim = SDESimulation(dict(model=gbm(rate, sigma, 1.0),
+                             payoff=terminal_value()))
+    fwd_pair, L = simulation_pair_fn(
+        sim, [[1 / 4], [1 / 16], [1 / 64], [1 / 256]])
+
+    def loss_pair(level, keys):       # loss = -S_T (short the asset)
+        f, c, v = fwd_pair(level, keys)
+        return -f, -c, v
+
+    t0 = time.perf_counter()
+    out = cvar_mlmc(loss_pair, L, alpha, target_se=2e-3,
+                    bandwidth=[0.08, 0.04, 0.02, 0.01],
+                    kernel_order=4, chunk_size=1 << 13, seed=7,
+                    cost_fn=lambda lv: 4.0 ** lv)
+    wall = time.perf_counter() - t0
+    # exact: loss quantile at alpha is -S quantile at 1-alpha;
+    # CVaR = -E[S | S < q_{1-alpha}(S)] (lognormal partial expectation)
+    mu_ln = rate - 0.5 * sigma ** 2
+    z = stats.norm.ppf(1 - alpha)
+    var_exact = -np.exp(mu_ln + sigma * z)
+    cvar_exact = -np.exp(mu_ln + 0.5 * sigma ** 2) * stats.norm.cdf(
+        z - sigma) / (1 - alpha)
+    # (b) hedge ratio h minimizing CVaR of -(S_T + h (K - S_T)+ - h p0)
+    strike = 1.0
+
+    def hedged(level, theta, keys):
+        f, c, v = fwd_pair(level, keys)
+        put_f = jnp.maximum(strike - f, 0.0)
+        put_c = jnp.maximum(strike - c, 0.0)
+        h = theta[0]
+        return (-(f + h * put_f) + 0.08 * h,
+                -(c + h * put_c) + 0.08 * h, v)
+
+    t1 = time.perf_counter()
+    opt = optimize_cvar(hedged, jnp.array([0.0]), alpha=0.9,
+                        n_levels=L, n_per_level=[4096, 2048, 1024, 512],
+                        n_steps=250, smoothing=0.01,
+                        key=jax.random.key(8))
+    wall_opt = time.perf_counter() - t1
+    return dict(
+        workload="GBM 95% VaR/CVaR at MLMC cost + CVaR-optimal hedge",
+        var=round(out["var"], 4), var_exact=round(float(var_exact), 4),
+        cvar=round(out["cvar"], 4),
+        cvar_exact=round(float(cvar_exact), 4),
+        cvar_se=float("%.2g" % out["cvar_se"]),
+        n_per_level=[int(n) for n in out["n_per_level"]],
+        wall_s=round(wall, 2),
+        hedge_ratio=round(float(np.asarray(opt["theta"])[0]), 3),
+        hedge_cvar=round(opt["cvar"], 4),
+        unhedged_cvar=round(out["cvar"], 4),
+        opt_wall_s=round(wall_opt, 2))
+
+
 def bench_nested():
     """Nested-expectation MLMC (no reference analogue): unbiased EVPPI
     estimation of the Gaussian information problem — the Rhee-Glynn
@@ -1158,42 +1223,43 @@ def bench_filter():
 
 def bench_particle():
     """Particle filter tier (no reference analogue): (a) bootstrap PF
-    throughput on the 40-var Lorenz-96 model (2^15 particles x 200
-    cycles — propagation + weighting + systematic resampling per
-    cycle); (b) the MLPF on a 4-level Euler OU hierarchy — correction
-    decay across coupled levels and the fine-propagation savings vs a
-    fine-only filter at matched particle counts."""
-    from mlmc_tpu.filter import lorenz96_step
+    on the stochastic-volatility model (x' = phi x + sig w, y = eps
+    exp(x/2) v — non-Gaussian observation, the EnKF's blind spot and
+    the PF's home turf): latent-volatility tracking RMSE and
+    particle-step throughput at 2^15 particles x 400 cycles; (b) the
+    MLPF on a 4-level Euler OU hierarchy — correction decay across
+    coupled levels and the fine-propagation savings vs a fine-only
+    filter at matched counts."""
     from mlmc_tpu.particle import (particle_filter,
                                    multilevel_particle_filter)
     from tests.test_particle import _ou_levels
 
-    d, T, N = 40, 200, 2 ** 15
-    step = lorenz96_step(dt=0.05)
-    key = jax.random.key(2)
-    x = 3.0 + jax.random.normal(jax.random.fold_in(key, 0), (1, d))
-    for t in range(100):
-        x = step(x, None, t)
+    T, N = 400, 2 ** 15
+    phi, sig = 0.98, 0.16
     rng = np.random.default_rng(3)
-    truth, ys = [], []
-    xt = x
+    xs, truth, ys = 0.0, [], []
     for t in range(T):
-        xt = step(xt, None, t)
-        truth.append(np.asarray(xt[0]))
-        ys.append(truth[-1][::2] + rng.normal(size=d // 2))
-    truth, ys = np.array(truth), np.array(ys)
+        xs = phi * xs + sig * rng.standard_normal()
+        truth.append(xs)
+        ys.append(np.exp(0.5 * xs) * rng.standard_normal())
+    truth, ys = np.array(truth), np.array(ys)[:, None]
 
-    def ll(xx, y):
-        res = y - xx[::2]
-        return -0.5 * jnp.sum(res * res)
+    def trans(xx, key, t):
+        return phi * xx + sig * jax.random.normal(key, xx.shape,
+                                                  xx.dtype)
 
-    x0 = np.asarray(x) + np.random.default_rng(4).normal(size=(N, d))
+    def ll(xx, y):          # y | x ~ N(0, exp(x))
+        return -0.5 * (xx[0] + y[0] * y[0] * jnp.exp(-xx[0]))
+
     pf = None
     for k in (5, 6):     # second pass = warm timing
-        pf = particle_filter(step, ll, ys, n_particles=N, d=d,
-                             x0=x0, key=jax.random.key(k))
+        pf = particle_filter(
+            trans, ll, ys, n_particles=N, d=1, key=jax.random.key(k),
+            x0_sampler=lambda kk: sig / np.sqrt(1 - phi ** 2)
+            * jax.random.normal(kk, (N, 1)))
     rmse = float(np.sqrt(np.mean(
-        (pf["means"][T // 2:] - truth[T // 2:]) ** 2)))
+        (pf["means"][T // 2:, 0] - truth[T // 2:]) ** 2)))
+    prior_sd = sig / np.sqrt(1 - phi ** 2)
 
     # MLPF: OU hierarchy, data simulated from the fine discretization
     n_levels, T2, r = 4, 100, 0.5
@@ -1221,9 +1287,10 @@ def bench_particle():
                     for l, n in enumerate(counts))
     fine_only_subs = counts[0] * 2 ** (n_levels - 1)
     return dict(
-        workload="bootstrap PF Lorenz-96 (2^15 particles, 200 cycles) "
-                 "+ MLPF 4-level Euler OU",
-        pf_rmse=round(rmse, 3), pf_obs_noise=1.0,
+        workload="bootstrap PF stochastic volatility (2^15 particles, "
+                 "400 cycles) + MLPF 4-level Euler OU",
+        pf_rmse=round(rmse, 3),
+        pf_prior_sd=round(float(prior_sd), 3),
         pf_loglik=round(pf["loglik"], 1),
         pf_resample_frac=round(pf["resample_frac"], 3),
         pf_wall_s=round(pf["wall_s"], 3),
@@ -1347,6 +1414,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "oed": bench_oed,
            "filter": bench_filter,
            "particle": bench_particle,
+           "risk": bench_risk,
            "rng": bench_rng_quality}
 
 if __name__ == "__main__":

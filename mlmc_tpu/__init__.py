@@ -160,5 +160,7 @@ from mlmc_tpu.oed import (eig_nmc, expected_information_gain,
                           linear_gaussian_eig)
 from mlmc_tpu.filter import enkf, kalman_filter, lorenz96_step
 from mlmc_tpu.particle import particle_filter, multilevel_particle_filter
+from mlmc_tpu.risk import (cvar_empirical, cvar_mlmc, mlmc_gradient,
+                           optimize_expectation, optimize_cvar)
 
 __version__ = "0.1.0"
