@@ -150,7 +150,7 @@ from mlmc_tpu.cdf_estimate import MultilevelCDF, simulation_pair_fn
 from mlmc_tpu.multifidelity import MFMC
 from mlmc_tpu.nested import nested_level_fn, evppi_level_fn
 from mlmc_tpu.mcmc import (MLMCMC, run_pcn, run_coupled, run_mlda,
-                           make_darcy_inverse)
+                           run_unbiased, make_darcy_inverse)
 from mlmc_tpu.eki import esmda, hierarchical_esmda
 from mlmc_tpu.smc import smc_tempering, hierarchical_smc
 from mlmc_tpu.rare import subset_simulation

@@ -14,8 +14,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mlmc_tpu.mcmc import (run_pcn, run_coupled, run_mlda, MLMCMC, ess,
-                           split_rhat, make_darcy_inverse, gaussian_loglik)
+from mlmc_tpu.mcmc import (run_pcn, run_coupled, run_mlda, run_unbiased,
+                           MLMCMC, ess, split_rhat, make_darcy_inverse,
+                           gaussian_loglik)
 
 
 def _gaussian_problem(d=3, n_obs=5, noise=0.5, seed=0, shift=0.0):
@@ -187,3 +188,46 @@ def test_darcy_inverse_smoke():
     assert float(ll_hat) > float(ll_prior)
     # the coupled level is well-behaved too
     assert out["results"][1].acc_rate > 0.05
+
+
+def test_unbiased_mcmc_gaussian():
+    """Coupled-pair debiased estimator recovers the conjugate posterior
+    mean with honest iid across-pair errors; all pairs meet."""
+    loglik, mu, Sigma = _gaussian_problem(seed=5)
+    out = run_unbiased(loglik, d=3, k=40, m=200, n_pairs=256,
+                       beta=0.35, key=jax.random.key(7))
+    assert out["frac_unmet"] == 0.0
+    assert np.all(out["tau"] >= 1.0)
+    assert 0.05 < out["acc_rate"] < 0.8
+    assert np.all(np.abs(out["mean"] - mu) < 5 * out["se"] + 1e-3), \
+        (out["mean"], mu, out["se"])
+    assert out["H"].shape == (256, 3)
+    with pytest.raises(ValueError, match="k <= m"):
+        run_unbiased(loglik, d=3, k=50, m=20)
+    with pytest.raises(ValueError, match="beta"):
+        run_unbiased(loglik, d=3, k=5, beta=1.5)
+
+
+def test_unbiased_mcmc_removes_burnin_bias():
+    """The whole point: at a horizon far too short for burn-in (chains
+    initialized 4 sigma off), the naive ergodic average is biased by
+    many of its own standard errors; the coupled-pair estimator stays
+    within its CLT band at the SAME horizon."""
+    loglik, mu, Sigma = _gaussian_problem(seed=6)
+    B, k, m = 512, 5, 40
+    rng = np.random.default_rng(13)
+    off0 = 4.0 + rng.normal(size=(B, 3))
+    out = run_unbiased(loglik, d=3, k=k, m=m, n_pairs=B, beta=0.35,
+                       n_max=500,
+                       theta0_sampler=lambda kk: 4.0 + jax.random.normal(
+                           kk, (B, 3)),
+                       key=jax.random.key(8))
+    assert out["frac_unmet"] == 0.0
+    assert np.all(np.abs(out["mean"] - mu) < 6 * out["se"] + 0.02), \
+        (out["mean"], mu, out["se"])
+    naive = run_pcn(loglik, d=3, n_steps=m + 1, n_chains=B, burn=k,
+                    adapt=False, beta=0.35, theta0=off0,
+                    key=jax.random.key(9))
+    bias = np.abs(naive.mean - mu)
+    # significantly biased: worst component many naive-se out
+    assert np.max(bias / (naive.se + 1e-12)) > 8.0, (bias, naive.se)
