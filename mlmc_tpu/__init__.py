@@ -141,7 +141,8 @@ from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
     moments_qmc_level_fns)
-from mlmc_tpu.sensitivity import sobol_indices, sobol_indices_mlmc
+from mlmc_tpu.sensitivity import (sobol_indices, sobol_indices_mlmc,
+                                  active_subspace)
 from mlmc_tpu.mimc import (MIMC, total_degree_set, full_tensor_set,
                            heat_mimc_value_fn)
 from mlmc_tpu.unbiased import (UnbiasedMLMC, GeometricLevels,

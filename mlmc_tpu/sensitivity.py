@@ -48,7 +48,8 @@ import jax.numpy as jnp
 
 from mlmc_tpu.ops import sobol
 
-__all__ = ["sobol_indices", "sobol_indices_mlmc", "SobolIndices"]
+__all__ = ["sobol_indices", "sobol_indices_mlmc", "SobolIndices",
+           "active_subspace"]
 
 
 class SobolIndices(dict):
@@ -312,3 +313,100 @@ def sobol_indices_mlmc(level_fns: Sequence[Callable], dim: int,
     out = _aggregate(s1, st, var, m, np.asarray(ns), R, n_evaluations)
     out["level_terms"] = dict(e_f2=level_v, mean=level_m)
     return out
+
+
+# --------------------------------------------------------------------- #
+# Active subspaces: gradient-based dimension reduction
+# --------------------------------------------------------------------- #
+def active_subspace(fn: Callable, dim: int, n_samples: int = 8192,
+                    key=None, sampler: Optional[Callable] = None,
+                    chunk_size: int = 2048, dtype=None):
+    """Constantine's active subspaces (SIAM Spotlights 2, 2015):
+    eigendecomposition of the gradient covariance
+
+        C = E[ grad f(x) grad f(x)^T ],
+
+    whose dominant eigenspace is the subspace along which ``f``
+    actually varies — the gradient-based complement to the Sobol'
+    indices above (axis-aligned attribution vs arbitrary directions).
+    Pathwise gradients come from ``jax.grad`` — the reference's numpy
+    pipeline has no differentiation capability at all.
+
+    TPU-first design: gradients evaluate as vmapped [C, d] blocks and
+    C accumulates as one MXU ``G^T G`` per chunk inside a jitted
+    fori_loop; even/odd chunks feed two INDEPENDENT half-estimates
+    whose per-k principal-subspace distance is the stability
+    diagnostic (Constantine's bootstrap, split-half form). Only the
+    two [d, d] matrices cross to the host, where the symmetric
+    eigendecomposition runs (d is small by the time a subspace is
+    sought).
+
+    :param fn: ``x [d] -> scalar`` pure jnp, differentiable.
+    :param sampler: ``(key, n) -> x [n, d]`` input draw (default
+        N(0, I) — match it to the distribution your Sobol'/moment
+        workloads integrate against).
+    :return: dict with ``eigvals`` [d] (descending), ``W`` [d, d]
+        (columns = directions), ``activity`` [d] per-INPUT scores
+        ``sum_j lam_j W_ij^2`` (ranks raw inputs like total-effect
+        indices), ``explained`` [d] cumulative eigenvalue fraction
+        (Constantine's projection-error bound is ~ sqrt(1 -
+        explained[k])), ``subspace_dist`` [d-1] split-half principal
+        subspace distances per retained k, ``n_samples``, ``wall_s``.
+    """
+    import time as _time
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if key is None:
+        key = jax.random.key(0)
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    chunk = int(min(chunk_size, n_samples))
+    n_chunks = -(-int(n_samples) // chunk)
+    if n_chunks < 2:
+        n_chunks = 2                       # two halves for stability
+    grad_fn = jax.vmap(jax.grad(fn))
+
+    def draw(kk):
+        if sampler is not None:
+            return jnp.asarray(sampler(kk, chunk), dtype)
+        return jax.random.normal(kk, (chunk, dim), dtype)
+
+    @jax.jit
+    def run(k0):
+        def body(c, carry):
+            c_even, c_odd = carry
+            g = grad_fn(draw(jax.random.fold_in(k0, c)))   # [C, d]
+            gram = jnp.matmul(g.T, g,
+                              precision=jax.lax.Precision.HIGHEST)
+            even = (c % 2) == 0
+            return (c_even + jnp.where(even, 1.0, 0.0) * gram,
+                    c_odd + jnp.where(even, 0.0, 1.0) * gram)
+
+        z = jnp.zeros((dim, dim), dtype)
+        return jax.lax.fori_loop(0, n_chunks, body, (z, z))
+
+    t0 = _time.perf_counter()
+    c_even, c_odd = [np.asarray(a, np.float64)
+                     for a in jax.device_get(run(key))]
+    n_even = chunk * ((n_chunks + 1) // 2)
+    n_odd = chunk * (n_chunks // 2)
+    C = (c_even + c_odd) / (n_even + n_odd)
+    lam, W = np.linalg.eigh(C)
+    order = np.argsort(lam)[::-1]
+    lam, W = np.maximum(lam[order], 0.0), W[:, order]
+    total = max(lam.sum(), np.finfo(float).tiny)
+    # split-half principal-subspace distance per retained k
+    dists = []
+    _, W1 = np.linalg.eigh(c_even / max(n_even, 1))
+    _, W2 = np.linalg.eigh(c_odd / max(n_odd, 1))
+    W1, W2 = W1[:, ::-1], W2[:, ::-1]
+    for k in range(1, dim):
+        P1 = W1[:, :k] @ W1[:, :k].T
+        P2 = W2[:, :k] @ W2[:, :k].T
+        dists.append(float(np.linalg.norm(P1 - P2, 2)))
+    return {"eigvals": lam, "W": W,
+            "activity": (W ** 2 @ lam),
+            "explained": np.cumsum(lam) / total,
+            "subspace_dist": np.asarray(dists),
+            "C": C, "n_samples": n_even + n_odd,
+            "wall_s": _time.perf_counter() - t0}

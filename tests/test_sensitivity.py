@@ -3,6 +3,7 @@ properties. Beyond-reference capability (the reference has no
 sensitivity analysis); validated against the Ishigami function — THE
 standard benchmark with exact indices — and a linear-Gaussian model."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -131,3 +132,51 @@ def test_small_n_rounds_up_to_chunk_multiple():
                         seed=0, chunk_size=1 << 11)
     assert res.n == 128
     assert np.all(np.isfinite(res.first_order))
+
+
+def test_active_subspace_ridge_function():
+    """f(x) = g(w^T x) has a rank-1 gradient covariance whose top
+    eigenvector IS w; activity scores rank inputs like w^2."""
+    from mlmc_tpu.sensitivity import active_subspace
+    w = np.array([3.0, -2.0, 0.5, 0.0, 1.0])
+    w = w / np.linalg.norm(w)
+    wj = jnp.asarray(w)
+
+    def fn(x):
+        s = wj @ x
+        return jnp.tanh(s) + 0.1 * s ** 2
+
+    out = active_subspace(fn, dim=5, n_samples=8192,
+                          key=jax.random.key(0))
+    lam = out["eigvals"]
+    assert lam[0] > 1e3 * max(lam[1], 1e-300)
+    v = out["W"][:, 0]
+    assert np.abs(v @ w) > 0.9999
+    assert out["explained"][0] > 0.999
+    # activity scores proportional to w^2 (rank order preserved)
+    order = np.argsort(-out["activity"])
+    assert list(order[:3]) == list(np.argsort(-w ** 2)[:3])
+    # split-half k=1 subspace is stable
+    assert out["subspace_dist"][0] < 0.05
+    with pytest.raises(ValueError, match="dim"):
+        active_subspace(fn, dim=0)
+
+
+def test_active_subspace_quadratic_closed_form():
+    """f = x^T A x / 2 with x ~ N(0, I): grad = A x, C = A^2 — the
+    eigenvalues of C are eigvals(A)^2 and the eigvecs are A's."""
+    from mlmc_tpu.sensitivity import active_subspace
+    rng = np.random.default_rng(1)
+    Q, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+    a = np.array([4.0, 2.0, 1.0, 0.25])
+    A = Q @ np.diag(a) @ Q.T
+    Aj = jnp.asarray(A)
+
+    def fn(x):
+        return 0.5 * x @ (Aj @ x)
+
+    out = active_subspace(fn, dim=4, n_samples=1 << 15,
+                          key=jax.random.key(2))
+    assert np.allclose(out["eigvals"], a ** 2, rtol=0.1)
+    for i in range(4):
+        assert abs(out["W"][:, i] @ Q[:, i]) > 0.95, i
