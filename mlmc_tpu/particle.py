@@ -67,7 +67,8 @@ def particle_filter(transition: Callable, loglik_obs: Callable, data,
                     n_particles: int, d: int, key=None, x0=None,
                     x0_sampler: Optional[Callable] = None,
                     n_islands: int = 8, ess_threshold: float = 0.5,
-                    phi: Optional[Callable] = None, dtype=None):
+                    phi: Optional[Callable] = None, dtype=None,
+                    mesh=None):
     """Bootstrap particle filter over ``data`` [T, K].
 
     :param transition: ``(x [J, d], key, t) -> x' [J, d]`` batched
@@ -84,6 +85,12 @@ def particle_filter(transition: Callable, loglik_obs: Callable, data,
     :param phi: optional ``x [d] -> [q]`` test function; filtered
         ``E[phi(x_t) | y_{1:t}]`` is returned as ``means`` (default
         identity, q = d).
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        islands shard across the devices (``n_islands`` must divide by
+        the device count; islands never communicate, so the filter
+        scales linearly). Per-shard key streams are salted by the
+        device index, so mesh and single-device runs are statistically
+        equivalent but not bit-identical.
     :return: dict with ``means`` [T, q] (+ ``means_se``), ``loglik``
         (log-mean of the per-island unbiased likelihood estimates) and
         ``loglik_islands`` [I], ``ess`` [T] (island-mean ESS fraction),
@@ -95,6 +102,9 @@ def particle_filter(transition: Callable, loglik_obs: Callable, data,
     if n_particles % n_islands:
         raise ValueError(f"n_particles={n_particles} must be a "
                          f"multiple of n_islands={n_islands}")
+    if mesh is not None and n_islands % mesh.n_devices:
+        raise ValueError(f"n_islands={n_islands} must divide by the "
+                         f"mesh's {mesh.n_devices} devices")
     m = n_particles // n_islands
     if key is None:
         key = jax.random.key(0)
@@ -112,35 +122,64 @@ def particle_filter(transition: Callable, loglik_obs: Callable, data,
     batch_phi = jax.vmap(jax.vmap(phi))
     thr = jnp.asarray(ess_threshold, dtype)
 
-    def step(carry, xs):
-        x, logw = carry                       # [I, m, d], [I, m] norm.
-        y, k, t = xs
-        k_prop, k_res = jax.random.split(k)
-        x = transition(x.reshape(n_islands * m, d), k_prop, t
-                       ).reshape(n_islands, m, d)
-        ll = batch_ll(x, y)                   # [I, m]
-        inc = jax.nn.logsumexp(logw + ll, axis=1)      # [I] evidence
-        logw = logw + ll - inc[:, None]
-        w = jnp.exp(logw)
-        ess = 1.0 / (m * jnp.sum(w * w, axis=1))       # [I] fraction
-        mean_t = jnp.einsum("im,imq->iq", w, batch_phi(x))
-        do = ess < thr                                  # [I]
-        u01 = jax.random.uniform(k_res, (n_islands, 1), dtype)
-        idx = _systematic_resample(logw, u01, m, dtype)
-        x_res = jnp.take_along_axis(x, idx[:, :, None], axis=1)
-        x = jnp.where(do[:, None, None], x_res, x)
-        logw = jnp.where(do[:, None],
-                         jnp.full_like(logw, -np.log(m)), logw)
-        return (x, logw), (mean_t, inc, jnp.mean(ess),
-                           jnp.mean(do.astype(dtype)))
+    def make_step(n_isl):
+        def step(carry, xs):
+            x, logw = carry                   # [I, m, d], [I, m] norm.
+            y, k, t = xs
+            k_prop, k_res = jax.random.split(k)
+            x = transition(x.reshape(n_isl * m, d), k_prop, t
+                           ).reshape(n_isl, m, d)
+            ll = batch_ll(x, y)               # [I, m]
+            inc = jax.nn.logsumexp(logw + ll, axis=1)  # [I] evidence
+            logw = logw + ll - inc[:, None]
+            w = jnp.exp(logw)
+            ess = 1.0 / (m * jnp.sum(w * w, axis=1))   # [I] fraction
+            mean_t = jnp.einsum("im,imq->iq", w, batch_phi(x))
+            do = ess < thr                              # [I]
+            u01 = jax.random.uniform(k_res, (n_isl, 1), dtype)
+            idx = _systematic_resample(logw, u01, m, dtype)
+            x_res = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+            x = jnp.where(do[:, None, None], x_res, x)
+            logw = jnp.where(do[:, None],
+                             jnp.full_like(logw, -np.log(m)), logw)
+            return (x, logw), (mean_t, inc, ess, do.astype(dtype))
 
-    @jax.jit
-    def run(x0, data):
-        logw0 = jnp.full((n_islands, m), -np.log(m), dtype)
-        keys = jax.random.split(k_run, T)
+        return step
+
+    def scan_filter(x0, data, kr, n_isl, mark=lambda z: z):
+        logw0 = mark(jnp.full((n_isl, m), -np.log(m), dtype))
+        keys = jax.random.split(kr, T)
         (x, logw), (means, incs, ess, resamp) = jax.lax.scan(
-            step, (x0, logw0), (data, keys, jnp.arange(T)))
+            make_step(n_isl), (x0, logw0),
+            (data, keys, jnp.arange(T)))
         return x, logw, means, jnp.sum(incs, axis=0), ess, resamp
+
+    if mesh is None:
+        run = jax.jit(lambda x0, data: scan_filter(x0, data, k_run,
+                                                   n_islands))
+    else:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:                           # older jax
+            from jax.experimental.shard_map import shard_map
+        axis = mesh.axis_name
+        n_loc = n_islands // mesh.n_devices
+
+        def mark(z):
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(z, (axis,), to="varying")
+            return jax.lax.pvary(z, (axis,))
+
+        def sharded(x0, data):
+            kr = jax.random.fold_in(k_run, jax.lax.axis_index(axis))
+            return scan_filter(x0, data, kr, n_loc, mark)
+
+        run = jax.jit(shard_map(
+            sharded, mesh=mesh.mesh, in_specs=(P(axis), P()),
+            out_specs=(P(axis), P(axis), P(None, axis), P(axis),
+                       P(None, axis), P(None, axis))))
+        x0 = jax.device_put(x0, mesh.batch_sharding())
 
     t0 = time.perf_counter()
     x, logw, means, ll_isl, ess, resamp = jax.device_get(run(x0, data))
@@ -152,8 +191,8 @@ def particle_filter(transition: Callable, loglik_obs: Callable, data,
     return {"means": mean, "means_se": se,
             "loglik": float(mx + np.log(np.mean(np.exp(ll_isl - mx)))),
             "loglik_islands": ll_isl,
-            "ess": np.asarray(ess), "resample_frac":
-                float(np.mean(np.asarray(resamp))),
+            "ess": np.asarray(ess).mean(axis=1),
+            "resample_frac": float(np.mean(np.asarray(resamp))),
             "particles": np.asarray(x), "log_weights": np.asarray(logw),
             "wall_s": wall}
 

@@ -223,3 +223,33 @@ def test_coupled_resample_marginals():
     frac_same = float(np.mean(idxf == idxc))
     # same-index can also happen by chance in the residual branch
     assert frac_same >= alpha - 6 * np.sqrt(alpha * (1 - alpha) / n)
+
+
+def test_pf_mesh_sharded_islands():
+    """Islands shard across the virtual 8-device mesh: statistically
+    equivalent to the single-device run (salted per-shard streams), and
+    the divisibility contract is loud."""
+    from mlmc_tpu.parallel import SampleMesh
+    M, H, q, r, ys = _linear_gaussian(seed=4)
+    kf = kalman_filter(M, H, q**2 * np.eye(2), r**2 * np.eye(1),
+                       np.zeros(2), np.eye(2), ys)
+    Mj, Hj = jnp.asarray(M), jnp.asarray(H)
+
+    def trans(x, key, t):
+        return x @ Mj.T + q * jax.random.normal(key, x.shape, x.dtype)
+
+    def ll(x, y):
+        res = (y - Hj @ x) / r
+        return -0.5 * jnp.sum(res * res)
+
+    mesh = SampleMesh()
+    out = particle_filter(trans, ll, ys, n_particles=2 ** 13, d=2,
+                          key=jax.random.key(2), n_islands=16,
+                          mesh=mesh)
+    err = np.abs(out["means"] - kf["means"])
+    assert np.all(err < 5.0 * np.maximum(out["means_se"], 0.02))
+    assert abs(out["loglik"] - kf["loglik"]) < 0.03 * abs(kf["loglik"])
+    assert out["particles"].shape == (16, 2 ** 13 // 16, 2)
+    with pytest.raises(ValueError, match="divide"):
+        particle_filter(trans, ll, ys, n_particles=1200, d=2,
+                        n_islands=12, mesh=mesh)
