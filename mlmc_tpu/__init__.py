@@ -154,7 +154,7 @@ from mlmc_tpu.mcmc import (MLMCMC, run_pcn, run_coupled, run_mlda,
                            run_unbiased, make_darcy_inverse)
 from mlmc_tpu.eki import esmda, hierarchical_esmda
 from mlmc_tpu.smc import smc_tempering, hierarchical_smc
-from mlmc_tpu.rare import subset_simulation
+from mlmc_tpu.rare import subset_simulation, cross_entropy_is
 from mlmc_tpu.collocation import SparseGrid, multilevel_collocation
 from mlmc_tpu.pce import PCE, total_degree_indices
 from mlmc_tpu.oed import (eig_nmc, expected_information_gain,

@@ -45,7 +45,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["subset_simulation"]
+__all__ = ["subset_simulation", "cross_entropy_is"]
 
 
 def subset_simulation(g_fn: Callable, gamma: float, d: int,
@@ -233,4 +233,142 @@ def subset_simulation(g_fn: Callable, gamma: float, d: int,
         out["cond_qoi"] = island_means.mean(axis=0)
         out["cond_qoi_se"] = (island_means.std(axis=0, ddof=1)
                               / np.sqrt(n_islands))
+    return out
+
+
+# --------------------------------------------------------------------- #
+# Cross-entropy importance sampling: the parametric complement
+# --------------------------------------------------------------------- #
+def cross_entropy_is(g_fn: Callable, gamma: float, d: int,
+                     n_per_stage: int = 4096, n_final: int = 1 << 15,
+                     rho: float = 0.1, key=None, max_stages: int = 30,
+                     tilt: str = "mean",
+                     qoi_fn: Optional[Callable] = None, dtype=None):
+    """Estimate ``P[g_fn(theta) > gamma]`` under a N(0, I_d) prior by
+    the cross-entropy method (Rubinstein 1999; de Boer et al., "A
+    tutorial on the cross-entropy method", Ann. OR 134, 2005):
+    adaptively tilt a Gaussian proposal toward the failure domain —
+    each stage fits the tilt to the elite top-``rho`` fraction of its
+    samples with LIKELIHOOD-RATIO weights (the closed-form CE update
+    for Gaussian families is weighted elite moments; the weights refer
+    the fit back to the PRIOR, since stage samples come from the
+    previous tilt) and raises the working threshold to the elite
+    quantile until it clears ``gamma`` — then one LARGE
+    importance-sampling stage estimates
+
+        p = E_q[ 1{g > gamma} N(theta; 0, I) / q(theta) ],
+
+    with the likelihood-ratio CLT standard error and the IS weight ESS
+    as the quality diagnostic.
+
+    ``tilt="mean"`` (default) shifts the MEAN only (exponential
+    tilting, ``N(mu, I)``): the prior/proposal ratio stays bounded on
+    light-tailed problems, so the IS variance is finite by
+    construction. ``tilt="full"`` also fits a diagonal sigma — sharper
+    when the failure domain is genuinely anisotropic, but any fitted
+    ``sigma_i < 1`` makes the weight UNBOUNDED along that axis (fitted
+    sigmas are floored at 1 unless you know better; floor documented
+    in code).
+
+    vs :func:`subset_simulation`: CE is cheaper per decade and gives a
+    plain-MC-style iid error bar when ONE Gaussian tilt captures the
+    failure domain (a dominant design point); subset simulation is the
+    robust choice for multimodal/irregular domains — run CE first and
+    fall back if ``weight_ess`` collapses. Each stage is one jitted
+    program with (mu, sigma, key) as operands — two executables total
+    (stage size and final size); only elite moments cross the host.
+
+    :return: dict with ``p``, ``log_p``, ``p_se``, ``weight_ess``
+        (ESS fraction of the final IS weights in the failure region),
+        ``thresholds``, ``mu``/``sigma`` (final tilt), ``n_forward``,
+        ``cond_qoi`` (importance-weighted conditional mean of
+        ``qoi_fn`` given failure, if provided), ``wall_s``.
+    """
+    if not 0.0 < rho < 1.0:
+        raise ValueError("rho must be in (0, 1)")
+    if tilt not in ("mean", "full"):
+        raise ValueError("tilt must be 'mean' or 'full'")
+    if key is None:
+        key = jax.random.key(0)
+    dtype = dtype or jnp.asarray(1.0).dtype
+    flat_g = jax.vmap(g_fn)
+    batch_qoi = jax.vmap(qoi_fn) if qoi_fn is not None else None
+
+    def make_stage(n):
+        @jax.jit
+        def stage(mu, sigma, k):
+            xi = jax.random.normal(k, (n, d), dtype)
+            theta = mu[None, :] + sigma[None, :] * xi
+            g = flat_g(theta)
+            # log prior/proposal ratio (diagonal Gaussian tilt)
+            logw = (-0.5 * jnp.sum(theta * theta, axis=1)
+                    + 0.5 * jnp.sum(xi * xi, axis=1)
+                    + jnp.sum(jnp.log(sigma)))
+            return theta, g, logw
+
+        return stage
+
+    stage = make_stage(n_per_stage)
+    mu = jnp.zeros((d,), dtype)
+    sigma = jnp.ones((d,), dtype)
+    thresholds = []
+    n_forward = 0
+    t0 = time.perf_counter()
+    for it in range(max_stages):
+        theta, g, logw = stage(mu, sigma, jax.random.fold_in(key, it))
+        n_forward += n_per_stage
+        g_h = np.asarray(jax.device_get(g), np.float64)
+        thr = min(float(np.quantile(g_h, 1.0 - rho)), float(gamma))
+        thresholds.append(thr)
+        elite = jnp.asarray(g_h >= thr)
+        # CE update: LIKELIHOOD-RATIO-weighted elite moments (the
+        # weighted fit targets prior|{g > thr}, not proposal|elite)
+        lw = jnp.where(elite, logw, -jnp.inf)
+        w = jnp.exp(lw - jnp.max(lw))
+        wsum = jnp.maximum(jnp.sum(w), 1e-300)
+        mu = jnp.sum(w[:, None] * theta, 0) / wsum
+        if tilt == "full":
+            var = jnp.sum(w[:, None] * (theta - mu[None, :]) ** 2,
+                          0) / wsum
+            # floor at 1: sigma_i < 1 makes prior/proposal unbounded
+            # along axis i (IS variance blows up); the tilt may widen,
+            # never narrow below the prior
+            sigma = jnp.maximum(jnp.sqrt(var), 1.0)
+        if thr >= gamma:
+            break
+    else:
+        raise RuntimeError(
+            f"cross-entropy tilt did not reach gamma={gamma} within "
+            f"{max_stages} stages (reached {thresholds[-1]:.4g}) — "
+            "raise max_stages/n_per_stage, or use subset_simulation "
+            "for irregular failure domains")
+
+    final = make_stage(n_final)
+    theta, g, logw = final(mu, sigma, jax.random.fold_in(key, 10_000))
+    n_forward += n_final
+    g_h, logw_h = jax.device_get((g, logw))
+    g_h = np.asarray(g_h, np.float64)
+    logw_h = np.asarray(logw_h, np.float64)
+    fail = g_h > gamma
+    lw = np.where(fail, logw_h, -np.inf)
+    mx = lw.max()
+    if not np.isfinite(mx):
+        raise RuntimeError(
+            "no failure samples in the final IS stage — the CE tilt "
+            "collapsed; use subset_simulation")
+    w = np.exp(lw - mx)
+    p = float(np.mean(w) * np.exp(mx))
+    se = float(np.std(w, ddof=1) / np.sqrt(n_final) * np.exp(mx))
+    wsum = w.sum()
+    ess = float(wsum ** 2 / max((w ** 2).sum(), 1e-300) / n_final)
+    out = {"p": p, "log_p": float(np.log(max(p, 1e-300))),
+           "p_se": se, "weight_ess": ess,
+           "thresholds": thresholds,
+           "mu": np.asarray(jax.device_get(mu), np.float64),
+           "sigma": np.asarray(jax.device_get(sigma), np.float64),
+           "n_forward": n_forward,
+           "wall_s": time.perf_counter() - t0}
+    if batch_qoi is not None:
+        q = np.asarray(jax.device_get(batch_qoi(theta)), np.float64)
+        out["cond_qoi"] = (w[:, None] * q).sum(0) / max(wsum, 1e-300)
     return out
