@@ -233,7 +233,7 @@ def multilevel_particle_filter(
         transition_level: Callable, loglik_obs: Callable, data,
         n_levels: int, d: int, n_particles=4096, key=None,
         x0_sampler: Optional[Callable] = None, n_islands: int = 8,
-        phi: Optional[Callable] = None, dtype=None):
+        phi: Optional[Callable] = None, dtype=None, mesh=None):
     """Multilevel particle filter: telescoped filtered expectations
     ``E_L[phi(x_t) | y_{1:t}]`` over a transition-kernel hierarchy.
 
@@ -247,6 +247,10 @@ def multilevel_particle_filter(
     :param n_particles: int (all levels) or per-level sequence — MLPF
         theory wants decaying N_l, e.g. ``N_l ~ N_0 2^{-l}``.
     :param phi: ``x [d] -> [q]`` test function (default identity).
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        each level's islands shard across the devices (see
+        :func:`particle_filter`; coupled pairs live on one shard, so
+        the coupling needs no collectives).
     :return: dict with ``means`` [T, q] telescoped (+ ``means_se``
         combined across levels in quadrature), ``level_means`` list of
         [T, q] (level 0, then corrections), ``level_ses`` matching,
@@ -258,6 +262,9 @@ def multilevel_particle_filter(
         raise ValueError("n_levels must be >= 1")
     if key is None:
         key = jax.random.key(0)
+    if mesh is not None and n_islands % mesh.n_devices:
+        raise ValueError(f"n_islands={n_islands} must divide by the "
+                         f"mesh's {mesh.n_devices} devices")
     dtype = dtype or jnp.asarray(1.0).dtype
     n_per = ([int(n_particles)] * n_levels
              if np.isscalar(n_particles) else list(n_particles))
@@ -273,7 +280,7 @@ def multilevel_particle_filter(
     pf0 = particle_filter(
         transition_level(0), loglik_obs, data_j, n_per[0], d, key=k0,
         x0_sampler=x0_sampler, n_islands=n_islands, ess_threshold=1.0,
-        phi=phi, dtype=dtype)
+        phi=phi, dtype=dtype, mesh=mesh)
     level_means = [pf0["means"]]
     level_ses = [pf0["means_se"]]
     corr_l1 = []
@@ -289,39 +296,65 @@ def multilevel_particle_filter(
         batch_ll = jax.vmap(jax.vmap(loglik_obs, in_axes=(0, None)),
                             in_axes=(0, None))
 
-        def step(carry, xs, fine=fine, coarse=coarse, m=m,
-                 batch_ll=batch_ll):
-            xf, xc = carry
-            y, k, t = xs
-            k_prop, k_res = jax.random.split(k)
-            xf = fine(xf.reshape(n_islands * m, d), k_prop, t
-                      ).reshape(n_islands, m, d)
-            xc = coarse(xc.reshape(n_islands * m, d), k_prop, t
-                        ).reshape(n_islands, m, d)
-            logwf = jax.nn.log_softmax(batch_ll(xf, y), axis=1)
-            logwc = jax.nn.log_softmax(batch_ll(xc, y), axis=1)
-            corr_t = (jnp.einsum("im,imq->iq", jnp.exp(logwf),
-                                 batch_phi(xf))
-                      - jnp.einsum("im,imq->iq", jnp.exp(logwc),
-                                   batch_phi(xc)))
-            idxf, idxc = _coupled_resample(logwf, logwc, k_res, m,
-                                           dtype)
-            xf = jnp.take_along_axis(xf, idxf[:, :, None], axis=1)
-            xc = jnp.take_along_axis(xc, idxc[:, :, None], axis=1)
-            return (xf, xc), corr_t
+        def make_step(n_isl, fine=fine, coarse=coarse, m=m,
+                      batch_ll=batch_ll):
+            def step(carry, xs):
+                xf, xc = carry
+                y, k, t = xs
+                k_prop, k_res = jax.random.split(k)
+                xf = fine(xf.reshape(n_isl * m, d), k_prop, t
+                          ).reshape(n_isl, m, d)
+                xc = coarse(xc.reshape(n_isl * m, d), k_prop, t
+                            ).reshape(n_isl, m, d)
+                logwf = jax.nn.log_softmax(batch_ll(xf, y), axis=1)
+                logwc = jax.nn.log_softmax(batch_ll(xc, y), axis=1)
+                corr_t = (jnp.einsum("im,imq->iq", jnp.exp(logwf),
+                                     batch_phi(xf))
+                          - jnp.einsum("im,imq->iq", jnp.exp(logwc),
+                                       batch_phi(xc)))
+                idxf, idxc = _coupled_resample(logwf, logwc, k_res, m,
+                                               dtype)
+                xf = jnp.take_along_axis(xf, idxf[:, :, None], axis=1)
+                xc = jnp.take_along_axis(xc, idxc[:, :, None], axis=1)
+                return (xf, xc), corr_t
 
-        @jax.jit
-        def run(x0, data, step=step):
-            keys = jax.random.split(jax.random.fold_in(key, 1000 + lev),
-                                    T)
-            _, corr = jax.lax.scan(step, (x0, x0),
+            return step
+
+        k_lev = jax.random.fold_in(key, 1000 + lev)
+
+        def scan_level(x0, data, kr, n_isl):
+            keys = jax.random.split(kr, T)
+            _, corr = jax.lax.scan(make_step(n_isl), (x0, x0),
                                    (data, keys, jnp.arange(T)))
             return corr                                  # [T, I, q]
+
+        if mesh is None:
+            run = jax.jit(lambda x0, data: scan_level(
+                x0, data, k_lev, n_islands))
+        else:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:                          # older jax
+                from jax.experimental.shard_map import shard_map
+            axis = mesh.axis_name
+            n_loc = n_islands // mesh.n_devices
+
+            def sharded(x0, data, k_lev=k_lev, n_loc=n_loc):
+                kr = jax.random.fold_in(k_lev,
+                                        jax.lax.axis_index(axis))
+                return scan_level(x0, data, kr, n_loc)
+
+            run = jax.jit(shard_map(
+                sharded, mesh=mesh.mesh, in_specs=(P(axis), P()),
+                out_specs=P(None, axis)))
 
         k_init = jax.random.fold_in(key, 2000 + lev)
         x0 = (x0_sampler(k_init) if x0_sampler is not None
               else jax.random.normal(k_init, (n_per[lev], d), dtype))
         x0 = jnp.asarray(x0, dtype).reshape(n_islands, m, d)
+        if mesh is not None:
+            x0 = jax.device_put(x0, mesh.batch_sharding())
         corr = np.asarray(jax.device_get(run(x0, data_j)), np.float64)
         mean, se = _island_se(np.swapaxes(corr, 0, 1))
         level_means.append(mean)

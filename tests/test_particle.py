@@ -253,3 +253,18 @@ def test_pf_mesh_sharded_islands():
     with pytest.raises(ValueError, match="divide"):
         particle_filter(trans, ll, ys, n_particles=1200, d=2,
                         n_islands=12, mesh=mesh)
+
+
+def test_mlpf_mesh_sharded():
+    """MLPF levels shard islands over the virtual mesh; identical
+    kernels still give exactly zero corrections per shard."""
+    from mlmc_tpu.parallel import SampleMesh
+    make = _ou_levels(3)
+    fine = make(2)
+    ys = np.asarray(np.random.default_rng(5).standard_normal((8, 1)))
+    out = multilevel_particle_filter(
+        lambda lev: fine, lambda x, y: -0.5 * (y[0] - x[0]) ** 2,
+        ys, n_levels=3, d=1, n_particles=512, n_islands=16,
+        key=jax.random.key(6), mesh=SampleMesh())
+    assert np.all(out["correction_l1"] == 0.0)
+    assert np.allclose(out["means"], out["level_means"][0])
