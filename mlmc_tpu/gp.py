@@ -37,7 +37,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["GP", "MultilevelGP", "rbf_kernel", "matern52_kernel"]
+__all__ = ["GP", "MultilevelGP", "bayes_opt", "rbf_kernel",
+           "matern52_kernel"]
 
 
 def _sqdist(a, b, inv_ls):
@@ -275,3 +276,80 @@ class MultilevelGP:
                 mu = rho * mu + m
                 var = rho * rho * var + s ** 2
         return mu, np.sqrt(var)
+
+
+def bayes_opt(fn, bounds, n_init: int = 8, n_iter: int = 25,
+              key=None, kernel="matern52",
+              noise: Optional[float] = None, n_candidates: int = 4096,
+              xi: float = 0.01, fit_steps: int = 200, dtype=None):
+    """Bayesian optimization: MINIMIZE an expensive black box over a
+    box domain with a GP surrogate and the expected-improvement
+    acquisition (Jones-Schonlau-Welch 1998).
+
+    Per iteration: refit the GP on all data (one jitted scan), score EI
+    on an Owen-scrambled Sobol' candidate set (`ops.sobol` — the same
+    space-filling engine as the QMC tier; fresh scrambling each round
+    so candidates never repeat), evaluate the argmax, append. The
+    expensive-model evaluation is the only non-device work.
+
+    :param fn: ``x [d] -> scalar`` objective (called on one point at a
+        time — it is the EXPENSIVE model).
+    :param bounds: [d, 2] array of (lo, hi) per dimension.
+    :param noise: observation noise sd — None learns it; pass a small
+        float (e.g. 1e-6) for noiseless computer experiments.
+    :param xi: EI exploration offset (in units of the observed y sd).
+    :return: dict with ``x_best`` [d], ``y_best``, ``X`` [n, d] /
+        ``y`` [n] (all evaluations), ``ei_trace``, ``wall_s``.
+    """
+    from mlmc_tpu.ops import sobol
+
+    bounds = np.asarray(bounds, np.float64)
+    if bounds.ndim != 2 or bounds.shape[1] != 2 or np.any(
+            bounds[:, 1] <= bounds[:, 0]):
+        raise ValueError("bounds must be [d, 2] with hi > lo")
+    d = bounds.shape[0]
+    if key is None:
+        key = jax.random.key(0)
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    lo, span = bounds[:, 0], bounds[:, 1] - bounds[:, 0]
+    dv = sobol.direction_numbers(d)
+
+    def draw(k, n, start=0):
+        u = np.asarray(sobol.sobol_uniforms(
+            dv, start, n, seeds=sobol.scramble_seeds(k, d)),
+            np.float64)
+        return lo[None, :] + span[None, :] * u
+
+    t0 = time.perf_counter()
+    X = draw(jax.random.fold_in(key, 0), n_init)
+    y = np.array([float(fn(jnp.asarray(x, dtype))) for x in X])
+    ei_trace = []
+    for it in range(1, n_iter + 1):
+        gp = GP(kernel, noise, dtype).fit(X, y, n_steps=fit_steps)
+        cand = draw(jax.random.fold_in(key, it), n_candidates)
+        mu, sd = gp.predict(cand)
+        y_best = y.min()
+        imp = y_best - mu - xi * y.std()
+        z = imp / np.maximum(sd, 1e-12)
+        # closed-form EI for minimization
+        phi = np.exp(-0.5 * z * z) / np.sqrt(2 * np.pi)
+        Phi = 0.5 * (1.0 + _erf_np(z / np.sqrt(2.0)))
+        ei = imp * Phi + sd * phi
+        j = int(np.argmax(ei))
+        ei_trace.append(float(ei[j]))
+        x_new = cand[j]
+        y_new = float(fn(jnp.asarray(x_new, dtype)))
+        X = np.vstack([X, x_new[None, :]])
+        y = np.append(y, y_new)
+    i = int(np.argmin(y))
+    return {"x_best": X[i], "y_best": float(y[i]), "X": X, "y": y,
+            "ei_trace": np.asarray(ei_trace),
+            "wall_s": time.perf_counter() - t0}
+
+
+def _erf_np(x):
+    """Vectorized erf without scipy (Abramowitz-Stegun 7.1.26 is not
+    accurate enough for EI tails — use math.erf elementwise; the
+    candidate sets are small host arrays)."""
+    import math
+    return np.vectorize(math.erf)(x)

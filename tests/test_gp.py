@@ -2,6 +2,7 @@
 calibration, and the Forrester multifidelity benchmark."""
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from mlmc_tpu.gp import GP, MultilevelGP, rbf_kernel
@@ -96,3 +97,30 @@ def test_multilevel_gp_forrester():
     assert cov > 0.7
     with pytest.raises(ValueError, match="one level"):
         MultilevelGP().fit([])
+
+
+def test_bayes_opt_finds_global_minimum():
+    """EI-driven optimization localizes the Branin global minima
+    (f* = 0.397887) in ~30 expensive evaluations — far beyond random
+    search at the same budget."""
+    from mlmc_tpu.gp import bayes_opt
+
+    def branin(x):
+        a, b, c = 1.0, 5.1 / (4 * np.pi ** 2), 5.0 / np.pi
+        r, s, t = 6.0, 10.0, 1.0 / (8 * np.pi)
+        return (a * (x[1] - b * x[0] ** 2 + c * x[0] - r) ** 2
+                + s * (1 - t) * jnp.cos(x[0]) + s)
+
+    bounds = np.array([[-5.0, 10.0], [0.0, 15.0]])
+    out = bayes_opt(branin, bounds, n_init=10, n_iter=25,
+                    noise=1e-6, key=jax.random.key(0))
+    assert out["y_best"] < 0.397887 + 0.25, out["y_best"]
+    # random search at the same total budget does clearly worse
+    rng = np.random.default_rng(1)
+    xr = bounds[:, 0] + (bounds[:, 1] - bounds[:, 0]) * rng.uniform(
+        size=(35, 2))
+    yr = np.array([float(branin(jnp.asarray(x))) for x in xr])
+    assert out["y_best"] < yr.min()
+    assert out["X"].shape == (35, 2)
+    with pytest.raises(ValueError, match="bounds"):
+        bayes_opt(branin, np.array([[1.0, 0.0]]))
