@@ -55,7 +55,10 @@ __all__ = [
     "SDEModel", "gbm", "ornstein_uhlenbeck", "cir",
     "PathFunctionals", "european_call", "european_put", "asian_call",
     "lookback_call", "digital_call", "terminal_value",
-    "black_scholes_call", "SDESimulation", "sde_qmc_level_fns",
+    "lookback_call_bb", "barrier_call_down_out", "digital_call_smoothed",
+    "black_scholes_call", "black_scholes_digital", "lookback_call_price",
+    "barrier_down_out_call_price", "BGK_BETA",
+    "SDESimulation", "sde_qmc_level_fns",
     "brownian_bridge_increments",
     "SDESystem", "heston", "heston_call_price", "SDESystemSimulation",
 ]
@@ -117,12 +120,53 @@ def cir(kappa=1.0, theta=1.0, sigma=0.5, s0=1.0):
 # payoffs
 # ---------------------------------------------------------------------- #
 class PathFunctionals(NamedTuple):
-    """Per-sample path functionals over the discrete grid (incl. S0)."""
+    """Per-sample path functionals over the discrete grid (incl. S0).
+
+    The last five fields are the CONTINUOUS-MONITORING corrections
+    (Giles 2008 §5; populated only under ``path_extras=True`` in the
+    config, else None): discrete grid extrema/indicators estimate their
+    continuous counterparts with O(sqrt(h)) weak error, which both
+    biases the estimate and (for indicators) destroys the MLMC variance
+    decay — these fields carry the standard fixes, computed in-kernel
+    from each path's OWN nodes so payoffs stay separable per level.
+
+    * ``shifted_minimum`` / ``shifted_maximum``: extrema of
+      ``S_n -/+ beta* |b(S_n)| sqrt(h)`` — the Broadie-Glasserman-Kou
+      continuity correction (Math. Finance 7, 1997; beta* =
+      -zeta(1/2)/sqrt(2pi) ~ 0.5826) Giles uses for lookback payoffs:
+      weak error O(h), and the shift is pathwise-smooth so coupled
+      corrections keep the scheme's variance decay.
+    * ``log_survival``: sum over steps of the log Brownian-bridge
+      non-crossing probability of the ``barrier`` config key —
+      ``exp(log_survival)`` is the conditional expectation of the
+      continuous knock-out indicator given the grid nodes (Glasserman
+      2004 §6.4), replacing the 0/1 crossing indicator with a smooth
+      functional.
+    * ``digital_mu`` / ``digital_sd``: the Gaussian law of the terminal
+      value CONDITIONED on the penultimate node (one Euler step) — and,
+      on the COARSE path of a coupled level, additionally on the fine
+      increments over all but the last fine substep of its final step
+      (Giles 2008 §5.3), so both paths smooth at the SAME width
+      ``|b| sqrt(h_fine)`` and the tower property keeps the telescope
+      exact. A digital payoff becomes the smooth ``Phi((mu - K)/sd)``
+      with measured variance decay beta ~ 3/2 (the raw indicator gives
+      ~ 1/2-1).
+    """
 
     terminal: jnp.ndarray
     average: jnp.ndarray
     maximum: jnp.ndarray
     minimum: jnp.ndarray
+    shifted_minimum: Optional[jnp.ndarray] = None
+    shifted_maximum: Optional[jnp.ndarray] = None
+    log_survival: Optional[jnp.ndarray] = None
+    digital_mu: Optional[jnp.ndarray] = None
+    digital_sd: Optional[jnp.ndarray] = None
+
+
+#: Broadie-Glasserman-Kou continuity-correction constant
+#: ``-zeta(1/2)/sqrt(2 pi)``.
+BGK_BETA = 0.5825971579390107
 
 
 def european_call(strike, discount=1.0):
@@ -155,6 +199,67 @@ def terminal_value():
     return lambda pf: pf.terminal
 
 
+def _need_extras(pf, who):
+    if pf.shifted_minimum is None:
+        raise ValueError(
+            f"{who} needs the continuous-monitoring functionals — set "
+            "path_extras=True (and 'barrier' for knock-outs) in the "
+            "SDE config")
+
+
+def lookback_call_bb(discount=1.0):
+    """Floating-strike lookback on the CONTINUOUS minimum: ``S_T -
+    min_{[0,T]} S_t`` via the BGK-shifted grid minimum (weak error
+    O(h) instead of the raw grid minimum's O(sqrt(h)); Giles 2008
+    §5.2). Needs ``path_extras=True``."""
+
+    def payoff(pf):
+        _need_extras(pf, "lookback_call_bb")
+        return discount * (pf.terminal - pf.shifted_minimum)
+
+    return payoff
+
+
+def barrier_call_down_out(strike, discount=1.0):
+    """Down-and-out call under CONTINUOUS barrier monitoring:
+    ``(S_T - K)+ * P[no crossing | grid nodes]`` with the product of
+    per-step Brownian-bridge survival probabilities (Glasserman 2004
+    §6.4; Giles 2008 §5.4) — smooth in the nodes, so the coupled MLMC
+    corrections keep decaying where a 0/1 crossing indicator would
+    stall at beta ~ 1/2. Needs ``path_extras=True`` and the
+    ``barrier`` config key (the barrier enters the kernel)."""
+
+    def payoff(pf):
+        _need_extras(pf, "barrier_call_down_out")
+        if pf.log_survival is None:
+            raise ValueError("barrier_call_down_out needs the "
+                             "'barrier' config key")
+        return (discount * jnp.maximum(pf.terminal - strike, 0.0)
+                * jnp.exp(pf.log_survival))
+
+    return payoff
+
+
+def digital_call_smoothed(strike, discount=1.0):
+    """Cash-or-nothing call by CONDITIONAL EXPECTATION over the final
+    step: ``Phi((mu - K)/sd)`` with the one-step Gaussian law from the
+    penultimate node; the coarse path of a coupled level conditions on
+    the shared fine increments up to its last fine substep (Giles 2008
+    §5.3), so both smoothing widths are ``|b| sqrt(h_fine)`` — measured
+    variance decay beta ~ 3/2 on Milstein GBM (an own-width coarse
+    smoothing decorrelates near the strike and decays at only ~ 1/2;
+    the tower property keeps the telescope exact either way). Needs
+    ``path_extras=True``."""
+
+    def payoff(pf):
+        _need_extras(pf, "digital_call_smoothed")
+        z = (pf.digital_mu - strike) / pf.digital_sd
+        return discount * 0.5 * (1.0 + jax.lax.erf(
+            z * (1.0 / np.sqrt(2.0))))
+
+    return payoff
+
+
 def black_scholes_call(s0, strike, rate, sigma, T):
     """Closed-form Black-Scholes European call price (host helper for
     validating GBM MLMC runs with ``mu = rate`` and
@@ -168,6 +273,45 @@ def black_scholes_call(s0, strike, rate, sigma, T):
     d2 = d1 - sigma * np.sqrt(T)
     return float(s0 * st.norm.cdf(d1)
                  - strike * np.exp(-rate * T) * st.norm.cdf(d2))
+
+
+def black_scholes_digital(s0, strike, rate, sigma, T):
+    """Closed-form cash-or-nothing call price ``exp(-rT) Phi(d2)``."""
+    import scipy.stats as st
+
+    d2 = ((np.log(s0 / strike) + (rate - 0.5 * sigma ** 2) * T)
+          / (sigma * np.sqrt(T)))
+    return float(np.exp(-rate * T) * st.norm.cdf(d2))
+
+
+def lookback_call_price(s0, rate, sigma, T):
+    """Closed-form floating-strike lookback call ``E[e^{-rT}(S_T -
+    min_{[0,T]} S_t)]`` (Goldman-Sosin-Gatto 1979), continuous
+    monitoring, strike = running minimum from t=0."""
+    import scipy.stats as st
+
+    a1 = (rate + 0.5 * sigma ** 2) * np.sqrt(T) / sigma
+    a2 = a1 - sigma * np.sqrt(T)
+    k = 2.0 * rate / sigma ** 2
+    # Hull's c_fl at S_min = S0 (Y1 = 0, N(-a3) = N(a2)):
+    #   S0 [N(a1) - e^{-rT} N(a2) - N(-a1)/k + e^{-rT} N(a2)/k]
+    return float(s0 * (st.norm.cdf(a1)
+                       - np.exp(-rate * T) * st.norm.cdf(a2)
+                       - st.norm.cdf(-a1) / k
+                       + np.exp(-rate * T) * st.norm.cdf(a2) / k))
+
+
+def barrier_down_out_call_price(s0, strike, barrier, rate, sigma, T):
+    """Closed-form down-and-out call (continuous barrier ``B <= K``,
+    ``B < s0``; Merton 1973): ``C(s0) - (s0/B)^(1 - 2r/sigma^2)
+    C(B^2/s0)``."""
+    if not (barrier < s0 and barrier <= strike):
+        raise ValueError("formula needs barrier < s0 and "
+                         "barrier <= strike")
+    lam = 1.0 - 2.0 * rate / sigma ** 2
+    return float(black_scholes_call(s0, strike, rate, sigma, T)
+                 - (s0 / barrier) ** lam * black_scholes_call(
+                     barrier ** 2 / s0, strike, rate, sigma, T))
 
 
 # ---------------------------------------------------------------------- #
@@ -199,33 +343,74 @@ def _df_add(hi, lo, x):
     return t, lo - (t - s)
 
 
-def _run_substeps(model, scheme, state, dws, t0, dt, m, reverse, df):
+def _extras_step(model, ex, s_node, s_new, t, dt, cfg):
+    """Advance the continuous-monitoring accumulators over one substep
+    (node value ``s_node`` -> ``s_new``): BGK-shifted extrema at the
+    new node, the barrier bridge log-survival over the interval, and
+    the penultimate-node tracker."""
+    prev, smn, smx, lsv = ex
+    sqrt_dt, barrier, bdir = cfg
+    b_new = jnp.abs(model.diffusion(s_new, t + dt))
+    shift = BGK_BETA * sqrt_dt * b_new
+    smn = jnp.minimum(smn, s_new - shift)
+    smx = jnp.maximum(smx, s_new + shift)
+    if barrier is not None:
+        # bridge non-crossing probability over [s_node, s_new]: the
+        # relu product is 0 when either node is past the barrier, so
+        # p = 1 - exp(0) = 0 there by construction (log -> -inf)
+        b = model.diffusion(s_node, t)
+        b2 = jnp.maximum(b * b, 1e-30)
+        d0 = jax.nn.relu(bdir * (s_node - barrier))
+        d1 = jax.nn.relu(bdir * (s_new - barrier))
+        p = 1.0 - jnp.exp(-2.0 * d0 * d1 / (b2 * dt))
+        lsv = lsv + jnp.log(p)
+    return (s_node, smn, smx, lsv)
+
+
+def _run_substeps(model, scheme, state, dws, t0, dt, m, reverse, df,
+                  extras_cfg=None):
     """Advance one path-functional carry through ``m`` unrolled substeps
     fed by the [B, m] increment block (reversed for the antithetic
     twin). ``df=False``: carry (s, sum, max, min); ``df=True``: carry
     (s_hi, s_lo, sum_hi, sum_lo, max, min) with double-float state and
     running-sum accumulation (coefficients still evaluate on the f32
     ``hi`` — the 2x-mantissa pair only needs to protect the ADDITIONS,
-    which is where long-horizon f32 integration loses its accuracy)."""
+    which is where long-horizon f32 integration loses its accuracy).
+    With ``extras_cfg`` the carry additionally holds the
+    continuous-monitoring accumulators (prev node, shifted min/max,
+    barrier log-survival) appended as a 4-tuple."""
+    ex = None
+    if extras_cfg is not None:
+        state, ex = state[:-4], state[-4:]
     if not df:
         s, sm, mx, mn = state
         for i in range(m):
             dw = dws[:, m - 1 - i] if reverse else dws[:, i]
-            s = s + _scheme_increment(model, scheme, s, t0 + i * dt, dw, dt)
+            t = t0 + i * dt
+            s_new = s + _scheme_increment(model, scheme, s, t, dw, dt)
+            if ex is not None:
+                ex = _extras_step(model, ex, s, s_new, t, dt, extras_cfg)
+            s = s_new
             sm = sm + s
             mx = jnp.maximum(mx, s)
             mn = jnp.minimum(mn, s)
-        return (s, sm, mx, mn)
+        out = (s, sm, mx, mn)
+        return out if ex is None else out + ex
     s, sl, sm, sml, mx, mn = state
     for i in range(m):
         dw = dws[:, m - 1 - i] if reverse else dws[:, i]
-        incr = _scheme_increment(model, scheme, s, t0 + i * dt, dw, dt)
+        t = t0 + i * dt
+        incr = _scheme_increment(model, scheme, s, t, dw, dt)
+        s_node = s
         s, sl = _df_add(s, sl, incr)
+        if ex is not None:
+            ex = _extras_step(model, ex, s_node, s, t, dt, extras_cfg)
         sm, sml = _df_add(sm, sml, s)
         sm, sml = _df_add(sm, sml, sl)
         mx = jnp.maximum(mx, s)
         mn = jnp.minimum(mn, s)
-    return (s, sl, sm, sml, mx, mn)
+    out = (s, sl, sm, sml, mx, mn)
+    return out if ex is None else out + ex
 
 
 def coupled_path_functionals(config, keys=None, z=None):
@@ -299,44 +484,93 @@ def coupled_path_functionals(config, keys=None, z=None):
                 lambda k: jax.random.normal(jax.random.fold_in(k, c), (m,),
                                             dtype))(keys)
 
+    extras = bool(config.get("path_extras", False))
+    barrier = config.get("barrier")
+    if barrier is not None and not extras:
+        raise ValueError("'barrier' needs path_extras=True")
+    bdir = {"down": 1.0, "up": -1.0}[config.get("barrier_type", "down")]
+
     s0 = jnp.full((B,), model.s0, dtype)
     zero = jnp.zeros((B,), dtype)
     if df:
         init = (s0, zero, zero, zero, s0, s0)
     else:
         init = (s0, zero, s0, s0)    # (state, sum-of-nodes, max, min)
+    if extras:
+        def init_ex(sqrt_dt):
+            shift0 = BGK_BETA * sqrt_dt * jnp.abs(
+                model.diffusion(s0, jnp.zeros((), dtype)))
+            return init + (s0, s0 - shift0, s0 + shift0, zero)
+
+        cfg_f = (jnp.asarray(np.sqrt(dt_f), dtype), barrier, bdir)
+        cfg_c = (jnp.asarray(np.sqrt(dt_c), dtype), barrier, bdir)
+        init_f, init_c = init_ex(cfg_f[0]), init_ex(cfg_c[0])
+    else:
+        cfg_f = cfg_c = None
+        init_f = init_c = init
 
     def body(carry, c):
-        fine, fine_a, coarse = carry
+        fine, fine_a, coarse, dwh = carry
         dws = dw_at(c)               # [B, m]
         t0 = c.astype(dtype) * dt_c
         fine = _run_substeps(model, scheme, fine, dws, t0, dt_f, m, False,
-                             df)
+                             df, cfg_f)
         if anti:
             fine_a = _run_substeps(model, scheme, fine_a, dws, t0, dt_f, m,
-                                   True, df)
+                                   True, df, cfg_f)
         if not is_l0:
             coarse = _run_substeps(model, scheme, coarse,
                                    jnp.sum(dws, axis=1, keepdims=True),
-                                   t0, dt_c, 1, False, df)
-        return (fine, fine_a, coarse), None
+                                   t0, dt_c, 1, False, df, cfg_c)
+            if extras:
+                # the final trip's value survives the scan: the fine
+                # Brownian increment over the first m-1 substeps of the
+                # LAST coarse step, conditioning the coarse digital
+                # smoothing (Giles 2008 §5.3)
+                dwh = jnp.sum(dws[:, :m - 1], axis=1)
+        return (fine, fine_a, coarse, dwh), None
 
     steps = jnp.arange(trips)        # int: feeds fold_in / dynamic_slice
-    (fine, fine_a, coarse), _ = jax.lax.scan(body, (init, init, init), steps)
+    (fine, fine_a, coarse, dwh), _ = jax.lax.scan(
+        body, (init_f, init_f, init_c, zero), steps)
 
-    def functionals(st, n_nodes):
+    def functionals(st, n_nodes, dt, dw_head=None):
+        ex = None
+        if extras:
+            st, ex = st[:-4], st[-4:]
         if df:
             s, sl, sm, sml, mx, mn = st
             s = s + sl
             sm = sm + sml
         else:
             s, sm, mx, mn = st
+        kw = {}
+        if ex is not None:
+            prev, smn, smx, lsv = ex
+            # digital conditional-expectation law of the terminal given
+            # the penultimate node — and, for the COARSE path, given the
+            # fine increments over all but the last fine substep of its
+            # final step (Giles 2008 §5.3): both paths' smoothing widths
+            # are then b*sqrt(h_fine), and the tower property makes the
+            # coarse functional's mean EXACTLY the previous level's fine
+            # one (E_W[Phi((x + bW)/(b sqrt(hf)))] = Phi(x/(b sqrt(hc)))
+            # for W ~ N(0, hc - hf))
+            t_pen = jnp.asarray(T - dt, dtype)
+            b_pen = model.diffusion(prev, t_pen)
+            mu = prev + model.drift(prev, t_pen) * dt
+            if dw_head is not None:
+                mu = mu + b_pen * dw_head
+            sd = jnp.abs(b_pen) * np.sqrt(dt_f)
+            kw = dict(shifted_minimum=smn, shifted_maximum=smx,
+                      log_survival=lsv if barrier is not None else None,
+                      digital_mu=mu,
+                      digital_sd=jnp.maximum(sd, 1e-30))
         return PathFunctionals(terminal=s, average=(s0 + sm) / (n_nodes + 1),
-                               maximum=mx, minimum=mn)
+                               maximum=mx, minimum=mn, **kw)
 
-    return (functionals(fine, n_f),
-            functionals(fine_a, n_f) if anti else None,
-            None if is_l0 else functionals(coarse, n_c))
+    return (functionals(fine, n_f, dt_f),
+            functionals(fine_a, n_f, dt_f) if anti else None,
+            None if is_l0 else functionals(coarse, n_c, dt_c, dwh))
 
 
 # ---------------------------------------------------------------------- #
