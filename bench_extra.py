@@ -174,6 +174,31 @@ def bench_sde():
                 **stats)
 
 
+def bench_american():
+    """Longstaff-Schwartz Bermudan put (no reference analogue): 50
+    exercise dates, degree-3 regression, exact GBM transitions — wall
+    time of the two-pass fit+eval (warm), price vs the CRR binomial
+    Bermudan on the same dates."""
+    from mlmc_tpu.sim.american import (bermudan_binomial, lsmc_price,
+                                       put_payoff)
+
+    rate, sigma, n_dates, B = 0.06, 0.2, 50, 1 << 18
+    kw = dict(sigma=sigma, degree=3, n_paths=B, key=jax.random.key(2))
+    lsmc_price(put_payoff(1.0), 1.0, rate, 1.0, n_dates, **kw)  # warm
+    res = lsmc_price(put_payoff(1.0), 1.0, rate, 1.0, n_dates, **kw)
+    tree = bermudan_binomial(1.0, 1.0, rate, sigma, 1.0, n_dates,
+                             n_steps=200 * n_dates)
+    return dict(workload=f"LSMC Bermudan put, {n_dates} dates, "
+                         f"2x{B} paths, degree-3 two-pass",
+                wall_s=round(res["wall_s"], 3),
+                paths_per_s=round(2 * B / res["wall_s"], 1),
+                price=res["price"], price_se=res["price_se"],
+                price_insample=res["price_insample"],
+                binomial=tree,
+                gap_lower=round(tree - res["price"], 6),
+                exercise_frac=round(res["exercise_frac"], 4))
+
+
 def bench_mimc():
     """Multi-index Monte Carlo (no reference analogue): the 1-D
     random-conductivity heat equation over (space x time) indices,
@@ -1400,6 +1425,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "e2e_darcy": bench_e2e_darcy,
            "qmc": bench_qmc,
            "sde": bench_sde,
+           "american": bench_american,
            "mimc": bench_mimc,
            "sensitivity": bench_sensitivity,
            "unbiased": bench_unbiased,

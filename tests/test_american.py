@@ -1,0 +1,117 @@
+"""Longstaff-Schwartz optimal stopping (sim/american.py) —
+beyond-reference capability.
+
+Validation: the CRR binomial Bermudan backward induction on the same
+exercise dates (the discrete dynamic program is exact up to tree
+resolution), the American-call = European-call identity on
+non-dividend GBM, early-exercise premium ordering, SDEModel substep
+integration, and mesh-pooled regression parity.
+"""
+import numpy as np
+import pytest
+import jax
+
+from mlmc_tpu.sim.american import (bermudan_binomial, call_payoff,
+                                   lsmc_price, put_payoff)
+from mlmc_tpu.sim.sde import black_scholes_call, gbm
+
+
+R, SIG, T = 0.06, 0.2, 1.0
+
+
+def test_bermudan_put_vs_binomial():
+    """Out-of-sample LSMC price must bracket the binomial Bermudan
+    value: a statistical lower bound (suboptimal stopping rule), but
+    within regression accuracy of it; the in-sample value sits on the
+    optimistic side."""
+    tree = bermudan_binomial(1.0, 1.0, R, SIG, T, n_dates=16,
+                             n_steps=4096)
+    res = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=16,
+                     sigma=SIG, degree=3, n_paths=1 << 16,
+                     key=jax.random.key(3))
+    assert res["price"] <= tree + 4 * res["price_se"], (res, tree)
+    assert res["price"] >= tree - 6e-4 - 4 * res["price_se"], \
+        (res["price"], tree, res["price_se"])
+    assert res["price_insample"] >= res["price"] - 4 * res["price_se"]
+    assert 0.0 < res["exercise_frac"] < 0.5
+    # the paired European control matches Black-Scholes put parity
+    euro_put = (black_scholes_call(1.0, 1.0, R, SIG, T)
+                - 1.0 + np.exp(-R * T))
+    assert abs(res["european"] - euro_put) < 5e-3
+
+
+def test_early_exercise_premium_ordering():
+    """Bermudan put > European put (positive premium), and more
+    exercise dates never cheapen the claim (within noise)."""
+    res16 = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=16,
+                       sigma=SIG, n_paths=1 << 15,
+                       key=jax.random.key(5))
+    res2 = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=2,
+                      sigma=SIG, n_paths=1 << 15,
+                      key=jax.random.key(6))
+    prem = res16["price"] - res16["european"]
+    assert prem > 4 * res16["price_se"], res16
+    assert res16["price"] >= res2["price"] - 2 * (
+        res16["price_se"] + res2["price_se"])
+
+
+def test_american_call_no_dividend_is_european():
+    """Never optimal to exercise a call on a non-dividend asset: the
+    LS price must land on Black-Scholes and the fitted rule must
+    essentially never exercise."""
+    bs = black_scholes_call(1.0, 1.0, R, SIG, T)
+    res = lsmc_price(call_payoff(1.0), 1.0, R, T, n_dates=8,
+                     sigma=SIG, n_paths=1 << 15,
+                     key=jax.random.key(7))
+    assert abs(res["price"] - bs) < 4 * res["price_se"] + 2e-3, \
+        (res["price"], bs)
+    assert res["exercise_frac"] < 0.05, res["exercise_frac"]
+
+
+def test_sde_model_substeps_match_exact_gbm():
+    """Euler substeps through the generic SDEModel path converge to
+    the exact-transition price (weak bias at n_sub=8 below the
+    combined statistical bands)."""
+    res_exact = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=8,
+                           sigma=SIG, n_paths=1 << 15,
+                           key=jax.random.key(9))
+    res_model = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=8,
+                           model=gbm(R, SIG, 1.0), scheme="euler",
+                           n_sub=8, n_paths=1 << 15,
+                           key=jax.random.key(9))
+    tol = 4 * (res_exact["price_se"] + res_model["price_se"]) + 1e-3
+    assert abs(res_exact["price"] - res_model["price"]) < tol
+
+
+def test_mesh_pooled_regression():
+    """Path-sharded LSMC: the psum-pooled normal equations reproduce
+    the single-device stopping rule statistically (same-seed runs are
+    salted per shard, so compare prices within CLT bands)."""
+    from mlmc_tpu.parallel import SampleMesh
+
+    res1 = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=8,
+                      sigma=SIG, n_paths=1 << 15,
+                      key=jax.random.key(11))
+    res8 = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=8,
+                      sigma=SIG, n_paths=1 << 15,
+                      key=jax.random.key(11), mesh=SampleMesh())
+    tol = 5 * (res1["price_se"] + res8["price_se"])
+    assert abs(res1["price"] - res8["price"]) < tol, (res1["price"],
+                                                      res8["price"])
+    # coefficients of the two fits describe the same rule: continuation
+    # values agree where it matters (at the money)
+    x = 1.0
+    c1, c8 = res1["coef"][0], res8["coef"][0]
+    v1 = sum(c * x ** k for k, c in enumerate(c1))
+    v8 = sum(c * x ** k for k, c in enumerate(c8))
+    assert abs(v1 - v8) < 0.02, (v1, v8)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="exactly one"):
+        lsmc_price(put_payoff(1.0), 1.0, R, T, 4)
+    with pytest.raises(ValueError, match="exactly one"):
+        lsmc_price(put_payoff(1.0), 1.0, R, T, 4, sigma=0.2,
+                   model=gbm())
+    with pytest.raises(ValueError, match="multiple"):
+        bermudan_binomial(1.0, 1.0, R, SIG, T, n_dates=3, n_steps=100)
