@@ -94,6 +94,25 @@ def bench_diffusion():
                 **stats)
 
 
+def bench_darcy3d():
+    """3-D Darcy (no reference-feasible analogue off-cluster): coupled
+    32^3+16^3 CG solves under the DST/DCT spectral preconditioner,
+    3-D RFF log-normal conductivity."""
+    from mlmc_tpu.sim.diffusion3d import DiffusionSimulation3D
+
+    sim = DiffusionSimulation3D(dict(sigma=1.0, corr_length=0.3))
+    cfg = sim.level_instance([1 / 32], [1 / 16]).config_dict
+    B = 256
+    dt, stats = _timed_batches(
+        lambda k: DiffusionSimulation3D.calculate_batch(cfg, k), B,
+        reps=8)
+    return dict(workload="3-D Darcy 32^3+16^3 grids, spectral-"
+                         "preconditioned CG, RFF GRF",
+                samples_per_s=round(B / dt, 1),
+                cell_solves_per_s=round(B * (32 ** 3 + 16 ** 3) / dt, 0),
+                wall_s=round(dt, 4), **stats)
+
+
 def bench_fractured():
     """Fractured Darcy (the reference's geomop+flow123d fracture workflow,
     device-native): 1e3-contrast fracture network rasterized into the
@@ -1420,6 +1439,7 @@ def bench_rare():
 
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "fractured": bench_fractured, "transport": bench_transport,
+           "darcy3d": bench_darcy3d,
            "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
            "e2e": bench_e2e_adaptive, "e2e_fused": bench_e2e_fused,
            "e2e_darcy": bench_e2e_darcy,

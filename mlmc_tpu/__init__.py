@@ -132,6 +132,7 @@ from mlmc_tpu.sim.synth_simulation import SynthSimulation
 from mlmc_tpu.sim.synth_simulation_workspace import SynthSimulationWorkspace
 from mlmc_tpu.sim.shooting import ShootingSimulation1D, ShootingSimulation2D
 from mlmc_tpu.sim.diffusion import DiffusionSimulation
+from mlmc_tpu.sim.diffusion3d import DiffusionSimulation3D
 from mlmc_tpu.sim.transport import TransportSimulation
 from mlmc_tpu.sim.flow_sim import FlowSim
 from mlmc_tpu.sim.sde import (

@@ -1,0 +1,101 @@
+"""3-D Darcy diffusion (sim/diffusion3d.py) — the reference's flagship
+PDE workflow extended to 3-D, device-native.
+
+Validation: exact homogeneous limit (linear pressure => flux = k0),
+spectral-preconditioner exactness for constant fields, level-coupling
+variance collapse, the Matheron 3-D effective-conductivity band, and
+Sampler integration.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.sim.diffusion3d import DiffusionSimulation3D as D3
+
+
+def _cfg(sigma, fine, coarse, **kw):
+    sim = D3(dict(sigma=sigma, **kw))
+    return sim.level_instance([1.0 / fine],
+                              [1.0 / coarse if coarse else 0])
+
+
+def test_homogeneous_flux_exact():
+    """K = k0 gives linear pressure and flux exactly k0 (also checks
+    the preconditioner is the exact inverse there: CG converges in a
+    couple of iterations within the f64 tolerance)."""
+    cfg = _cfg(0.0, 8, 0).config_dict
+    f, c = D3.calculate(cfg, 7)
+    assert abs(float(f[0]) - 1.0) < 1e-8, f
+    assert float(c[0]) == 0.0
+
+
+def test_residual_and_symmetry():
+    """The CG solution satisfies the 7-point system to cg_tol, and the
+    stencil operator is symmetric (SPD — required for CG and for the
+    V-cycle-free spectral preconditioning)."""
+    cfg = _cfg(1.0, 8, 0).config_dict
+    K = D3._conductivity(cfg, jax.random.key(1), 8)
+    p = D3._solve_pressure(cfg, K)
+    Kx, Ky, Kz = D3._face_conductivities(K)
+    Kin, Kout = 2.0 * K[0], 2.0 * K[-1]
+    b = jnp.zeros((8, 8, 8)).at[0].add(Kin)
+    r = np.asarray(D3._stencil_matvec(p, Kx, Ky, Kz, Kin, Kout) - b)
+    assert np.linalg.norm(r) < 1e-5 * np.linalg.norm(np.asarray(b))
+    u = jax.random.normal(jax.random.key(2), (8, 8, 8))
+    v = jax.random.normal(jax.random.key(3), (8, 8, 8))
+    Au = D3._stencil_matvec(u, Kx, Ky, Kz, Kin, Kout)
+    Av = D3._stencil_matvec(v, Kx, Ky, Kz, Kin, Kout)
+    assert abs(float(jnp.vdot(v, Au) - jnp.vdot(u, Av))) < 1e-9
+
+
+def test_coupling_variance_collapse():
+    """Fine/coarse share the field realization: the correction variance
+    must sit orders below the single-level variance, and the coarse
+    marginal must match an independent coarse-only run (telescoping
+    consistency, 6 sigma)."""
+    cfg = _cfg(1.0, 16, 8, corr_length=0.3).config_dict
+    keys = jax.random.split(jax.random.key(5), 64)
+    fine, coarse, failed = jax.jit(
+        lambda k: D3.calculate_batch(cfg, k))(keys)
+    assert not bool(np.asarray(failed).any())
+    fine = np.asarray(fine).ravel()
+    coarse = np.asarray(coarse).ravel()
+    d = fine - coarse
+    assert d.var() < 2e-3 * fine.var(), (d.var(), fine.var())
+
+    cfg0 = _cfg(1.0, 8, 0, corr_length=0.3).config_dict
+    keys2 = jax.random.split(jax.random.key(6), 64)
+    solo, _, _ = jax.jit(lambda k: D3.calculate_batch(cfg0, k))(keys2)
+    solo = np.asarray(solo).ravel()
+    sig = np.sqrt(coarse.var() / 64 + solo.var() / 64)
+    assert abs(coarse.mean() - solo.mean()) < 6 * sig
+
+
+def test_effective_conductivity_band():
+    """Ensemble flux ~ Matheron's 3-D K_eff = K_g exp(sigma^2/6),
+    bracketed by the harmonic/arithmetic Wiener bounds."""
+    cfg = _cfg(1.0, 16, 0, corr_length=0.3).config_dict
+    keys = jax.random.split(jax.random.key(8), 96)
+    fine, _, _ = jax.jit(lambda k: D3.calculate_batch(cfg, k))(keys)
+    m = float(np.asarray(fine).mean())
+    assert np.exp(-0.5) < m < np.exp(0.5), m          # Wiener bounds
+    assert abs(m - np.exp(1.0 / 6.0)) < 0.12, m       # Matheron +- fs
+
+
+def test_sampler_integration():
+    """Two-level run through the standard Sampler/estimation stack."""
+    import mlmc_tpu.quantity.quantity_estimate as qe
+    from mlmc_tpu import DeviceBatchPool, Memory, Sampler
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+
+    sim = D3(dict(sigma=0.5, corr_length=0.4))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=4), sim,
+                      [[1 / 4], [1 / 8]])
+    sampler.set_initial_n_samples([64, 32])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    root = make_root_quantity(storage, sim.result_format())
+    mean = qe.estimate_mean(root["flux"])
+    m = float(np.asarray(mean.mean).ravel()[0])
+    assert 0.7 < m < 1.6, m
