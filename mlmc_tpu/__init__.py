@@ -165,6 +165,7 @@ from mlmc_tpu.filter import enkf, kalman_filter, lorenz96_step
 from mlmc_tpu.particle import particle_filter, multilevel_particle_filter
 from mlmc_tpu.risk import (cvar_empirical, cvar_mlmc, mlmc_gradient,
                            optimize_expectation, optimize_cvar)
+from mlmc_tpu.cmlmc import cmlmc
 from mlmc_tpu.sim.american import (lsmc_price, bermudan_binomial,
                                    put_payoff, call_payoff)
 
