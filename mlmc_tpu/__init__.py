@@ -161,7 +161,8 @@ from mlmc_tpu.pce import PCE, total_degree_indices
 from mlmc_tpu.gp import GP, MultilevelGP, bayes_opt
 from mlmc_tpu.oed import (eig_nmc, expected_information_gain,
                           linear_gaussian_eig)
-from mlmc_tpu.filter import enkf, kalman_filter, lorenz96_step
+from mlmc_tpu.filter import (enkf, multilevel_enkf, kalman_filter,
+                              lorenz96_step)
 from mlmc_tpu.particle import particle_filter, multilevel_particle_filter
 from mlmc_tpu.risk import (cvar_empirical, cvar_mlmc, mlmc_gradient,
                            optimize_expectation, optimize_cvar)

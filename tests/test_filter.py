@@ -110,3 +110,87 @@ def test_validation():
         enkf(transition, observe, ys, r, n_ens=8, d=4, method="3dvar")
     with pytest.raises(ValueError, match="inflation"):
         enkf(transition, observe, ys, r, n_ens=8, d=4, inflation=0.5)
+
+
+# ----------------------------------------------------------------------- #
+# multilevel EnKF
+# ----------------------------------------------------------------------- #
+def _ou_euler_level(kappa, sig_m, window, n_sub):
+    """OU transition over one assimilation window by n_sub Euler
+    substeps, counter-derived noise (same key at any n_sub => pathwise
+    close — the MLEnKF coupling)."""
+    def transition(x, key, t):
+        dt = window / n_sub
+        z = jax.random.normal(key, (n_sub,) + x.shape, x.dtype)
+        for j in range(n_sub):
+            x = x - kappa * x * dt + sig_m * np.sqrt(dt) * z[j]
+        return x
+
+    return transition
+
+
+def test_mlenkf_identical_kernels_zero_correction():
+    """ETKF analysis is deterministic in the ensemble and propagation
+    shares keys: identical fine/coarse kernels must give EXACTLY zero
+    corrections."""
+    from mlmc_tpu.filter import multilevel_enkf
+
+    tr = _ou_euler_level(1.0, 0.5, 0.5, 4)
+    data = np.asarray(jax.random.normal(jax.random.key(1), (6, 1)))
+    res = multilevel_enkf(lambda lev: tr, lambda x: x, data, 0.4,
+                          n_levels=3, d=1, n_ens=16, n_replicates=4,
+                          method="etkf", key=jax.random.key(2))
+    assert np.all(np.asarray(res["correction_l1"]) == 0.0), res[
+        "correction_l1"]
+    assert np.allclose(res["means"], res["level_means"][0])
+
+
+def test_mlenkf_ou_vs_exact_kalman():
+    """Euler-hierarchy OU filtering: the telescoped means land on the
+    exact (continuous-transition) Kalman filter within the replicate
+    error bars + the finest-level Euler bias, and corrections decay
+    with level."""
+    from mlmc_tpu.filter import kalman_filter, multilevel_enkf
+
+    kappa, sig_m, window, obs_sd = 1.0, 0.5, 0.5, 0.3
+    T = 8
+    rng = np.random.default_rng(7)
+    a = np.exp(-kappa * window)
+    q = sig_m ** 2 * (1 - a ** 2) / (2 * kappa)
+    x_true, data = 0.0, []
+    for _ in range(T):
+        x_true = a * x_true + np.sqrt(q) * rng.normal()
+        data.append([x_true + obs_sd * rng.normal()])
+    data = np.asarray(data)
+    kf = kalman_filter([[a]], [[1.0]], [[q]], [[obs_sd ** 2]],
+                       [0.0], [[1.0]], data)
+
+    res = multilevel_enkf(
+        lambda lev: _ou_euler_level(kappa, sig_m, window, 2 ** lev),
+        lambda x: x, data, obs_sd, n_levels=4, d=1,
+        n_ens=[256, 128, 64, 32], n_replicates=8, method="etkf",
+        key=jax.random.key(3))
+    err = np.abs(res["means"][:, 0] - kf["means"][:, 0])
+    band = 5 * res["means_se"][:, 0] + 0.08   # finest Euler bias margin
+    assert np.all(err < band), (err, band)
+    c = np.asarray(res["correction_l1"])
+    assert c[-1] < c[0], c                     # decay across the ladder
+
+
+def test_mlenkf_perturbed_couples():
+    """The perturbed-observation pair shares its perturbation draw:
+    corrections stay small (far below the filtered-signal scale) and
+    the telescoped answer agrees with a single fine-level ETKF run."""
+    from mlmc_tpu.filter import multilevel_enkf
+
+    data = np.asarray(jax.random.normal(jax.random.key(5), (6, 1)))
+    res = multilevel_enkf(
+        lambda lev: _ou_euler_level(1.0, 0.5, 0.5, 2 ** lev),
+        lambda x: x, data, 0.3, n_levels=3, d=1, n_ens=64,
+        n_replicates=6, method="perturbed", key=jax.random.key(6))
+    scale = np.abs(res["means"]).mean() + 0.1
+    assert np.asarray(res["correction_l1"]).max() < 0.5 * scale
+    with pytest.raises(ValueError, match="n_ens gives"):
+        multilevel_enkf(lambda lev: _ou_euler_level(1, .5, .5, 1),
+                        lambda x: x, data, 0.3, n_levels=3, d=1,
+                        n_ens=[8, 8], key=jax.random.key(7))
