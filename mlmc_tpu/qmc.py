@@ -402,7 +402,10 @@ def darcy_qmc_level_fns(sim, level_parameters):
     MLMC estimator itself.
 
     :param sim: a DiffusionSimulation (field_method='rff'; the circulant
-        path has no phase parametrization and is rejected)
+        path has no phase parametrization and is rejected) or a
+        :class:`~mlmc_tpu.sim.diffusion3d.DiffusionSimulation3D` — the
+        adapter is generic over the `_calculate_one(cfg, None,
+        phases=...)` hook (tests/test_diffusion3d.py::test_darcy3d_qmc)
     :param level_parameters: as for Sampler ([[fine_step], ...])
     :return: (level_fns, dims) for :class:`MLQMC`
     """

@@ -99,3 +99,35 @@ def test_sampler_integration():
     mean = qe.estimate_mean(root["flux"])
     m = float(np.asarray(mean.mean).ravel()[0])
     assert 0.7 < m < 1.6, m
+
+
+def test_darcy3d_qmc():
+    """The generic RFF-phase QMC adapter covers the 3-D sim unchanged:
+    scrambled-Sobol' phases drive the cube's flux estimate, agreeing
+    with the key-driven MC path and reducing the dominant level-0
+    variance by an order of magnitude."""
+    from mlmc_tpu.qmc import MLQMC, darcy_qmc_level_fns
+
+    sim = D3(dict(sigma=0.8, corr_length=0.4, n_modes=32))
+    level_params = [[1 / 4], [1 / 8]]
+    fns, dims = darcy_qmc_level_fns(sim, level_params)
+    assert dims == [32, 32]
+    ml = MLQMC(fns, dims, n_randomizations=8, seed=9, chunk_size=1 << 7)
+    est = ml.run(target_var=1e-4, n_init=1 << 7, max_rounds=4)
+    assert np.isfinite(est["mean"]) and est["mean"] > 0
+    gains = est["mc_variance_reduction"]
+    assert gains[0] > 5.0, gains
+
+    # 6-sigma agreement with the key-driven MC batch path
+    mc_mean, mc_var = 0.0, 0.0
+    for lev, params in enumerate(level_params):
+        coarse = [0] if lev == 0 else level_params[lev - 1]
+        cfg = sim.level_instance(params, coarse).config_dict
+        keys = jax.random.split(jax.random.fold_in(jax.random.key(31),
+                                                   lev), 384)
+        fine, coarse_r, _ = D3.calculate_batch(cfg, keys)
+        d = np.asarray(fine[:, 0] - coarse_r[:, 0])
+        mc_mean += d.mean()
+        mc_var += d.var(ddof=1) / 384
+    tol = 6 * np.sqrt(mc_var + float(est["var"]))
+    assert abs(float(est["mean"]) - mc_mean) < tol
