@@ -228,6 +228,15 @@ def mlblue(model_fns: Sequence[Callable], costs: Sequence[float],
     for k, nk in enumerate(n_opt):
         if nk >= 0.5:
             n_int[k] = max(int(np.ceil(nk)), min_group)
+    # identifiability guard: Psi is singular unless every model sits in
+    # some POSITIVE group — the optimizer may legally zero a model out
+    # (e.g. a useless surrogate); bump its cheapest covering group
+    for i in range(M):
+        if not any(n_int[k] > 0 and i in g
+                   for k, g in enumerate(groups)):
+            k_min = min((k for k, g in enumerate(groups) if i in g),
+                        key=lambda k: sum(costs[j] for j in groups[k]))
+            n_int[k_min] = max(n_int[k_min], min_group)
 
     # ---- evaluate the groups ---------------------------------------- #
     ybars = []

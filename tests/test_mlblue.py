@@ -81,3 +81,19 @@ def test_validation():
         mlblue(models, [1.0], budget=10.0)
     assert default_groups(3) == [(0,), (1,), (2,), (0, 1), (1, 2),
                                  (0, 1, 2)]
+
+
+def test_useless_surrogate_stays_identifiable():
+    """A zero-correlation surrogate attracts no allocation, but Psi
+    must stay nonsingular (the coverage guard bumps its cheapest
+    group) and the estimate must stay calibrated."""
+    models = synth_fidelity_models(mean=1.0, sigma0=1.0,
+                                   rhos=(0.98, 0.0), biases=(0.4, 0.0))
+    res = mlblue(models, COSTS, budget=200.0, seed=11,
+                 n_pilot=1 << 12, chunk_size=1 << 10)
+    assert np.isfinite(res["mean"]) and np.isfinite(res["var"])
+    assert abs(res["mean"] - 1.0) < 8 * np.sqrt(res["var"])
+    # every model appears in some positive group
+    n, gs = res["n_per_group"], res["groups"]
+    for i in range(3):
+        assert any(n[k] > 0 and i in g for k, g in enumerate(gs)), i
