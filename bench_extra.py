@@ -1012,6 +1012,34 @@ def bench_mfmc():
                 speedup_vs_mc=round(float(out["speedup"]), 1))
 
 
+def bench_mlblue():
+    """Multilevel BLUE (no reference analogue): the same heat-equation
+    fidelity family as the MFMC row, estimated by the optimal linear
+    unbiased combination over coupled model groups; reports the BLUE
+    variance and its measured efficiency vs the same-budget
+    optimally-allocated MLMC telescope."""
+    from mlmc_tpu.mimc import heat_mimc_value_fn
+    from mlmc_tpu.mlblue import mlblue
+
+    fn, _ = heat_mimc_value_fn(sigma=0.5, n0=(4, 4), total_time=0.25)
+    fidelities = [(3, 3), (1, 1), (0, 0)]
+    models = [lambda keys, a=a: fn(a, keys) for a in fidelities]
+    costs = [2.0 ** (a0 + a1) for a0, a1 in fidelities]
+    t0 = time.perf_counter()
+    res = mlblue(models, costs, budget=5e5, seed=4,
+                 n_pilot=1 << 13, chunk_size=1 << 12)
+    wall = time.perf_counter() - t0
+    return dict(workload="heat-equation MLBLUE: 32x32 fine vs 8x8/4x4 "
+                         "surrogate groups, shared RFF fields",
+                wall_s=round(wall, 2), mean=float(res["mean"]),
+                var=float("%.3g" % res["var"]),
+                mlmc_var=float("%.3g" % res["mlmc_var"]),
+                efficiency_vs_mlmc=round(
+                    float(res["efficiency_vs_mlmc"]), 2),
+                n_per_group=[int(v) for v in res["n_per_group"]],
+                n_evaluations=int(res["n_evaluations"]))
+
+
 def bench_mcmc():
     """Multilevel MCMC Bayesian inversion (no reference analogue): infer
     the Darcy log-conductivity field from 9 noisy pressure observations
@@ -1451,6 +1479,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "unbiased": bench_unbiased,
            "cdf": bench_cdf,
            "mfmc": bench_mfmc,
+           "mlblue": bench_mlblue,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,
