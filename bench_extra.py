@@ -1012,6 +1012,41 @@ def bench_mfmc():
                 speedup_vs_mc=round(float(out["speedup"]), 1))
 
 
+def bench_cmlmc():
+    """Continuation MLMC (no reference analogue): the Euler GBM
+    European call driven to eps=5e-4 total error with UNKNOWN rates —
+    the tolerance sequence self-calibrates alpha/beta/gamma; reports
+    the realized error vs Black-Scholes and the contract bound."""
+    from mlmc_tpu.cdf_estimate import simulation_pair_fn
+    from mlmc_tpu.cmlmc import cmlmc
+    from mlmc_tpu.sim.sde import (SDESimulation, black_scholes_call,
+                                  european_call, gbm)
+
+    rate, sigma = 0.05, 0.2
+    sim = SDESimulation(dict(
+        model=gbm(rate, sigma, 1.0), scheme="euler",
+        payoff=european_call(1.0, float(np.exp(-rate)))))
+    steps = [2.0 ** -k for k in range(1, 11)]
+    pair_fn, _ = simulation_pair_fn(sim, [[h] for h in steps])
+    t0 = time.perf_counter()
+    res = cmlmc(pair_fn, steps, eps=5e-4, seed=3, n_stages=4,
+                n_pilot=1 << 12, chunk_size=1 << 12)
+    wall = time.perf_counter() - t0
+    bs = black_scholes_call(1.0, 1.0, rate, sigma, 1.0)
+    return dict(workload="CMLMC Euler GBM call to eps=5e-4, rates "
+                         "self-calibrated over 4 tolerance stages",
+                wall_s=round(wall, 2),
+                mean=float(res["mean"]), black_scholes=bs,
+                realized_err=float(abs(res["mean"] - bs)),
+                error_bound=float(res["error_bound"]),
+                bias_target_met=res["bias_target_met"],
+                n_levels=int(res["n_levels"]),
+                n_per_level=[int(v) for v in res["n_per_level"]],
+                alpha=round(float(res["rates"]["alpha"]), 3),
+                beta=round(float(res["rates"]["beta"]), 3),
+                n_forward=int(res["n_forward"]))
+
+
 def bench_mlblue():
     """Multilevel BLUE (no reference analogue): the same heat-equation
     fidelity family as the MFMC row, estimated by the optimal linear
@@ -1480,6 +1515,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "cdf": bench_cdf,
            "mfmc": bench_mfmc,
            "mlblue": bench_mlblue,
+           "cmlmc": bench_cmlmc,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,
