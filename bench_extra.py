@@ -94,6 +94,27 @@ def bench_diffusion():
                 **stats)
 
 
+def bench_fractured3d():
+    """3-D fractured Darcy (no reference-feasible analogue): 1e3-contrast
+    penny-shaped disc networks rasterized into the 3-D GRF, solved by
+    MG(2,2)-preconditioned CG with exact Galerkin coarse
+    transmissibilities."""
+    from mlmc_tpu.random.frac_geom import FracturedDiffusionSimulation3D
+
+    sim = FracturedDiffusionSimulation3D(
+        dict(sigma=1.0, corr_length=0.3, n_fractures=24,
+             frac_contrast=1e3))
+    cfg = sim.level_instance([1 / 32], [1 / 16]).config_dict
+    B = 64
+    dt, stats = _timed_batches(
+        lambda k: FracturedDiffusionSimulation3D.calculate_batch(cfg, k),
+        B, reps=4)
+    return dict(workload="3-D fractured Darcy 32^3+16^3, 24 discs at "
+                         "1e3 contrast, MG-CG",
+                samples_per_s=round(B / dt, 1), wall_s=round(dt, 4),
+                **stats)
+
+
 def bench_darcy3d():
     """3-D Darcy (no reference-feasible analogue off-cluster): coupled
     32^3+16^3 CG solves under the DST/DCT spectral preconditioner,
@@ -1503,6 +1524,7 @@ def bench_rare():
 BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "fractured": bench_fractured, "transport": bench_transport,
            "darcy3d": bench_darcy3d,
+           "fractured3d": bench_fractured3d,
            "maxent35": bench_maxent35, "quantity": bench_quantity_algebra,
            "e2e": bench_e2e_adaptive, "e2e_fused": bench_e2e_fused,
            "e2e_darcy": bench_e2e_darcy,

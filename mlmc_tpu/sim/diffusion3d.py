@@ -185,6 +185,80 @@ class DiffusionSimulation3D(Simulation):
         diag = diag.at[-1].add(Kout)
         return diag
 
+    @staticmethod
+    def _galerkin_coarsen(Kx, Ky, Kz, Kin, Kout):
+        """Exact Galerkin (P^T A P) coarsening under 2x2x2 aggregation
+        with piecewise-constant prolongation: the coarse operator is
+        again a 7-point FV operator whose face transmissibilities are
+        the SUMS of the fine faces crossing each aggregate interface
+        (internal faces cancel — graph-Laplacian identity, same as the
+        2-D version diffusion.py:_galerkin_coarsen). Preserves fracture
+        channels exactly on the interfaces."""
+        nc = Kin.shape[0] // 2
+        # interior face family along an axis has n-1 planes; the coarse
+        # interface I|I+1 collects the fine plane 2I+1's 2x2 footprint
+        Kx_c = Kx[1::2].reshape(nc - 1, nc, 2, nc, 2).sum((2, 4))
+        Ky_c = Ky[:, 1::2].reshape(nc, 2, nc - 1, nc, 2).sum((1, 4))
+        Kz_c = Kz[:, :, 1::2].reshape(nc, 2, nc, 2, nc - 1).sum((1, 3))
+        Kin_c = Kin.reshape(nc, 2, nc, 2).sum((1, 3))
+        Kout_c = Kout.reshape(nc, 2, nc, 2).sum((1, 3))
+        return Kx_c, Ky_c, Kz_c, Kin_c, Kout_c
+
+    @classmethod
+    def _mg_vcycle_preconditioner(cls, Kx, Ky, Kz, Kin, Kout, n,
+                                  nu=2, omega=0.8, coarsest=4):
+        """Geometric multigrid V-cycle as a linear SPD preconditioner
+        (damped-Jacobi smoothing, 2x2x2 piecewise-constant aggregation,
+        dense coarsest inverse) — the 3-D twin of
+        diffusion.py:_mg_vcycle_preconditioner; needed where
+        discontinuous-contrast fracture channels put eigenvalue
+        clusters beyond any diagonal/spectral scaling."""
+        levels = []
+        while n > coarsest and n % 2 == 0:
+            diag = cls._stencil_diag(Kx, Ky, Kz, Kin, Kout, n)
+            levels.append((Kx, Ky, Kz, Kin, Kout, diag, n))
+            Kx, Ky, Kz, Kin, Kout = cls._galerkin_coarsen(
+                Kx, Ky, Kz, Kin, Kout)
+            n = n // 2
+        eye = jnp.eye(n ** 3, dtype=Kx.dtype)
+        A_c = jax.vmap(
+            lambda col: cls._stencil_matvec(
+                col.reshape(n, n, n), Kx, Ky, Kz, Kin,
+                Kout).reshape(-1), out_axes=1)(eye)
+        A_c_inv = jnp.linalg.inv(A_c)
+        c_n = n
+
+        def vcycle(r, lvl):
+            if lvl == len(levels):
+                return (A_c_inv @ r.reshape(-1)).reshape(c_n, c_n, c_n)
+            Kx_l, Ky_l, Kz_l, Ki_l, Ko_l, diag, n_l = levels[lvl]
+            mv = lambda p: cls._stencil_matvec(p, Kx_l, Ky_l, Kz_l,
+                                               Ki_l, Ko_l)
+            x = (omega / diag) * r
+            for _ in range(nu - 1):
+                x = x + (omega / diag) * (r - mv(x))
+            res = r - mv(x)
+            r_c = res.reshape(n_l // 2, 2, n_l // 2, 2, n_l // 2,
+                              2).sum(axis=(1, 3, 5))
+            e_c = vcycle(r_c, lvl + 1)
+            e = jnp.repeat(jnp.repeat(jnp.repeat(e_c, 2, 0), 2, 1),
+                           2, 2)
+            x = x + e
+            for _ in range(nu):
+                x = x + (omega / diag) * (r - mv(x))
+            return x
+
+        n0 = levels[0][6] if levels else c_n
+
+        def M(r):
+            return vcycle(r.reshape(n0, n0, n0), 0).reshape(-1)
+
+        return M
+
+    # default preconditioner; subclasses with rough media override
+    PRECOND = "spectral"
+    CG_MAXITER_FACTOR_MG = 4
+
     @classmethod
     def _solve_pressure(cls, config, K):
         """Preconditioned-CG solve on the n^3 grid (see module doc)."""
@@ -199,24 +273,37 @@ class DiffusionSimulation3D(Simulation):
 
         b = jnp.zeros((n, n, n), K.dtype).at[0].add(Kin).reshape(-1)
         diag = cls._stencil_diag(Kx, Ky, Kz, Kin, Kout, n)
-        Sx, Cn, lam = cls._spectral_basis(n)
-        Sx = jnp.asarray(Sx, K.dtype)
-        Cn = jnp.asarray(Cn, K.dtype)
-        lam = jnp.asarray(lam, K.dtype)
-        w = jnp.sqrt(jnp.asarray(cls._const_diag(n), K.dtype) / diag)
 
-        def transform(r, U0, U1, U2):
-            r = jnp.einsum("ab,bjk->ajk", U0, r)
-            r = jnp.einsum("ab,ibk->iak", U1, r)
-            return jnp.einsum("ab,ijb->ija", U2, r)
+        precond = config.get("precond", cls.PRECOND)
+        if precond == "mg":
+            M = cls._mg_vcycle_preconditioner(
+                Kx, Ky, Kz, Kin, Kout, n,
+                nu=config.get("mg_nu", 2),
+                omega=config.get("mg_omega", 0.8),
+                coarsest=config.get("mg_coarsest", 4))
+        elif precond == "spectral":
+            Sx, Cn, lam = cls._spectral_basis(n)
+            Sx = jnp.asarray(Sx, K.dtype)
+            Cn = jnp.asarray(Cn, K.dtype)
+            lam = jnp.asarray(lam, K.dtype)
+            w = jnp.sqrt(jnp.asarray(cls._const_diag(n), K.dtype)
+                         / diag)
 
-        def M(r):
-            r_hat = transform(w * r.reshape(n, n, n), Sx, Cn, Cn)
-            return (w * transform(r_hat / lam, Sx.T, Cn.T, Cn.T)
-                    ).reshape(-1)
+            def transform(r, U0, U1, U2):
+                r = jnp.einsum("ab,bjk->ajk", U0, r)
+                r = jnp.einsum("ab,ibk->iak", U1, r)
+                return jnp.einsum("ab,ijb->ija", U2, r)
 
-        maxiter = config.get("cg_maxiter_factor",
-                             cls.CG_MAXITER_FACTOR) * n
+            def M(r):
+                r_hat = transform(w * r.reshape(n, n, n), Sx, Cn, Cn)
+                return (w * transform(r_hat / lam, Sx.T, Cn.T, Cn.T)
+                        ).reshape(-1)
+        else:
+            M = lambda r: r / diag.reshape(-1)
+
+        default_factor = (cls.CG_MAXITER_FACTOR_MG if precond == "mg"
+                          else cls.CG_MAXITER_FACTOR)
+        maxiter = config.get("cg_maxiter_factor", default_factor) * n
         p, _ = jax.scipy.sparse.linalg.cg(
             matvec, b, tol=config.get("cg_tol", cls.CG_TOL),
             maxiter=maxiter, M=M)

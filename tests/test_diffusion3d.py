@@ -131,3 +131,93 @@ def test_darcy3d_qmc():
         mc_var += d.var(ddof=1) / 384
     tol = 6 * np.sqrt(mc_var + float(est["var"]))
     assert abs(float(est["mean"]) - mc_mean) < tol
+
+
+# ----------------------------------------------------------------------- #
+# 3-D multigrid + fractured media
+# ----------------------------------------------------------------------- #
+def test_galerkin_coarsening_exact_3d():
+    """P^T A P identity: the coarse 7-point operator built from summed
+    interface transmissibilities must equal restrict(A_fine(prolong))
+    to machine precision."""
+    key = jax.random.key(0)
+    cfg = dict(sigma=1.0,
+               _wave_vectors=jax.random.normal(key, (16, 3)))
+    K = D3._conductivity(cfg, key, 8)
+    Kx, Ky, Kz = D3._face_conductivities(K)
+    Kin, Kout = 2.0 * K[0], 2.0 * K[-1]
+    Kxc, Kyc, Kzc, Kic, Koc = D3._galerkin_coarsen(Kx, Ky, Kz, Kin,
+                                                   Kout)
+    v = jax.random.normal(jax.random.key(1), (4, 4, 4))
+    vp = jnp.repeat(jnp.repeat(jnp.repeat(v, 2, 0), 2, 1), 2, 2)
+    lhs = D3._stencil_matvec(vp, Kx, Ky, Kz, Kin, Kout).reshape(
+        4, 2, 4, 2, 4, 2).sum((1, 3, 5))
+    rhs = D3._stencil_matvec(v, Kxc, Kyc, Kzc, Kic, Koc)
+    assert float(jnp.max(jnp.abs(lhs - rhs))) < 1e-12
+
+
+def test_mg_preconditioner_homogeneous_and_residual():
+    """MG-CG solves the homogeneous problem exactly and a rough-field
+    system to the CG tolerance."""
+    wv = jax.random.normal(jax.random.key(2), (16, 3))
+    cfg = dict(sigma=0.0, precond="mg", fine_n=8, coarse_n=0,
+               _wave_vectors=wv)
+    f, _ = D3.calculate(cfg, 3)
+    assert abs(float(f[0]) - 1.0) < 1e-6
+    cfg = dict(sigma=1.5, precond="mg", fine_n=8, coarse_n=0,
+               _wave_vectors=wv)
+    K = D3._conductivity(cfg, jax.random.key(4), 8)
+    p = D3._solve_pressure(cfg, K)
+    Kx, Ky, Kz = D3._face_conductivities(K)
+    Kin, Kout = 2.0 * K[0], 2.0 * K[-1]
+    b = jnp.zeros((8, 8, 8)).at[0].add(Kin)
+    r = np.asarray(D3._stencil_matvec(p, Kx, Ky, Kz, Kin, Kout) - b)
+    assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(np.asarray(b))
+
+
+def test_fracture_indicator_3d_geometry():
+    """A single centered disc with normal z flags exactly the cells on
+    the midplane inside the radius."""
+    from mlmc_tpu.random.frac_geom import fracture_indicator_3d
+
+    n = 8
+    discs = (jnp.array([[0.5, 0.5, 0.5]]),
+             jnp.array([[0.0, 0.0, 1.0]]), jnp.array([0.3]))
+    ind = np.asarray(fracture_indicator_3d(discs, n))
+    # the disc plane z=0.5 lies between cell layers 3 and 4 (centers
+    # at (k+0.5)/8): NO center is within h/2=0.0625 of 0.5 exactly...
+    # centers 0.4375 and 0.5625 are exactly at the threshold => both
+    # layers flag inside the radius; everything else stays clear
+    on = ind.sum(axis=(0, 1))
+    assert on[3] > 0 and on[4] > 0
+    assert on[[0, 1, 2, 5, 6, 7]].sum() == 0
+    # in-plane: corners (far from center) unflagged
+    assert ind[0, 0, 3] == 0 and ind[0, 0, 4] == 0
+    center = ind[3:5, 3:5, 3:5]
+    assert center.sum() > 0
+
+
+def test_fractured_diffusion_3d_end_to_end():
+    """Coupled fractured batches run under MG-CG with contrast 1e3:
+    fluxes finite and above the bulk (fractures conduct), fine/coarse
+    still coupled through the shared geometry + field."""
+    from mlmc_tpu.random.frac_geom import FracturedDiffusionSimulation3D
+
+    sim = FracturedDiffusionSimulation3D(
+        dict(sigma=0.5, corr_length=0.4, n_fractures=12,
+             frac_contrast=1e3))
+    cfg = sim.level_instance([1 / 16], [1 / 8]).config_dict
+    keys = jax.random.split(jax.random.key(5), 8)
+    fine, coarse, failed = jax.jit(
+        lambda k: FracturedDiffusionSimulation3D.calculate_batch(
+            cfg, k))(keys)
+    fine = np.asarray(fine).ravel()
+    coarse = np.asarray(coarse).ravel()
+    assert not np.asarray(failed).any()
+    assert np.all(np.isfinite(fine)) and np.all(fine > 0.5)
+    assert (fine - coarse).var() < fine.var()
+    # geometry randomness forbids the QMC phase path, loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="QMC"):
+        FracturedDiffusionSimulation3D._conductivity(
+            cfg, jax.random.key(0), 8, phases=jnp.zeros(16))
