@@ -151,6 +151,7 @@ from mlmc_tpu.unbiased import (UnbiasedMLMC, GeometricLevels,
 from mlmc_tpu.cdf_estimate import MultilevelCDF, simulation_pair_fn
 from mlmc_tpu.multifidelity import MFMC
 from mlmc_tpu.mlblue import mlblue, default_groups
+from mlmc_tpu.pod import pod_darcy_surrogate
 from mlmc_tpu.nested import nested_level_fn, evppi_level_fn
 from mlmc_tpu.mcmc import (MLMCMC, run_pcn, run_coupled, run_mlda,
                            run_unbiased, make_darcy_inverse)
