@@ -41,8 +41,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lsmc_price", "put_payoff", "call_payoff",
-           "bermudan_binomial"]
+__all__ = ["lsmc_price", "lsmc_dual_bound", "put_payoff",
+           "call_payoff", "bermudan_binomial"]
 
 
 def put_payoff(strike):
@@ -278,4 +278,120 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
             "european": e_sum / B,
             "coef": np.asarray(coefs, np.float64),
             "exercise_frac": takes / max(n_dates - 1, 1),
+            "wall_s": time.perf_counter() - t0}
+
+
+def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
+                    n_dates: int, coef, sigma: float,
+                    degree: Optional[int] = None,
+                    scale: Optional[float] = None,
+                    n_paths: int = 1 << 14, n_inner: int = 64,
+                    key=None, dtype=None):
+    """TRUE upper bound on the Bermudan price by the dual (martingale)
+    method — Rogers (Math. Finance 12, 2002) with Glasserman's
+    approximate-value-function martingale (Monte Carlo Methods in
+    Financial Engineering §8.7): for ANY martingale ``M`` with
+    ``M_0 = 0``,
+
+        price <= E[ max_i ( disc^i h(S_i) - M_i ) ],
+
+    and a tight choice is ``M_i = sum_{k<=i} (V_k(S_k) -
+    E[V_k(S_k) | S_{k-1}])`` with ``V_k(s) = max(h(s), C_k(s))`` built
+    from the FROZEN regression surface ``coef`` of :func:`lsmc_price`.
+    The conditional expectation is estimated with ``n_inner`` one-step
+    antithetic sub-samples per (path, date) — fully batched, no nested
+    path simulation — with the continuation polynomial as an EXACT
+    control variate: under GBM the monomial basis has closed-form
+    lognormal conditional moments ``E[(S_i/scale)^k | S_{i-1}] =
+    (S_{i-1}/scale)^k exp(k mu h + k^2 sigma^2 h / 2)``, so the inner
+    Monte Carlo only has to average the residual ``V_i - C_i =
+    relu(h - C_i)``, which vanishes in the continuation region. The
+    estimate stays unbiased, and since max is convex, Jensen noise only
+    ever INCREASES the bound — it remains a valid upper bound in
+    expectation while the CV removes nearly all of the inflation.
+
+    Exact GBM transitions only (``sigma``); pair it with an exact-GBM
+    :func:`lsmc_price` fit. The surface must be valid EVERYWHERE, not
+    just in the money: fit it with ``itm_only=False`` (an ITM-only
+    polynomial extrapolates wildly out of the money, where ``V = max(0,
+    C)`` then inflates the martingale increments — observed to blow the
+    duality gap from ~2% to ~60% of the price on an at-the-money put).
+
+    :param coef: [n_dates - 1, K] regression coefficients from
+        ``lsmc_price(..., itm_only=False)["coef"]``.
+    :return: dict with ``upper``, ``upper_se``, ``wall_s``.
+    """
+    if key is None:
+        key = jax.random.key(1)
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    coef = jnp.asarray(coef, dtype)
+    K = coef.shape[1]
+    if degree is None:
+        degree = K - 1
+    if degree + 1 != K:
+        raise ValueError("degree+1 must match coef's second dim")
+    if n_inner % 2:
+        raise ValueError("n_inner must be even (antithetic pairs)")
+    scale = float(scale if scale is not None else s0)
+    h = T / n_dates
+    disc = float(np.exp(-rate * h))
+    drift_h = float((rate - 0.5 * sigma ** 2) * h)
+    vol_h = float(sigma * np.sqrt(h))
+    B = int(n_paths)
+    k_path, k_inner = jax.random.split(key)
+
+    def cont_poly(s, i):
+        """Frozen continuation surface C_i(s); jnp index clamping makes
+        the terminal date reuse the last regression row (used only as a
+        control variate there, so any unbiased surrogate is valid)."""
+        return _poly_basis(s / scale, degree) @ coef[i - 1]
+
+    def value(s, i):
+        """V_i(s) in date-i money: exercise vs the frozen continuation
+        surface (dates 1..n_dates-1); terminal = payoff."""
+        ex = payoff(s)
+        return jnp.where(i == n_dates, ex, jnp.maximum(ex, cont_poly(s, i)))
+
+    # closed-form lognormal moments of the normalized monomial basis
+    ks = np.arange(K)
+    basis_mom = jnp.asarray(
+        np.exp(ks * drift_h + 0.5 * (ks * vol_h) ** 2), dtype)
+
+    @jax.jit
+    def run():
+        s0v = jnp.full((B,), s0, dtype)
+        keys = jax.random.split(k_path, n_dates)
+        ikeys = jax.random.split(k_inner, n_dates)
+
+        def step(carry, xs):
+            s_prev, M, best = carry
+            kk, ik, i = xs
+            z = jax.random.normal(kk, (B,), dtype)
+            s = s_prev * jnp.exp(drift_h + vol_h * z)
+            d_i = disc ** i.astype(dtype)
+            v_here = d_i * value(s, i)
+            # one-step inner conditional expectation of V_i from
+            # S_{i-1}: exact E[C_i | S_{i-1}] + antithetic MC residual
+            exact_ec = (_poly_basis(s_prev / scale, degree)
+                        * basis_mom[None, :]) @ coef[i - 1]
+            zh = jax.random.normal(ik, (n_inner // 2, B), dtype)
+            zi = jnp.concatenate([zh, -zh], axis=0)
+            s_in = s_prev[None, :] * jnp.exp(drift_h + vol_h * zi)
+            resid = jax.vmap(
+                lambda sr: value(sr, i) - cont_poly(sr, i))(s_in)
+            M = M + v_here - d_i * (exact_ec + jnp.mean(resid, axis=0))
+            best = jnp.maximum(best, d_i * payoff(s) - M)
+            return (s, M, best), None
+
+        best0 = payoff(s0v)                       # i = 0 term, M_0 = 0
+        (s, M, best), _ = jax.lax.scan(
+            step, (s0v, jnp.zeros((B,), dtype), best0),
+            (keys, ikeys, jnp.arange(1, n_dates + 1)))
+        return jnp.sum(best), jnp.sum(best * best)
+
+    t0 = time.perf_counter()
+    sm, sq = [float(x) for x in jax.device_get(run())]
+    upper = sm / B
+    se = float(np.sqrt(max(sq / B - upper ** 2, 0.0) / B))
+    return {"upper": upper, "upper_se": se,
             "wall_s": time.perf_counter() - t0}

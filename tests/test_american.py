@@ -115,3 +115,31 @@ def test_validation_errors():
                    model=gbm())
     with pytest.raises(ValueError, match="multiple"):
         bermudan_binomial(1.0, 1.0, R, SIG, T, n_dates=3, n_steps=100)
+
+
+def test_dual_upper_bound_brackets():
+    """The dual (martingale) bound must sit ABOVE the binomial value
+    within CLT error, the out-of-sample LSMC price below it — a true
+    two-sided bracket with no tree needed — and the gap must be tight
+    (the regression surface is good, so the approximate-value
+    martingale is nearly optimal)."""
+    from mlmc_tpu.sim.american import lsmc_dual_bound
+
+    tree = bermudan_binomial(1.0, 1.0, R, SIG, T, n_dates=8,
+                             n_steps=4096)
+    # the dual needs a GLOBALLY valid surface: itm_only=False
+    res = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=8, sigma=SIG,
+                     n_paths=1 << 15, key=jax.random.key(17),
+                     itm_only=False)
+    dual = lsmc_dual_bound(put_payoff(1.0), 1.0, R, T, n_dates=8,
+                           coef=res["coef"], sigma=SIG,
+                           n_paths=1 << 13, n_inner=64,
+                           key=jax.random.key(18))
+    assert dual["upper"] + 4 * dual["upper_se"] > tree, (dual, tree)
+    assert res["price"] - 4 * res["price_se"] < dual["upper"]
+    gap = dual["upper"] - res["price"]
+    assert gap < 0.05 * tree + 4 * (dual["upper_se"]
+                                    + res["price_se"]), (gap, tree)
+    with pytest.raises(ValueError, match="degree"):
+        lsmc_dual_bound(put_payoff(1.0), 1.0, R, T, 8,
+                        coef=res["coef"], sigma=SIG, degree=7)
