@@ -219,8 +219,8 @@ def bench_american():
     exercise dates, degree-3 regression, exact GBM transitions — wall
     time of the two-pass fit+eval (warm), price vs the CRR binomial
     Bermudan on the same dates."""
-    from mlmc_tpu.sim.american import (bermudan_binomial, lsmc_price,
-                                       put_payoff)
+    from mlmc_tpu.sim.american import (bermudan_binomial, lsmc_dual_bound,
+                                       lsmc_price, put_payoff)
 
     rate, sigma, n_dates, B = 0.06, 0.2, 50, 1 << 18
     kw = dict(sigma=sigma, degree=3, n_paths=B, key=jax.random.key(2))
@@ -228,6 +228,19 @@ def bench_american():
     res = lsmc_price(put_payoff(1.0), 1.0, rate, 1.0, n_dates, **kw)
     tree = bermudan_binomial(1.0, 1.0, rate, sigma, 1.0, n_dates,
                              n_steps=200 * n_dates)
+    # dual (Rogers) TRUE upper bound from a globally-valid surface
+    # (itm_only=False — an ITM-only fit extrapolates wildly OTM).
+    # Degree 5 halves the 50-date duality gap vs 3 (measured 0.0064 vs
+    # 0.023 — the slack is surface error accumulated over the dates,
+    # NOT inner-MC noise: n_inner 64 -> 512 moved it by <3%); degree 6
+    # tips the f32 monomial normal equations into ill-conditioning.
+    kw_g = dict(kw, itm_only=False, degree=5, key=jax.random.key(5))
+    glob = lsmc_price(put_payoff(1.0), 1.0, rate, 1.0, n_dates, **kw_g)
+    dkw = dict(coef=glob["coef"], sigma=sigma, n_paths=1 << 14,
+               n_inner=64, key=jax.random.key(6))
+    lsmc_dual_bound(put_payoff(1.0), 1.0, rate, 1.0, n_dates, **dkw)
+    dual = lsmc_dual_bound(put_payoff(1.0), 1.0, rate, 1.0, n_dates,
+                           **dkw)
     return dict(workload=f"LSMC Bermudan put, {n_dates} dates, "
                          f"2x{B} paths, degree-3 two-pass",
                 wall_s=round(res["wall_s"], 3),
@@ -236,7 +249,14 @@ def bench_american():
                 price_insample=res["price_insample"],
                 binomial=tree,
                 gap_lower=round(tree - res["price"], 6),
-                exercise_frac=round(res["exercise_frac"], 4))
+                exercise_frac=round(res["exercise_frac"], 4),
+                dual_upper=dual["upper"],
+                dual_upper_se=dual["upper_se"],
+                dual_wall_s=round(dual["wall_s"], 3),
+                bracket_width=round(dual["upper"] - res["price"], 6),
+                bracket_holds=bool(
+                    res["price"] - 4 * res["price_se"] <= tree
+                    <= dual["upper"] + 4 * dual["upper_se"]))
 
 
 def bench_mimc():
