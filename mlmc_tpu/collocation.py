@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SparseGrid", "multilevel_collocation"]
+__all__ = ["SparseGrid", "AdaptiveSparseGrid", "multilevel_collocation"]
 
 
 def _gauss_hermite_1d(n):
@@ -163,6 +163,222 @@ class SparseGrid:
         q = both.shape[0] // 2
         mean, second = both[:q], both[q:]
         return mean, np.maximum(second - mean ** 2, 0.0)
+
+
+class AdaptiveSparseGrid:
+    """Dimension-adaptive sparse quadrature (Gerstner & Griebel,
+    "Dimension-adaptive tensor-product quadrature", Computing 71, 2003).
+
+    The fixed Smolyak band treats every input dimension equally; real
+    UQ problems (KL/RFF field coefficients, decaying mode variances)
+    are strongly ANISOTROPIC — most of the refinement budget belongs to
+    the first few dimensions. This estimator discovers that structure
+    on the fly: it grows a downward-closed multi-index set greedily by
+    the hierarchical-surplus error indicator,
+
+        Delta_i f = (x)_k (Q_{i_k} - Q_{i_k - 1}) f
+                  = sum_{z subset supp(i > 1)} (-1)^{|z|} Q_{i - z} f,
+
+    accepting the active index with the largest |surplus| and opening
+    its admissible forward neighbors, until the summed indicator of the
+    active frontier drops below ``tol`` or the evaluation budget runs
+    out. The running estimate is the sum of ALL computed surpluses
+    (old + active), exactly the combination-technique value of the
+    final index set.
+
+    TPU-first mapping (same stance as :class:`SparseGrid`): the index
+    bookkeeping is host-side integer work — a decision, not a
+    computation; model evaluations happen in deduplicated batched
+    ``vmap(fn)`` dispatches, padded to power-of-two buckets so the whole
+    adaptive run reuses a handful of compiled executables (CLAUDE.md:
+    distinct jit shapes are expensive over the remote-AOT tunnel). Node
+    values are cached across tensor products, so nested rules
+    (clenshaw-curtis) and the shared low-order Gauss rules never pay
+    for a point twice.
+
+    No reference analogue: GeoMop/MLMC has no collocation capability at
+    all, let alone an adaptive one.
+    """
+
+    def __init__(self, d: int, rule: str = "gauss-hermite"):
+        if rule not in _RULES:
+            raise ValueError(f"unknown rule {rule!r}; "
+                             f"choose from {sorted(_RULES)}")
+        if d < 1:
+            raise ValueError("need d >= 1")
+        self.d, self.rule = d, rule
+        self._make_1d, self._growth = _RULES[rule]
+        self._rule_cache = {}
+
+    def _rule_1d(self, i):
+        if i not in self._rule_cache:
+            self._rule_cache[i] = self._make_1d(self._growth(i))
+        return self._rule_cache[i]
+
+    def integrate(self, fn: Callable, tol: float = 1e-8,
+                  max_evals: int = 1 << 14, chunk_size: int = 1 << 11,
+                  indicator: str = "surplus", min_level: int = 1,
+                  dtype=None):
+        """Adaptively integrate ``E[fn(theta)]``, theta ~ rule measure.
+
+        :param fn: pure jnp ``[d] -> scalar or [q]`` (vector QoIs share
+            the node set; the indicator is the max-abs component).
+        :param tol: stop when the summed active-frontier indicator
+            drops below this (an estimate of the remaining error).
+        :param max_evals: hard budget of model evaluations.
+        :param indicator: "surplus" (Gerstner-Griebel g_i = |Delta_i|)
+            or "surplus_per_eval" (cost-aware: |Delta_i| divided by the
+            new evaluations the index cost — favors cheap directions).
+        :param min_level: seed the index set with the full isotropic
+            Smolyak band ``|i| <= d + min_level`` before going greedy.
+            The greedy indicator inherits Gerstner-Griebel's known blind
+            spot: an index whose OWN surplus is exactly zero (symmetric
+            integrands against the 1-node root rule annihilate mixed
+            terms, e.g. ``E[x0^2 x1^2]``) is never accepted, hiding its
+            nonzero descendants. ``min_level=2`` forces every pairwise
+            mixed index to be probed once, which resolves the classical
+            quadratic-coupling case at O(d^2) extra cheap evaluations.
+        :return: dict with ``mean`` (np scalar/[q]), ``error_est``
+            (summed active indicator), ``n_evals``, ``indices``
+            (downward-closed, sorted), ``converged``, ``history``
+            (accepted index, its indicator, cumulative evals).
+        """
+        if indicator not in ("surplus", "surplus_per_eval"):
+            raise ValueError("indicator must be 'surplus' or "
+                             "'surplus_per_eval'")
+        d = self.d
+        dtype = dtype or jnp.asarray(1.0).dtype
+        node_vals = {}                     # node tuple -> np [q] value
+        tensor_vals = {}                   # comp tuple -> np [q] value
+        evaluator = _BucketedEval(fn, d, chunk_size, dtype)
+        state = {"n_evals": 0}
+
+        def tensor_nodes(comp):
+            """Tensor-grid nodes/weights of Q_comp as python lists."""
+            xs, ws = zip(*(self._rule_1d(i) for i in comp))
+            nodes, wgts = [], []
+            for idx in itertools.product(*(range(len(x)) for x in xs)):
+                node = tuple(round(float(xs[k][idx[k]]), 14)
+                             for k in range(d))
+                w = 1.0
+                for k in range(d):
+                    w *= ws[k][idx[k]]
+                nodes.append(node)
+                wgts.append(w)
+            return nodes, wgts
+
+        def tensor_value(comp):
+            """Q_comp f, filling the node cache in one batched call."""
+            if comp in tensor_vals:
+                return tensor_vals[comp]
+            nodes, wgts = tensor_nodes(comp)
+            missing = [n for n in nodes if n not in node_vals]
+            if missing:
+                vals = evaluator(np.array(missing, np.float64))
+                state["n_evals"] += len(missing)
+                for n, v in zip(missing, vals):
+                    node_vals[n] = v
+            out = sum(w * node_vals[n] for n, w in zip(nodes, wgts))
+            tensor_vals[comp] = out
+            return out
+
+        def surplus(index):
+            """Delta_index f by the difference combination, and the
+            evaluations it newly spent."""
+            before = state["n_evals"]
+            big = [k for k in range(d) if index[k] > 1]
+            total = None
+            for r in range(len(big) + 1):
+                for sub in itertools.combinations(big, r):
+                    comp = tuple(index[k] - (1 if k in sub else 0)
+                                 for k in range(d))
+                    term = ((-1.0) ** r) * tensor_value(comp)
+                    total = term if total is None else total + term
+            return total, state["n_evals"] - before
+
+        if min_level < 1:
+            raise ValueError("min_level must be >= 1")
+        est = None
+        active, old = {}, set()
+        history = []
+        converged = False
+        # isotropic seed band |i| <= d + min_level: interior accepted,
+        # the |i| = d + min_level shell forms the initial frontier
+        for s in range(d, d + min_level + 1):
+            for comp in _compositions(s, d):
+                delta, cost = surplus(comp)
+                dlt = np.asarray(delta, np.float64)
+                est = dlt if est is None else est + dlt
+                g = (float(np.max(np.abs(dlt))), max(cost, 1))
+                if s < d + min_level:
+                    old.add(comp)
+                    history.append((comp, g[0], state["n_evals"]))
+                else:
+                    active[comp] = g
+        while active:
+            def score(item):
+                g, c = item[1]
+                return g / c if indicator == "surplus_per_eval" else g
+            err = sum(g for g, _ in active.values())
+            # never trust the indicator before the root is expanded: a
+            # symmetric integrand gives the 1-node root a ZERO surplus
+            # while its neighbors are not (f(0) vs E[f])
+            if err <= tol and old:
+                converged = True
+                break
+            if state["n_evals"] >= max_evals:
+                break
+            best = max(active.items(), key=score)
+            idx = best[0]
+            old.add(idx)
+            history.append((idx, best[1][0], state["n_evals"]))
+            del active[idx]
+            for k in range(d):
+                fwd = tuple(idx[j] + (j == k) for j in range(d))
+                admissible = all(
+                    fwd[j] == 1
+                    or tuple(fwd[m] - (m == j) for m in range(d)) in old
+                    for j in range(d))
+                if admissible and fwd not in active:
+                    dlt, cst = surplus(fwd)
+                    est = est + np.asarray(dlt, np.float64)
+                    active[fwd] = (float(np.max(np.abs(dlt))),
+                                   max(cst, 1))
+        err = sum(g for g, _ in active.values())
+        indices = sorted(old | set(active))
+        mean = est if est.shape[0] > 1 else float(est[0])
+        return {"mean": mean, "error_est": float(err),
+                "n_evals": state["n_evals"],
+                "n_indices": len(indices), "indices": indices,
+                "converged": converged or err <= tol,
+                "history": history}
+
+
+class _BucketedEval:
+    """Batched ``vmap(fn)`` over [N, d] node arrays, padded to
+    power-of-two buckets capped at ``chunk_size`` so one adaptive run
+    compiles O(log) executables instead of one per ragged batch."""
+
+    def __init__(self, fn, d, chunk_size, dtype):
+        self.d, self.chunk, self.dtype = d, int(chunk_size), dtype
+        self._jit = jax.jit(jax.vmap(
+            lambda x: jnp.atleast_1d(fn(x))))
+
+    def __call__(self, nodes):
+        n = len(nodes)
+        out = []
+        s = 0
+        while s < n:
+            take = min(self.chunk, n - s)
+            pad = 1 << max(0, (take - 1).bit_length())
+            block = np.zeros((pad, self.d), np.float64)
+            block[:take] = nodes[s:s + take]
+            vals = np.asarray(jax.device_get(
+                self._jit(jnp.asarray(block, self.dtype))),
+                np.float64)
+            out.append(vals[:take])
+            s += take
+        return np.concatenate(out, axis=0)
 
 
 def _compositions(total, parts):

@@ -6,7 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from mlmc_tpu.collocation import SparseGrid, multilevel_collocation
+from mlmc_tpu.collocation import (AdaptiveSparseGrid, SparseGrid,
+                                  multilevel_collocation)
 
 
 def _gauss_moment(k):
@@ -141,3 +142,113 @@ def test_validation():
         SparseGrid(0, 2)
     with pytest.raises(ValueError, match="per model"):
         multilevel_collocation([lambda th: th[0]], 2, levels=[1, 2])
+
+
+def _downward_closed(indices):
+    s = set(indices)
+    return all(
+        tuple(i[m] - (m == k) for m in range(len(i))) in s
+        for i in s for k in range(len(i)) if i[k] > 1)
+
+
+def test_adaptive_polynomial_terminates_exact():
+    """On a polynomial the hierarchical surpluses vanish beyond the
+    exactness degree, so the adaptive loop converges (frontier
+    indicator 0) at the exact Gaussian moments."""
+    grid = AdaptiveSparseGrid(2, rule="gauss-hermite")
+    fn = lambda th: th[0] ** 4 + th[0] ** 2 * th[1] ** 2
+    # min_level=2 probes the mixed (2,2) index whose PARENT surpluses
+    # both vanish by symmetry — the documented greedy blind spot
+    res = grid.integrate(fn, tol=1e-12, max_evals=2000, min_level=2)
+    assert res["converged"]
+    assert abs(res["mean"] - (3.0 + 1.0)) < 1e-10
+    assert _downward_closed(res["indices"])
+    assert res["history"][0][0] == (1, 1)       # root accepted first
+    # the default greedy run demonstrates the blind spot honestly: it
+    # converges on the separable part and misses the hidden mixed term
+    res1 = grid.integrate(fn, tol=1e-12, max_evals=2000)
+    assert abs(res1["mean"] - 3.0) < 1e-10
+
+
+def test_adaptive_anisotropic_beats_isotropic():
+    """Strongly anisotropic analytic integrand in d=8: the adaptive
+    grid must reach BETTER accuracy than the isotropic Smolyak level-3
+    band while spending fewer evaluations — the whole point of
+    dimension adaptivity."""
+    d = 8
+    c = 2.0 ** -np.arange(d)
+    exact = float(np.exp(0.5 * c @ c))
+    cj = jnp.asarray(c)
+    fn = lambda th: jnp.exp(cj @ th)
+    iso = SparseGrid(d, 3, rule="gauss-hermite")
+    iso_err = abs(float(iso.integrate(fn)) - exact)
+    res = AdaptiveSparseGrid(d).integrate(fn, tol=1e-10,
+                                          max_evals=iso.n_nodes)
+    err = abs(res["mean"] - exact)
+    # measured: 4.4e-5 vs isotropic 4.1e-3 at the same budget (93x)
+    assert err < 0.05 * iso_err, (err, iso_err)
+    assert res["n_evals"] < 1.2 * iso.n_nodes   # soft cap overshoot
+    # refinement depth follows the anisotropy: dim 0 deepest
+    depth = np.max(np.array(res["indices"]), axis=0)
+    assert depth[0] == depth.max() and depth[0] >= depth[1] >= depth[-1]
+    assert _downward_closed(res["indices"])
+
+
+def test_adaptive_error_estimate_and_budget():
+    """The summed frontier indicator tracks the true error within a
+    modest factor, and the eval budget is respected (soft cap: the
+    accepted index finishes its neighbor surpluses)."""
+    d = 4
+    c = np.array([0.8, 0.5, 0.3, 0.2])
+    exact = float(np.exp(0.5 * c @ c))
+    cj = jnp.asarray(c)
+    res = AdaptiveSparseGrid(d).integrate(
+        lambda th: jnp.exp(cj @ th), tol=0.0, max_evals=300)
+    assert not res["converged"]
+    err = abs(res["mean"] - exact)
+    assert err < 10.0 * max(res["error_est"], 1e-16)
+    res2 = AdaptiveSparseGrid(d).integrate(
+        lambda th: jnp.exp(cj @ th), tol=1e-9, max_evals=30000)
+    # measured: converged at 6821 evals, |err| = 1.4e-10 <= est 9.9e-10
+    assert res2["converged"] and abs(res2["mean"] - exact) < 5e-9
+    assert abs(res2["mean"] - exact) < 10.0 * res2["error_est"]
+
+
+def test_adaptive_vector_qoi_and_cost_aware():
+    """Vector QoIs share one node set; the cost-aware indicator reaches
+    the same closed forms."""
+    c = jnp.asarray([0.6, 0.3])
+    fn = lambda th: jnp.stack([jnp.exp(c @ th), th[0] ** 2])
+    for ind in ("surplus", "surplus_per_eval"):
+        res = AdaptiveSparseGrid(2).integrate(
+            fn, tol=1e-11, max_evals=3000, indicator=ind)
+        assert res["mean"].shape == (2,)
+        assert abs(res["mean"][0] - np.exp(0.5 * 0.45)) < 1e-9
+        assert abs(res["mean"][1] - 1.0) < 1e-10
+
+
+def test_adaptive_clenshaw_curtis_nesting_economy():
+    """With the nested CC rule the node cache makes refinements reuse
+    every previously paid point: total evals stay below the plain
+    Smolyak count at matched accuracy."""
+    d = 3
+    c = np.array([1.3, 0.7, 0.2])
+    exact = float(np.prod(np.sin(c) / c))
+    cj = jnp.asarray(c)
+    fn = lambda x: jnp.cos(cj @ x)
+    res = AdaptiveSparseGrid(d, rule="clenshaw-curtis").integrate(
+        fn, tol=1e-10, max_evals=4000)
+    assert abs(res["mean"] - exact) < 1e-8
+    iso = SparseGrid(d, 6, rule="clenshaw-curtis")
+    iso_err = abs(float(iso.integrate(fn)) - exact)
+    assert abs(res["mean"] - exact) <= max(iso_err, 1e-10) * 1.5 \
+        or res["n_evals"] < iso.n_nodes
+
+
+def test_adaptive_validation():
+    with pytest.raises(ValueError, match="rule"):
+        AdaptiveSparseGrid(2, rule="mc")
+    with pytest.raises(ValueError, match="d >= 1"):
+        AdaptiveSparseGrid(0)
+    with pytest.raises(ValueError, match="indicator"):
+        AdaptiveSparseGrid(2).integrate(lambda th: th[0], indicator="x")
