@@ -77,6 +77,10 @@ def fractured_study():
           "unfractured bulk)" % m)
 
 
-if __name__ == "__main__":
+def main():
     adaptive_study()
     fractured_study()
+
+
+if __name__ == "__main__":
+    main()
