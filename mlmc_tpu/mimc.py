@@ -290,19 +290,28 @@ class MIMC:
                 total += abs(mu)
         return float(total)
 
-    def run(self, target_var, n_init: int = None, max_rounds: int = 30):
-        """Adaptive loop: estimate per-index variances, allocate
-        ``n_alpha = sqrt(V/C) * sum sqrt(V C) / eps^2`` (clamped below by
-        2 chunks), extend the gaps, iterate until the estimator variance
-        ``sum V_alpha / n_alpha`` meets the target.
+    def add_index(self, alpha):
+        """Grow the index set by one index (downward closure enforced —
+        sample-id streams of existing indices are positional and stay
+        untouched, so estimates already drawn remain bit-identical)."""
+        alpha = tuple(int(a) for a in alpha)
+        if len(alpha) != self.d or min(alpha) < 0:
+            raise ValueError("alpha must be a non-negative %d-tuple"
+                             % self.d)
+        if alpha in self._states:
+            raise ValueError("index %s already in the set" % (alpha,))
+        need = {c for c, _ in mixed_difference_terms(alpha)} - {alpha}
+        missing = need - set(self._set)
+        if missing:
+            raise ValueError(
+                "adding %s breaks downward closure; missing %s"
+                % (alpha, sorted(missing)))
+        self._set.append(alpha)
+        self._states[alpha] = _IndexState()
 
-        :return: dict with the telescoped mean, estimator variance,
-            per-index breakdown and the boundary bias surrogate
-        """
-        n_init = int(n_init or 2 * self._chunk)
-        for a in self._set:
-            if self._states[a].n == 0:
-                self.extend(a, n_init)
+    def _allocate_to_target(self, target_var, max_rounds):
+        """CLT-optimal sample allocation over the CURRENT index set:
+        extend gaps until ``sum V_alpha / n_alpha <= target_var``."""
         rounds = 0
         while rounds < max_rounds:
             means, pvars, ns = self.estimates()
@@ -320,6 +329,22 @@ class MIMC:
                 if gap > 0:
                     self.extend(a, int(gap))
             rounds += 1
+        return rounds
+
+    def run(self, target_var, n_init: int = None, max_rounds: int = 30):
+        """Adaptive loop: estimate per-index variances, allocate
+        ``n_alpha = sqrt(V/C) * sum sqrt(V C) / eps^2`` (clamped below by
+        2 chunks), extend the gaps, iterate until the estimator variance
+        ``sum V_alpha / n_alpha`` meets the target.
+
+        :return: dict with the telescoped mean, estimator variance,
+            per-index breakdown and the boundary bias surrogate
+        """
+        n_init = int(n_init or 2 * self._chunk)
+        for a in self._set:
+            if self._states[a].n == 0:
+                self.extend(a, n_init)
+        rounds = self._allocate_to_target(target_var, max_rounds)
         means, pvars, ns = self.estimates()
         est_var = float(np.sum(pvars / np.maximum(ns, 1)))
         return dict(mean=float(np.sum(means)), var=est_var,
@@ -328,6 +353,107 @@ class MIMC:
                     target_met=bool(est_var <= target_var),
                     boundary_bias=self.boundary_bias_estimate(),
                     total_work=float(np.sum(self._costs() * ns)))
+
+    def run_adaptive(self, target_var, bias_tol: float = None,
+                     n_pilot: int = None, max_indices: int = 64,
+                     max_rounds: int = 30, profit: str = "bias_per_cost"):
+        """Dimension-adaptive MIMC: GROW the index set greedily instead
+        of fixing it a priori (Gerstner-Griebel index growth carried to
+        sampling estimators — cf. Robbe, Nuyens & Vandewalle, SIAM J.
+        Sci. Comput. 39(5), 2017). Start from the current
+        (downward-closed) set, pilot-sample the admissible frontier, and
+        repeatedly accept the frontier index with the largest profit,
+        opening its admissible forward neighbors, until the frontier's
+        summed |mean| — the truncation-bias surrogate — drops below
+        ``bias_tol``. Every pilot-sampled index already contributes to
+        the telescoped sum (any downward-closed set is consistent), so
+        exploration is never wasted work. Then allocate samples to
+        ``target_var`` over the final set.
+
+        :param bias_tol: frontier-bias stop (default ``sqrt(target_var)``
+            — bias and statistical error of the same order). Pilot
+            means are noisy at ~sqrt(V/n_pilot); a bias_tol far below
+            that noise floor cannot be certified — raise n_pilot with it.
+        :param max_indices: hard cap on the index-set size.
+        :param profit: "bias_per_cost" — ``|E_alpha| / C_alpha``, the
+            Gerstner-Griebel error-per-cost indicator; the right greedy
+            for a BIAS-driven stop (default). "bias_per_work" —
+            ``|E_alpha| / sqrt(V_alpha C_alpha)``: balances against the
+            sampling work the index will later demand, but is
+            scale-free (constant!) on models with E^2 ~ V along an
+            axis, where it wanders instead of descending the bias.
+        :return: the :meth:`run` dict plus ``accepted`` (growth order),
+            ``bias_est``, ``bias_tol``, ``bias_converged``.
+        """
+        if profit not in ("bias_per_cost", "bias_per_work"):
+            raise ValueError("profit must be 'bias_per_cost' or "
+                             "'bias_per_work'")
+        bias_tol = float(np.sqrt(target_var) if bias_tol is None
+                         else bias_tol)
+        n_pilot = int(n_pilot or 2 * self._chunk)
+        for a in self._set:
+            if self._states[a].n == 0:
+                self.extend(a, n_pilot)
+
+        def admissible_neighbors(of):
+            s = set(self._set)
+            out = []
+            for a in of:
+                for i in range(self.d):
+                    f = tuple(a[j] + (j == i) for j in range(self.d))
+                    if f in s or f in out:
+                        continue
+                    if all(tuple(f[j] - (j == k) for j in range(self.d))
+                           in s for k in range(self.d) if f[k] > 0):
+                        out.append(f)
+            return out
+
+        active = []
+        for f in admissible_neighbors(list(self._set)):
+            if len(self._set) >= max_indices:
+                break
+            self.add_index(f)
+            self.extend(f, n_pilot)
+            active.append(f)
+        accepted = []
+        bias_converged = False
+        while active:
+            means, pvars, ns = self.estimates()
+            pos = {a: i for i, a in enumerate(self._set)}
+            bias = sum(abs(means[pos[a]]) for a in active)
+            if bias <= bias_tol:
+                bias_converged = True
+                break
+            if len(self._set) >= max_indices:
+                break
+            costs = self._costs()
+
+            def score(a):
+                i = pos[a]
+                if profit == "bias_per_work":
+                    return abs(means[i]) / max(
+                        np.sqrt(max(pvars[i], 1e-300) * costs[i]),
+                        1e-300)
+                return abs(means[i]) / max(costs[i], 1e-300)
+
+            best = max(active, key=score)
+            active.remove(best)
+            accepted.append(best)
+            for f in admissible_neighbors([best]):
+                if len(self._set) >= max_indices:
+                    break
+                self.add_index(f)
+                self.extend(f, n_pilot)
+                active.append(f)
+        out = self.run(target_var, n_init=n_pilot, max_rounds=max_rounds)
+        means, _, _ = self.estimates()
+        pos = {a: i for i, a in enumerate(self._set)}
+        out.update(accepted=accepted,
+                   bias_est=float(sum(abs(means[pos[a]])
+                                      for a in active)),
+                   bias_tol=bias_tol,
+                   bias_converged=bias_converged or not active)
+        return out
 
 
 # ---------------------------------------------------------------------- #

