@@ -1053,6 +1053,39 @@ def bench_mfmc():
                 speedup_vs_mc=round(float(out["speedup"]), 1))
 
 
+def bench_ml2r():
+    """ML2R (multilevel Richardson-Romberg, no reference analogue): the
+    Euler GBM European call on a deliberately SHALLOW 3-level hierarchy
+    (finest h = 1/8) — the weight extrapolation cancels the weak-bias
+    expansion the unweighted telescope carries in full; both estimates
+    come from the SAME samples, so the gap is the pure reweighting
+    gain."""
+    from mlmc_tpu.cdf_estimate import simulation_pair_fn
+    from mlmc_tpu.ml2r import ml2r
+    from mlmc_tpu.sim.sde import (SDESimulation, black_scholes_call,
+                                  european_call, gbm)
+
+    rate, sigma = 0.05, 0.2
+    sim = SDESimulation(dict(
+        model=gbm(rate, sigma, 1.0), scheme="euler",
+        payoff=european_call(1.0, float(np.exp(-rate)))))
+    steps = [0.5, 0.25, 0.125]
+    pair_fn, _ = simulation_pair_fn(sim, [[h] for h in steps])
+    res = ml2r(pair_fn, steps, target_var=4e-10, alpha=1.0, seed=5,
+               chunk_size=1 << 13)
+    bs = black_scholes_call(1.0, 1.0, rate, sigma, 1.0)
+    return dict(workload="ML2R Euler GBM call, 3 levels finest h=1/8, "
+                         "target se 2e-5",
+                wall_s=round(res["wall_s"], 2),
+                n_paths=int(res["n_forward"]),
+                err_ml2r=round(abs(res["mean"] - bs), 7),
+                err_telescope=round(abs(res["mean_mlmc"] - bs), 7),
+                se=round(res["se"], 7),
+                tail_weights=[round(float(v), 4)
+                              for v in res["weights"][1]],
+                target_met=res["target_met"])
+
+
 def bench_cmlmc():
     """Continuation MLMC (no reference analogue): the Euler GBM
     European call driven to eps=5e-4 total error with UNKNOWN rates —
@@ -1558,6 +1591,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "mfmc": bench_mfmc,
            "mlblue": bench_mlblue,
            "cmlmc": bench_cmlmc,
+           "ml2r": bench_ml2r,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,

@@ -170,6 +170,7 @@ from mlmc_tpu.particle import particle_filter, multilevel_particle_filter
 from mlmc_tpu.risk import (cvar_empirical, cvar_mlmc, mlmc_gradient,
                            optimize_expectation, optimize_cvar)
 from mlmc_tpu.cmlmc import cmlmc
+from mlmc_tpu.ml2r import ml2r, ml2r_weights
 from mlmc_tpu.sim.american import (lsmc_price, bermudan_binomial,
                                    put_payoff, call_payoff)
 
