@@ -147,6 +147,133 @@ class PCE:
         self._scalar = (jnp.asarray(y).ndim == 1)
         return self
 
+    def fit_sparse(self, theta, y, lam: Optional[float] = None,
+                   lam_grid=None, n_folds: int = 5,
+                   max_iter: int = 400, debias: bool = True,
+                   seed: int = 0):
+        """Compressive-sensing fit: LASSO on the PCE coefficients
+        (Doostan & Owhadi, JCP 230, 2011; Blatman & Sudret's sparse-PCE
+        program) — recovers a SPARSE expansion from far fewer model
+        evaluations than basis terms (N << P), where least squares is
+        underdetermined and ridge smears energy over every term:
+
+            min_c  1/(2N) ||Psi c - y||^2 + lam ||c_{alpha != 0}||_1
+
+        (the constant term is never penalized). Solved by FISTA
+        (Beck-Teboulle 2009) entirely on device: the iteration is two
+        [N, P] matmuls + a soft threshold, the step from a power-method
+        bound of ||Psi^T Psi||/N — MXU work with static shapes. When
+        ``lam`` is None it is selected by k-fold cross-validation over
+        ``lam_grid`` (default: lam_max * logspace(-4, -0.5, 16)); folds
+        are mask-weighted, so every (fold, lambda) cell reuses ONE
+        compiled FISTA program via vmap. With ``debias`` (default) the
+        selected support is refit by restricted least squares — the
+        standard bias correction that restores exact recovery on
+        noiseless data.
+
+        :param y: scalar samples [N] (sparse recovery targets one QoI).
+        :return: self; diagnostics in ``self.sparse_info`` (chosen
+            ``lam``, ``cv_rmse`` per grid point, ``support_size``).
+        """
+        theta = jnp.atleast_2d(theta)
+        yv = jnp.asarray(y)
+        if yv.ndim != 1:
+            raise ValueError("fit_sparse targets one scalar QoI: y [N]")
+        if n_folds < 2:
+            raise ValueError("n_folds must be >= 2")
+        N = theta.shape[0]
+        P = self.n_terms
+        pen = jnp.asarray(self.indices.sum(axis=1) > 0, yv.dtype)
+
+        Psi = self.design_matrix(theta)                 # [N, P]
+
+        def power_L(Psi):
+            v = jnp.full((P,), 1.0 / np.sqrt(P), Psi.dtype)
+            def step(v, _):
+                w = Psi.T @ (Psi @ v)
+                return w / jnp.linalg.norm(w), None
+            v, _ = jax.lax.scan(step, v, None, length=24)
+            return jnp.vdot(v, Psi.T @ (Psi @ v)) / N
+
+        def fista(lam, w):
+            """Weighted-sample LASSO; w [N] in {0,1} masks CV folds."""
+            nw = jnp.maximum(jnp.sum(w), 1.0)
+            Pw = Psi * w[:, None]
+            L = power_L(Pw) * (N / nw) + 1e-12
+            thr = lam * pen / L
+
+            def step(carry, _):
+                c, z, t = carry
+                grad = Pw.T @ (Psi @ z - yv) / nw
+                u = z - grad / L
+                c_new = jnp.sign(u) * jnp.maximum(jnp.abs(u) - thr, 0.0)
+                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                z_new = c_new + ((t - 1.0) / t_new) * (c_new - c)
+                return (c_new, z_new, t_new), None
+
+            z0 = jnp.zeros((P,), yv.dtype)
+            (c, _, _), _ = jax.lax.scan(
+                step, (z0, z0, jnp.ones((), yv.dtype)), None,
+                length=max_iter)
+            return c
+
+        if lam is None:
+            lam_max = float(jnp.max(jnp.abs(Psi.T @ yv) * pen) / N)
+            grid = (np.asarray(lam_grid, np.float64) if lam_grid
+                    is not None else
+                    lam_max * np.logspace(-4, -0.5, 16))
+            folds = np.asarray(
+                jax.random.permutation(jax.random.key(seed),
+                                       np.arange(N) % n_folds))
+            fold_masks = jnp.asarray(
+                np.stack([(folds != f).astype(float)
+                          for f in range(n_folds)]), yv.dtype)
+
+            @jax.jit
+            def cv_errors(grid_j):
+                def one(lam_w):
+                    lam_, w = lam_w
+                    c = fista(lam_, w)
+                    r = (Psi @ c - yv) * (1.0 - w)
+                    return jnp.sum(r * r) / jnp.maximum(
+                        jnp.sum(1.0 - w), 1.0)
+                lam_rep = jnp.repeat(grid_j, n_folds)
+                w_rep = jnp.tile(fold_masks, (len(grid), 1))
+                errs = jax.vmap(one)((lam_rep, w_rep))
+                return errs.reshape(len(grid), n_folds).mean(axis=1)
+
+            errs = np.asarray(jax.device_get(cv_errors(
+                jnp.asarray(grid, yv.dtype))))
+            lam = float(grid[int(np.argmin(errs))])
+            cv_rmse = np.sqrt(errs)
+        else:
+            grid, cv_rmse = np.array([lam]), None
+
+        ones = jnp.ones((N,), yv.dtype)
+        c = jax.jit(fista)(jnp.asarray(lam, yv.dtype), ones)
+        if debias:
+            m = (jnp.abs(c) > 1e-12 * jnp.maximum(
+                jnp.max(jnp.abs(c)), 1e-300)) | (pen == 0)
+
+            @jax.jit
+            def restricted_ls(m):
+                mf = m.astype(Psi.dtype)
+                A = (Psi.T @ Psi) * jnp.outer(mf, mf) \
+                    + jnp.diag(1.0 - mf)
+                b = mf * (Psi.T @ yv)
+                return mf * jnp.linalg.solve(A, b)
+
+            if int(jnp.sum(m)) <= N:   # refit only when well-posed
+                c = restricted_ls(m)
+        self.coefficients = c[:, None]
+        self._scalar = True
+        self.sparse_info = {
+            "lam": float(lam), "lam_grid": np.asarray(grid),
+            "cv_rmse": cv_rmse,
+            "support_size": int(np.sum(np.abs(np.asarray(c)) > 0)),
+        }
+        return self
+
     def fit_projection(self, fn: Callable, level: int,
                        rule: Optional[str] = None, grid=None):
         """Spectral projection ``c = Psi(nodes)^T (w * f(nodes))`` on a

@@ -121,3 +121,71 @@ def test_validation():
         PCE(3, 3).fit_regression(jnp.zeros((5, 3)), jnp.zeros(5))
     with pytest.raises(RuntimeError, match="fit"):
         PCE(2, 1).mean()
+
+
+def _sparse_truth(d=8, degree=3, s=8, seed=0, coeff_seed=11):
+    """A ground-truth expansion with s random nonzero terms (constant
+    always included)."""
+    pce = PCE(d, degree)
+    rng = np.random.default_rng(coeff_seed)
+    c = np.zeros(pce.n_terms)
+    c[0] = 1.5
+    nz = rng.choice(np.arange(1, pce.n_terms), size=s - 1,
+                    replace=False)
+    c[nz] = rng.normal(0.0, 1.0, s - 1)
+    truth = PCE(d, degree)
+    truth.coefficients = jnp.asarray(c)[:, None]
+    truth._scalar = True
+    return truth, c
+
+
+def test_sparse_recovery_underdetermined():
+    """The compressive-sensing claim: s=8 active terms among P=165 are
+    recovered EXACTLY (debiased, noiseless) from N=80 << P samples,
+    where least squares is underdetermined and ridge smears energy."""
+    truth, c = _sparse_truth()
+    P = truth.n_terms
+    assert P == 165
+    theta = jax.random.normal(jax.random.key(1), (80, 8))
+    y = truth(theta)
+    pce = PCE(8, 3).fit_sparse(theta, y, seed=2)
+    rec = np.asarray(pce.coefficients)[:, 0]
+    assert np.max(np.abs(rec - c)) < 1e-6, np.max(np.abs(rec - c))
+    assert pce.sparse_info["support_size"] <= 3 * 8
+    # ridge at the same budget is nowhere close
+    ridge = PCE(8, 3).fit_regression(theta, y, reg=1e-3)
+    ridge_err = np.max(np.abs(np.asarray(ridge.coefficients)[:, 0] - c))
+    assert ridge_err > 100 * np.max(np.abs(rec - c))
+    # statistics flow through the sparse fit
+    assert abs(pce.mean() - 1.5) < 1e-8
+    assert abs(pce.var() - float(np.sum(c[1:] ** 2))) < 1e-6
+
+
+def test_sparse_noisy_cv_beats_ridge():
+    """With observation noise the CV-selected lambda still localizes
+    the energy: surrogate RMSE on held-out points beats ridge at the
+    same N << P budget."""
+    truth, c = _sparse_truth(seed=1, coeff_seed=13)
+    theta = jax.random.normal(jax.random.key(3), (100, 8))
+    y = truth(theta) + 0.05 * jax.random.normal(jax.random.key(4),
+                                                (100,))
+    pce = PCE(8, 3).fit_sparse(theta, y, seed=5)
+    ridge = PCE(8, 3).fit_regression(theta, y, reg=1e-2)
+    t_test = jax.random.normal(jax.random.key(6), (2000, 8))
+    y_test = truth(t_test)
+    e_sparse = float(jnp.sqrt(jnp.mean((pce(t_test) - y_test) ** 2)))
+    e_ridge = float(jnp.sqrt(jnp.mean((ridge(t_test) - y_test) ** 2)))
+    assert e_sparse < 0.5 * e_ridge, (e_sparse, e_ridge)
+    assert e_sparse < 0.1                      # near the noise floor
+
+
+def test_sparse_explicit_lambda_and_validation():
+    truth, c = _sparse_truth(d=3, degree=2, s=3)
+    theta = jax.random.normal(jax.random.key(7), (40, 3))
+    y = truth(theta)
+    pce = PCE(3, 2).fit_sparse(theta, y, lam=1e-4)
+    assert abs(pce.mean() - 1.5) < 1e-3
+    with pytest.raises(ValueError, match="scalar"):
+        PCE(3, 2).fit_sparse(theta, jnp.zeros((40, 2)))
+    with pytest.raises(ValueError, match="n_folds"):
+        PCE(3, 2).fit_sparse(theta, y, n_folds=1)
