@@ -1053,6 +1053,53 @@ def bench_mfmc():
                 speedup_vs_mc=round(float(out["speedup"]), 1))
 
 
+def bench_heston():
+    """Multi-dimensional SDE MLMC (no reference analogue): the 2-D
+    Heston stochastic-volatility system under full-truncation Euler,
+    correlated Brownian drivers, 3 coupled levels to 512 fine steps —
+    telescoped European call vs the semi-analytic characteristic-
+    function price."""
+    from mlmc_tpu.sim.sde import (coupled_system_functionals, heston,
+                                  heston_call_price)
+
+    params = dict(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+    p_ref = heston_call_price(1.0, 1.0, 0.05, T=1.0, **params)
+    model = heston(mu=0.05, s0=1.0, **params)
+    disc = float(np.exp(-0.05))
+    payoff = lambda pf: disc * jnp.maximum(pf.terminal[:, 0] - 1.0, 0.0)
+    B = 1 << 17
+    levels = [(32, 0), (128, 32), (512, 128)]
+    fns = []
+    for nf, nc in levels:
+        cfg = dict(model=model, total_time=1.0, n_fine=nf, n_coarse=nc)
+        fns.append(jax.jit(lambda k, cfg=cfg: coupled_system_functionals(
+            cfg, k)))
+    keys = jax.random.split(jax.random.key(0), B)
+    for fn in fns:                                  # warm compiles
+        jax.device_get(jax.tree.map(lambda x: x[:1], fn(keys)))
+    t0 = time.perf_counter()
+    total, var_total = 0.0, 0.0
+    for fn in fns:
+        pf_f, _, pf_c = fn(keys)
+        d = np.asarray(payoff(pf_f)
+                       - (payoff(pf_c) if pf_c is not None else 0.0),
+                       np.float64)
+        total += d.mean()
+        var_total += d.var() / B
+    wall = time.perf_counter() - t0
+    se = float(np.sqrt(var_total))
+    return dict(workload=f"Heston 2-D MLMC call, levels {levels}, "
+                         f"{B} coupled paths each",
+                wall_s=round(wall, 3),
+                coupled_paths_per_s=round(3 * B / wall, 1),
+                price=round(float(total), 6),
+                semi_analytic=round(float(p_ref), 6),
+                err=round(abs(float(total) - float(p_ref)), 6),
+                se=round(se, 6),
+                within_6sigma_plus_bias=bool(
+                    abs(float(total) - float(p_ref)) < 6 * se + 2e-4))
+
+
 def bench_ml2r():
     """ML2R (multilevel Richardson-Romberg, no reference analogue): the
     Euler GBM European call on a deliberately SHALLOW 3-level hierarchy
@@ -1592,6 +1639,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "mlblue": bench_mlblue,
            "cmlmc": bench_cmlmc,
            "ml2r": bench_ml2r,
+           "heston": bench_heston,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,
