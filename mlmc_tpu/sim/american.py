@@ -58,6 +58,12 @@ def _poly_basis(x, degree):
     return jnp.stack([x ** k for k in range(degree + 1)], axis=1)
 
 
+def _poly_basis_multi(x, indices):
+    """Total-degree monomials of a normalized [B, dim] state:
+    ``G[b, p] = prod_k x[b, k] ** indices[p, k]`` -> [B, P]."""
+    return jnp.prod(x[:, None, :] ** indices[None, :, :], axis=-1)
+
+
 def bermudan_binomial(s0, strike, rate, sigma, T, n_dates,
                       n_steps=4096, kind="put"):
     """Host CRR binomial Bermudan price (exercise allowed only at the
@@ -98,14 +104,22 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
     ``h, 2h, ..., T`` (h = T/n_dates) by Longstaff-Schwarz regression.
 
     Dynamics: exact GBM transitions under the risk-neutral drift when
-    ``sigma`` is given (no discretization error), else an
+    ``sigma`` is given (no discretization error), an
     :class:`~mlmc_tpu.sim.sde.SDEModel` integrated with ``n_sub``
-    Euler/Milstein substeps per date.
+    Euler/Milstein substeps per date, or an
+    :class:`~mlmc_tpu.sim.sde.SDESystem` (e.g. Heston stochastic
+    volatility) — vector states regress on the TOTAL-DEGREE monomial
+    basis over all components (K = C(dim + degree, degree) terms, e.g.
+    the Heston (S, v) pair at degree 3 gives K = 10), so the stopping
+    rule conditions on the full Markov state, not just the asset.
 
-    :param payoff: immediate exercise value ``s [B] -> [B]`` pure jnp.
+    :param payoff: immediate exercise value pure jnp — ``s [B] -> [B]``
+        (scalar dynamics) or ``s [B, dim] -> [B]`` (SDESystem; e.g.
+        ``lambda s: jnp.maximum(K - s[..., 0], 0.0)``).
     :param degree: polynomial regression degree in ``s / scale``
-        (basis size K = degree + 1).
-    :param scale: state normalization for the basis (default ``s0``).
+        (basis size K = degree + 1 scalar / total-degree count vector).
+    :param scale: state normalization for the basis (default ``s0`` /
+        the system's ``model.s0`` with zeros replaced by 1).
     :param itm_only: restrict the regression to in-the-money paths
         (the Longstaff-Schwartz recommendation; exercise decisions are
         only ever made there).
@@ -125,12 +139,45 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
     if key is None:
         key = jax.random.key(0)
     dtype = jnp.dtype(dtype or jnp.result_type(float))
-    scale = float(scale if scale is not None else s0)
+    is_system = model is not None and hasattr(model, "n_drivers")
     h = T / n_dates
     disc = float(np.exp(-rate * h))
-    K = degree + 1
     B = int(n_paths)
     k_fit, k_eval = jax.random.split(key)
+
+    if is_system:
+        # vector state (e.g. Heston): total-degree regression basis
+        # over all components, Euler-Maruyama substeps
+        from mlmc_tpu.pce import total_degree_indices
+        from mlmc_tpu.sim.sde import _system_step
+
+        if scheme != "euler":
+            raise ValueError("SDESystem pricing integrates with Euler "
+                             "substeps; pass scheme='euler'")
+        dim = model.dim
+        sc = np.asarray(scale if scale is not None else model.s0,
+                        np.float64).ravel()
+        if sc.shape != (dim,):
+            raise ValueError(f"scale must have {dim} components")
+        sc = jnp.asarray(np.where(sc == 0.0, 1.0, np.abs(sc)), dtype)
+        basis_idx = jnp.asarray(total_degree_indices(dim, degree),
+                                dtype)
+        K = basis_idx.shape[0]
+        make_G = lambda s: _poly_basis_multi(s / sc, basis_idx)
+        s0_state = jnp.asarray(model.s0, dtype)
+        dt = h / n_sub
+
+        def date_step(s, kk, i):
+            dws = np.sqrt(dt) * jax.random.normal(
+                kk, (n_sub,) + s.shape[:-1] + (model.n_drivers,), dtype)
+            for j in range(n_sub):
+                t = i * h + j * dt
+                s = _system_step(model, s, t, dws[j], dt)
+            return s
+    else:
+        scale = float(scale if scale is not None else s0)
+        K = degree + 1
+        make_G = lambda s: _poly_basis(s / scale, degree)
 
     if sigma is not None:
         drift_h = float((rate - 0.5 * sigma ** 2) * h)
@@ -139,7 +186,7 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
         def date_step(s, kk, i):
             z = jax.random.normal(kk, s.shape, dtype)
             return s * jnp.exp(drift_h + vol_h * z)
-    else:
+    elif not is_system:
         from mlmc_tpu.sim.sde import _scheme_increment
 
         if scheme == "milstein" and model.diffusion_ds is None:
@@ -164,9 +211,10 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
         return jax.lax.pvary(z, (axis,))
 
     def simulate(kr, n_loc):
-        """Forward panel: [n_dates, n_loc] states at the dates."""
+        """Forward panel: [n_dates, n_loc(, dim)] states at the dates."""
         keys = jax.random.split(kr, n_dates)
-        s0v = _mark(jnp.full((n_loc,), s0, dtype))
+        s0v = _mark(jnp.broadcast_to(s0_state, (n_loc, dim))
+                    if is_system else jnp.full((n_loc,), s0, dtype))
 
         def fwd(s, xs):
             kk, i = xs
@@ -203,8 +251,7 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
         def bwd(v, xs):
             s, c = xs
             v = disc * v
-            x = s / scale
-            G = _poly_basis(x, degree)
+            G = make_G(s)
             ex = payoff(s)
             w = ((ex > 0).astype(dtype) if itm_only
                  else jnp.ones_like(ex))

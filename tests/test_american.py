@@ -10,6 +10,7 @@ integration, and mesh-pooled regression parity.
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from mlmc_tpu.sim.american import (bermudan_binomial, call_payoff,
                                    lsmc_price, put_payoff)
@@ -143,3 +144,55 @@ def test_dual_upper_bound_brackets():
     with pytest.raises(ValueError, match="degree"):
         lsmc_dual_bound(put_payoff(1.0), 1.0, R, T, 8,
                         coef=res["coef"], sigma=SIG, degree=7)
+
+
+def test_system_lsmc_degenerate_heston_matches_binomial():
+    """xi -> 0 with v0 = theta freezes the Heston variance: the 2-D
+    system price must land on the GBM Bermudan binomial with
+    sigma = sqrt(theta), up to CLT + Euler-substep bias."""
+    from mlmc_tpu.sim.sde import heston
+
+    model = heston(mu=R, kappa=2.0, theta=SIG ** 2, xi=1e-5, rho=0.0,
+                   s0=1.0, v0=SIG ** 2)
+    res = lsmc_price(lambda s: jnp.maximum(1.0 - s[..., 0], 0.0),
+                     1.0, R, T, n_dates=8, model=model, n_sub=16,
+                     degree=3, n_paths=1 << 15, key=jax.random.key(21))
+    tree = bermudan_binomial(1.0, 1.0, R, SIG, T, n_dates=8,
+                             n_steps=4096)
+    err = abs(res["price"] - tree)
+    assert err < 4 * res["price_se"] + 3e-3, (res["price"], tree)
+    # total-degree (S, v) basis at degree 3: C(2+3, 3) = 10 terms
+    assert res["coef"].shape == (7, 10)
+
+
+def test_system_lsmc_heston_put_orderings():
+    """Real Heston: the European leg matches put-call parity of the
+    semi-analytic pricer within CLT + Euler bias, and the Bermudan
+    price sits above it (early-exercise premium >= 0)."""
+    from mlmc_tpu.sim.sde import heston, heston_call_price
+
+    params = dict(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+    model = heston(mu=R, s0=1.0, **params)
+    res = lsmc_price(lambda s: jnp.maximum(1.0 - s[..., 0], 0.0),
+                     1.0, R, T, n_dates=8, model=model, n_sub=16,
+                     degree=3, n_paths=1 << 15, key=jax.random.key(22))
+    call = heston_call_price(1.0, 1.0, R, T=T, **params)
+    euro_put = call - 1.0 + np.exp(-R * T)       # parity
+    B = 1 << 15
+    euro_se = 2.0 / np.sqrt(B)                   # crude payoff-var bound
+    assert abs(res["european"] - euro_put) < 4 * euro_se + 3e-3, (
+        res["european"], euro_put)
+    assert res["price"] > res["european"] - 4 * res["price_se"]
+    assert res["exercise_frac"] > 0.0
+
+
+def test_system_lsmc_validation():
+    from mlmc_tpu.sim.sde import heston
+
+    model = heston()
+    with pytest.raises(ValueError, match="euler"):
+        lsmc_price(lambda s: s[..., 0], 1.0, R, T, 4, model=model,
+                   scheme="milstein")
+    with pytest.raises(ValueError, match="components"):
+        lsmc_price(lambda s: s[..., 0], 1.0, R, T, 4, model=model,
+                   scale=(1.0,))
