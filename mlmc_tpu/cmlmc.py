@@ -46,42 +46,78 @@ from mlmc_tpu.estimator import estimate_convergence_rates
 __all__ = ["cmlmc"]
 
 
-def _mean_program(pair_fn, level, chunk, dtype, root):
+def _mean_program(pair_fn, level, chunk, dtype, root, mesh=None):
     """One executable per level: Kahan sums of the correction and its
-    square over a dynamic number of chunks, one flat fetch."""
+    square over a dynamic number of chunks, one flat fetch. With a
+    ``mesh``, each chunk's samples shard across the devices with the
+    IDENTICAL sample-index -> key mapping (offset by device position),
+    so estimates are bit-reproducible across pod sizes up to the psum
+    reduction order."""
     lkey = jax.random.fold_in(root, level)
     is_l0 = level == 0
+    sub = chunk if mesh is None else chunk // mesh.n_devices
 
-    @jax.jit
-    def run(start, n_chunks):
-        def body(c, carry):
-            (s, cs), (s2, cs2), nv = carry
-            idx = (c * jnp.uint32(chunk)
-                   + jnp.arange(chunk, dtype=jnp.uint32))
-            keys = jax.vmap(lambda i: jax.random.fold_in(lkey, i))(idx)
-            fine, coarse, valid = pair_fn(level, keys)
-            d = fine.astype(dtype)
-            valid = valid & jnp.isfinite(d)
-            if not is_l0:
-                c_ = coarse.astype(dtype)
-                valid = valid & jnp.isfinite(c_)
-                d = d - c_
-            d = jnp.where(valid, d, 0.0)
-            out = []
-            for acc, comp, x in ((s, cs, jnp.sum(d)),
-                                 (s2, cs2, jnp.sum(d * d))):
-                y = x - comp
-                t = acc + y
-                out.append((t, (t - acc) - y))
-            return out[0], out[1], nv + jnp.sum(valid).astype(jnp.uint32)
+    def body(c, carry, offset):
+        (s, cs), (s2, cs2), nv = carry
+        idx = (c * jnp.uint32(chunk) + offset
+               + jnp.arange(sub, dtype=jnp.uint32))
+        keys = jax.vmap(lambda i: jax.random.fold_in(lkey, i))(idx)
+        fine, coarse, valid = pair_fn(level, keys)
+        d = fine.astype(dtype)
+        valid = valid & jnp.isfinite(d)
+        if not is_l0:
+            c_ = coarse.astype(dtype)
+            valid = valid & jnp.isfinite(c_)
+            d = d - c_
+        d = jnp.where(valid, d, 0.0)
+        out = []
+        for acc, comp, x in ((s, cs, jnp.sum(d)),
+                             (s2, cs2, jnp.sum(d * d))):
+            y = x - comp
+            t = acc + y
+            out.append((t, (t - acc) - y))
+        return out[0], out[1], nv + jnp.sum(valid).astype(jnp.uint32)
 
-        z = jnp.zeros((), dtype)
+    if mesh is None:
+        @jax.jit
+        def run(start, n_chunks):
+            z = jnp.zeros((), dtype)
+            (s, cs), (s2, cs2), nv = jax.lax.fori_loop(
+                start, start + n_chunks,
+                lambda c, carry: body(c, carry, jnp.uint32(0)),
+                ((z, z), (z, z), jnp.zeros((), jnp.uint32)))
+            return jnp.stack([s, s2, nv.astype(dtype)])
+
+        return run
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                            # older jax
+        from jax.experimental.shard_map import shard_map
+    axis = mesh.axis_name
+
+    def mark(z):
+        # fori_loop carries become device-varying after the first chunk
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(z, (axis,), to="varying")
+        return jax.lax.pvary(z, (axis,))
+
+    def sharded(start, n_chunks):
+        offset = (jax.lax.axis_index(axis).astype(jnp.uint32)
+                  * jnp.uint32(sub))
+        z = mark(jnp.zeros((), dtype))
         (s, cs), (s2, cs2), nv = jax.lax.fori_loop(
-            start, start + n_chunks, body,
-            ((z, z), (z, z), jnp.zeros((), jnp.uint32)))
-        return jnp.stack([s, s2, nv.astype(dtype)])
+            start, start + n_chunks,
+            lambda c, carry: body(c, carry, offset),
+            ((z, z), (z, z), mark(jnp.zeros((), jnp.uint32))))
+        return jnp.stack([
+            jax.lax.psum(s - cs, axis),
+            jax.lax.psum(s2 - cs2, axis),
+            jax.lax.psum(nv, axis).astype(dtype)])
 
-    return run
+    return jax.jit(shard_map(sharded, mesh=mesh.mesh,
+                             in_specs=(P(), P()), out_specs=P()))
 
 
 def cmlmc(pair_fn: Callable, level_steps: Sequence[float], eps: float,
@@ -89,10 +125,14 @@ def cmlmc(pair_fn: Callable, level_steps: Sequence[float], eps: float,
           n_stages: int = 4, seed: int = 0,
           cost_fn: Optional[Callable] = None, chunk_size: int = 1 << 12,
           n_pilot: int = 1 << 12, min_levels: int = 2,
-          alpha_floor: float = 0.25, dtype=None):
+          alpha_floor: float = 0.25, dtype=None, mesh=None):
     """Run the continuation algorithm to total error ``eps``.
 
     :param pair_fn: level contract above, pure jnp.
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        each chunk's samples shard across the devices (chunk_size must
+        divide by the device count) with one psum per level extension;
+        the sample-index -> key mapping is device-count-invariant.
     :param level_steps: discretization steps ``h_l`` of the AVAILABLE
         hierarchy, finest last — the driver activates a prefix of it.
     :param eps: final error target for ``|bias| + z * se``.
@@ -120,9 +160,14 @@ def cmlmc(pair_fn: Callable, level_steps: Sequence[float], eps: float,
         raise ValueError("theta must be in (0, 1)")
     if eps <= 0:
         raise ValueError("eps must be positive")
+    if mesh is not None and chunk_size % mesh.n_devices:
+        raise ValueError(
+            "chunk_size=%d must divide by the mesh's %d devices"
+            % (chunk_size, mesh.n_devices))
     dtype = jnp.dtype(dtype or jnp.result_type(float))
     root = jax.random.key(seed)
-    programs = [_mean_program(pair_fn, lv, chunk_size, dtype, root)
+    programs = [_mean_program(pair_fn, lv, chunk_size, dtype, root,
+                              mesh=mesh)
                 for lv in range(max_l)]
     sums = np.zeros(max_l)
     sums2 = np.zeros(max_l)

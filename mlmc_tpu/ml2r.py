@@ -98,7 +98,8 @@ def ml2r_weights(level_steps: Sequence[float], alpha: float = 1.0):
 def ml2r(pair_fn: Callable, level_steps: Sequence[float],
          target_var: float, alpha: float = 1.0, seed: int = 0,
          cost_fn: Optional[Callable] = None, chunk_size: int = 1 << 12,
-         n_pilot: int = 1 << 12, max_rounds: int = 30, dtype=None):
+         n_pilot: int = 1 << 12, max_rounds: int = 30, dtype=None,
+         mesh=None):
     """Run the ML2R estimator to a statistical variance target.
 
     :param pair_fn: level contract above, pure jnp.
@@ -110,6 +111,10 @@ def ml2r(pair_fn: Callable, level_steps: Sequence[float],
         Milstein/weak-2nd-order schemes: match the scheme).
     :param cost_fn: optional ``level -> relative cost``; measured wall
         per sample otherwise.
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        chunks shard across the devices (chunk_size must divide by the
+        device count), one psum per extension, device-count-invariant
+        sample identity.
     :return: dict with ``mean`` (ML2R), ``mean_mlmc`` (unweighted
         telescope on the same samples), ``var`` (weighted estimator
         variance), ``se``, ``weights`` (w, tail W), ``n_per_level``,
@@ -123,9 +128,14 @@ def ml2r(pair_fn: Callable, level_steps: Sequence[float],
         raise ValueError("target_var must be positive")
     w, W = ml2r_weights(h, alpha)
     L = len(h)
+    if mesh is not None and chunk_size % mesh.n_devices:
+        raise ValueError(
+            "chunk_size=%d must divide by the mesh's %d devices"
+            % (chunk_size, mesh.n_devices))
     dtype = jnp.dtype(dtype or jnp.result_type(float))
     root = jax.random.key(seed)
-    programs = [_mean_program(pair_fn, lv, chunk_size, dtype, root)
+    programs = [_mean_program(pair_fn, lv, chunk_size, dtype, root,
+                              mesh=mesh)
                 for lv in range(L)]
     sums = np.zeros(L)
     sums2 = np.zeros(L)

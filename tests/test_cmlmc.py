@@ -90,3 +90,25 @@ def test_validation():
         cmlmc(synth_pair, STEPS, eps=1e-2, theta=1.5)
     with pytest.raises(ValueError, match="eps"):
         cmlmc(synth_pair, STEPS, eps=0.0)
+
+
+def test_mesh_sharded_matches_single_device():
+    """mesh= shards every level program across the 8-device virtual
+    mesh; the continuation must take the same decisions (same counts,
+    same level choice) and land on the same estimate to
+    reduction-order rounding."""
+    from mlmc_tpu.parallel.mesh import SampleMesh
+    from mlmc_tpu.cmlmc import cmlmc
+
+    kw = dict(eps=2e-3, seed=6, n_stages=2, n_pilot=1 << 10,
+              chunk_size=1 << 10, cost_fn=lambda lv: 2.0 ** lv)
+    r1 = cmlmc(synth_pair, STEPS, **kw)
+    r8 = cmlmc(synth_pair, STEPS, mesh=SampleMesh(), **kw)
+    assert r1["n_levels"] == r8["n_levels"]
+    np.testing.assert_array_equal(r1["n_per_level"], r8["n_per_level"])
+    np.testing.assert_allclose(r1["level_means"], r8["level_means"],
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(r1["mean"], r8["mean"], rtol=1e-10)
+    with pytest.raises(ValueError, match="divide"):
+        cmlmc(synth_pair, STEPS, eps=1e-2, chunk_size=10,
+              mesh=SampleMesh())

@@ -92,3 +92,23 @@ def test_validation():
         ml2r(lambda l, k: None, [0.5], target_var=1e-6)
     with pytest.raises(ValueError, match="target_var"):
         ml2r(lambda l, k: None, [0.5, 0.25], target_var=0.0)
+
+
+def test_mesh_sharded_matches_single_device():
+    """mesh= shards chunks over the 8-device virtual mesh with the same
+    sample-index -> key mapping: estimates must agree with the
+    single-device run to reduction-order rounding."""
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    h = [0.5, 0.25, 0.125]
+    kw = dict(target_var=1e-7, alpha=1.0, seed=4, chunk_size=1 << 10,
+              n_pilot=1 << 11, cost_fn=lambda lv: 2.0 ** lv)
+    r1 = ml2r(_poly_pair_fn(h), h, **kw)
+    r8 = ml2r(_poly_pair_fn(h), h, mesh=SampleMesh(), **kw)
+    np.testing.assert_array_equal(r1["n_per_level"], r8["n_per_level"])
+    np.testing.assert_allclose(r1["level_means"], r8["level_means"],
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(r1["mean"], r8["mean"], rtol=1e-11)
+    with pytest.raises(ValueError, match="divide"):
+        ml2r(_poly_pair_fn(h), h, target_var=1e-6, chunk_size=10,
+             mesh=SampleMesh())
