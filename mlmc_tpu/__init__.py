@@ -160,7 +160,7 @@ from mlmc_tpu.smc import smc_tempering, hierarchical_smc
 from mlmc_tpu.rare import subset_simulation, cross_entropy_is
 from mlmc_tpu.collocation import (AdaptiveSparseGrid, SparseGrid,
                                   multilevel_collocation)
-from mlmc_tpu.pce import PCE, total_degree_indices
+from mlmc_tpu.pce import PCE, pce_control_variate, total_degree_indices
 from mlmc_tpu.gp import GP, MultilevelGP, bayes_opt
 from mlmc_tpu.oed import (eig_nmc, expected_information_gain,
                           linear_gaussian_eig)

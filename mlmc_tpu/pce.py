@@ -35,6 +35,7 @@ Cite: reference has no surrogate/PCE capability; nearest neighbours are
 its moment bases (reference mlmc/moments.py:1-), which this module
 deliberately mirrors in recurrence style (mlmc_tpu/moments.py).
 """
+import functools
 import itertools
 import math
 from typing import Callable, Optional, Sequence
@@ -43,7 +44,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["PCE", "total_degree_indices"]
+__all__ = ["PCE", "total_degree_indices", "pce_control_variate"]
 
 
 def total_degree_indices(d: int, degree: int) -> np.ndarray:
@@ -354,3 +355,109 @@ class PCE:
             first, total = first[:, 0], total[:, 0]
         return {"first_order": first, "total_effect": total,
                 "mean": self.mean(), "variance": self.var()}
+
+
+def pce_control_variate(f_fn: Callable, pce: PCE, n: int, key=None,
+                        split: float = 0.5, chunk_size: int = 1 << 13,
+                        dtype=None):
+    """Estimate ``E[f]`` with the fitted expansion as a control variate
+    whose mean is EXACT:
+
+        est = mean_n[ f(theta) - beta (g(theta) - E[g]) ],
+
+    where ``g`` is the PCE surrogate and ``E[g] = c_0`` comes from the
+    coefficients with zero error (orthonormality) — unlike MFMC, no
+    budget is spent estimating the surrogate's own mean. ``beta`` is
+    the regression-optimal ``Cov(f, g)/Var(g)`` fitted on the FIRST
+    ``split`` fraction of the samples and FROZEN on the rest, so the
+    reported estimate is exactly unbiased (a same-sample beta carries
+    the classical O(1/n) plug-in bias). Variance shrinks by
+    ``1 - rho^2`` of the evaluation half — a rho = 0.995 surrogate
+    cuts the sample budget ~100x.
+
+    Everything runs as chunked jitted device passes: the surrogate is
+    one [C, P] design matmul riding the same batch as ``f``.
+
+    :param f_fn: pure jnp ``theta [d] -> scalar``.
+    :param pce: a FITTED scalar :class:`PCE` (its basis fixes the input
+        law: hermite -> N(0,1)^d, legendre -> U(-1,1)^d).
+    :param n: total model evaluations (split between beta fit and
+        estimate).
+    :return: dict with ``mean``, ``se``, ``beta``, ``rho`` (fit-half
+        correlation), ``var_reduction`` (plain-MC variance of the
+        evaluation half / CV variance), ``n_fit``, ``n_eval``.
+    """
+    pce._need_fit()
+    if not pce._scalar:
+        raise ValueError("control variates target one scalar QoI")
+    if not 0.0 < split < 1.0:
+        raise ValueError("split must be in (0, 1)")
+    if key is None:
+        key = jax.random.key(0)
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    d = pce.d
+    g_mean = float(pce.mean())
+    n_fit = max(int(n * split), 2)
+    n_eval = max(int(n) - n_fit, 2)
+    k_fit, k_eval = jax.random.split(key)
+
+    def draw(k, m):
+        if pce.basis == "hermite":
+            return jax.random.normal(k, (m, d), dtype)
+        return jax.random.uniform(k, (m, d), dtype, -1.0, 1.0)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def moments(k, m_static):
+        theta = draw(k, m_static)
+        f = jax.vmap(f_fn)(theta).astype(dtype)
+        g = pce(theta).astype(dtype)
+        return jnp.stack([jnp.sum(f), jnp.sum(g), jnp.sum(f * g),
+                          jnp.sum(f * f), jnp.sum(g * g)])
+
+    def accumulate(k, m):
+        total = np.zeros(5)
+        done = 0
+        i = 0
+        while done < m:
+            take = min(chunk_size, m - done)
+            total += np.asarray(jax.device_get(
+                moments(jax.random.fold_in(k, i), take)), np.float64)
+            done += take
+            i += 1
+        return total, done
+
+    (sf, sg, sfg, sff, sgg), m = accumulate(k_fit, n_fit)
+    mf, mg = sf / m, sg / m
+    cov = sfg / m - mf * mg
+    var_g = max(sgg / m - mg * mg, 1e-300)
+    var_f = max(sff / m - mf * mf, 1e-300)
+    beta = cov / var_g
+    rho = cov / np.sqrt(var_f * var_g)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def cv_moments(k, m_static):
+        theta = draw(k, m_static)
+        f = jax.vmap(f_fn)(theta).astype(dtype)
+        g = pce(theta).astype(dtype)
+        z = f - beta * (g - g_mean)
+        return jnp.stack([jnp.sum(z), jnp.sum(z * z),
+                          jnp.sum(f), jnp.sum(f * f)])
+
+    total = np.zeros(4)
+    done = 0
+    i = 0
+    while done < n_eval:
+        take = min(chunk_size, n_eval - done)
+        total += np.asarray(jax.device_get(cv_moments(
+            jax.random.fold_in(k_eval, i), take)), np.float64)
+        done += take
+        i += 1
+    sz, szz, sf2, sff2 = total
+    mean = sz / done
+    var_z = max(szz / done - mean * mean, 0.0)
+    var_plain = max(sff2 / done - (sf2 / done) ** 2, 1e-300)
+    return {"mean": float(mean),
+            "se": float(np.sqrt(var_z / done)),
+            "beta": float(beta), "rho": float(rho),
+            "var_reduction": float(var_plain / max(var_z, 1e-300)),
+            "n_fit": int(m), "n_eval": int(done)}

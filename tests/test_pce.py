@@ -189,3 +189,39 @@ def test_sparse_explicit_lambda_and_validation():
         PCE(3, 2).fit_sparse(theta, jnp.zeros((40, 2)))
     with pytest.raises(ValueError, match="n_folds"):
         PCE(3, 2).fit_sparse(theta, y, n_folds=1)
+
+
+def test_control_variate_exact_surrogate_mean():
+    """With the surrogate's mean exact from the coefficients, the CV
+    estimator is unbiased and its measured variance reduction tracks
+    1/(1 - rho^2) of the fit correlation."""
+    from mlmc_tpu.pce import pce_control_variate
+
+    a = jnp.asarray([0.6, 0.4, 0.2])
+    f = lambda th: jnp.exp(a @ th)
+    exact = float(np.exp(0.5 * float(a @ a)))
+    theta = jax.random.normal(jax.random.key(0), (400, 3))
+    pce = PCE(3, 4).fit_regression(theta, jax.vmap(f)(theta))
+    res = pce_control_variate(f, pce, n=1 << 14, key=jax.random.key(1))
+    assert abs(res["mean"] - exact) < 5 * res["se"] + 1e-6
+    assert res["rho"] > 0.99
+    assert res["var_reduction"] > 30.0, res
+    # the CV se must be far below the plain-MC se at the same n_eval
+    plain_se = np.sqrt(np.exp(2 * float(a @ a))
+                       - np.exp(float(a @ a))) / np.sqrt(res["n_eval"])
+    assert res["se"] < 0.3 * plain_se
+
+
+def test_control_variate_validation():
+    from mlmc_tpu.pce import pce_control_variate
+
+    pce = PCE(2, 2)
+    with pytest.raises(RuntimeError, match="fit"):
+        pce_control_variate(lambda th: th[0], pce, 100)
+    theta = jax.random.normal(jax.random.key(2), (50, 2))
+    pce.fit_regression(theta, jnp.stack([theta[:, 0]] * 2, axis=1))
+    with pytest.raises(ValueError, match="scalar"):
+        pce_control_variate(lambda th: th[0], pce, 100)
+    pce2 = PCE(2, 2).fit_regression(theta, theta[:, 0])
+    with pytest.raises(ValueError, match="split"):
+        pce_control_variate(lambda th: th[0], pce2, 100, split=1.5)
