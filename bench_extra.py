@@ -1088,6 +1088,23 @@ def bench_heston():
         var_total += d.var() / B
     wall = time.perf_counter() - t0
     se = float(np.sqrt(var_total))
+
+    # Bermudan put under the SAME dynamics: LSMC on the full (S, v)
+    # Markov state + nested-MC Rogers dual — a tree-free two-sided
+    # certificate where NO closed form exists
+    from mlmc_tpu.sim.american import lsmc_dual_bound, lsmc_price
+
+    put = lambda s: jnp.maximum(1.0 - s[..., 0], 0.0)
+    n_dates = 16
+    kw = dict(model=model, n_sub=8, degree=3, n_paths=1 << 16)
+    lo = lsmc_price(put, 1.0, 0.05, 1.0, n_dates,
+                    key=jax.random.key(41), **kw)
+    surf = lsmc_price(put, 1.0, 0.05, 1.0, n_dates, itm_only=False,
+                      key=jax.random.key(42), **kw)
+    up = lsmc_dual_bound(put, 1.0, 0.05, 1.0, n_dates,
+                         coef=surf["coef"], model=model, n_sub=8,
+                         n_paths=1 << 12, n_inner=512,
+                         key=jax.random.key(43))
     return dict(workload=f"Heston 2-D MLMC call, levels {levels}, "
                          f"{B} coupled paths each",
                 wall_s=round(wall, 3),
@@ -1097,7 +1114,13 @@ def bench_heston():
                 err=round(abs(float(total) - float(p_ref)), 6),
                 se=round(se, 6),
                 within_6sigma_plus_bias=bool(
-                    abs(float(total) - float(p_ref)) < 6 * se + 2e-4))
+                    abs(float(total) - float(p_ref)) < 6 * se + 2e-4),
+                bermudan_put_bracket=[round(lo["price"], 5),
+                                      round(up["upper"], 5)],
+                bermudan_bracket_width_pct=round(
+                    100 * (up["upper"] - lo["price"]) / lo["price"], 2),
+                bermudan_wall_s=round(
+                    lo["wall_s"] + surf["wall_s"] + up["wall_s"], 2))
 
 
 def bench_ml2r():

@@ -329,7 +329,8 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
 
 
 def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
-                    n_dates: int, coef, sigma: float,
+                    n_dates: int, coef, sigma: Optional[float] = None,
+                    model=None, scheme: str = "euler", n_sub: int = 1,
                     degree: Optional[int] = None,
                     scale: Optional[float] = None,
                     n_paths: int = 1 << 14, n_inner: int = 64,
@@ -357,28 +358,42 @@ def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
     ever INCREASES the bound — it remains a valid upper bound in
     expectation while the CV removes nearly all of the inflation.
 
-    Exact GBM transitions only (``sigma``); pair it with an exact-GBM
-    :func:`lsmc_price` fit. The surface must be valid EVERYWHERE, not
-    just in the money: fit it with ``itm_only=False`` (an ITM-only
-    polynomial extrapolates wildly out of the money, where ``V = max(0,
-    C)`` then inflates the martingale increments — observed to blow the
-    duality gap from ~2% to ~60% of the price on an at-the-money put).
+    Dynamics (match the fit): exact GBM (``sigma``) gets the closed-form
+    control variate above; an :class:`~mlmc_tpu.sim.sde.SDEModel` or
+    :class:`~mlmc_tpu.sim.sde.SDESystem` (e.g. Heston — pass the SAME
+    ``n_sub`` as the fit) estimates the one-date inner expectation by
+    plain ANTITHETIC nested MC instead: without the CV the Jensen
+    inflation shrinks only as ~1/n_inner, so budget more inner samples
+    (256+) — the bound stays VALID (noise can only raise it), just
+    looser. The surface must be valid EVERYWHERE, not just in the
+    money: fit it with ``itm_only=False`` (an ITM-only polynomial
+    extrapolates wildly out of the money, where ``V = max(0, C)`` then
+    inflates the martingale increments — observed to blow the duality
+    gap from ~2% to ~60% of the price on an at-the-money put).
 
     :param coef: [n_dates - 1, K] regression coefficients from
         ``lsmc_price(..., itm_only=False)["coef"]``.
+    :param degree: basis degree; default infers it from K (scalar:
+        K - 1; system: the total degree with C(dim + p, p) = K).
     :return: dict with ``upper``, ``upper_se``, ``wall_s``.
     """
+    if (sigma is None) == (model is None):
+        raise ValueError("pass exactly one of sigma (exact GBM) / model")
     if key is None:
         key = jax.random.key(1)
     dtype = jnp.dtype(dtype or jnp.result_type(float))
     coef = jnp.asarray(coef, dtype)
     K = coef.shape[1]
+    if n_inner % 2:
+        raise ValueError("n_inner must be even (antithetic pairs)")
+    if model is not None:
+        return _dual_bound_model(payoff, s0, rate, T, n_dates, coef,
+                                 model, scheme, n_sub, degree, scale,
+                                 int(n_paths), int(n_inner), key, dtype)
     if degree is None:
         degree = K - 1
     if degree + 1 != K:
         raise ValueError("degree+1 must match coef's second dim")
-    if n_inner % 2:
-        raise ValueError("n_inner must be even (antithetic pairs)")
     scale = float(scale if scale is not None else s0)
     h = T / n_dates
     disc = float(np.exp(-rate * h))
@@ -431,6 +446,138 @@ def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
             return (s, M, best), None
 
         best0 = payoff(s0v)                       # i = 0 term, M_0 = 0
+        (s, M, best), _ = jax.lax.scan(
+            step, (s0v, jnp.zeros((B,), dtype), best0),
+            (keys, ikeys, jnp.arange(1, n_dates + 1)))
+        return jnp.sum(best), jnp.sum(best * best)
+
+    t0 = time.perf_counter()
+    sm, sq = [float(x) for x in jax.device_get(run())]
+    upper = sm / B
+    se = float(np.sqrt(max(sq / B - upper ** 2, 0.0) / B))
+    return {"upper": upper, "upper_se": se,
+            "wall_s": time.perf_counter() - t0}
+
+
+def _dual_bound_model(payoff, s0, rate, T, n_dates, coef, model, scheme,
+                      n_sub, degree, scale, B, n_inner, key, dtype):
+    """Model-dynamics branch of :func:`lsmc_dual_bound`: Euler(/Milstein)
+    substep transitions, plain antithetic nested inner expectation (no
+    closed-form control variate — the Jensen inflation of the max only
+    ever RAISES the bound, so validity is preserved)."""
+    is_system = hasattr(model, "n_drivers")
+    K = coef.shape[1]
+    h = T / n_dates
+    disc = float(np.exp(-rate * h))
+    dt = h / n_sub
+    if is_system:
+        from mlmc_tpu.pce import total_degree_indices
+        from mlmc_tpu.sim.sde import _system_step
+
+        if scheme != "euler":
+            raise ValueError("SDESystem duals integrate with Euler "
+                             "substeps; pass scheme='euler'")
+        dim = model.dim
+        if degree is None:
+            degree = next(
+                (p for p in range(1, 16)
+                 if len(total_degree_indices(dim, p)) == K), None)
+            if degree is None:
+                raise ValueError(
+                    f"no total degree matches K={K} in dim {dim}; "
+                    "pass degree explicitly")
+        basis_idx_np = total_degree_indices(dim, degree)
+        if len(basis_idx_np) != K:
+            raise ValueError("degree/coef mismatch: total degree "
+                             f"{degree} has {len(basis_idx_np)} terms, "
+                             f"coef has {K}")
+        sc = np.asarray(scale if scale is not None else model.s0,
+                        np.float64).ravel()
+        if sc.shape != (dim,):
+            raise ValueError(f"scale must have {dim} components")
+        sc = jnp.asarray(np.where(sc == 0.0, 1.0, np.abs(sc)), dtype)
+        basis_idx = jnp.asarray(basis_idx_np, dtype)
+        make_G = lambda s: _poly_basis_multi(s / sc, basis_idx)
+        s0_state = jnp.asarray(model.s0, dtype)
+
+        def date_step(s, dws, i):
+            # s [..., dim], dws [n_sub, ..., n_drivers]
+            flat = s.reshape((-1, dim))
+            for j in range(n_sub):
+                t = i * h + j * dt
+                flat = _system_step(model, flat,
+                                    t, dws[j].reshape((-1,
+                                                       model.n_drivers)),
+                                    dt)
+            return flat.reshape(s.shape)
+
+        def draw(kk, shape):
+            return np.sqrt(dt) * jax.random.normal(
+                kk, (n_sub,) + shape + (model.n_drivers,), dtype)
+    else:
+        from mlmc_tpu.sim.sde import _scheme_increment
+
+        if degree is None:
+            degree = K - 1
+        if degree + 1 != K:
+            raise ValueError("degree+1 must match coef's second dim")
+        if scheme == "milstein" and model.diffusion_ds is None:
+            raise ValueError("Milstein needs SDEModel.diffusion_ds")
+        dim = 1
+        sc_f = float(scale if scale is not None else s0)
+        make_G = lambda s: _poly_basis(s / sc_f, degree)
+        s0_state = jnp.asarray(model.s0, dtype)
+
+        def date_step(s, dws, i):
+            for j in range(n_sub):
+                t = i * h + j * dt
+                s = s + _scheme_increment(model, scheme, s, t, dws[j],
+                                          dt)
+            return s
+
+        def draw(kk, shape):
+            return np.sqrt(dt) * jax.random.normal(
+                kk, (n_sub,) + shape, dtype)
+
+    def cont_poly(s, i):
+        flat = s.reshape((-1, dim) if is_system else (-1,))
+        out = make_G(flat) @ coef[i - 1]
+        return out.reshape(s.shape[:-1] if is_system else s.shape)
+
+    def value(s, i):
+        ex = payoff(s)
+        return jnp.where(i == n_dates, ex,
+                         jnp.maximum(ex, cont_poly(s, i)))
+
+    k_path, k_inner = jax.random.split(key)
+
+    @jax.jit
+    def run():
+        shape0 = (B, dim) if is_system else (B,)
+        s0v = jnp.broadcast_to(s0_state, shape0) if is_system \
+            else jnp.full((B,), float(s0), dtype)
+        keys = jax.random.split(k_path, n_dates)
+        ikeys = jax.random.split(k_inner, n_dates)
+
+        def step(carry, xs):
+            s_prev, M, best = carry
+            kk, ik, i = xs
+            s = date_step(s_prev, draw(kk, (B,)), i - 1)
+            d_i = disc ** i.astype(dtype)
+            v_here = d_i * value(s, i)
+            # antithetic one-date inner transitions from s_prev
+            half = draw(ik, (n_inner // 2, B))
+            dws = jnp.concatenate([half, -half], axis=1)
+            s_prev_rep = jnp.broadcast_to(
+                s_prev[None], (n_inner,) + s_prev.shape)
+            s_in = date_step(s_prev_rep, dws, i - 1)
+            e_v = jnp.mean(jax.vmap(lambda sr: value(sr, i))(s_in),
+                           axis=0)
+            M = M + v_here - d_i * e_v
+            best = jnp.maximum(best, d_i * payoff(s) - M)
+            return (s, M, best), None
+
+        best0 = payoff(s0v)
         (s, M, best), _ = jax.lax.scan(
             step, (s0v, jnp.zeros((B,), dtype), best0),
             (keys, ikeys, jnp.arange(1, n_dates + 1)))

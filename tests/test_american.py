@@ -196,3 +196,65 @@ def test_system_lsmc_validation():
     with pytest.raises(ValueError, match="components"):
         lsmc_price(lambda s: s[..., 0], 1.0, R, T, 4, model=model,
                    scale=(1.0,))
+
+
+def test_dual_bound_model_dynamics():
+    """The nested-MC dual (no closed-form CV) on SDEModel/SDESystem
+    dynamics: on degenerate Heston (xi -> 0 = GBM sigma=0.2) the upper
+    bound must sit above the binomial value and the bracket must be
+    reasonably tight; the scalar-SDEModel branch cross-checks against
+    the exact-GBM CV branch (same surface, plain-MC inner can only sit
+    HIGHER in expectation, within CLT noise)."""
+    from mlmc_tpu.sim.american import lsmc_dual_bound
+    from mlmc_tpu.sim.sde import heston
+
+    model = heston(mu=R, kappa=2.0, theta=SIG ** 2, xi=1e-5, rho=0.0,
+                   s0=1.0, v0=SIG ** 2)
+    put = lambda s: jnp.maximum(1.0 - s[..., 0], 0.0)
+    fit = lsmc_price(put, 1.0, R, T, n_dates=8, model=model, n_sub=4,
+                     degree=3, n_paths=1 << 14, itm_only=False,
+                     key=jax.random.key(31))
+    dual = lsmc_dual_bound(put, 1.0, R, T, 8, coef=fit["coef"],
+                           model=model, n_sub=4, n_paths=1 << 11,
+                           n_inner=256, key=jax.random.key(32))
+    tree = bermudan_binomial(1.0, 1.0, R, SIG, T, n_dates=8,
+                             n_steps=4096)
+    assert dual["upper"] + 4 * dual["upper_se"] > tree, (dual, tree)
+    gap = dual["upper"] - fit["price"]
+    assert gap < 0.5 * tree + 4 * dual["upper_se"], (gap, tree)
+
+    # scalar SDEModel branch vs the closed-form-CV GBM branch
+    fit_g = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=8, sigma=SIG,
+                       n_paths=1 << 14, itm_only=False,
+                       key=jax.random.key(33))
+    d_cv = lsmc_dual_bound(put_payoff(1.0), 1.0, R, T, 8,
+                           coef=fit_g["coef"], sigma=SIG,
+                           n_paths=1 << 11, n_inner=256,
+                           key=jax.random.key(34))
+    d_mc = lsmc_dual_bound(put_payoff(1.0), 1.0, R, T, 8,
+                           coef=fit_g["coef"], model=gbm(R, SIG, 1.0),
+                           n_sub=8, n_paths=1 << 11, n_inner=256,
+                           key=jax.random.key(34))
+    # nested-MC Jensen inflation only pushes UP (+ CLT/Euler slack)
+    tol = 4 * (d_cv["upper_se"] + d_mc["upper_se"]) + 3e-3
+    assert d_mc["upper"] > d_cv["upper"] - tol, (d_mc, d_cv)
+    assert d_mc["upper"] < d_cv["upper"] + 0.3 * tree
+
+
+def test_dual_bound_model_validation():
+    from mlmc_tpu.sim.american import lsmc_dual_bound
+    from mlmc_tpu.sim.sde import heston
+
+    model = heston()
+    coef = np.zeros((7, 10))
+    with pytest.raises(ValueError, match="exactly one"):
+        lsmc_dual_bound(lambda s: s, 1.0, R, T, 8, coef=coef)
+    with pytest.raises(ValueError, match="exactly one"):
+        lsmc_dual_bound(lambda s: s, 1.0, R, T, 8, coef=coef,
+                        sigma=SIG, model=model)
+    with pytest.raises(ValueError, match="euler"):
+        lsmc_dual_bound(lambda s: s, 1.0, R, T, 8, coef=coef,
+                        model=model, scheme="milstein")
+    with pytest.raises(ValueError, match="no total degree"):
+        lsmc_dual_bound(lambda s: s, 1.0, R, T, 8,
+                        coef=np.zeros((7, 11)), model=model)
