@@ -35,14 +35,15 @@ the early-exercise premium ordering (tests/test_american.py).
 No reference analogue: GeoMop/MLMC has no optimal-stopping capability.
 """
 import time
+from math import comb as _comb
 from typing import Callable, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lsmc_price", "lsmc_dual_bound", "put_payoff",
-           "call_payoff", "bermudan_binomial"]
+__all__ = ["lsmc_price", "lsmc_dual_bound", "lsmc_swing",
+           "put_payoff", "call_payoff", "bermudan_binomial"]
 
 
 def put_payoff(strike):
@@ -62,6 +63,52 @@ def _poly_basis_multi(x, indices):
     """Total-degree monomials of a normalized [B, dim] state:
     ``G[b, p] = prod_k x[b, k] ** indices[p, k]`` -> [B, P]."""
     return jnp.prod(x[:, None, :] ** indices[None, :, :], axis=-1)
+
+
+def _blocked_normal_eq(G, y, blk=2048):
+    """``(G^T G, G^T y)`` with BOUNDED f32 accumulation windows.
+
+    A single [B, K]x[K, B] contraction accumulates the whole sample
+    axis into one f32 running sum: at B = 131072 the rounding random
+    walk reaches ~2e-5 relative on the Gram entries (measured on the
+    v5e), which a raw-monomial cond(A) ~ 2e5 turns into O(1)
+    coefficient error — the 50-date global LSMC fit silently bled 8% of
+    the option value, worsening WITH more paths. Two-stage contraction
+    (per-2048-block partials, then a short cross-block sum) bounds the
+    window to ~3e-6 at any B. y may be [B] or [B, Q].
+    """
+    B, K = G.shape
+    y2 = y[:, None] if y.ndim == 1 else y
+    blk = min(blk, B)
+    nb = -(-B // blk)
+    pad = nb * blk - B
+    if pad:
+        G = jnp.concatenate(
+            [G, jnp.zeros((pad, K), G.dtype)], axis=0)
+        y2 = jnp.concatenate(
+            [y2, jnp.zeros((pad, y2.shape[1]), y2.dtype)], axis=0)
+    Gb = G.reshape(nb, blk, K)
+    yb = y2.reshape(nb, blk, y2.shape[1])
+    hi = jax.lax.Precision.HIGHEST
+    A = jnp.einsum("nbi,nbj->nij", Gb, Gb, precision=hi).sum(axis=0)
+    b = jnp.einsum("nbi,nbq->niq", Gb, yb, precision=hi).sum(axis=0)
+    return A, (b[:, 0] if y.ndim == 1 else b)
+
+
+def _equilibrated_solve(A, b, eps):
+    """Solve the normal equations after Jacobi equilibration
+    ``D A D (x/D) = D b``, D = diag(A)^-1/2 — with a CENTERED basis
+    this drops the lognormal-state monomial Gram's condition number
+    from ~2e5 (raw, un-equilibrated) to ~20 at degree 3 / ~500 at
+    degree 5 (measured), so f32 solves keep ~4 significant digits of
+    the coefficients. The ridge acts on the equilibrated (unit
+    diagonal) scale."""
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A), 1e-30))
+    Ae = A * d[:, None] * d[None, :] \
+        + eps * jnp.eye(A.shape[0], dtype=A.dtype)
+    be = b * (d[:, None] if b.ndim == 2 else d)
+    x = jnp.linalg.solve(Ae, be)
+    return x * (d[:, None] if b.ndim == 2 else d)
 
 
 def bermudan_binomial(s0, strike, rate, sigma, T, n_dates,
@@ -163,7 +210,7 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
         basis_idx = jnp.asarray(total_degree_indices(dim, degree),
                                 dtype)
         K = basis_idx.shape[0]
-        make_G = lambda s: _poly_basis_multi(s / sc, basis_idx)
+        make_G = lambda s: _poly_basis_multi(s / sc - 1.0, basis_idx)
         s0_state = jnp.asarray(model.s0, dtype)
         dt = h / n_sub
 
@@ -177,7 +224,7 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
     else:
         scale = float(scale if scale is not None else s0)
         K = degree + 1
-        make_G = lambda s: _poly_basis(s / scale, degree)
+        make_G = lambda s: _poly_basis(s / scale - 1.0, degree)
 
     if sigma is not None:
         drift_h = float((rate - 0.5 * sigma ** 2) * h)
@@ -229,17 +276,16 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
     axis = mesh.axis_name if mesh is not None else None
 
     def normal_fit(G, w, y):
-        """Pooled weighted least squares across shards: [K, K] normal
-        equations + ridge at f32 scale."""
+        """Pooled weighted least squares across shards: blocked [K, K]
+        normal equations (bounded f32 accumulation windows) + Jacobi
+        equilibration — see _blocked_normal_eq/_equilibrated_solve for
+        the measured f32-hardware failure modes both guard against."""
         Gw = G * w[:, None]
-        A = psum(jnp.matmul(Gw.T, G,
-                            precision=jax.lax.Precision.HIGHEST),
-                 axis_name=axis)
-        b = psum(Gw.T @ y, axis_name=axis)
-        nw = psum(jnp.sum(w), axis_name=axis)
-        eps = (1e-7 if jnp.finfo(dtype).bits < 64 else 1e-13)
-        A = A + eps * jnp.maximum(nw, 1.0) * jnp.eye(K, dtype=dtype)
-        return jnp.linalg.solve(A, b)
+        A, b = _blocked_normal_eq(Gw, y * w)
+        A = psum(A, axis_name=axis)
+        b = psum(b, axis_name=axis)
+        eps = (1e-6 if jnp.finfo(dtype).bits < 64 else 1e-12)
+        return _equilibrated_solve(A, b, eps)
 
     def backward(panel, coefs, fit):
         """Backward induction over dates n_dates-1 .. 1. ``fit``
@@ -257,7 +303,8 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
                  else jnp.ones_like(ex))
             if fit:
                 c = normal_fit(G, w, v)
-            cont = G @ c
+            cont = jnp.matmul(G, c,
+                              precision=jax.lax.Precision.HIGHEST)
             take = (ex > 0) & (ex > cont)
             v = jnp.where(take, ex, v)
             return v, (c, take.astype(dtype))
@@ -382,6 +429,7 @@ def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
     if key is None:
         key = jax.random.key(1)
     dtype = jnp.dtype(dtype or jnp.result_type(float))
+    coef_np = np.asarray(coef, np.float64)
     coef = jnp.asarray(coef, dtype)
     K = coef.shape[1]
     if n_inner % 2:
@@ -406,7 +454,9 @@ def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
         """Frozen continuation surface C_i(s); jnp index clamping makes
         the terminal date reuse the last regression row (used only as a
         control variate there, so any unbiased surrogate is valid)."""
-        return _poly_basis(s / scale, degree) @ coef[i - 1]
+        return jnp.matmul(_poly_basis(s / scale - 1.0, degree),
+                          coef[i - 1],
+                          precision=jax.lax.Precision.HIGHEST)
 
     def value(s, i):
         """V_i(s) in date-i money: exercise vs the frozen continuation
@@ -414,10 +464,30 @@ def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
         ex = payoff(s)
         return jnp.where(i == n_dates, ex, jnp.maximum(ex, cont_poly(s, i)))
 
-    # closed-form lognormal moments of the normalized monomial basis
+    # closed-form conditional moments of the CENTERED basis, expanded
+    # back IN the centered basis of s_prev: with u = S_{i-1}/scale - 1
+    # and G = exp(mu h + sigma sqrt(h) Z),
+    #   E[((1+u) G - 1)^k | u] = sum_l u^l Q[k, l],
+    #   Q[k, l] = sum_j C(k,j) (-1)^(k-j) C(j,l) m_j,
+    # m_j the raw lognormal moments. Q -> identity as h -> 0 (binomial
+    # inversion at m = 1), so folding it into the coefficients
+    # (w_i = Q^T coef_i, in f64 ON HOST) keeps the device dot in the
+    # same well-conditioned centered basis the surface itself uses.
+    # The earlier raw-monomial route was measured fatally f32-hostile:
+    # narrow early-date state distributions give degree-5 centered fits
+    # coefficients ~1e3, whose raw-basis image needs ~9 cancelling
+    # digits (+/-1.3e4 terms summing to 0.05) — the martingale drifted
+    # and the 50-date dual collapsed to 0 on the v5e.
     ks = np.arange(K)
-    basis_mom = jnp.asarray(
-        np.exp(ks * drift_h + 0.5 * (ks * vol_h) ** 2), dtype)
+    raw_mom = np.exp(ks * drift_h + 0.5 * (ks * vol_h) ** 2)
+    Qmat = np.zeros((K, K))
+    for k in range(K):
+        for l in range(k + 1):
+            Qmat[k, l] = sum(
+                _comb(k, j) * (-1.0) ** (k - j) * _comb(j, l)
+                * raw_mom[j] for j in range(l, k + 1))
+    cv_w = jnp.asarray(Qmat.T @ coef_np.T, dtype)
+    # cv_w [K(centered l), n_dates - 1]
 
     @jax.jit
     def run():
@@ -434,8 +504,10 @@ def lsmc_dual_bound(payoff: Callable, s0: float, rate: float, T: float,
             v_here = d_i * value(s, i)
             # one-step inner conditional expectation of V_i from
             # S_{i-1}: exact E[C_i | S_{i-1}] + antithetic MC residual
-            exact_ec = (_poly_basis(s_prev / scale, degree)
-                        * basis_mom[None, :]) @ coef[i - 1]
+            exact_ec = jnp.matmul(
+                _poly_basis(s_prev / scale - 1.0, degree),
+                cv_w[:, jnp.minimum(i - 1, cv_w.shape[1] - 1)],
+                precision=jax.lax.Precision.HIGHEST)
             zh = jax.random.normal(ik, (n_inner // 2, B), dtype)
             zi = jnp.concatenate([zh, -zh], axis=0)
             s_in = s_prev[None, :] * jnp.exp(drift_h + vol_h * zi)
@@ -497,7 +569,7 @@ def _dual_bound_model(payoff, s0, rate, T, n_dates, coef, model, scheme,
             raise ValueError(f"scale must have {dim} components")
         sc = jnp.asarray(np.where(sc == 0.0, 1.0, np.abs(sc)), dtype)
         basis_idx = jnp.asarray(basis_idx_np, dtype)
-        make_G = lambda s: _poly_basis_multi(s / sc, basis_idx)
+        make_G = lambda s: _poly_basis_multi(s / sc - 1.0, basis_idx)
         s0_state = jnp.asarray(model.s0, dtype)
 
         def date_step(s, dws, i):
@@ -525,7 +597,7 @@ def _dual_bound_model(payoff, s0, rate, T, n_dates, coef, model, scheme,
             raise ValueError("Milstein needs SDEModel.diffusion_ds")
         dim = 1
         sc_f = float(scale if scale is not None else s0)
-        make_G = lambda s: _poly_basis(s / sc_f, degree)
+        make_G = lambda s: _poly_basis(s / sc_f - 1.0, degree)
         s0_state = jnp.asarray(model.s0, dtype)
 
         def date_step(s, dws, i):
@@ -541,7 +613,8 @@ def _dual_bound_model(payoff, s0, rate, T, n_dates, coef, model, scheme,
 
     def cont_poly(s, i):
         flat = s.reshape((-1, dim) if is_system else (-1,))
-        out = make_G(flat) @ coef[i - 1]
+        out = jnp.matmul(make_G(flat), coef[i - 1],
+                         precision=jax.lax.Precision.HIGHEST)
         return out.reshape(s.shape[:-1] if is_system else s.shape)
 
     def value(s, i):
@@ -588,4 +661,132 @@ def _dual_bound_model(payoff, s0, rate, T, n_dates, coef, model, scheme,
     upper = sm / B
     se = float(np.sqrt(max(sq / B - upper ** 2, 0.0) / B))
     return {"upper": upper, "upper_se": se,
+            "wall_s": time.perf_counter() - t0}
+
+
+def lsmc_swing(payoff: Callable, s0: float, rate: float, T: float,
+               n_dates: int, n_rights: int, sigma: float,
+               degree: int = 3, n_paths: int = 1 << 16, key=None,
+               scale: Optional[float] = None, dtype=None):
+    """Swing (multiple-stopping) option: up to ``n_rights`` exercises,
+    at most one per date — the standard energy-market extension of the
+    Bermudan contract (Meinshausen & Hambly, Math. Finance 14, 2004,
+    LSMC form). Backward induction carries one continuation surface
+    PER remaining-rights count q:
+
+        V_{i,q} = max( C_{i,q},  h(S_i) + C_{i,q-1} ),
+        C_{i,q} = E[ disc * V_{i+1,q} | S_i ],
+
+    each C estimated by Longstaff-Schwartz regression of the realized
+    discounted cashflow stack [Q, B] — the whole induction is still ONE
+    jitted ``lax.scan`` over dates (the q-loop is a small static
+    unroll; per date Q MXU normal equations). Two-pass foresight-bias
+    control as in :func:`lsmc_price`: the frozen [n_dates-1, Q, K]
+    surface prices an independent path set.
+
+    Exact closed-form anchors (pinned in tests): ``n_rights = 1`` is
+    the Bermudan; ``n_rights = n_dates`` removes scarcity, so the value
+    is the SUM of European puts across all dates; marginal right values
+    decrease in q.
+
+    Exact GBM dynamics (``sigma``). Global regression (no ITM
+    restriction): with multiple rights the continuation value is
+    nonzero far out of the money.
+
+    :return: dict with ``price`` (out-of-sample), ``price_se``,
+        ``price_insample``, ``prices_by_rights`` [Q] (out-of-sample
+        value at every rights count — the whole value curve falls out
+        of one run), ``coef`` [n_dates - 1, Q, K], ``wall_s``.
+    """
+    if n_dates < 1 or not 1 <= n_rights <= n_dates:
+        raise ValueError("need n_dates >= 1 and 1 <= n_rights <= "
+                         "n_dates")
+    if key is None:
+        key = jax.random.key(0)
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    scale_f = float(scale if scale is not None else s0)
+    h = T / n_dates
+    disc = float(np.exp(-rate * h))
+    drift_h = float((rate - 0.5 * sigma ** 2) * h)
+    vol_h = float(sigma * np.sqrt(h))
+    K = degree + 1
+    Q = int(n_rights)
+    B = int(n_paths)
+    k_fit, k_eval = jax.random.split(key)
+
+    def simulate(kr):
+        keys = jax.random.split(kr, n_dates)
+
+        def fwd(s, kk):
+            s = s * jnp.exp(drift_h + vol_h
+                            * jax.random.normal(kk, s.shape, dtype))
+            return s, s
+
+        _, panel = jax.lax.scan(fwd, jnp.full((B,), s0, dtype), keys)
+        return panel                                 # [n_dates, B]
+
+    def normal_fit(G, y):
+        # Blocked HIGHEST-precision normal equations + equilibrated
+        # solve: two measured v5e failure modes guard this path — bf16
+        # default matmuls bled the 50-date q=1 value 0.0561 -> 0.0418,
+        # and single-window f32 accumulation at B = 131072 bled another
+        # ~8% through the raw-monomial cond(A) ~ 2e5 (see
+        # _blocked_normal_eq / _equilibrated_solve)
+        A, b = _blocked_normal_eq(G, y)
+        eps = (1e-6 if jnp.finfo(dtype).bits < 64 else 1e-12)
+        return _equilibrated_solve(A, b, eps)
+
+    def backward(panel, coefs, fit):
+        ex_T = payoff(panel[-1])
+        # terminal date: exercising is free value for every q >= 1
+        cf = jnp.broadcast_to(ex_T, (Q, B))          # [Q, B] cashflows
+        xs = (panel[:-1][::-1], coefs[::-1])
+
+        def bwd(cf, xs):
+            s, c = xs
+            cf = disc * cf
+            G = _poly_basis(s / scale_f - 1.0, degree)
+            if fit:
+                c = normal_fit(G, cf.T).T            # [Q, K]
+            cont = jnp.matmul(c, G.T,
+                              precision=jax.lax.Precision.HIGHEST)
+            ex = payoff(s)
+            # rights q = 1..Q (index q-1); continuation with q-1
+            # rights after exercising NOW (index q-2; zero for q = 1)
+            cont_below = jnp.concatenate(
+                [jnp.zeros((1, B), dtype), cont[:-1]], axis=0)
+            cf_below = jnp.concatenate(
+                [jnp.zeros((1, B), dtype), cf[:-1]], axis=0)
+            take = (ex > 0) & (ex[None, :] + cont_below > cont)
+            cf = jnp.where(take, ex[None, :] + cf_below, cf)
+            return cf, c
+
+        cf, cs = jax.lax.scan(bwd, cf, xs)
+        return disc * cf, cs[::-1]                   # [Q, B], coefs
+
+    def run(fit):
+        @jax.jit
+        def go(kr, coefs):
+            panel = simulate(kr)
+            values, cs = backward(panel, coefs, fit)
+            return jnp.stack([jnp.sum(values, axis=1),
+                              jnp.sum(values * values, axis=1)]), cs
+
+        return go
+
+    t0 = time.perf_counter()
+    dummy = jnp.zeros((max(n_dates - 1, 1), Q, K), dtype)[:n_dates - 1]
+    stats_in, coefs = run(True)(k_fit, dummy)
+    stats, _ = run(False)(k_eval, coefs)
+    (stats_in, stats), coefs = jax.device_get(((stats_in, stats),
+                                               coefs))
+    sums, sqs = np.asarray(stats, np.float64)
+    prices = sums / B
+    ses = np.sqrt(np.maximum(sqs / B - prices ** 2, 0.0) / B)
+    return {"price": float(prices[-1]), "price_se": float(ses[-1]),
+            "price_insample": float(np.asarray(stats_in[0],
+                                               np.float64)[-1]) / B,
+            "prices_by_rights": prices,
+            "prices_by_rights_se": ses,
+            "coef": np.asarray(coefs, np.float64),
             "wall_s": time.perf_counter() - t0}

@@ -100,8 +100,9 @@ def test_mesh_pooled_regression():
     assert abs(res1["price"] - res8["price"]) < tol, (res1["price"],
                                                       res8["price"])
     # coefficients of the two fits describe the same rule: continuation
-    # values agree where it matters (at the money)
-    x = 1.0
+    # values agree where it matters (at the money; the basis is the
+    # CENTERED monomials of s/scale - 1, so at-the-money x = 0)
+    x = 0.0
     c1, c8 = res1["coef"][0], res8["coef"][0]
     v1 = sum(c * x ** k for k, c in enumerate(c1))
     v8 = sum(c * x ** k for k, c in enumerate(c8))
@@ -258,3 +259,53 @@ def test_dual_bound_model_validation():
     with pytest.raises(ValueError, match="no total degree"):
         lsmc_dual_bound(lambda s: s, 1.0, R, T, 8,
                         coef=np.zeros((7, 11)), model=model)
+
+
+def test_swing_single_right_is_bermudan():
+    """n_rights=1 must reproduce the Bermudan LSMC (same key -> same
+    panels, same decision rule, same global regression)."""
+    from mlmc_tpu.sim.american import lsmc_swing
+
+    kw = dict(sigma=SIG, degree=3, n_paths=1 << 14,
+              key=jax.random.key(51))
+    sw = lsmc_swing(put_payoff(1.0), 1.0, R, T, n_dates=8, n_rights=1,
+                    **kw)
+    be = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=8,
+                    itm_only=False, **kw)
+    assert abs(sw["price"] - be["price"]) < 1e-4, (sw["price"],
+                                                   be["price"])
+
+
+def test_swing_full_rights_is_sum_of_europeans():
+    """n_rights = n_dates removes scarcity: exercise whenever ITM is
+    optimal, so the value equals the SUM of European puts across the
+    dates — a closed-form anchor for the multiple-stopping recursion."""
+    from mlmc_tpu.sim.american import lsmc_swing
+
+    n_dates = 6
+    sw = lsmc_swing(put_payoff(1.0), 1.0, R, T, n_dates=n_dates,
+                    n_rights=n_dates, sigma=SIG, degree=3,
+                    n_paths=1 << 15, key=jax.random.key(52))
+    total = 0.0
+    for i in range(1, n_dates + 1):
+        t = i * T / n_dates
+        call = black_scholes_call(1.0, 1.0, R, SIG, t)
+        total += call - 1.0 + np.exp(-R * t)         # parity, disc to 0
+    assert abs(sw["price"] - total) < 4 * sw["price_se"] + 2e-3, (
+        sw["price"], total)
+    # the whole value curve: increasing in rights, concave increments
+    p = sw["prices_by_rights"]
+    assert np.all(np.diff(p) > -1e-12)
+    inc = np.diff(np.concatenate([[0.0], p]))
+    assert np.all(np.diff(inc) < 1e-4), inc
+
+
+def test_swing_validation():
+    from mlmc_tpu.sim.american import lsmc_swing
+
+    with pytest.raises(ValueError, match="n_rights"):
+        lsmc_swing(put_payoff(1.0), 1.0, R, T, n_dates=4, n_rights=5,
+                   sigma=SIG)
+    with pytest.raises(ValueError, match="n_rights"):
+        lsmc_swing(put_payoff(1.0), 1.0, R, T, n_dates=4, n_rights=0,
+                   sigma=SIG)
