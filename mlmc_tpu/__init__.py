@@ -172,7 +172,8 @@ from mlmc_tpu.risk import (cvar_empirical, cvar_mlmc, mlmc_gradient,
 from mlmc_tpu.cmlmc import cmlmc
 from mlmc_tpu.ml2r import ml2r, ml2r_weights
 from mlmc_tpu.sim.american import (lsmc_price, lsmc_dual_bound,
-                                   lsmc_swing, bermudan_binomial,
-                                   put_payoff, call_payoff)
+                                   lsmc_dual_bound_ml, lsmc_swing,
+                                   bermudan_binomial, put_payoff,
+                                   call_payoff)
 
 __version__ = "0.1.0"

@@ -309,3 +309,53 @@ def test_swing_validation():
     with pytest.raises(ValueError, match="n_rights"):
         lsmc_swing(put_payoff(1.0), 1.0, R, T, n_dates=4, n_rights=0,
                    sigma=SIG)
+
+
+def test_ml_dual_matches_plain_and_decays():
+    """The multilevel nested dual telescopes EXACTLY to the plain
+    estimator's E[U(n_L)]: same fine inner-sample count, independent
+    keys, CLT agreement — while the correction levels' means decay
+    ~ 1/n_l (the Jensen inflation of the max) and their variances sit
+    orders below level 0's (the whole point: the n_L bound at ~n_0
+    inner cost per path)."""
+    from mlmc_tpu.sim.american import lsmc_dual_bound, lsmc_dual_bound_ml
+
+    model = gbm(mu=R, sigma=SIG, s0=1.0)
+    fit = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=4,
+                     model=model, n_sub=1, degree=3, n_paths=1 << 12,
+                     itm_only=False, key=jax.random.key(61))
+    plain = lsmc_dual_bound(put_payoff(1.0), 1.0, R, T, 4, fit["coef"],
+                            model=model, n_sub=1, n_paths=1 << 11,
+                            n_inner=32, key=jax.random.key(62))
+    ml = lsmc_dual_bound_ml(put_payoff(1.0), 1.0, R, T, 4, fit["coef"],
+                            model=model, n_sub=1, n0_inner=8,
+                            n_levels=2, n_paths=1 << 11,
+                            key=jax.random.key(63))
+    tol = 4 * np.hypot(ml["upper_se"], plain["upper_se"])
+    assert abs(ml["upper"] - plain["upper"]) < tol, (ml["upper"],
+                                                     plain["upper"], tol)
+    # a valid upper bound on the fitted lower bound
+    assert ml["upper"] > fit["price"] - tol - 4 * fit["price_se"]
+    vs = [lv["var"] for lv in ml["levels"]]
+    assert vs[1] < 0.05 * vs[0], vs
+    assert vs[2] < vs[1], vs
+    # correction means: negative (the bound TIGHTENS with more inner
+    # samples) and shrinking
+    ms = [lv["mean"] for lv in ml["levels"]]
+    assert ms[1] < 0 and ms[2] < 0, ms
+    assert abs(ms[2]) < abs(ms[1]), ms
+    assert ml["bias_indicator"] == abs(ms[2])
+    assert ml["inner_evals"] < ml["single_level_evals"], ml
+
+
+def test_ml_dual_validation():
+    from mlmc_tpu.sim.american import lsmc_dual_bound_ml
+
+    model = gbm(mu=R, sigma=SIG, s0=1.0)
+    coef = np.zeros((3, 4))
+    with pytest.raises(ValueError, match="n0_inner"):
+        lsmc_dual_bound_ml(put_payoff(1.0), 1.0, R, T, 4, coef, model,
+                           n0_inner=3)
+    with pytest.raises(ValueError, match="entries"):
+        lsmc_dual_bound_ml(put_payoff(1.0), 1.0, R, T, 4, coef, model,
+                           n_levels=2, n_paths=[128, 128])
