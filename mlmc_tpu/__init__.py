@@ -138,6 +138,8 @@ from mlmc_tpu.sim.flow_sim import FlowSim
 from mlmc_tpu.sim.sde import (
     SDESimulation, SDEModel, gbm, ornstein_uhlenbeck, cir,
     black_scholes_call, sde_qmc_level_fns)
+from mlmc_tpu.sim.jumps import (JumpDiffusion, JumpDiffusionSimulation,
+                                merton, merton_call_price)
 from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
