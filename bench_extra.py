@@ -1123,6 +1123,65 @@ def bench_heston():
                     lo["wall_s"] + surf["wall_s"] + up["wall_s"], 2))
 
 
+def bench_merton():
+    """Jump-diffusion MLMC (no reference analogue): Merton compound-
+    Poisson lognormal jumps, shared-jump coupling (the coarse path
+    consumes the summed log jumps), 4 coupled levels to 128 fine steps
+    — telescoped European call vs the Poisson-mixture closed form, plus
+    raw coupled level-batch throughput at 64+16 substeps."""
+    from mlmc_tpu.sim.jumps import (JumpDiffusionSimulation,
+                                    coupled_jump_functionals, merton,
+                                    merton_call_price)
+    from mlmc_tpu.sim.sde import european_call
+
+    rate, sigma, lam, jm, jv = 0.05, 0.2, 0.8, -0.1, 0.15
+    model = merton(rate, sigma, lam, jm, jv, 1.0)
+    p_ref = merton_call_price(1.0, 1.0, rate, sigma, lam, jm, jv, 1.0)
+    payoff = european_call(1.0, float(np.exp(-rate)))
+    B = 1 << 17
+    levels = [(16, 0), (32, 16), (64, 32), (128, 64)]
+    fns = [jax.jit(lambda k, cfg=dict(model=model, total_time=1.0,
+                                      n_fine=nf, n_coarse=nc):
+                   coupled_jump_functionals(cfg, k))
+           for nf, nc in levels]
+    keys = jax.random.split(jax.random.key(3), B)
+    for fn in fns:                                  # warm compiles
+        jax.device_get(jax.tree.map(lambda x: x[:1], fn(keys)))
+    t0 = time.perf_counter()
+    total, var_total, lvars = 0.0, 0.0, []
+    for fn in fns:
+        pf_f, pf_c = fn(keys)
+        d = np.asarray(payoff(pf_f)
+                       - (payoff(pf_c) if pf_c is not None else 0.0),
+                       np.float64)
+        total += d.mean()
+        var_total += d.var() / B
+        lvars.append(float(d.var()))
+    wall = time.perf_counter() - t0
+    se = float(np.sqrt(var_total))
+
+    sim = JumpDiffusionSimulation(dict(model=model, total_time=1.0,
+                                       payoff=payoff))
+    cfg = sim.level_instance([1 / 64], [1 / 16]).config_dict
+    dt, stats = _timed_batches(
+        lambda k: JumpDiffusionSimulation.calculate_batch(cfg, k),
+        B, reps=8)
+    return dict(workload=f"Merton jump-diffusion MLMC call, levels "
+                         f"{levels}, {B} coupled paths each",
+                wall_s=round(wall, 3),
+                coupled_paths_per_s=round(len(levels) * B / wall, 1),
+                batch_samples_per_s=round(B / dt, 1),
+                price=round(float(total), 6),
+                closed_form=round(float(p_ref), 6),
+                err=round(abs(float(total) - float(p_ref)), 6),
+                se=round(se, 6),
+                level_var_ratios=[round(lvars[i + 1] / lvars[i], 3)
+                                  for i in range(len(lvars) - 1)],
+                within_6sigma_plus_bias=bool(
+                    abs(float(total) - float(p_ref)) < 6 * se + 1e-3),
+                **stats)
+
+
 def bench_ml2r():
     """ML2R (multilevel Richardson-Romberg, no reference analogue): the
     Euler GBM European call on a deliberately SHALLOW 3-level hierarchy
@@ -1663,6 +1722,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "cmlmc": bench_cmlmc,
            "ml2r": bench_ml2r,
            "heston": bench_heston,
+           "merton": bench_merton,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,
