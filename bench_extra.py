@@ -1123,6 +1123,74 @@ def bench_heston():
                     lo["wall_s"] + surf["wall_s"] + up["wall_s"], 2))
 
 
+def bench_reactions():
+    """Reaction-network MLMC (no reference analogue): Anderson-Higham
+    coupled tau-leaping on the nonlinear dimerization CTMC, telescoped
+    terminal monomer count cross-validated against batched exact SSA
+    (Gillespie direct method), plus raw coupled level-batch throughput
+    at 64+32 leap steps."""
+    from mlmc_tpu.sim.reactions import (ReactionSimulation,
+                                        coupled_tau_leap, dimerization,
+                                        ssa_exact)
+
+    net = dimerization()
+    T = 1.0
+    B = 1 << 15
+    levels = [(4, 0), (8, 4), (16, 8), (32, 16), (64, 32)]
+    fns = [jax.jit(lambda k, cfg=dict(network=net, total_time=T,
+                                      n_fine=nf, n_coarse=nc):
+                   coupled_tau_leap(cfg, k))
+           for nf, nc in levels]
+    keys = jax.random.split(jax.random.key(9), B)
+    for fn in fns:
+        jax.device_get(jax.tree.map(
+            lambda x: x[:1], [v for v in fn(keys) if v is not None]))
+    t0 = time.perf_counter()
+    total, var_total, lvars = 0.0, 0.0, []
+    for fn in fns:
+        xf, xc = fn(keys)
+        d = np.asarray(xf[:, 0], np.float64) \
+            - (np.asarray(xc[:, 0], np.float64) if xc is not None
+               else 0.0)
+        total += d.mean()
+        var_total += d.var() / B
+        lvars.append(float(d.var()))
+    wall = time.perf_counter() - t0
+    se = float(np.sqrt(var_total))
+
+    B_ssa = 1 << 13
+    t1 = time.perf_counter()
+    x_ref, overran = jax.jit(lambda k: ssa_exact(net, T, k, 512))(
+        jax.random.split(jax.random.key(10), B_ssa))
+    x_ref = np.asarray(x_ref[:, 0], np.float64)
+    n_over = int(np.asarray(overran).sum())
+    ssa_wall = time.perf_counter() - t1
+    ref = x_ref.mean()
+    se_ref = float(np.sqrt(x_ref.var() / B_ssa))
+    sig = float(np.hypot(se, se_ref))
+
+    cfg = dict(network=net, total_time=T, n_fine=64, n_coarse=32)
+    dt, stats = _timed_batches(
+        lambda k: ReactionSimulation.calculate_batch(cfg, k), B, reps=4)
+    return dict(workload=f"dimerization CTMC tau-leap MLMC, levels "
+                         f"{levels}, {B} coupled lanes each, "
+                         f"exact-SSA cross-validation ({B_ssa} lanes)",
+                wall_s=round(wall, 3),
+                coupled_samples_per_s=round(len(levels) * B / wall, 1),
+                batch_samples_per_s=round(B / dt, 1),
+                telescoped_mean=round(float(total), 4),
+                ssa_exact_mean=round(float(ref), 4),
+                err=round(abs(float(total) - float(ref)), 4),
+                se_joint=round(sig, 4),
+                ssa_wall_s=round(ssa_wall, 3),
+                ssa_overruns=n_over,
+                level_var_ratios=[round(lvars[i + 1] / lvars[i], 3)
+                                  for i in range(len(lvars) - 1)],
+                within_6sigma_plus_bias=bool(
+                    abs(float(total) - float(ref)) < 6 * sig + 1.5),
+                **stats)
+
+
 def bench_merton():
     """Jump-diffusion MLMC (no reference analogue): Merton compound-
     Poisson lognormal jumps, shared-jump coupling (the coarse path
@@ -1723,6 +1791,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "ml2r": bench_ml2r,
            "heston": bench_heston,
            "merton": bench_merton,
+           "reactions": bench_reactions,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,

@@ -140,6 +140,10 @@ from mlmc_tpu.sim.sde import (
     black_scholes_call, sde_qmc_level_fns)
 from mlmc_tpu.sim.jumps import (JumpDiffusion, JumpDiffusionSimulation,
                                 merton, merton_call_price)
+from mlmc_tpu.sim.reactions import (ReactionNetwork, ReactionSimulation,
+                                    mass_action, immigration_death,
+                                    dimerization, schlogl, tau_leap,
+                                    coupled_tau_leap, ssa_exact)
 from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
