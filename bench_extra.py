@@ -1191,6 +1191,72 @@ def bench_reactions():
                 **stats)
 
 
+def bench_rbergomi():
+    """Rough volatility (no reference analogue): exact-Gaussian
+    rBergomi at the Bayer-Friz-Gatheral calibration (H=0.1, eta=1.9,
+    rho=-0.9), 4 restriction-coupled levels to 256 grid points — ATM
+    call telescope + eta->0 Black-Scholes degeneration check (exact:
+    constant v makes the Euler log-S step exact) + batch throughput
+    (the [B, 2n]x[2n, 2n] path matmul is pure MXU work)."""
+    from mlmc_tpu.sim.rough import (RBergomiSimulation,
+                                    coupled_rbergomi_paths, rbergomi)
+    from mlmc_tpu.sim.sde import black_scholes_call
+
+    model = rbergomi()
+    T, B = 1.0, 1 << 15
+    payoff = lambda s: jnp.maximum(s - 1.0, 0.0)
+    levels = [(32, 0), (64, 32), (128, 64), (256, 128)]
+    fns = [jax.jit(lambda k, cfg=dict(model=model, total_time=T,
+                                      n_fine=nf, n_coarse=nc):
+                   coupled_rbergomi_paths(cfg, k))
+           for nf, nc in levels]
+    keys = jax.random.split(jax.random.key(21), B)
+    for fn in fns:
+        jax.device_get(jax.tree.map(
+            lambda x: x[:1], [v for v in fn(keys) if v is not None]))
+    t0 = time.perf_counter()
+    total, var_total, lvars = 0.0, 0.0, []
+    for fn in fns:
+        s_f, s_c = fn(keys)
+        d = np.asarray(payoff(s_f), np.float64) \
+            - (np.asarray(payoff(s_c), np.float64)
+               if s_c is not None else 0.0)
+        total += d.mean()
+        var_total += d.var() / B
+        lvars.append(float(d.var()))
+    wall = time.perf_counter() - t0
+    se = float(np.sqrt(var_total))
+
+    # exact anchor: eta = 0 collapses to Black-Scholes with NO bias
+    m0 = rbergomi(xi0=0.04, eta=0.0, hurst=0.1, rho=-0.9)
+    s_f, s_c = jax.jit(lambda k: coupled_rbergomi_paths(
+        dict(model=m0, total_time=T, n_fine=64, n_coarse=0), k))(keys)
+    d0 = np.asarray(payoff(s_f), np.float64)
+    bs = black_scholes_call(1.0, 1.0, 0.0, 0.2, T)
+    bs_err = abs(d0.mean() - bs)
+    bs_se = float(np.sqrt(d0.var() / B))
+
+    sim = RBergomiSimulation(dict(model=model, total_time=T,
+                                  payoff=payoff))
+    cfg = sim.level_instance([T / 256], [T / 128]).config_dict
+    dt, stats = _timed_batches(
+        lambda k: RBergomiSimulation.calculate_batch(cfg, k),
+        B, reps=4)
+    return dict(workload=f"rBergomi rough-vol MLMC ATM call, BFG "
+                         f"params (H=0.1, eta=1.9, rho=-0.9), levels "
+                         f"{levels}, {B} coupled paths each",
+                wall_s=round(wall, 3),
+                coupled_paths_per_s=round(len(levels) * B / wall, 1),
+                batch_samples_per_s=round(B / dt, 1),
+                price=round(float(total), 5),
+                se=round(se, 5),
+                level_var_ratios=[round(lvars[i + 1] / lvars[i], 3)
+                                  for i in range(len(lvars) - 1)],
+                eta0_vs_black_scholes_err=round(float(bs_err), 6),
+                eta0_within_6sigma=bool(bs_err < 6 * bs_se),
+                **stats)
+
+
 def bench_merton():
     """Jump-diffusion MLMC (no reference analogue): Merton compound-
     Poisson lognormal jumps, shared-jump coupling (the coarse path
@@ -1792,6 +1858,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "heston": bench_heston,
            "merton": bench_merton,
            "reactions": bench_reactions,
+           "rbergomi": bench_rbergomi,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,

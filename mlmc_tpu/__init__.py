@@ -144,6 +144,8 @@ from mlmc_tpu.sim.reactions import (ReactionNetwork, ReactionSimulation,
                                     mass_action, immigration_death,
                                     dimerization, schlogl, tau_leap,
                                     coupled_tau_leap, ssa_exact)
+from mlmc_tpu.sim.rough import (RBergomi, rbergomi, RBergomiSimulation,
+                                coupled_rbergomi_paths, rl_fbm_cov)
 from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
