@@ -1191,6 +1191,71 @@ def bench_reactions():
                 **stats)
 
 
+def bench_spde():
+    """SPDE MLMC (no reference analogue): stochastic heat equation
+    with space-time white noise, 3 box-aggregated levels to a
+    128-cell/256-step fine grid — telescoped energy E||u(T)||^2 vs the
+    finest level's EXACT discrete Gaussian law (pure CLT check) and
+    the continuum OU-mode sum, plus coupled batch throughput (the
+    DST-II solves are MXU matmuls)."""
+    from mlmc_tpu.sim.spde import (SPDESimulation, coupled_spde_paths,
+                                   discrete_heat_l2_moment,
+                                   heat_spde_l2_moment,
+                                   stochastic_heat)
+
+    model = stochastic_heat(1.0, 1.0)
+    T, B = 0.5, 1 << 13
+    levels = [(32, 16, 0, 0), (64, 64, 32, 16), (128, 256, 64, 64)]
+    fns = [jax.jit(lambda k, cfg=dict(model=model, total_time=T,
+                                      n_cells_fine=Nf, n_steps_fine=nf,
+                                      n_cells_coarse=Nc,
+                                      n_steps_coarse=nc):
+                   coupled_spde_paths(cfg, k))
+           for Nf, nf, Nc, nc in levels]
+    keys = jax.random.split(jax.random.key(31), B)
+    for fn in fns:
+        jax.device_get(jax.tree.map(
+            lambda x: x[:1], [v for v in fn(keys) if v is not None]))
+
+    def l2sq(u):
+        return (np.asarray(u, np.float64) ** 2).sum(axis=1) / u.shape[1]
+
+    t0 = time.perf_counter()
+    total, var_total, lvars = 0.0, 0.0, []
+    for fn in fns:
+        uf, uc = fn(keys)
+        d = l2sq(uf) - (l2sq(uc) if uc is not None else 0.0)
+        total += d.mean()
+        var_total += d.var() / B
+        lvars.append(float(d.var()))
+    wall = time.perf_counter() - t0
+    se = float(np.sqrt(var_total))
+    ref = discrete_heat_l2_moment(1.0, 1.0, T, 128, 256)
+    cont = heat_spde_l2_moment(1.0, 1.0, T)
+
+    sim = SPDESimulation(dict(model=model, total_time=T))
+    cfg = sim.level_instance([1 / 128, T / 256],
+                             [1 / 64, T / 64]).config_dict
+    dt, stats = _timed_batches(
+        lambda k: SPDESimulation.calculate_batch(cfg, k), B, reps=4)
+    return dict(workload=f"stochastic heat SPDE MLMC energy, levels "
+                         f"{[(l[0], l[1]) for l in levels]}, {B} "
+                         f"coupled fields each",
+                wall_s=round(wall, 3),
+                coupled_samples_per_s=round(len(levels) * B / wall, 1),
+                batch_samples_per_s=round(B / dt, 1),
+                energy=round(float(total), 6),
+                discrete_closed_form=round(float(ref), 6),
+                err_vs_discrete=round(abs(float(total) - ref), 6),
+                se=round(se, 6),
+                continuum=round(float(cont), 6),
+                finest_bias_vs_continuum=round(abs(ref - cont), 6),
+                level_var_ratios=[round(lvars[i + 1] / lvars[i], 3)
+                                  for i in range(len(lvars) - 1)],
+                within_6sigma=bool(abs(float(total) - ref) < 6 * se),
+                **stats)
+
+
 def bench_rbergomi():
     """Rough volatility (no reference analogue): exact-Gaussian
     rBergomi at the Bayer-Friz-Gatheral calibration (H=0.1, eta=1.9,
@@ -1859,6 +1924,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "merton": bench_merton,
            "reactions": bench_reactions,
            "rbergomi": bench_rbergomi,
+           "spde": bench_spde,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,

@@ -146,6 +146,9 @@ from mlmc_tpu.sim.reactions import (ReactionNetwork, ReactionSimulation,
                                     coupled_tau_leap, ssa_exact)
 from mlmc_tpu.sim.rough import (RBergomi, rbergomi, RBergomiSimulation,
                                 coupled_rbergomi_paths, rl_fbm_cov)
+from mlmc_tpu.sim.spde import (SPDE1D, stochastic_heat, allen_cahn,
+                               coupled_spde_paths, SPDESimulation,
+                               heat_spde_l2_moment)
 from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
