@@ -1191,6 +1191,81 @@ def bench_reactions():
                 **stats)
 
 
+def bench_vg():
+    """Variance-gamma Lévy MLMC (no reference analogue): exact
+    subordinated increments, terminal call pinned to the COS
+    characteristic-function price (pure CLT — the terminal law has NO
+    discretization error), Asian telescope over monitoring levels,
+    batch throughput."""
+    from mlmc_tpu.sim.levy import (VarianceGammaSimulation,
+                                   coupled_vg_functionals,
+                                   variance_gamma, vg_call_price)
+    from mlmc_tpu.sim.sde import asian_call, european_call
+
+    R, T = 0.05, 1.0
+    vgp = dict(sigma=0.12, theta=-0.14, nu=0.2)
+    model = variance_gamma(R, **vgp)
+    disc = float(np.exp(-R * T))
+    B = 1 << 17
+    # terminal call: single exact level
+    fn0 = jax.jit(lambda k: coupled_vg_functionals(
+        dict(model=model, total_time=T, n_fine=4, n_coarse=0), k))
+    keys = jax.random.split(jax.random.key(41), B)
+    jax.device_get(fn0(keys)[0].terminal[:1])
+    t0 = time.perf_counter()
+    pf, _ = fn0(keys)
+    v = disc * np.maximum(np.asarray(pf.terminal, np.float64) - 1.0, 0)
+    wall0 = time.perf_counter() - t0
+    ref = vg_call_price(1.0, 1.0, R, T=T, **vgp)
+    se0 = float(v.std() / np.sqrt(B))
+
+    # Asian monitoring telescope
+    payoff = asian_call(0.95, disc)
+    levels = [(8, 0), (16, 8), (32, 16), (64, 32)]
+    fns = [jax.jit(lambda k, cfg=dict(model=model, total_time=T,
+                                      n_fine=nf, n_coarse=nc):
+                   coupled_vg_functionals(cfg, k))
+           for nf, nc in levels]
+    for fn in fns:
+        jax.device_get(fn(keys)[0].terminal[:1])
+    t1 = time.perf_counter()
+    total, var_total, lvars = 0.0, 0.0, []
+    for fn in fns:
+        pf_f, pf_c = fn(keys)
+        d = np.asarray(payoff(pf_f), np.float64) \
+            - (np.asarray(payoff(pf_c), np.float64)
+               if pf_c is not None else 0.0)
+        total += d.mean()
+        var_total += d.var() / B
+        lvars.append(float(d.var()))
+    wall = time.perf_counter() - t1
+
+    sim = VarianceGammaSimulation(dict(model=model, total_time=T,
+                                       payoff=european_call(1.0, disc)))
+    cfg = sim.level_instance([T / 64], [T / 32]).config_dict
+    dt, stats = _timed_batches(
+        lambda k: VarianceGammaSimulation.calculate_batch(cfg, k),
+        B, reps=8)
+    return dict(workload=f"variance-gamma Levy MLMC (exact increments), "
+                         f"terminal call vs COS + Asian monitoring "
+                         f"telescope {levels}, {B} paths each",
+                call=round(float(v.mean()), 6),
+                cos_closed_form=round(float(ref), 6),
+                call_err=round(abs(float(v.mean()) - ref), 6),
+                call_se=round(se0, 6),
+                call_within_6sigma=bool(abs(float(v.mean()) - ref)
+                                        < 6 * se0),
+                call_wall_s=round(wall0, 3),
+                asian=round(float(total), 6),
+                asian_se=round(float(np.sqrt(var_total)), 6),
+                asian_wall_s=round(wall, 3),
+                coupled_paths_per_s=round(len(levels) * B / wall, 1),
+                batch_samples_per_s=round(B / dt, 1),
+                monitoring_var_ratios=[round(lvars[i + 1] / lvars[i], 3)
+                                       for i in range(1, len(lvars) - 1)],
+                **stats)
+
+
 def bench_spde():
     """SPDE MLMC (no reference analogue): stochastic heat equation
     with space-time white noise, 3 box-aggregated levels to a
@@ -1925,6 +2000,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "reactions": bench_reactions,
            "rbergomi": bench_rbergomi,
            "spde": bench_spde,
+           "vg": bench_vg,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,
