@@ -1191,6 +1191,55 @@ def bench_reactions():
                 **stats)
 
 
+def bench_bsde():
+    """BSDE solver (no reference analogue): the Black-Scholes
+    measure-change driver — forward drift 0.15 != r, driver
+    f = -r y - z (mu-r)/sigma — must recover the r-discounted price
+    through the Z regression; plus the manufactured nonlinear exact
+    anchor. Reports honest z-scores and throughput (paths x dates
+    regressions per second)."""
+    from mlmc_tpu.bsde import solve_bsde
+    from mlmc_tpu.sim.sde import (SDEModel, black_scholes_call, gbm)
+
+    mu, R, SIG, T = 0.15, 0.05, 0.2, 1.0
+    g = lambda x: jnp.maximum(x - 1.0, 0.0)
+    bs = black_scholes_call(1.0, 1.0, R, SIG, T)
+    lam = (mu - R) / SIG
+    n, B = 50, 1 << 17
+    # warm pass excluded from the timed run
+    solve_bsde(gbm(mu, SIG, 1.0), g,
+               lambda t, x, y, z: -R * y - lam * z, T, n,
+               n_paths=B, degree=5, key=jax.random.key(7))
+    out = solve_bsde(gbm(mu, SIG, 1.0), g,
+                     lambda t, x, y, z: -R * y - lam * z, T, n,
+                     n_paths=B, degree=5, key=jax.random.key(3))
+
+    alpha, c, x0 = 0.4, 0.5, 0.8
+    model = SDEModel(drift=lambda x, t: jnp.zeros_like(x),
+                     diffusion=lambda x, t: jnp.ones_like(x), s0=x0)
+    u_ex = lambda t, x: jnp.exp(alpha * (T - t)) * jnp.sin(x)
+    drv = lambda t, x, y, z: (alpha + 0.5) * y \
+        + c * (y ** 2 - u_ex(t, x) ** 2)
+    out2 = solve_bsde(model, lambda x: jnp.sin(x), drv, T, 32,
+                      n_paths=1 << 16, degree=6, scale=1.0,
+                      key=jax.random.key(8))
+    y_ref = float(np.exp(alpha * T) * np.sin(x0))
+    return dict(workload=f"BSDE regression solver: Black-Scholes "
+                         f"measure-change driver ({n} dates, {B} "
+                         f"paths) + manufactured nonlinear anchor",
+                bs_y0=round(out["y0"], 6),
+                bs_closed_form=round(bs, 6),
+                bs_z=round((out["y0"] - bs) / out["y0_se"], 2),
+                bs_within_6sigma=bool(abs(out["y0"] - bs)
+                                      < 6 * out["y0_se"] + 1e-3),
+                wall_s=round(out["wall_s"], 3),
+                path_dates_per_s=round(B * n / out["wall_s"], 1),
+                nonlinear_y_err=round(out2["y0"] - y_ref, 6),
+                nonlinear_y_se=round(out2["y0_se"], 6),
+                nonlinear_within=bool(abs(out2["y0"] - y_ref)
+                                      < 6 * out2["y0_se"] + 5e-3))
+
+
 def bench_vg():
     """Variance-gamma Lévy MLMC (no reference analogue): exact
     subordinated increments, terminal call pinned to the COS
@@ -2001,6 +2050,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "rbergomi": bench_rbergomi,
            "spde": bench_spde,
            "vg": bench_vg,
+           "bsde": bench_bsde,
            "nested": bench_nested,
            "mcmc": bench_mcmc,
            "bayes": bench_bayes,

@@ -153,6 +153,7 @@ from mlmc_tpu.sim.levy import (VarianceGamma, variance_gamma,
                                VarianceGammaSimulation, vg_call_price)
 from mlmc_tpu.tool.fourier_pricing import (cos_price, cf_gbm, cf_merton,
                                            cf_vg, cf_heston)
+from mlmc_tpu.bsde import solve_bsde
 from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
