@@ -66,7 +66,8 @@ from mlmc_tpu.quantity.quantity_spec import QuantitySpec
 from mlmc_tpu.level_simulation import LevelSimulation
 
 __all__ = ["RBergomi", "rbergomi", "rl_fbm_cov", "rl_fbm_w_cov",
-           "joint_cholesky", "coupled_rbergomi_paths",
+           "joint_cholesky", "joint_pca_factor",
+           "coupled_rbergomi_paths", "rbergomi_qmc_level_fns",
            "RBergomiSimulation"]
 
 
@@ -136,24 +137,41 @@ def rl_fbm_w_cov(times, grid, hurst):
     return c(t, grid[1:]) - c(t, grid[:-1])
 
 
-def joint_cholesky(n, total_time, hurst):
-    """Cholesky factor (host f64, returned f64) of the joint
-    covariance of ``(Y_{t_1..t_n}, DW_1..DW_n)`` on the uniform grid
-    ``t_i = i T / n`` — the one-time setup cost; every path batch is
-    then a single ``[B, 2n] @ [2n, 2n]`` matmul."""
+def _joint_cov(n, total_time, hurst):
+    """Joint covariance of ``(Y_{t_1..t_n}, DW_1..DW_n)`` on the
+    uniform grid ``t_i = i T / n`` (host f64)."""
     T = float(total_time)
     times = T / n * np.arange(1, n + 1)
     grid = T / n * np.arange(0, n + 1)
-    h = T / n
     S = np.empty((2 * n, 2 * n))
     S[:n, :n] = rl_fbm_cov(times, hurst)
     S[:n, n:] = rl_fbm_w_cov(times, grid, hurst)
     S[n:, :n] = S[:n, n:].T
-    S[n:, n:] = h * np.eye(n)
+    S[n:, n:] = T / n * np.eye(n)
+    return S, times
+
+
+def joint_cholesky(n, total_time, hurst):
+    """Cholesky factor (host f64, returned f64) of the joint
+    (Y, DW) covariance — the one-time setup cost; every path batch is
+    then a single ``[B, 2n] @ [2n, 2n]`` matmul."""
+    S, times = _joint_cov(n, total_time, hurst)
     # tiny symmetric jitter guards the f64 factorization at large n
     w, _ = np.linalg.eigh(S)
     jitter = max(0.0, -w.min()) + 1e-14 * S.diagonal().max()
     return np.linalg.cholesky(S + jitter * np.eye(2 * n)), times
+
+
+def joint_pca_factor(n, total_time, hurst):
+    """PCA factor ``F = U sqrt(lam)`` (descending eigenvalues) of the
+    joint (Y, DW) covariance — the same exact law as the Cholesky
+    factor (``F F^T = S``), but the leading input dimensions carry the
+    largest-variance directions, which is what makes Sobol' points
+    effective (:func:`rbergomi_qmc_level_fns`)."""
+    S, times = _joint_cov(n, total_time, hurst)
+    w, U = np.linalg.eigh(S)
+    w = np.clip(w[::-1], 0.0, None)
+    return U[:, ::-1] * np.sqrt(w)[None, :], times
 
 
 def coupled_rbergomi_paths(config, keys):
@@ -180,14 +198,8 @@ def coupled_rbergomi_paths(config, keys):
     dtype = jnp.dtype(config["dtype"]) if "dtype" in config \
         else jnp.result_type(float)
     L_np, times_np = joint_cholesky(n_f, T, model.hurst)
-    L = jnp.asarray(L_np.T, dtype)               # z @ L.T == L @ z
-    t2h = jnp.asarray(times_np ** (2.0 * model.hurst), dtype)
     B = keys.shape[0]
     h_f = T / n_f
-    eta = model.eta
-    rho = model.rho
-    rho_p = float(np.sqrt(max(1.0 - rho * rho, 0.0)))
-    xi0 = model.xi0
 
     def draw(key):
         k1, k2 = jax.random.split(key)
@@ -196,7 +208,27 @@ def coupled_rbergomi_paths(config, keys):
         return z, dz
 
     z, dz = jax.vmap(draw)(keys)
-    yw = jnp.matmul(z, L, precision=jax.lax.Precision.HIGHEST)
+    yw = jnp.matmul(z, jnp.asarray(L_np.T, dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+    return _paths_from_gaussians(model, T, n_f, n_c, times_np, yw, dz,
+                                 dtype)
+
+
+def _paths_from_gaussians(model, T, n_f, n_c, times_np, yw, dz, dtype):
+    """Shared integration core: ``yw [B, 2n]`` the CORRELATED (Y, DW)
+    vector, ``dz [B, n]`` the orthogonal driver increments (already
+    sqrt(h)-scaled). Used by both the PRNG path
+    (:func:`coupled_rbergomi_paths`) and the Sobol' path
+    (:func:`rbergomi_qmc_level_fns`)."""
+    is_l0 = n_c == 0
+    m = 1 if is_l0 else n_f // n_c
+    B = yw.shape[0]
+    h_f = T / n_f
+    t2h = jnp.asarray(times_np ** (2.0 * model.hurst), dtype)
+    eta = model.eta
+    rho = model.rho
+    rho_p = float(np.sqrt(max(1.0 - rho * rho, 0.0)))
+    xi0 = model.xi0
     y, dw = yw[:, :n_f], yw[:, n_f:]             # [B, n], [B, n]
 
     def integrate(y_nodes, dws, dzs, h, t2h_nodes):
@@ -220,6 +252,55 @@ def coupled_rbergomi_paths(config, keys):
     dz_c = dz.reshape(B, n_c, m).sum(axis=2)
     s_c = integrate(y_c, dw_c, dz_c, h_f * m, t2h[None, m - 1::m])
     return s_f, s_c
+
+
+def rbergomi_qmc_level_fns(model, total_time, levels, payoff,
+                           dtype=None):
+    """MLQMC level functions for rBergomi: per level the Sobol' point
+    maps through ``[joint (Y, DW) PCA | Brownian-bridge dz]`` — the
+    leading dimensions carry the largest-variance directions of the
+    exact joint Gaussian (:func:`joint_pca_factor`) and the
+    large-scale structure of the orthogonal driver, the classical
+    recipe for low effective dimension. Same exact grid law and same
+    restriction coupling as the PRNG path.
+
+    :param levels: list of ``(n_fine, n_coarse)`` pairs (coarse 0 on
+        level 0).
+    :return: ``(level_fns, dims)`` for
+        :class:`~mlmc_tpu.qmc.MLQMC` (``dims[l] = 3 n_fine``).
+    """
+    from mlmc_tpu.ops import sobol
+    from mlmc_tpu.sim.sde import brownian_bridge_increments
+
+    if not isinstance(model, RBergomi):
+        raise ValueError("model must be an RBergomi")
+    T = float(total_time)
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    fns, dims = [], []
+    for n_f, n_c in levels:
+        n_f, n_c = int(n_f), int(n_c)
+        if n_c and (n_f % n_c or n_f <= n_c):
+            raise ValueError("fine grid must refine the coarse grid "
+                             "by an integer factor > 1")
+        F, times_np = joint_pca_factor(n_f, T, model.hurst)
+        Ft = jnp.asarray(F.T, dtype)
+        Rb = jnp.asarray(
+            brownian_bridge_increments(n_f).T * np.sqrt(T / n_f), dtype)
+
+        def qfn(u, Ft=Ft, Rb=Rb, n_f=n_f, n_c=n_c, times_np=times_np):
+            z = sobol.normals_from_uniforms(u).astype(dtype)
+            hi = jax.lax.Precision.HIGHEST
+            yw = jnp.matmul(z[:, :2 * n_f], Ft, precision=hi)
+            dz = jnp.matmul(z[:, 2 * n_f:], Rb, precision=hi)
+            s_f, s_c = _paths_from_gaussians(model, T, n_f, n_c,
+                                             times_np, yw, dz, dtype)
+            pf = payoff(s_f)
+            return pf, (payoff(s_c) if s_c is not None
+                        else jnp.zeros_like(pf))
+
+        fns.append(qfn)
+        dims.append(3 * n_f)
+    return fns, dims
 
 
 class RBergomiSimulation(Simulation):
