@@ -137,7 +137,7 @@ from mlmc_tpu.sim.transport import TransportSimulation
 from mlmc_tpu.sim.flow_sim import FlowSim
 from mlmc_tpu.sim.sde import (
     SDESimulation, SDEModel, gbm, ornstein_uhlenbeck, cir,
-    black_scholes_call, sde_qmc_level_fns)
+    black_scholes_call, sde_qmc_level_fns, gbm_call_shift)
 from mlmc_tpu.sim.jumps import (JumpDiffusion, JumpDiffusionSimulation,
                                 merton, merton_call_price)
 from mlmc_tpu.sim.reactions import (ReactionNetwork, ReactionSimulation,

@@ -170,7 +170,7 @@ class VarianceGammaSimulation(SDESimulation):
         config.setdefault("model", variance_gamma())
         if not isinstance(config["model"], VarianceGamma):
             raise ValueError("model must be a VarianceGamma")
-        for opt in ("antithetic", "path_extras"):
+        for opt in ("antithetic", "path_extras", "drift_shift"):
             if config.get(opt):
                 raise ValueError(f"{opt} does not apply to the exact "
                                  "pure-jump VG increments")

@@ -57,7 +57,7 @@ __all__ = [
     "lookback_call", "digital_call", "terminal_value",
     "lookback_call_bb", "barrier_call_down_out", "digital_call_smoothed",
     "black_scholes_call", "black_scholes_digital", "lookback_call_price",
-    "barrier_down_out_call_price", "BGK_BETA",
+    "barrier_down_out_call_price", "BGK_BETA", "gbm_call_shift",
     "SDESimulation", "sde_qmc_level_fns",
     "brownian_bridge_increments",
     "SDESystem", "heston", "heston_call_price", "SDESystemSimulation",
@@ -162,6 +162,10 @@ class PathFunctionals(NamedTuple):
     log_survival: Optional[jnp.ndarray] = None
     digital_mu: Optional[jnp.ndarray] = None
     digital_sd: Optional[jnp.ndarray] = None
+    #: Girsanov log likelihood-ratio under ``drift_shift`` (else None):
+    #: payoffs must be multiplied by ``exp(log_weight)`` —
+    #: :meth:`SDESimulation._assemble` does it for payoff QoIs.
+    log_weight: Optional[jnp.ndarray] = None
 
 
 #: Broadie-Glasserman-Kou continuity-correction constant
@@ -253,6 +257,13 @@ def digital_call_smoothed(strike, discount=1.0):
 
     def payoff(pf):
         _need_extras(pf, "digital_call_smoothed")
+        if pf.digital_mu is None:
+            raise ValueError(
+                "digital_call_smoothed is incompatible with drift_shift: "
+                "the likelihood ratio depends on the final increment "
+                "that the smoothing integrates out, so the weighted "
+                "smoothed payoff would be biased — use digital_call (the "
+                "raw indicator weights exactly) or drop the shift")
         z = (pf.digital_mu - strike) / pf.digital_sd
         return discount * 0.5 * (1.0 + jax.lax.erf(
             z * (1.0 / np.sqrt(2.0))))
@@ -317,6 +328,20 @@ def barrier_down_out_call_price(s0, strike, barrier, rate, sigma, T):
 # ---------------------------------------------------------------------- #
 # coupled-path kernel
 # ---------------------------------------------------------------------- #
+def gbm_call_shift(mu, sigma, s0, strike, total_time):
+    """Girsanov ``drift_shift`` centering a GBM's log-terminal at the
+    strike — the standard importance-sampling tilt for deep
+    out-of-the-money payoffs (Glasserman 2004 §4.6): under the shifted
+    measure ``ln S_T ~ N(ln K, sigma^2 T)``, so roughly half the paths
+    land in the money instead of ~Phi(d2) of them.
+
+        theta = (ln(K/s0) - (mu - sigma^2/2) T) / (sigma T)
+    """
+    T = float(total_time)
+    return float((np.log(strike / s0) - (mu - 0.5 * sigma ** 2) * T)
+                 / (sigma * T))
+
+
 def _scheme_increment(model, scheme, s, t, dw, dt):
     """One integration INCREMENT of a [B] state batch."""
     a = model.drift(s, t)
@@ -431,7 +456,14 @@ def coupled_path_functionals(config, keys=None, z=None):
     long-horizon integration on f32 hardware, where plain-f32 per-path
     rounding noise floors at ~1e-4 around 1e6 steps — required for the
     deep levels of :class:`~mlmc_tpu.unbiased.UnbiasedMLMC`); ``dtype``
-    — element dtype override for the keys path.
+    — element dtype override for the keys path; ``drift_shift`` —
+    Girsanov importance-sampling tilt ``theta`` (constant): paths
+    integrate under the drift ``a + b*theta`` and
+    :attr:`PathFunctionals.log_weight` carries the EXACT log
+    likelihood-ratio ``-theta W_T - theta^2 T/2`` (a function of the
+    shared raw-increment sum, so fine/coarse/antithetic all weight by
+    the same factor and the telescope stays consistent; see
+    :func:`gbm_call_shift` for the classic deep-OTM tilt).
 
     :return: (fine, fine_antithetic | None, coarse | None) as
         :class:`PathFunctionals`
@@ -458,6 +490,9 @@ def coupled_path_functionals(config, keys=None, z=None):
     dt_f = T / n_f
     dt_c = dt_f * m
     anti = bool(config.get("antithetic", False)) and m > 1
+    theta = float(config.get("drift_shift", 0.0) or 0.0)
+    if not np.isfinite(theta):
+        raise ValueError("drift_shift must be finite")
 
     if (keys is None) == (z is None):
         raise ValueError("pass exactly one of keys / z")
@@ -510,8 +545,19 @@ def coupled_path_functionals(config, keys=None, z=None):
         init_f = init_c = init
 
     def body(carry, c):
-        fine, fine_a, coarse, dwh = carry
+        fine, fine_a, coarse, dwh, wsum = carry
         dws = dw_at(c)               # [B, m]
+        if theta:
+            # Girsanov: simulate under the shifted drift a + b*theta by
+            # feeding dW + theta*dt into the SCHEME (Euler and the
+            # Milstein correction alike see the driving increment of
+            # the shifted representation); the raw-increment sum wsum
+            # carries the exact log likelihood-ratio
+            # -theta*W_T - theta^2 T/2 — a function of W_T alone, so
+            # fine, coarse and the antithetic twin share ONE weight and
+            # the telescope stays exactly consistent.
+            wsum = wsum + jnp.sum(dws, axis=1)
+            dws = dws + jnp.asarray(theta * dt_f, dtype)
         t0 = c.astype(dtype) * dt_c
         fine = _run_substeps(model, scheme, fine, dws, t0, dt_f, m, False,
                              df, cfg_f)
@@ -528,11 +574,14 @@ def coupled_path_functionals(config, keys=None, z=None):
                 # LAST coarse step, conditioning the coarse digital
                 # smoothing (Giles 2008 §5.3)
                 dwh = jnp.sum(dws[:, :m - 1], axis=1)
-        return (fine, fine_a, coarse, dwh), None
+        return (fine, fine_a, coarse, dwh, wsum), None
 
     steps = jnp.arange(trips)        # int: feeds fold_in / dynamic_slice
-    (fine, fine_a, coarse, dwh), _ = jax.lax.scan(
-        body, (init_f, init_f, init_c, zero), steps)
+    (fine, fine_a, coarse, dwh, wsum), _ = jax.lax.scan(
+        body, (init_f, init_f, init_c, zero, zero), steps)
+    logw = None
+    if theta:
+        logw = -theta * wsum - jnp.asarray(0.5 * theta * theta * T, dtype)
 
     def functionals(st, n_nodes, dt, dw_head=None):
         ex = None
@@ -565,8 +614,18 @@ def coupled_path_functionals(config, keys=None, z=None):
                       log_survival=lsv if barrier is not None else None,
                       digital_mu=mu,
                       digital_sd=jnp.maximum(sd, 1e-30))
+            if theta:
+                # the BGK extrema shift and the bridge survival are
+                # conditional expectations given ALL grid increments —
+                # the log-LR is increments-measurable, so weighting
+                # stays exact. The digital smoothing is NOT: it
+                # integrates out the FINAL increment, which the LR also
+                # depends on, so E[LR * 1{.}] != LR_partial * Phi(.) —
+                # disabled loudly (digital_call_smoothed explains).
+                kw["digital_mu"] = kw["digital_sd"] = None
         return PathFunctionals(terminal=s, average=(s0 + sm) / (n_nodes + 1),
-                               maximum=mx, minimum=mn, **kw)
+                               maximum=mx, minimum=mn, log_weight=logw,
+                               **kw)
 
     return (functionals(fine, n_f, dt_f),
             functionals(fine_a, n_f, dt_f) if anti else None,
@@ -596,6 +655,10 @@ class SDESimulation(Simulation):
     * ``qoi``: ``'payoff'`` (default) or ``'functionals'`` — the latter
       stores (terminal, average, maximum, minimum) so payoffs can be
       composed post-hoc in the Quantity algebra
+    * ``drift_shift``: Girsanov importance-sampling tilt (see
+      :func:`coupled_path_functionals`); payoff QoIs are weighted by
+      ``exp(log_weight)`` in-kernel, functionals QoIs store
+      ``log_weight`` as a fifth quantity for post-hoc composition
     """
 
     _MODELS = {"gbm": gbm, "ou": ornstein_uhlenbeck, "cir": cir}
@@ -650,9 +713,18 @@ class SDESimulation(Simulation):
             v = payoff(pf)
             if pf_anti is not None:
                 v = 0.5 * (v + payoff(pf_anti))
+            if pf.log_weight is not None:
+                # Girsanov weight — shared by the antithetic twin (same
+                # raw-increment sum), so weighting after averaging is
+                # exact
+                v = v * jnp.exp(pf.log_weight)
             return v[:, None]
-        return jnp.stack([pf.terminal, pf.average, pf.maximum, pf.minimum],
-                         axis=1)
+        cols = [pf.terminal, pf.average, pf.maximum, pf.minimum]
+        if pf.log_weight is not None:
+            # post-hoc Quantity-algebra composition needs the weight as
+            # its own stored quantity: exp(log_weight) * payoff(...)
+            cols.append(pf.log_weight)
+        return jnp.stack(cols, axis=1)
 
     @staticmethod
     def calculate_batch(config, keys, attempts=None):
@@ -686,9 +758,12 @@ class SDESimulation(Simulation):
         if self.config["qoi"] == "payoff":
             return [QuantitySpec(name="payoff", unit="1", shape=(1,),
                                  times=[T], locations=["-"])]
+        names = ["terminal", "average", "maximum", "minimum"]
+        if self.config.get("drift_shift"):
+            names.append("log_weight")
         return [QuantitySpec(name=n, unit="1", shape=(1,), times=[T],
                              locations=["-"])
-                for n in ("terminal", "average", "maximum", "minimum")]
+                for n in names]
 
 
 # ---------------------------------------------------------------------- #
@@ -790,6 +865,9 @@ def coupled_system_functionals(config, keys):
     BLOCK in time (driver columns stay aligned — the twin must share the
     same marginal law per substep)."""
     model = config["model"]
+    if config.get("drift_shift"):
+        raise ValueError("drift_shift (Girsanov importance sampling) is "
+                         "scalar-SDE only for now")
     T = float(config["total_time"])
     n_f = int(config["n_fine"])
     n_c = int(config["n_coarse"])
