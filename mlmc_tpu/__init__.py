@@ -158,6 +158,7 @@ from mlmc_tpu.qmc import (
     MLQMC, synth_qmc_level_fns, shooting_qmc_level_fns,
     darcy_qmc_level_fns, qmc_level_fns_from_normals,
     moments_qmc_level_fns)
+from mlmc_tpu.ops.lattice import lattice_estimate, cbc_vector
 from mlmc_tpu.sensitivity import (sobol_indices, sobol_indices_mlmc,
                                   active_subspace)
 from mlmc_tpu.mimc import (MIMC, total_degree_set, full_tensor_set,

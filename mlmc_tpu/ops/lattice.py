@@ -1,0 +1,225 @@
+"""Rank-1 lattice rules — the second randomized-QMC family beside the
+Owen-scrambled Sobol' sequences of `ops/sobol.py` (beyond-reference
+tier; the reference framework has no QMC capability at all, reference
+mlmc/sampler.py:195-229 is plain MC).
+
+A rank-1 lattice rule with ``n`` points and generating vector
+``z in Z^d`` integrates over the unit cube with the node set
+``x_i = frac(i z / n)``; a RANDOM SHIFT ``Delta ~ U[0,1)^d`` makes the
+rule unbiased (``x_i = frac(i z / n + Delta)``) and R independent
+shifts give honest CLT errors across shift estimates — the exact
+analogue of Sobol' scramblings. For integrands in the weighted Korobov
+space of smoothness ``alpha`` the shift-averaged error decays at
+``O(n^{-alpha/2 + eps})`` when ``z`` is built by the COMPONENT-BY-
+COMPONENT construction (Sloan-Kuo-Joe 2002; Nuyens & Cools 2006), vs
+MC's ``O(n^{-1/2})``; the TENT (baker's) transform
+``phi(x) = 1 - |2x - 1|`` periodizes smooth non-periodic integrands
+while preserving uniformity (Hickernell 2002), recovering the higher
+rate without touching the integrand.
+
+Why lattices next to Sobol': the point set is ONE fused-multiply-mod
+per coordinate (no direction-number tables, no bit hacking — pure VPU
+arithmetic, generation is effectively free at any dimension), the rule
+is exact on every dual-lattice Fourier mode (``h . z = 0 mod n`` — an
+ALGEBRAIC pin the tests use), and shift randomization preserves the
+lattice group structure where scrambling cannot.
+
+TPU-first: the CBC construction runs once on host (vectorized numpy
+O(d n^2), cached per (n, d, weights)); point generation and the whole
+R-shift estimate run on device as one jitted program (integer index
+times integer z mod n in exact f64/f32 range, shifts as operands), so
+repeated calls with the same shapes share one executable.
+
+Design anchors (tests/test_lattice.py): the character identity
+(1/n) sum_i e^{2 pi i h.x_i} = e^{2 pi i h.Delta} [h in dual lattice]
+checked exactly for in-dual and out-of-dual h; CBC's worst-case
+P_alpha beats random generating vectors; shift-averaged unbiasedness
+at 6 sigma; measured convergence ~n^{-2} on smooth periodic products
+(and on non-periodic ones under the tent transform) vs MC's n^{-1}.
+"""
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cbc_vector", "lattice_points", "p_alpha",
+           "lattice_estimate", "tent"]
+
+
+def _bernoulli2_kernel(x):
+    """``omega(x) = 2 pi^2 B_2(x) = 2 pi^2 (x^2 - x + 1/6)`` — the
+    alpha=2 Korobov worst-case kernel: ``1 + gamma*omega`` products
+    give the squared shift-averaged worst-case error."""
+    return 2.0 * np.pi ** 2 * (x * x - x + 1.0 / 6.0)
+
+
+def cbc_vector(n, dim, weights=None):
+    """Component-by-component generating vector for the weighted
+    Korobov space with alpha=2 and product weights.
+
+    Greedy per dimension: keep ``prod_j (1 + gamma_j omega({k z_j/n}))``
+    over the points ``k`` and pick the next component ``z_d`` (odd, so
+    coprime with the power-of-two ``n``) minimizing the squared
+    worst-case error. The CBC average argument guarantees the result
+    achieves the optimal ``O(n^{-alpha/2+eps})`` rate (Kuo 2003).
+
+    :param n: points (power of two).
+    :param dim: dimensions.
+    :param weights: per-dimension product weights ``gamma_j`` (default
+        ``0.9^j`` — mild decay; any summable choice works).
+    :return: ``z [dim]`` int64 (z[0] = 1 by convention).
+    """
+    n, dim = int(n), int(dim)
+    if n < 2 or n & (n - 1):
+        raise ValueError("n must be a power of two >= 2")
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if weights is None:
+        weights = 0.9 ** np.arange(1, dim + 1)
+    gamma = np.asarray(weights, np.float64)
+    if gamma.shape != (dim,) or np.any(gamma <= 0):
+        raise ValueError("weights must be %d positive floats" % dim)
+    k = np.arange(n, dtype=np.int64)
+    cand = np.arange(1, n, 2, dtype=np.int64)          # odd = coprime
+    # omega({k z / n}) for every candidate via the index product table
+    om = _bernoulli2_kernel((k[None, :] * cand[:, None] % n)
+                            / float(n))                # [cand, n]
+    z = np.empty(dim, np.int64)
+    z[0] = 1
+    prod = 1.0 + gamma[0] * _bernoulli2_kernel(k / float(n))  # [n]
+    for d in range(1, dim):
+        err = (1.0 + gamma[d] * om) @ prod             # [cand]
+        best = cand[int(np.argmin(err))]
+        z[d] = best
+        prod = prod * (1.0 + gamma[d]
+                       * _bernoulli2_kernel((k * best % n) / float(n)))
+    return z
+
+
+def p_alpha(z, n, weights=None):
+    """Squared shift-averaged worst-case error of the lattice ``(z, n)``
+    in the alpha=2 weighted Korobov space (closed form):
+    ``-1 + (1/n) sum_k prod_j (1 + gamma_j omega({k z_j / n}))``."""
+    z = np.asarray(z, np.int64)
+    n = int(n)
+    if weights is None:
+        weights = 0.9 ** np.arange(1, z.shape[0] + 1)
+    gamma = np.asarray(weights, np.float64)
+    k = np.arange(n, dtype=np.int64)
+    prod = np.prod(1.0 + gamma[None, :] * _bernoulli2_kernel(
+        (k[:, None] * z[None, :] % n) / float(n)), axis=1)
+    return float(prod.mean() - 1.0)
+
+
+def lattice_points(z, n, shift=None, start=0, count=None, dtype=None):
+    """Device-side lattice nodes ``frac(i z / n + shift)`` for
+    ``i = start .. start+count-1`` — pure VPU arithmetic (exact integer
+    product mod n, one multiply-add per coordinate).
+
+    :param z: ``[d]`` generating vector (host ints or device array).
+    :param shift: ``[d]`` (one shift) or ``[R, d]`` (a batch — returns
+        ``[R, count, d]``); None = no shift (the raw, biased rule).
+    :return: ``[count, d]`` (or ``[R, count, d]``) uniforms.
+    """
+    n = int(n)
+    if n < 1 or n & (n - 1):
+        raise ValueError("n must be a power of two")
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    if count is None:
+        count = n
+    if isinstance(z, jax.Array) and z.dtype == jnp.uint32:
+        pass                                  # device/traced, pre-reduced
+    else:
+        z = jnp.asarray(np.asarray(z, np.int64) % n, jnp.uint32)
+    i = jnp.asarray(start).astype(jnp.uint32) \
+        + jnp.arange(count, dtype=jnp.uint32)
+    # i*z mod n: uint32 product of values < n <= 2^31 wraps mod 2^32,
+    # and n | 2^32 makes the mask exact
+    frac = (i[:, None] * z[None, :] & jnp.uint32(n - 1)).astype(dtype) \
+        / dtype.type(n)
+    if shift is None:
+        return frac
+    shift = jnp.asarray(shift, dtype)
+    if shift.ndim == 1:
+        return jnp.mod(frac + shift[None, :], 1.0)
+    return jnp.mod(frac[None] + shift[:, None, :], 1.0)
+
+
+def tent(u):
+    """Baker's transform ``1 - |2u - 1|``: maps U[0,1) to U[0,1) while
+    periodizing smooth integrands — composes the lattice rule's
+    ``O(n^{-alpha/2})`` rate onto non-periodic smooth functions
+    (Hickernell 2002)."""
+    return 1.0 - jnp.abs(2.0 * u - 1.0)
+
+
+@functools.lru_cache(maxsize=64)
+def _estimate_program(fn, dim, n, chunk, use_tent, str_dtype):
+    dtype = jnp.dtype(str_dtype)
+    n_chunks = n // chunk
+
+    def one_shift(z, shift):
+        def body(c, acc):
+            s, s2 = acc
+            u = lattice_points(z, n, shift, start=c * chunk,
+                               count=chunk, dtype=dtype)
+            y = fn(tent(u) if use_tent else u)
+            return s + jnp.sum(y), s2 + jnp.sum(y * y)
+
+        zero = jnp.zeros((), dtype)
+        s, s2 = jax.lax.fori_loop(0, n_chunks, body, (zero, zero))
+        return s / n, s2 / n
+
+    @jax.jit
+    def run(z, shifts):
+        return jax.vmap(lambda sh: one_shift(z, sh))(shifts)
+
+    return run
+
+
+def lattice_estimate(fn: Callable, dim: int, n: int = 1 << 12,
+                     n_shifts: int = 16, z=None, seed: int = 0,
+                     use_tent: bool = False, weights=None,
+                     chunk_size: int = 1 << 14, dtype=None):
+    """Randomly-shifted lattice estimate of ``E[fn(U)]`` over the unit
+    cube — the lattice twin of a Sobol'-scrambled mean, with honest
+    errors across the R independent shifts.
+
+    :param fn: pure jnp ``f(u [m, dim]) -> y [m]``.
+    :param n: points per shift (power of two; total evals
+        ``n_shifts * n``).
+    :param z: generating vector (default: CBC-built for ``(n, dim)``).
+    :param use_tent: apply the baker's transform (periodizes smooth
+        non-periodic integrands — usually a free accuracy win).
+    :return: dict with ``mean``, ``se`` (spread across shifts),
+        ``per_shift`` [R], ``z``, ``n``, ``n_shifts``.
+    """
+    dim, n, R = int(dim), int(n), int(n_shifts)
+    if R < 2:
+        raise ValueError("need >= 2 shifts for a standard error")
+    if n & (n - 1):
+        raise ValueError("n must be a power of two")
+    if z is None:
+        z = cbc_vector(n, dim, weights)
+    z = np.asarray(z, np.int64)
+    if z.shape != (dim,):
+        raise ValueError("z must have shape [dim]")
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    chunk = min(int(chunk_size), n)
+    if n % chunk:
+        raise ValueError("chunk_size must divide n")
+    run = _estimate_program(fn, dim, n, chunk, bool(use_tent),
+                            str(dtype))
+    shifts = jax.random.uniform(jax.random.key(seed), (R, dim), dtype)
+    means, _ = jax.device_get(run(jnp.asarray(z % n, jnp.uint32),
+                                  shifts))
+    means = np.asarray(means, np.float64)
+    if not np.all(np.isfinite(means)):
+        raise FloatingPointError(
+            "integrand produced non-finite values on the lattice; QMC "
+            "points cannot be dropped without bias")
+    return {"mean": float(means.mean()),
+            "se": float(means.std(ddof=1) / np.sqrt(R)),
+            "per_shift": means, "z": z, "n": n, "n_shifts": R}

@@ -1,0 +1,157 @@
+"""Rank-1 lattice rules (ops/lattice.py) — algebraic and statistical
+pins: the dual-lattice character identity (exact), finite-Fourier-band
+integrands integrated exactly, CBC beating random generating vectors
+in closed-form worst-case error, shift-averaged unbiasedness, the
+measured ~n^-2 convergence on periodic smoothness (vs MC's n^-1), and
+the tent transform recovering it for non-periodic integrands."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mlmc_tpu.ops.lattice import (cbc_vector, lattice_estimate,
+                                  lattice_points, p_alpha, tent)
+
+
+def test_points_exact_group_structure():
+    """Nodes are the cyclic group frac(i z / n): integer-exact (the
+    uint32 product mod a power of two is exact), first node 0, and the
+    set is shift-invariant as a multiset."""
+    n, d = 64, 5
+    z = cbc_vector(n, d)
+    u = np.asarray(lattice_points(z, n))
+    assert u.shape == (n, d)
+    expect = (np.arange(n)[:, None] * z[None, :] % n) / n
+    np.testing.assert_allclose(u, expect, atol=1e-15)
+    # shifting by a lattice node permutes the node set
+    u_sh = np.asarray(lattice_points(z, n, shift=expect[3]))
+    assert np.allclose(np.sort(u_sh, axis=0), np.sort(u, axis=0),
+                       atol=1e-12)
+
+
+def test_dual_lattice_character_identity():
+    """(1/n) sum_i e^{2 pi i h.x_i} has modulus EXACTLY 1 for h in the
+    dual lattice (h.z = 0 mod n) and EXACTLY 0 otherwise — the
+    algebraic fingerprint of a lattice rule, robust to any shift."""
+    n, d = 256, 4
+    z = cbc_vector(n, d)
+    shift = np.asarray(
+        jax.random.uniform(jax.random.key(1), (d,), jnp.float64))
+    u = np.asarray(lattice_points(z, n, shift=shift), np.float64)
+    h_dual = np.zeros(d, np.int64)
+    h_dual[0], h_dual[1] = z[1], -1          # h.z = z1*1 - z1 = 0
+    assert (h_dual @ z) % n == 0
+    h_out = np.zeros(d, np.int64)
+    h_out[0] = 1                             # h.z = 1 != 0 mod n
+    for h, mod in ((h_dual, 1.0), (h_out, 0.0)):
+        s = np.exp(2j * np.pi * (u @ h)).mean()
+        assert abs(abs(s) - mod) < 1e-10, (h, s)
+
+
+def test_finite_band_integrand_exact():
+    """An integrand whose Fourier support is {-1, 0, 1}^d is integrated
+    EXACTLY by any lattice whose dual contains no such nonzero h —
+    every shift estimate equals the true integral to rounding."""
+    n, d = 1 << 10, 4
+    z = cbc_vector(n, d)
+    k = np.arange(n)
+    for h in _small_h(d):
+        if np.any(h):
+            assert (h @ z) % n != 0, h
+
+    def fn(u):
+        return jnp.prod(1.0 + 0.5 * jnp.sin(2.0 * jnp.pi * u), axis=1)
+
+    out = lattice_estimate(fn, d, n=n, n_shifts=4)
+    np.testing.assert_allclose(out["per_shift"], 1.0, atol=5e-13)
+
+
+def _small_h(d):
+    from itertools import product
+    return [np.asarray(h, np.int64) for h in product((-1, 0, 1),
+                                                     repeat=d)]
+
+
+def test_cbc_beats_random_vectors():
+    """The CBC vector's closed-form worst-case P_2 is below the median
+    of random coprime generating vectors (the CBC averaging argument
+    guarantees at-most-average; in practice it is far better)."""
+    n, d = 1 << 9, 6
+    z = cbc_vector(n, d)
+    e_cbc = p_alpha(z, n)
+    rng = np.random.default_rng(0)
+    e_rand = [p_alpha(np.concatenate([[1], rng.choice(
+        np.arange(1, n, 2), d - 1)]), n) for _ in range(20)]
+    assert e_cbc < np.median(e_rand), (e_cbc, np.median(e_rand))
+    assert e_cbc <= min(e_rand) * 1.5
+
+
+def test_unbiased_smooth_nonperiodic():
+    """Shift-averaged estimate of prod exp(u_j) lands on (e-1)^d within
+    6 spread-based standard errors."""
+    d = 4
+
+    def fn(u):
+        return jnp.prod(jnp.exp(u), axis=1)
+
+    out = lattice_estimate(fn, d, n=1 << 11, n_shifts=16, seed=3)
+    truth = (np.e - 1.0) ** d
+    assert abs(out["mean"] - truth) < 6.0 * out["se"] + 1e-9, out
+
+
+def test_periodic_convergence_beats_mc():
+    """Across-shift variance on the periodic product
+    prod (1 + B2(u_j)) drops by >> the MC factor 16 when n grows
+    16x (theory: ~16^2, up to logs)."""
+    d = 3
+
+    def fn(u):
+        return jnp.prod(1.0 + (u * u - u + 1.0 / 6.0), axis=1)
+
+    var = {}
+    for n in (1 << 8, 1 << 12):
+        out = lattice_estimate(fn, d, n=n, n_shifts=32, seed=4)
+        var[n] = out["per_shift"].var(ddof=1)
+    ratio = var[1 << 8] / max(var[1 << 12], 1e-300)
+    assert ratio > 40.0, (var, ratio)
+
+
+def test_tent_transform_helps_nonperiodic():
+    """The baker's transform periodizes prod exp(u_j): variance at the
+    same n drops by > 4x (theory: O(n^-2) -> O(n^-4) squared error),
+    and the estimate stays unbiased."""
+    d = 3
+
+    def fn(u):
+        return jnp.prod(jnp.exp(u), axis=1)
+
+    plain = lattice_estimate(fn, d, n=1 << 11, n_shifts=32, seed=5)
+    tented = lattice_estimate(fn, d, n=1 << 11, n_shifts=32, seed=5,
+                              use_tent=True)
+    truth = (np.e - 1.0) ** d
+    assert abs(tented["mean"] - truth) < 6.0 * tented["se"] + 1e-9
+    v_p = plain["per_shift"].var(ddof=1)
+    v_t = tented["per_shift"].var(ddof=1)
+    assert v_t < v_p / 4.0, (v_p, v_t)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="power of two"):
+        cbc_vector(100, 3)
+    with pytest.raises(ValueError, match="power of two"):
+        lattice_points([1, 3], 12)
+    with pytest.raises(ValueError, match="shifts"):
+        lattice_estimate(lambda u: u[:, 0], 1, n_shifts=1)
+    with pytest.raises(FloatingPointError):
+        lattice_estimate(lambda u: jnp.log(u[:, 0] - 2.0), 1,
+                         n=1 << 8, n_shifts=4)
+
+
+def test_tent_preserves_uniformity():
+    """tent maps U[0,1) to U[0,1): moments of tent(u) over a fine
+    lattice match the uniform moments."""
+    u = lattice_points(cbc_vector(1 << 12, 2), 1 << 12,
+                       shift=np.array([0.31, 0.77]))
+    t = np.asarray(tent(u))
+    assert abs(t.mean() - 0.5) < 1e-3
+    assert abs((t * t).mean() - 1.0 / 3.0) < 1e-3
