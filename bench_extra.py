@@ -214,6 +214,97 @@ def bench_sde():
                 **stats)
 
 
+def bench_importance():
+    """Girsanov importance sampling (drift_shift): deep-OTM GBM call
+    (K = 1.8 S0, Black-Scholes price ~2.9e-4) — on-chip measured
+    variance ratio of the plain vs the IS estimator at the same path
+    count, the IS price against Black-Scholes, and coupled-batch
+    throughput with the weight attached."""
+    from mlmc_tpu.sim.sde import (SDESimulation, black_scholes_call,
+                                  european_call, gbm, gbm_call_shift)
+
+    r, sigma, s0, K, T = 0.05, 0.2, 1.0, 1.8, 1.0
+    theta = gbm_call_shift(r, sigma, s0, K, T)
+    disc = float(np.exp(-r * T))
+    B = 1 << 17
+
+    def make_cfg(shift):
+        extra = {"drift_shift": shift} if shift else {}
+        sim = SDESimulation(dict(model=gbm(r, sigma, s0),
+                                 scheme="milstein", total_time=T,
+                                 payoff=european_call(K, disc), **extra))
+        return sim.level_instance([1.0 / 256], [0]).config_dict
+
+    def mean_var(cfg, seed):
+        @jax.jit
+        def f(sd):
+            keys = jax.random.split(sd, B)
+            fine, _, _ = SDESimulation.calculate_batch(cfg, keys)
+            v = fine[:, 0]
+            m = jnp.mean(v)
+            return jnp.stack([m, jnp.mean((v - m) ** 2)])
+
+        _ = np.asarray(f(jax.random.key(seed)))           # warm
+        t0 = time.perf_counter()
+        out = np.asarray(f(jax.random.key(seed + 1)))
+        return float(out[0]), float(out[1]), time.perf_counter() - t0
+
+    m_is, v_is, wall = mean_var(make_cfg(theta), 11)
+    m_pl, v_pl, _ = mean_var(make_cfg(None), 13)
+    bs = black_scholes_call(s0, K, r, sigma, T)
+    cfg_lvl = make_cfg(theta)
+    cfg_lvl = dict(cfg_lvl, n_coarse=64)
+    dt, stats = _timed_batches(
+        lambda k: SDESimulation.calculate_batch(cfg_lvl, k),
+        1 << 16, reps=8)
+    return dict(workload="deep-OTM GBM call K=1.8, Milstein n=256, "
+                         "IS tilt vs plain at B=2^17",
+                theta=round(theta, 4),
+                price_is=m_is, black_scholes=bs,
+                rel_err_is=round(abs(m_is - bs) / bs, 5),
+                se_is=float(np.sqrt(v_is / B)),
+                plain_mean=m_pl,
+                variance_ratio=round(v_pl / v_is, 1),
+                wall_s_estimate=round(wall, 4),
+                coupled_samples_per_s=round((1 << 16) / dt, 1), **stats)
+
+
+def bench_lattice():
+    """Rank-1 lattice rules: CBC construction wall, shifted-estimate
+    accuracy against closed forms (periodic product and the tent-
+    transformed exp product), and point-set throughput on the chip."""
+    from mlmc_tpu.ops.lattice import cbc_vector, lattice_estimate
+
+    d, n, R = 8, 1 << 12, 16
+    t0 = time.perf_counter()
+    z = cbc_vector(n, d)
+    cbc_wall = time.perf_counter() - t0
+
+    def f_periodic(u):
+        return jnp.prod(1.0 + 0.25 * (u * u - u + 1.0 / 6.0), axis=1)
+
+    def f_exp(u):
+        return jnp.prod(jnp.exp(u), axis=1)
+
+    out_p = lattice_estimate(f_periodic, d, n=n, n_shifts=R, z=z)
+    t0 = time.perf_counter()
+    out_p = lattice_estimate(f_periodic, d, n=n, n_shifts=R, z=z)
+    wall_p = time.perf_counter() - t0
+    truth_p = 1.0           # int_0^1 B2 = 0 -> the product integral
+    out_e = lattice_estimate(f_exp, d, n=n, n_shifts=R, z=z,
+                             use_tent=True)
+    truth_e = (np.e - 1.0) ** d
+    return dict(workload="d=8 CBC lattice, n=%d, R=%d shifts" % (n, R),
+                cbc_wall_s=round(cbc_wall, 3),
+                periodic_err=float(abs(out_p["mean"] - truth_p)),
+                periodic_se=out_p["se"],
+                tent_exp_rel_err=float(abs(out_e["mean"] - truth_e)
+                                       / truth_e),
+                tent_exp_se_rel=out_e["se"] / truth_e,
+                points_per_s=round(R * n / max(wall_p, 1e-9), 1),
+                warm_wall_s=round(wall_p, 4))
+
+
 def bench_american():
     """Longstaff-Schwartz Bermudan put (no reference analogue): 50
     exercise dates, degree-3 regression, exact GBM transitions — wall
@@ -2035,6 +2126,8 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "e2e_darcy": bench_e2e_darcy,
            "qmc": bench_qmc,
            "sde": bench_sde,
+           "importance": bench_importance,
+           "lattice": bench_lattice,
            "american": bench_american,
            "mimc": bench_mimc,
            "sensitivity": bench_sensitivity,

@@ -83,15 +83,22 @@ def cbc_vector(n, dim, weights=None):
         raise ValueError("weights must be %d positive floats" % dim)
     k = np.arange(n, dtype=np.int64)
     cand = np.arange(1, n, 2, dtype=np.int64)          # odd = coprime
-    # omega({k z / n}) for every candidate via the index product table
-    om = _bernoulli2_kernel((k[None, :] * cand[:, None] % n)
-                            / float(n))                # [cand, n]
     z = np.empty(dim, np.int64)
     z[0] = 1
     prod = 1.0 + gamma[0] * _bernoulli2_kernel(k / float(n))  # [n]
+    # candidate blocks bound the omega({k z / n}) table at ~32 MB
+    # (the full [n/2, n] table is O(n^2) — 1 GB at n = 2^14)
+    blk = max(1, min(cand.shape[0], (1 << 22) // n))
     for d in range(1, dim):
-        err = (1.0 + gamma[d] * om) @ prod             # [cand]
-        best = cand[int(np.argmin(err))]
+        best, best_err = 1, np.inf
+        for s in range(0, cand.shape[0], blk):
+            cb = cand[s:s + blk]
+            om = _bernoulli2_kernel((k[None, :] * cb[:, None] % n)
+                                    / float(n))        # [blk, n]
+            err = (1.0 + gamma[d] * om) @ prod         # [blk]
+            j = int(np.argmin(err))
+            if err[j] < best_err:
+                best, best_err = int(cb[j]), float(err[j])
         z[d] = best
         prod = prod * (1.0 + gamma[d]
                        * _bernoulli2_kernel((k * best % n) / float(n)))
