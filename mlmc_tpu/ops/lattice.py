@@ -44,8 +44,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cbc_vector", "lattice_points", "p_alpha",
-           "lattice_estimate", "tent"]
+__all__ = ["cbc_vector", "lattice_points", "lattice_points_extensible",
+           "p_alpha", "lattice_estimate", "tent"]
 
 
 def _bernoulli2_kernel(x):
@@ -146,6 +146,52 @@ def lattice_points(z, n, shift=None, start=0, count=None, dtype=None):
     # and n | 2^32 makes the mask exact
     frac = (i[:, None] * z[None, :] & jnp.uint32(n - 1)).astype(dtype) \
         / dtype.type(n)
+    if shift is None:
+        return frac
+    shift = jnp.asarray(shift, dtype)
+    if shift.ndim == 1:
+        return jnp.mod(frac + shift[None, :], 1.0)
+    return jnp.mod(frac[None] + shift[:, None, :], 1.0)
+
+
+def lattice_points_extensible(z, n_max, shift=None, start=0, count=None,
+                              dtype=None):
+    """Prefix-extensible lattice SEQUENCE: enumerate the ``n_max``-point
+    lattice in BIT-REVERSED index order, so every power-of-two prefix
+    is exactly the smaller lattice rule with the same ``z`` — the first
+    ``2^k`` sequence positions are the indices ``j * n_max / 2^k``,
+    i.e. the nodes ``frac(j z / 2^k)`` (Hickernell-Hong-L'Ecuyer-Lemieux
+    2000 extensible lattice sequences, base-2 embedded form). This is
+    the lattice analogue of the Sobol' prefix property MLQMC's doubling
+    schedule rides: doubling a budget EXTENDS the point set and every
+    evaluated point keeps contributing.
+
+    :param z: generating vector built for ``n_max`` (a CBC vector for
+        the largest anticipated size serves all the embedded sizes).
+    :param n_max: lattice modulus (power of two) — the sequence length.
+    :param start/count: sequence positions (defaults: the whole
+        sequence).
+    :return: as :func:`lattice_points`.
+    """
+    n_max = int(n_max)
+    if n_max < 2 or n_max & (n_max - 1):
+        raise ValueError("n_max must be a power of two")
+    if count is None:
+        count = n_max - int(start)
+    bits = int(n_max - 1).bit_length()
+    i = jnp.asarray(start).astype(jnp.uint32) \
+        + jnp.arange(count, dtype=jnp.uint32)
+    # bit-reverse within the bits-wide index field
+    rev = jnp.zeros_like(i)
+    for b in range(bits):
+        rev = rev | (((i >> b) & 1) << (bits - 1 - b))
+    dtype = jnp.dtype(dtype or jnp.result_type(float))
+    if isinstance(z, jax.Array) and z.dtype == jnp.uint32:
+        zz = z
+    else:
+        zz = jnp.asarray(np.asarray(z, np.int64) % n_max, jnp.uint32)
+    frac = (rev[:, None] * zz[None, :] & jnp.uint32(n_max - 1)) \
+        .astype(dtype) / dtype.type(n_max)
     if shift is None:
         return frac
     shift = jnp.asarray(shift, dtype)

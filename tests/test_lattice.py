@@ -147,6 +147,26 @@ def test_validation_errors():
                          n=1 << 8, n_shifts=4)
 
 
+def test_extensible_prefixes_are_lattices():
+    """Bit-reversed enumeration: the first 2^k sequence positions are
+    EXACTLY the 2^k-point lattice with the same z (as sets), for every
+    embedded size — the prefix property MLQMC-style doubling needs —
+    and start/count slicing composes with the full enumeration."""
+    from mlmc_tpu.ops.lattice import lattice_points_extensible
+
+    n_max, d = 1 << 8, 3
+    z = cbc_vector(n_max, d)
+    seq = np.asarray(lattice_points_extensible(z, n_max), np.float64)
+    for k in (1, 2, 4, 16, 64, 256):
+        small = np.asarray(lattice_points(z, k), np.float64)
+        got = np.sort(seq[:k], axis=0)
+        want = np.sort(small % 1.0, axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-14, err_msg=str(k))
+    tail = np.asarray(lattice_points_extensible(z, n_max, start=100,
+                                                count=50))
+    np.testing.assert_allclose(tail, seq[100:150], atol=0)
+
+
 def test_tent_preserves_uniformity():
     """tent maps U[0,1) to U[0,1): moments of tent(u) over a fine
     lattice match the uniform moments."""
