@@ -167,6 +167,30 @@ def test_simulation_payoff_weighted_and_functionals_store_weight():
     assert abs(w.mean() - 1.0) < 6.0 * w.std() / np.sqrt(w.size)
 
 
+def test_mlqmc_composes_with_drift_shift():
+    """IS rides the QMC adapter unchanged (the weight applies inside
+    _assemble and the LR is exact for ANY increment source): the
+    MLQMC-driven deep-OTM call lands on Black-Scholes within the
+    randomization se + a weak-bias allowance."""
+    from mlmc_tpu.qmc import MLQMC
+    from mlmc_tpu.sim.sde import sde_qmc_level_fns
+
+    r, sigma, s0, K, T = 0.05, 0.2, 1.0, 1.8, 1.0
+    theta = gbm_call_shift(r, sigma, s0, K, T)
+    price = black_scholes_call(s0, K, r, sigma, T)
+    sim = SDESimulation(dict(model=gbm(mu=r, sigma=sigma, s0=s0),
+                             scheme="milstein", total_time=T,
+                             payoff=european_call(K, np.exp(-r * T)),
+                             drift_shift=theta))
+    fns, dims = sde_qmc_level_fns(sim, [[T / 16], [T / 64], [T / 256]])
+    ml = MLQMC(fns, dims, n_randomizations=8, seed=11,
+               chunk_size=1 << 10)
+    res = ml.run(target_var=(0.02 * price) ** 2, n_init=1 << 10)
+    err = abs(res["mean"] - price)
+    assert err < 6.0 * np.sqrt(res["var"]) + 0.03 * price, \
+        (res["mean"], price, res["var"])
+
+
 def test_rejections():
     from mlmc_tpu.sim.sde import SDESystemSimulation, heston
     from mlmc_tpu.sim.levy import VarianceGammaSimulation
