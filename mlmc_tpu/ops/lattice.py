@@ -235,7 +235,7 @@ def _estimate_program(fn, dim, n, chunk, use_tent, str_dtype):
 def lattice_estimate(fn: Callable, dim: int, n: int = 1 << 12,
                      n_shifts: int = 16, z=None, seed: int = 0,
                      use_tent: bool = False, weights=None,
-                     chunk_size: int = 1 << 14, dtype=None):
+                     chunk_size: int = 1 << 14, dtype=None, mesh=None):
     """Randomly-shifted lattice estimate of ``E[fn(U)]`` over the unit
     cube — the lattice twin of a Sobol'-scrambled mean, with honest
     errors across the R independent shifts.
@@ -246,6 +246,10 @@ def lattice_estimate(fn: Callable, dim: int, n: int = 1 << 12,
     :param z: generating vector (default: CBC-built for ``(n, dim)``).
     :param use_tent: apply the baker's transform (periodizes smooth
         non-periodic integrands — usually a free accuracy win).
+    :param mesh: optional :class:`~mlmc_tpu.parallel.mesh.SampleMesh` —
+        the R shifts shard across the devices (each shift estimate is
+        independent, so input sharding alone partitions the vmap; the
+        per-shift results are identical to the single-device run).
     :return: dict with ``mean``, ``se`` (spread across shifts),
         ``per_shift`` [R], ``z``, ``n``, ``n_shifts``.
     """
@@ -266,8 +270,14 @@ def lattice_estimate(fn: Callable, dim: int, n: int = 1 << 12,
     run = _estimate_program(fn, dim, n, chunk, bool(use_tent),
                             str(dtype))
     shifts = jax.random.uniform(jax.random.key(seed), (R, dim), dtype)
-    means, _ = jax.device_get(run(jnp.asarray(z % n, jnp.uint32),
-                                  shifts))
+    zd = jnp.asarray(z % n, jnp.uint32)
+    if mesh is not None:
+        if R % mesh.n_devices:
+            raise ValueError("n_shifts=%d must divide by the mesh's %d "
+                             "devices" % (R, mesh.n_devices))
+        shifts = mesh.shard_batch(shifts)
+        zd = jax.device_put(zd, mesh.replicated())
+    means, _ = jax.device_get(run(zd, shifts))
     means = np.asarray(means, np.float64)
     if not np.all(np.isfinite(means)):
         raise FloatingPointError(

@@ -167,6 +167,25 @@ def test_extensible_prefixes_are_lattices():
     np.testing.assert_allclose(tail, seq[100:150], atol=0)
 
 
+def test_mesh_sharded_parity():
+    """Pod scaling: sharding the R shifts over the 8-device mesh gives
+    per-shift estimates identical to the single-device run (each shift
+    is independent — no cross-device reduction exists to reorder)."""
+    from mlmc_tpu.parallel.mesh import SampleMesh
+
+    def fn(u):
+        return jnp.prod(jnp.exp(u), axis=1)
+
+    kw = dict(n=1 << 10, n_shifts=16, seed=9)
+    solo = lattice_estimate(fn, 4, **kw)
+    pod = lattice_estimate(fn, 4, mesh=SampleMesh(), **kw)
+    np.testing.assert_allclose(pod["per_shift"], solo["per_shift"],
+                               rtol=1e-13)
+    with pytest.raises(ValueError, match="divide"):
+        lattice_estimate(fn, 4, n=1 << 10, n_shifts=6,
+                         mesh=SampleMesh())
+
+
 def test_tent_preserves_uniformity():
     """tent maps U[0,1) to U[0,1): moments of tent(u) over a fine
     lattice match the uniform moments."""
