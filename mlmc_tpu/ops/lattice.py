@@ -120,6 +120,20 @@ def p_alpha(z, n, weights=None):
     return float(prod.mean() - 1.0)
 
 
+def _check_exact_range(n, dtype):
+    """The node formula divides the EXACT integer residue ``i z mod n``
+    by ``n`` in ``dtype``; residues above the dtype's exact-integer
+    range (2^24 for f32) would round and the 'integer-exact nodes'
+    property — which the dual-lattice character tests rely on — would
+    silently degrade. Refuse loudly instead."""
+    exact = {4: 1 << 24, 8: 1 << 53}.get(jnp.dtype(dtype).itemsize, 0)
+    if n > exact:
+        raise ValueError(
+            "n=%d exceeds %s's exact-integer range (%d): lattice "
+            "residues would round; pass dtype=float64 (requires x64)"
+            % (n, jnp.dtype(dtype).name, exact))
+
+
 def lattice_points(z, n, shift=None, start=0, count=None, dtype=None):
     """Device-side lattice nodes ``frac(i z / n + shift)`` for
     ``i = start .. start+count-1`` — pure VPU arithmetic (exact integer
@@ -134,6 +148,7 @@ def lattice_points(z, n, shift=None, start=0, count=None, dtype=None):
     if n < 1 or n & (n - 1):
         raise ValueError("n must be a power of two")
     dtype = jnp.dtype(dtype or jnp.result_type(float))
+    _check_exact_range(n, dtype)
     if count is None:
         count = n
     if isinstance(z, jax.Array) and z.dtype == jnp.uint32:
@@ -176,6 +191,7 @@ def lattice_points_extensible(z, n_max, shift=None, start=0, count=None,
     n_max = int(n_max)
     if n_max < 2 or n_max & (n_max - 1):
         raise ValueError("n_max must be a power of two")
+    _check_exact_range(n_max, dtype or jnp.result_type(float))
     if count is None:
         count = n_max - int(start)
     bits = int(n_max - 1).bit_length()
@@ -251,7 +267,9 @@ def lattice_estimate(fn: Callable, dim: int, n: int = 1 << 12,
         independent, so input sharding alone partitions the vmap; the
         per-shift results are identical to the single-device run).
     :return: dict with ``mean``, ``se`` (spread across shifts),
-        ``per_shift`` [R], ``z``, ``n``, ``n_shifts``.
+        ``per_shift`` [R], ``within_shift_var`` [R] (descriptive spread
+        of ``fn`` over each shifted node set — not an error estimate),
+        ``z``, ``n``, ``n_shifts``.
     """
     dim, n, R = int(dim), int(n), int(n_shifts)
     if R < 2:
@@ -277,12 +295,19 @@ def lattice_estimate(fn: Callable, dim: int, n: int = 1 << 12,
                              "devices" % (R, mesh.n_devices))
         shifts = mesh.shard_batch(shifts)
         zd = jax.device_put(zd, mesh.replicated())
-    means, _ = jax.device_get(run(zd, shifts))
+    means, m2 = jax.device_get(run(zd, shifts))
     means = np.asarray(means, np.float64)
+    m2 = np.asarray(m2, np.float64)
     if not np.all(np.isfinite(means)):
         raise FloatingPointError(
             "integrand produced non-finite values on the lattice; QMC "
             "points cannot be dropped without bias")
+    # within-shift spread of fn over the lattice nodes — descriptive
+    # (lattice points are correlated, so this is NOT an error estimate;
+    # `se` across shifts is) but free: the kernel accumulates sum(y^2)
+    # anyway, and it quantifies how much variance the rule integrates out
+    within = np.maximum(m2 - means * means, 0.0) * (n / max(n - 1, 1))
     return {"mean": float(means.mean()),
             "se": float(means.std(ddof=1) / np.sqrt(R)),
-            "per_shift": means, "z": z, "n": n, "n_shifts": R}
+            "per_shift": means, "within_shift_var": within,
+            "z": z, "n": n, "n_shifts": R}

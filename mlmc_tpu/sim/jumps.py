@@ -198,9 +198,10 @@ class JumpDiffusionSimulation(SDESimulation):
     the coupling). Config keys: ``model`` (:class:`JumpDiffusion`,
     default :func:`merton` defaults), ``total_time``, ``payoff``,
     ``qoi`` as in the parent; ``scheme`` is Euler-only and
-    ``antithetic``/``path_extras`` are rejected (the Giles-Szpruch
-    twin and the Brownian-bridge refinements assume continuous
-    paths)."""
+    ``antithetic``/``path_extras``/``drift_shift`` are rejected (the
+    Giles-Szpruch twin and the Brownian-bridge refinements assume
+    continuous paths; the Girsanov tilt lacks the jump-measure
+    likelihood ratio)."""
 
     def __init__(self, config=None):
         config = dict(config or {})
@@ -213,6 +214,15 @@ class JumpDiffusionSimulation(SDESimulation):
         if config.get("path_extras"):
             raise ValueError("Brownian-bridge path extras are not "
                              "extended to jump dynamics")
+        if config.get("drift_shift"):
+            # the Girsanov tilt in coupled_jump_functionals would need a
+            # jump-measure likelihood ratio as well; without it the IS
+            # weight would silently no-op (and result_format would
+            # declare a log_weight column the batch never emits)
+            raise ValueError("drift_shift (Girsanov importance "
+                             "sampling) is not implemented for "
+                             "jump-diffusions; the jump-measure "
+                             "likelihood ratio is missing")
         if config.get("scheme", "euler") != "euler":
             raise ValueError("jump-diffusions integrate with Euler "
                              "substeps")
