@@ -17,11 +17,25 @@ measured on this machine (BASELINE.md "measured" section): the same math
 (gen + legvander(25) + diff sums + phi^T phi) vectorized and chunked —
 6.98e5 samples/s. The reference's actual code path (lazy Quantity DAG)
 measures 2.35e3 samples/s with covariance.
+
+Wedge-proofing (the axon tunnel can hang for 30 min-hours, CLAUDE.md):
+all measurement runs in a worker thread recording each completed section
+into shared state; the main thread monitors progress and — on a stall
+(default 45 min without a section/tick, MLMC_BENCH_STALL_S) or budget
+exhaustion (default 3 h, MLMC_BENCH_BUDGET_S) — emits the artifact with
+every section completed so far instead of hanging or zeroing the run.
+Every artifact (success or wedge) carries a ``last_good`` block: the most
+recent successful run's numbers + ISO timestamp + commit, persisted in
+``bench_last_good.json``, so a wedge never erases the scoreboard.
 """
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 import traceback
+from datetime import datetime, timezone
 
 import numpy as np
 import jax
@@ -42,6 +56,100 @@ DOMAIN = (-4.0, 4.0)
 PALLAS_CHUNK = 32768
 XLA_CHUNK = 1 << 15  # measured optimum (BASELINE.md)
 
+METRIC = ("fused 5-level moment+cov estimate, 25 Legendre moments, "
+          "1e8 samples")
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_last_good.json")
+
+
+# --------------------------------------------------------------------- #
+# artifact plumbing
+# --------------------------------------------------------------------- #
+
+def _now_iso():
+    return datetime.now(timezone.utc).isoformat(timespec="seconds")
+
+
+def _git_commit():
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip() or None
+    except Exception:
+        return None
+
+
+def _read_last_good():
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _write_last_good(artifact):
+    try:
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(artifact, f, indent=1)
+            f.write("\n")
+    except Exception:
+        print("bench: could not persist last_good:", file=sys.stderr)
+        traceback.print_exc()
+
+
+def _emit(out):
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+class _Progress:
+    """Thread-shared heartbeat: sections (and long loops inside them)
+    tick; the monitor reads (ts, note) to distinguish a slow-but-alive
+    device from a wedged tunnel."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.ts = time.monotonic()
+        self.note = "start"
+
+    def tick(self, note):
+        with self.lock:
+            self.ts = time.monotonic()
+            self.note = note
+        print("bench: [%s]" % note, file=sys.stderr)
+        sys.stderr.flush()
+
+    def read(self):
+        with self.lock:
+            return self.ts, self.note
+
+
+def _artifact(state, error=None):
+    extras = dict(state["extras"])
+    extras["sections_completed"] = list(state["sections"])
+    value = state.get("value")
+    out = {
+        "metric": METRIC,
+        "value": value,
+        "unit": "samples/s/chip",
+        "vs_baseline": (round(value / BASELINE_SAMPLES_PER_S, 2)
+                        if value else None),
+        "captured_at": _now_iso(),
+        "commit": _git_commit(),
+        "extras": extras,
+    }
+    if error:
+        out["error"] = error
+        lg = _read_last_good()
+        if lg is not None:
+            out["last_good"] = lg
+    return out
+
+
+# --------------------------------------------------------------------- #
+# measurement sections (each records into state and returns)
+# --------------------------------------------------------------------- #
 
 def run_pallas(seed):
     """All 5 levels in ONE kernel dispatch; returns accumulators."""
@@ -86,75 +194,25 @@ def build_xla_step():
     return jax.jit(step), moments_fn
 
 
-def _device_watchdog(timeout_s=None):
-    """The axon tunnel can wedge (CLAUDE.md): device ops then hang
-    indefinitely and the whole benchmark run would produce NO artifact.
-    Probe with a tiny op under a watchdog; on timeout emit an explicit
-    error JSON line and exit instead of hanging past the driver's
-    patience.
-
-    The wedge clears on its own schedule (observed 30 min to hours), and
-    the hung probe op completes the moment it does — so the watchdog
-    WAITS for the full patience window (MLMC_BENCH_WATCHDOG_S, default
-    1200 s), logging progress to stderr every minute, rather than giving
-    up after one short probe."""
-    import os
-    import threading
-
-    if timeout_s is None:
-        timeout_s = float(os.environ.get("MLMC_BENCH_WATCHDOG_S", 1200))
-    done = threading.Event()
-
-    def probe():
-        try:
-            float(jnp.sum(jnp.ones((8, 8))))
-        finally:
-            done.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    waited = 0.0
-    while not done.wait(60.0):
-        waited += 60.0
-        if waited >= timeout_s:
-            print(json.dumps({
-                "metric": "fused 5-level moment+cov estimate, 25 Legendre "
-                          "moments, 1e8 samples",
-                "value": None, "unit": "samples/s/chip",
-                "vs_baseline": None,
-                "error": "device unreachable: tunnel probe exceeded "
-                         "{:.0f} s (known axon wedge state, recovers on "
-                         "its own schedule)".format(waited)}))
-            sys.stdout.flush()
-            os._exit(3)
-        print("bench: device probe still pending after {:.0f} s "
-              "(axon tunnel wedge?); waiting up to {:.0f} s".format(
-                  waited, timeout_s), file=sys.stderr)
-        sys.stderr.flush()
-
-
-def main():
-    _device_watchdog()
+def _section_headline(state, tick):
+    """Pallas fused kernel: (a) single dispatch — one 1e8-sample call +
+    one device->host transfer, includes the tunnel's ~30 ms round trip;
+    (b) sustained — 16 pipeline runs inside ONE jitted dispatch (1.6e9
+    samples), amortizing the latency: the production number for
+    locally-attached devices. block_until_ready over the tunnel
+    acknowledges enqueue, so all timings force a host transfer."""
     total = float(sum(N_PER_LEVEL))
-    moments_fn = Legendre(N_MOMENTS, DOMAIN)
-
-    # ---------------- Pallas fused kernel (headline) -------------------- #
-    # Two measurements. (a) single dispatch: one 1e8-sample call + one
-    # device->host transfer — includes the remote tunnel's ~30 ms
-    # round-trip latency, which is an artifact of this test rig, not of
-    # the chip. (b) sustained: 16 pipeline runs inside ONE jitted dispatch
-    # (1.6e9 samples), amortizing the latency — the production number for
-    # locally-attached devices. block_until_ready over the tunnel
-    # acknowledges enqueue, so all timings force a host transfer.
+    tick("headline: compiling pallas pipeline")
     accs = run_pallas(0)
     _ = float(accs[-1].n_valid)
+    tick("headline: warm, timing single dispatches")
     n_runs = 5
     t0 = time.perf_counter()
     for i in range(n_runs):
         accs = run_pallas(i + 1)
         _ = float(accs[-1].n_valid)
     single_s = (time.perf_counter() - t0) / n_runs
-    est = pallas_estimates(accs)
+    state["est"] = pallas_estimates(accs)
 
     reps = 16
 
@@ -170,220 +228,278 @@ def main():
             out = acc if out is None else out + acc
         return out
 
+    tick("headline: compiling sustained x16 dispatch")
     _ = float(sustained(jnp.int32(0)))
+    tick("headline: timing sustained dispatches")
     t0 = time.perf_counter()
     for i in range(3):
         _ = float(sustained(jnp.int32(i + 1)))
     pallas_s = (time.perf_counter() - t0) / 3 / reps
     pallas_thr = total / pallas_s
 
-    # ---------------- XLA fused pipeline (secondary) -------------------- #
-    # secondary paths must never sink the headline (the device tunnel is
-    # occasionally flaky); degrade to null fields on failure — LOUDLY
-    xla_s = None
-    try:
-        step, _ = build_xla_step()
-        key = jax.random.key(2024)
-        xla_accs = step(key)
-        _ = float(xla_accs[-1].n_valid)
-        t0 = time.perf_counter()
-        xla_accs = step(jax.random.fold_in(key, 1))
-        _ = float(xla_accs[-1].n_valid)
-        xla_s = time.perf_counter() - t0
-    except Exception:
-        print("bench: XLA secondary path FAILED:", file=sys.stderr)
-        traceback.print_exc()
+    est = state["est"]
+    state["value"] = round(pallas_thr, 1)
+    state["extras"].update({
+        "pallas_wall_s": round(pallas_s, 4),
+        "single_dispatch_wall_s": round(single_s, 4),
+        "single_dispatch_samples_per_s": round(total / single_s, 1),
+        "mean_p1": float(est["mean"][1]),
+        "n_valid": est["n_samples"].tolist(),
+    })
 
-    # ---------------- precision: f32+Kahan kernel vs f64 at 1e7 --------- #
-    # identical noise through the Pallas noise-input kernel and an exact
-    # f64 host summation of the same f32 per-sample values; asserted
-    # against the derived bound eps32 * C_BOUND * S_abs (ops/precision.py).
-    # Replaces the round-1 6-sigma statistical check (VERDICT r1 weak #1).
-    precision = None
-    try:
-        from mlmc_tpu.ops.pallas_kernels import synth_moment_pipeline_from_noise
-        from mlmc_tpu.ops.precision import (f64_reference_moments,
-                                            check_against_f64)
 
-        n_prec = 10_010_624  # >= 1e7, multiple of the 16384 chunk
-        x = np.random.default_rng(99).normal(size=n_prec).astype(np.float32)
-        r = jax.tree.map(np.asarray, synth_moment_pipeline_from_noise(
-            x, N_MOMENTS, fine_step=0.25, coarse_step=0.5, domain=DOMAIN,
-            chunk=16384))
-        ref = f64_reference_moments(
-            x, N_MOMENTS, fine_step=0.25, coarse_step=0.5, domain=DOMAIN,
-            include_cov=False)
-        report = check_against_f64(r, ref, include_cov=False)  # raises on fail
-        precision = {"bound_holds": True,
-                     "max_rel_dev_vs_f64": max(report.values()),
-                     "n": n_prec}
-    except Exception:
-        precision = {"bound_holds": False}
-        print("bench: precision check FAILED:", file=sys.stderr)
-        traceback.print_exc()
+def _section_xla(state, tick):
+    total = float(sum(N_PER_LEVEL))
+    tick("xla: compiling fused pipeline")
+    step, _ = build_xla_step()
+    key = jax.random.key(2024)
+    xla_accs = step(key)
+    _ = float(xla_accs[-1].n_valid)
+    tick("xla: timing")
+    t0 = time.perf_counter()
+    xla_accs = step(jax.random.fold_in(key, 1))
+    _ = float(xla_accs[-1].n_valid)
+    xla_s = time.perf_counter() - t0
+    state["extras"]["xla_wall_s"] = round(xla_s, 4)
+    state["extras"]["xla_samples_per_s"] = round(total / xla_s, 1)
 
-    # ---------------- extended (double-float) tier ---------------------- #
-    # 1e-10-grade parity (SURVEY §6 north star): the df kernel vs the
-    # strict ALL-f64 host reference on identical f32 QoIs, asserted
-    # against the derived 2^-48-scale bound; plus its throughput at 1e8.
-    # The host f64 reference costs ~1 min at 2e7 on this 1-core VM; the
-    # derived bound at 1e8 (reported) is 1.3e-10 * S_abs.
-    def run_extended():
-        import os as _os
-        from mlmc_tpu.ops.pallas_extended import (
-            moment_pipeline_from_samples_extended,
-            synth_moment_pipeline_from_noise_extended)
-        from mlmc_tpu.ops.precision import (
-            f64_reference_moments_strict, check_extended_against_f64,
-            df_error_bound)
 
-        n_ext = int(float(_os.environ.get("MLMC_BENCH_EXT_N", 2e7)))
-        n_ext -= n_ext % 8192
-        x_dev = jax.random.normal(jax.random.key(41), (n_ext,),
-                                  dtype=jnp.float32)
-        # QoIs computed ONCE on device; the same bits feed both pipelines
-        # (TPU's f32 sqrt is not correctly rounded — ~40% of values differ
-        # from numpy's by 1 ulp — so recomputing the transform on the host
-        # would compare different samples, not kernel accuracy)
-        err_dev = jnp.sqrt(jnp.float32(1e-4) + jnp.abs(x_dev))
-        fine_dev = x_dev + jnp.float32(0.25) * err_dev
-        coarse_dev = x_dev + jnp.float32(0.5) * err_dev
-        r = moment_pipeline_from_samples_extended(
-            fine_dev, coarse_dev, N_MOMENTS, domain=DOMAIN,
-            symmetric=True)
-        ref = f64_reference_moments_strict(
-            n_moments=N_MOMENTS, domain=DOMAIN, include_cov=True,
-            fine32=np.asarray(fine_dev), coarse32=np.asarray(coarse_dev))
-        report = check_extended_against_f64(r, ref, n_ext)  # raises on fail
+def _section_precision(state, tick):
+    """f32+Kahan kernel vs f64 at 1e7: identical noise through the Pallas
+    noise-input kernel and an exact f64 host summation of the same f32
+    per-sample values; asserted against the derived bound
+    eps32 * C_BOUND * S_abs (ops/precision.py)."""
+    from mlmc_tpu.ops.pallas_kernels import synth_moment_pipeline_from_noise
+    from mlmc_tpu.ops.precision import (f64_reference_moments,
+                                        check_against_f64)
 
-        # throughput at 1e8 (noise pre-generated on device; timed region =
-        # the extended kernel only, one forced transfer)
-        n_thr = 99_998_720  # ~1e8, multiple of 8192
-        x_big = jax.random.normal(jax.random.key(42), (n_thr,),
-                                  dtype=jnp.float32)
-        r2 = synth_moment_pipeline_from_noise_extended(
-            x_big, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
-            domain=DOMAIN)  # warm
-        t0 = time.perf_counter()
-        r2 = synth_moment_pipeline_from_noise_extended(
-            x_big, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
-            domain=DOMAIN)  # _combine_ext forces host transfer
-        ext_s = time.perf_counter() - t0
-        return {
-            "bound_holds": True,
-            "checked_n": n_ext,
-            "max_rel_dev_vs_strict_f64": max(report.values()),
-            "sums_rel_dev": report["sums"],
-            "df_bound_at_1e8_rel": float(np.max(
-                df_error_bound(np.ones(1), 1e8))),
-            "throughput_samples_per_s": round(n_thr / ext_s, 1),
-            "wall_s_1e8": round(ext_s, 3),
-        }
+    tick("precision: f32+Kahan vs f64 at 1e7")
+    n_prec = 10_010_624  # >= 1e7, multiple of the 16384 chunk
+    x = np.random.default_rng(99).normal(size=n_prec).astype(np.float32)
+    r = jax.tree.map(np.asarray, synth_moment_pipeline_from_noise(
+        x, N_MOMENTS, fine_step=0.25, coarse_step=0.5, domain=DOMAIN,
+        chunk=16384))
+    ref = f64_reference_moments(
+        x, N_MOMENTS, fine_step=0.25, coarse_step=0.5, domain=DOMAIN,
+        include_cov=False)
+    report = check_against_f64(r, ref, include_cov=False)  # raises on fail
+    state["extras"]["precision_vs_f64"] = {
+        "bound_holds": True,
+        "max_rel_dev_vs_f64": max(report.values()),
+        "n": n_prec}
 
-    if jax.default_backend() != "tpu":
-        # the extended Mosaic kernels are dispatched TPU-only here; off-TPU
-        # runs skip instead of reporting a false failure
-        extended = {"skipped": "extended tier measured on TPU only"}
-    else:
+
+def _section_extended(state, tick):
+    """Extended (double-float) tier: 1e-10-grade parity (SURVEY §6 north
+    star) — the df kernel vs the strict ALL-f64 host reference on
+    identical f32 QoIs, asserted against the derived 2^-48-scale bound;
+    plus its throughput at 1e8. The host f64 reference costs ~1 min at
+    2e7 on this 1-core VM."""
+    from mlmc_tpu.ops.pallas_extended import (
+        moment_pipeline_from_samples_extended,
+        synth_moment_pipeline_from_noise_extended)
+    from mlmc_tpu.ops.precision import (
+        f64_reference_moments_strict, check_extended_against_f64,
+        df_error_bound)
+
+    tick("extended: df64 kernel parity check")
+    n_ext = int(float(os.environ.get("MLMC_BENCH_EXT_N", 2e7)))
+    n_ext -= n_ext % 8192
+    x_dev = jax.random.normal(jax.random.key(41), (n_ext,),
+                              dtype=jnp.float32)
+    # QoIs computed ONCE on device; the same bits feed both pipelines
+    # (TPU's f32 sqrt is not correctly rounded — ~40% of values differ
+    # from numpy's by 1 ulp — so recomputing the transform on the host
+    # would compare different samples, not kernel accuracy)
+    err_dev = jnp.sqrt(jnp.float32(1e-4) + jnp.abs(x_dev))
+    fine_dev = x_dev + jnp.float32(0.25) * err_dev
+    coarse_dev = x_dev + jnp.float32(0.5) * err_dev
+    r = moment_pipeline_from_samples_extended(
+        fine_dev, coarse_dev, N_MOMENTS, domain=DOMAIN,
+        symmetric=True)
+    tick("extended: computing strict f64 host reference (~1 min)")
+    ref = f64_reference_moments_strict(
+        n_moments=N_MOMENTS, domain=DOMAIN, include_cov=True,
+        fine32=np.asarray(fine_dev), coarse32=np.asarray(coarse_dev))
+    report = check_extended_against_f64(r, ref, n_ext)  # raises on fail
+
+    # throughput at 1e8 (noise pre-generated on device; timed region =
+    # the extended kernel only, one forced transfer)
+    tick("extended: throughput at 1e8")
+    n_thr = 99_998_720  # ~1e8, multiple of 8192
+    x_big = jax.random.normal(jax.random.key(42), (n_thr,),
+                              dtype=jnp.float32)
+    r2 = synth_moment_pipeline_from_noise_extended(
+        x_big, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
+        domain=DOMAIN)  # warm
+    t0 = time.perf_counter()
+    r2 = synth_moment_pipeline_from_noise_extended(
+        x_big, N_MOMENTS, fine_step=0.25, coarse_step=0.5,
+        domain=DOMAIN)  # _combine_ext forces host transfer
+    ext_s = time.perf_counter() - t0
+    state["extras"]["extended_precision"] = {
+        "bound_holds": True,
+        "checked_n": n_ext,
+        "max_rel_dev_vs_strict_f64": max(report.values()),
+        "sums_rel_dev": report["sums"],
+        "df_bound_at_1e8_rel": float(np.max(
+            df_error_bound(np.ones(1), 1e8))),
+        "throughput_samples_per_s": round(n_thr / ext_s, 1),
+        "wall_s_1e8": round(ext_s, 3),
+    }
+
+
+def _section_rng_quality(state, tick):
+    """chi^2/KS on raw Box-Muller normals dumped from the on-core
+    generator + 6-sigma cross-check of full telescoped estimates vs the
+    threefry path; self-gates off-TPU where the Pallas PRNG is a zero
+    stub."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_extra import bench_rng_quality
+
+    tick("rng_quality: chi2/KS on on-core generator")
+    state["extras"]["rng_quality"] = bench_rng_quality()
+
+
+def _section_qmc(state, tick):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_extra import bench_qmc_compact
+
+    tick("qmc: MLQMC evidence tier")
+    state["extras"]["qmc"] = bench_qmc_compact()
+
+
+def _section_bayes(state, tick):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_extra import bench_bayes_compact
+
+    tick("bayes: Bayesian/rare evidence tier")
+    state["extras"]["bayes"] = bench_bayes_compact()
+
+
+def _section_maxent(state, tick):
+    """Maxent PDF from the headline estimate (config 3)."""
+    import mlmc_tpu.tool.simple_distribution as sd
+
+    est = state["est"]
+    moments_fn = Legendre(N_MOMENTS, DOMAIN)
+    tick("maxent: orthogonalize + warm solve")
+    with jax.enable_x64(True):
+        orto, info = sd.construct_ortogonal_moments(
+            moments_fn, est["cov"], tol=1e-7)
+        mu = info[2] @ est["mean"]
+        moments_data = np.stack((mu, np.ones(orto.size)), axis=1)
+        # warm pass: the device backends jit one Newton executable per
+        # (panel-bucket, R) shape — compile/deserialize is a per-process
+        # cost, excluded from the timed solve like everywhere else
+        sd.SimpleDistribution(orto, moments_data,
+                              domain=moments_fn.domain
+                              ).estimate_density_minimize(tol=1e-9)
+        tick("maxent: timed solve")
+        t1 = time.perf_counter()
+        d = sd.SimpleDistribution(orto, moments_data,
+                                  domain=moments_fn.domain)
+        result = d.estimate_density_minimize(tol=1e-9)
+    maxent_s = time.perf_counter() - t1
+    state["extras"]["maxent_solve_s"] = round(maxent_s, 3)
+    state["extras"]["maxent_converged"] = bool(result.success)
+    state["extras"]["maxent_solver_backend"] = d._solver_backend
+    state["extras"]["maxent_grad_norm"] = float(result.fun_norm)
+
+
+# --------------------------------------------------------------------- #
+# worker + monitor
+# --------------------------------------------------------------------- #
+
+def _work(state, prog):
+    tick = prog.tick
+    tick("device probe (blocks until the axon tunnel answers)")
+    float(jnp.sum(jnp.ones((8, 8))))
+    tick("device probe ok")
+
+    # headline is mandatory: let exceptions propagate (monitor reports
+    # them with the partial artifact). Secondary sections must never
+    # sink the run — degrade to error notes, LOUDLY.
+    _section_headline(state, tick)
+    state["sections"].append("headline")
+
+    on_tpu = jax.default_backend() == "tpu"
+    secondary = [
+        ("xla", _section_xla, True),
+        ("precision_vs_f64", _section_precision, True),
+        ("extended_precision", _section_extended, on_tpu),
+        ("rng_quality", _section_rng_quality, True),
+        ("qmc", _section_qmc, True),
+        ("bayes", _section_bayes, True),
+        ("maxent", _section_maxent, True),
+    ]
+    for name, fn, enabled in secondary:
+        if not enabled:
+            # the extended Mosaic kernels are dispatched TPU-only;
+            # off-TPU runs skip instead of reporting a false failure
+            state["extras"][name] = {
+                "skipped": "%s tier measured on TPU only" % name}
+            continue
         try:
-            extended = run_extended()
+            fn(state, tick)
+            state["sections"].append(name)
         except Exception:
-            extended = {"bound_holds": False}
-            print("bench: extended-precision path FAILED:", file=sys.stderr)
+            state["extras"].setdefault(
+                name, {"error": "%s section failed" % name})
+            print("bench: %s section FAILED:" % name, file=sys.stderr)
+            traceback.print_exc()
+    state["ok"] = True
+
+
+def main():
+    budget_s = float(os.environ.get("MLMC_BENCH_BUDGET_S", 10800))
+    stall_s = float(os.environ.get("MLMC_BENCH_STALL_S", 2700))
+    state = {"extras": {}, "sections": [], "ok": False}
+    prog = _Progress()
+
+    def work_wrapper():
+        try:
+            _work(state, prog)
+        except Exception:
+            state["work_error"] = traceback.format_exc(limit=20)
+            print("bench: worker FAILED:", file=sys.stderr)
             traceback.print_exc()
 
-    # ---------------- RNG statistical quality (on hardware) ------------- #
-    # chi^2/KS on raw Box-Muller normals dumped from the on-core generator
-    # + 6-sigma cross-check of full telescoped estimates vs the threefry
-    # path (VERDICT r2 weak #6 / next #7); self-gates off-TPU where the
-    # Pallas PRNG is a zero stub.
-    rng_quality = None
-    try:
-        import os as _os
-        sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-        from bench_extra import bench_rng_quality
+    t0 = time.monotonic()
+    worker = threading.Thread(target=work_wrapper, daemon=True)
+    worker.start()
+    while worker.is_alive():
+        worker.join(30.0)
+        if not worker.is_alive():
+            break
+        elapsed = time.monotonic() - t0
+        ts, note = prog.read()
+        idle = time.monotonic() - ts
+        if idle > 120:
+            print("bench: no progress for %.0f s (last: %s); stall limit "
+                  "%.0f s, budget %.0f/%.0f s" % (
+                      idle, note, stall_s, elapsed, budget_s),
+                  file=sys.stderr)
+            sys.stderr.flush()
+        if idle >= stall_s or elapsed >= budget_s:
+            why = ("device stalled for %.0f s during [%s]" % (idle, note)
+                   if idle >= stall_s else
+                   "budget %.0f s exhausted during [%s]" % (budget_s, note))
+            _emit(_artifact(state, error=(
+                "%s (known axon wedge state, recovers on its own "
+                "schedule); artifact carries sections completed before "
+                "the wedge" % why)))
+            os._exit(3)
 
-        rng_quality = bench_rng_quality()
-    except Exception:
-        rng_quality = {"error": "rng-quality path failed"}
-        print("bench: rng-quality path FAILED:", file=sys.stderr)
-        traceback.print_exc()
-
-    # ---------------- MLQMC tier (beyond-reference capability) ---------- #
-    qmc_evidence = None
-    try:
-        from bench_extra import bench_qmc_compact
-
-        qmc_evidence = bench_qmc_compact()
-    except Exception:
-        qmc_evidence = {"error": "qmc path failed"}
-        print("bench: qmc path FAILED:", file=sys.stderr)
-        traceback.print_exc()
-
-    # ------------- Bayesian/rare tiers (beyond-reference) --------------- #
-    bayes_evidence = None
-    try:
-        from bench_extra import bench_bayes_compact
-
-        bayes_evidence = bench_bayes_compact()
-    except Exception:
-        bayes_evidence = {"error": "bayes path failed"}
-        print("bench: bayes path FAILED:", file=sys.stderr)
-        traceback.print_exc()
-
-    # ---------------- maxent PDF from the estimate (config 3) ----------- #
-    maxent_s = None
-    maxent_backend = None
-    result = None
-    try:
-        import mlmc_tpu.tool.simple_distribution as sd
-
-        with jax.enable_x64(True):
-            orto, info = sd.construct_ortogonal_moments(
-                moments_fn, est["cov"], tol=1e-7)
-            mu = info[2] @ est["mean"]
-            moments_data = np.stack((mu, np.ones(orto.size)), axis=1)
-            # warm pass: the device backends jit one Newton executable per
-            # (panel-bucket, R) shape — compile/deserialize is a per-process
-            # cost, excluded from the timed solve like everywhere else
-            sd.SimpleDistribution(orto, moments_data,
-                                  domain=moments_fn.domain
-                                  ).estimate_density_minimize(tol=1e-9)
-            t1 = time.perf_counter()
-            d = sd.SimpleDistribution(orto, moments_data,
-                                      domain=moments_fn.domain)
-            result = d.estimate_density_minimize(tol=1e-9)
-        maxent_s = time.perf_counter() - t1
-        maxent_backend = d._solver_backend
-    except Exception:
-        print("bench: maxent path FAILED:", file=sys.stderr)
-        traceback.print_exc()
-
-    out = {
-        "metric": "fused 5-level moment+cov estimate, 25 Legendre moments, 1e8 samples",
-        "value": round(pallas_thr, 1),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(pallas_thr / BASELINE_SAMPLES_PER_S, 2),
-        "extras": {
-            "pallas_wall_s": round(pallas_s, 4),
-            "single_dispatch_wall_s": round(single_s, 4),
-            "single_dispatch_samples_per_s": round(total / single_s, 1),
-            "xla_wall_s": round(xla_s, 4) if xla_s else None,
-            "xla_samples_per_s": round(total / xla_s, 1) if xla_s else None,
-            "precision_vs_f64": precision,
-            "extended_precision": extended,
-            "rng_quality": rng_quality,
-            "qmc": qmc_evidence,
-            "bayes": bayes_evidence,
-            "maxent_solve_s": round(maxent_s, 3) if maxent_s else None,
-            "maxent_converged": bool(result.success) if result else None,
-            "maxent_solver_backend": maxent_backend,
-            "maxent_grad_norm": float(result.fun_norm) if result else None,
-            "mean_p1": float(est["mean"][1]),
-            "n_valid": est["n_samples"].tolist(),
-        },
-    }
-    print(json.dumps(out))
+    if state.get("ok"):
+        out = _artifact(state)
+        _emit(out)
+        _write_last_good(out)
+    else:
+        _emit(_artifact(state, error=(
+            "worker raised before completion:\n"
+            + state.get("work_error", "unknown error"))))
+        sys.exit(4)
 
 
 if __name__ == "__main__":
