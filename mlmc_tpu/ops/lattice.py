@@ -55,7 +55,7 @@ def _bernoulli2_kernel(x):
     return 2.0 * np.pi ** 2 * (x * x - x + 1.0 / 6.0)
 
 
-def cbc_vector(n, dim, weights=None):
+def cbc_vector(n, dim, weights=None, method="auto"):
     """Component-by-component generating vector for the weighted
     Korobov space with alpha=2 and product weights.
 
@@ -64,6 +64,18 @@ def cbc_vector(n, dim, weights=None):
     coprime with the power-of-two ``n``) minimizing the squared
     worst-case error. The CBC average argument guarantees the result
     achieves the optimal ``O(n^{-alpha/2+eps})`` rate (Kuo 2003).
+
+    Two constructions of the same greedy choice:
+
+    - ``direct``: the blocked O(d n^2) candidate sweep (the omega
+      table is tiled to bound memory at ~32 MB).
+    - ``fft``: the Nuyens-Cools fast CBC (SIAM J. Sci. Comput. 27,
+      2006) specialized to power-of-two n — the candidate errors are
+      group correlations over ``(Z/2^t)* = {+-3^i}``, evaluated with
+      FFTs per dyadic block in O(n log n) per dimension, so n = 2^16+
+      generating vectors build in milliseconds on this host where the
+      direct sweep needs minutes.
+    - ``auto``: fft for n >= 512, direct otherwise.
 
     :param n: points (power of two).
     :param dim: dimensions.
@@ -81,6 +93,12 @@ def cbc_vector(n, dim, weights=None):
     gamma = np.asarray(weights, np.float64)
     if gamma.shape != (dim,) or np.any(gamma <= 0):
         raise ValueError("weights must be %d positive floats" % dim)
+    if method not in ("auto", "direct", "fft"):
+        raise ValueError("method must be auto|direct|fft")
+    if method == "auto":
+        method = "fft" if n >= 512 else "direct"
+    if method == "fft" and n >= 16:
+        return _cbc_vector_fft(n, dim, gamma)
     k = np.arange(n, dtype=np.int64)
     cand = np.arange(1, n, 2, dtype=np.int64)          # odd = coprime
     z = np.empty(dim, np.int64)
@@ -99,6 +117,76 @@ def cbc_vector(n, dim, weights=None):
             j = int(np.argmin(err))
             if err[j] < best_err:
                 best, best_err = int(cb[j]), float(err[j])
+        z[d] = best
+        prod = prod * (1.0 + gamma[d]
+                       * _bernoulli2_kernel((k * best % n) / float(n)))
+    return z
+
+
+def _cbc_vector_fft(n, dim, gamma):
+    """Fast CBC for n = 2^m: per candidate z the error term is
+    ``E(z) = sum_k p[k] omega({k z / n})``. Split k by its dyadic part
+    ``k = 2^(m-t) j`` (j odd mod 2^t): within a block only ``z mod 2^t``
+    matters, and for t >= 3 the odd residues form the group
+    ``{eps 3^i} ~= Z2 x Z_{2^(t-2)}`` — writing candidates as
+    ``z = sigma 3^u mod n``, each block contribution is a cyclic
+    CORRELATION in the exponent u, computed by FFT and tiled up to the
+    full exponent range (z mod 2^t = sigma 3^(u mod 2^(t-2)), exact for
+    t >= 3 since ord(3 mod 2^t) = 2^(t-2)). Blocks t <= 2 and k = 0
+    are handled directly (t = 2 is special: 3 = -1 mod 4, so
+    z mod 4 = sigma (-1)^u)."""
+    m = int(n - 1).bit_length()
+    U = n >> 2                                  # 2^(m-2) exponents
+    # global discrete-log table: 3^u mod n, u in [0, U)
+    pow3 = np.empty(U, np.int64)
+    acc = 1
+    for u in range(U):
+        pow3[u] = acc
+        acc = (acc * 3) % n
+    z_of = np.stack([pow3, n - pow3])           # [sigma, u] -> candidate
+    sign_u = np.where(np.arange(U) % 2 == 0, 1, -1)
+
+    k = np.arange(n, dtype=np.int64)
+    z = np.empty(dim, np.int64)
+    z[0] = 1
+    prod = 1.0 + gamma[0] * _bernoulli2_kernel(k / float(n))
+
+    for d in range(1, dim):
+        E = np.zeros((2, U))
+        E += prod[0] * _bernoulli2_kernel(0.0)            # k = 0
+        if m >= 1:                                         # t=1: j=1
+            E += prod[n >> 1] * _bernoulli2_kernel(0.5)
+        if m >= 2:                                         # t=2: j in {1,3}
+            a = m - 2
+            q1, q3 = prod[1 << a], prod[3 << a]
+            w1, w3 = (_bernoulli2_kernel(0.25),
+                      _bernoulli2_kernel(0.75))
+            # z mod 4 = sigma * (-1)^u (3 = -1 mod 4)
+            zmod4_is1 = np.stack([sign_u == 1, sign_u == -1])
+            E += np.where(zmod4_is1, q1 * w1 + q3 * w3,
+                          q1 * w3 + q3 * w1)
+        for t in range(3, m + 1):
+            a = m - t
+            P = 1 << (t - 2)
+            mod = 1 << t
+            p3t = pow3[:P] % mod                # 3^i mod 2^t
+            j_pos = p3t                         # eps = +1
+            j_neg = mod - p3t                   # eps = -1
+            qp = prod[j_pos << a]
+            qn = prod[j_neg << a]
+            wp = _bernoulli2_kernel(j_pos / float(mod))
+            wn = _bernoulli2_kernel(j_neg / float(mod))
+            # C[sigma](u) = sum_i q[s,i] w[s*sigma, (i+u) mod P]
+            fqp, fqn = np.fft.rfft(qp), np.fft.rfft(qn)
+            fwp, fwn = np.fft.rfft(wp), np.fft.rfft(wn)
+            corr = lambda fa, fb: np.fft.irfft(np.conj(fa) * fb, P)
+            c_pos = corr(fqp, fwp) + corr(fqn, fwn)
+            c_neg = corr(fqp, fwn) + corr(fqn, fwp)
+            reps = U // P
+            E[0] += np.tile(c_pos, reps)
+            E[1] += np.tile(c_neg, reps)
+        si, ui = np.unravel_index(np.argmin(E), E.shape)
+        best = int(z_of[si, ui])
         z[d] = best
         prod = prod * (1.0 + gamma[d]
                        * _bernoulli2_kernel((k * best % n) / float(n)))

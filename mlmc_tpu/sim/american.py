@@ -11,14 +11,16 @@ the state, restricted to in-the-money paths.
 
 TPU-first design: the whole backward induction is ONE jitted
 ``lax.scan`` over exercise dates — per date a basis Vandermonde
-[B, K], its normal equations by one MXU ``G^T W G`` [K, K], a
-K-dimensional solve, and a masked cashflow update; the path panel
-[B, N] is simulated forward in the same program (exact GBM transitions
-or Euler/Milstein substeps). Nothing touches the host until the final
-price statistics. With a ``mesh``, paths shard across devices and only
-the [K, K] normal equations cross the ICI (one ``psum`` per date) —
-the regression is EXACTLY the pooled one, not an average of per-shard
-fits.
+[B, K], a weighted least-squares fit by QR on the column-equilibrated
+panel (cond(G), not the normal equations' cond(G)^2 — degree 6-7
+stays f32-stable even at the tight early-date state clouds), and a
+masked cashflow update; the path panel [B, N] is simulated forward in
+the same program (exact GBM transitions or Euler/Milstein substeps).
+Nothing touches the host until the final price statistics. With a
+``mesh``, paths shard across devices as a textbook TSQR: local QR per
+shard, the [K, K] R factors all-gather over ICI, every shard solves
+the identical stacked problem — the regression is EXACTLY the pooled
+one, not an average of per-shard fits.
 
 Foresight-bias control is the standard two-pass scheme: the stopping
 rule (regression coefficients) is FIT on one path set, then FROZEN and
@@ -283,16 +285,45 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
     axis = mesh.axis_name if mesh is not None else None
 
     def normal_fit(G, w, y):
-        """Pooled weighted least squares across shards: blocked [K, K]
-        normal equations (bounded f32 accumulation windows) + Jacobi
-        equilibration — see _blocked_normal_eq/_equilibrated_solve for
-        the measured f32-hardware failure modes both guard against."""
+        """Pooled weighted least squares across shards by TSQR.
+
+        The earlier normal-equation route squares the basis condition
+        number (cond(G^T G) = cond(G)^2): the centered-monomial Gram at
+        early dates (tight state clouds, u-spread ~ sigma sqrt(t))
+        keeps a Hilbert-like cond ~ 5.8^K even after Jacobi
+        equilibration, which capped stable f32 fits at degree 5
+        (BASELINE.md american row). QR factorization works at cond(G)
+        itself, lifting degree 6-7 into the f32-stable regime.
+
+        Mesh path = textbook TSQR: each shard QR-factors its local
+        weighted panel, the tiny [K, K] R factors and [K] projected
+        rhs all-gather over ICI (K^2 floats per shard — negligible),
+        and every shard solves the identical stacked least-squares
+        problem, so the fit is exactly the global one. Ridge rows
+        sqrt(eps) I on the column-equilibrated scale match the old
+        solver's regularization."""
         Gw = G * w[:, None]
-        A, b = _blocked_normal_eq(Gw, y * w)
-        A = psum(A, axis_name=axis)
-        b = psum(b, axis_name=axis)
+        yw = y * w
+        hi = jax.lax.Precision.HIGHEST
+        # global column equilibration (the Jacobi diagonal of the old
+        # solver): diagonal, so it folds back into the coefficients
+        # exactly — the emitted rule stays in the centered-monomial
+        # basis that lsmc_dual_bound's closed-form CV consumes
+        cn = psum(jnp.sum(Gw * Gw, axis=0), axis_name=axis)
+        d = jax.lax.rsqrt(jnp.maximum(cn, 1e-30))
+        q, r = jnp.linalg.qr(Gw * d[None, :])
+        c = jnp.matmul(q.T, yw, precision=hi)
+        if mesh is not None:
+            r = jax.lax.all_gather(r, axis).reshape(-1, K)
+            c = jax.lax.all_gather(c, axis).reshape(-1)
         eps = (1e-6 if jnp.finfo(dtype).bits < 64 else 1e-12)
-        return _equilibrated_solve(A, b, eps)
+        rr = jnp.concatenate(
+            [r, jnp.sqrt(eps) * jnp.eye(K, dtype=dtype)], axis=0)
+        cc = jnp.concatenate([c, jnp.zeros((K,), dtype)], axis=0)
+        q2, r2 = jnp.linalg.qr(rr)
+        x = jax.scipy.linalg.solve_triangular(
+            r2, jnp.matmul(q2.T, cc, precision=hi), lower=False)
+        return x * d
 
     def backward(panel, coefs, fit):
         """Backward induction over dates n_dates-1 .. 1. ``fit``
@@ -350,9 +381,13 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
             kr = jax.random.fold_in(kr, jax.lax.axis_index(axis))
             return run(kr, coefs)
 
+        # check_vma=False: the TSQR coefficients ARE replicated (every
+        # shard solves the identical stacked system of all-gathered R
+        # factors) but static vma inference cannot see through the
+        # gather + local QR, so the replication check must be waived
         return jax.jit(shard_map(
             sharded, mesh=mesh.mesh, in_specs=(P(), P()),
-            out_specs=(P(), P())))
+            out_specs=(P(), P()), check_vma=False))
 
     t0 = time.perf_counter()
     dummy = jnp.zeros((max(n_dates - 1, 1), K), dtype)[:n_dates - 1]

@@ -359,3 +359,47 @@ def test_ml_dual_validation():
     with pytest.raises(ValueError, match="entries"):
         lsmc_dual_bound_ml(put_payoff(1.0), 1.0, R, T, 4, coef, model,
                            n_levels=2, n_paths=[128, 128])
+
+
+def test_degree7_f32_qr_stability():
+    """Conditioning regression for the TSQR fit: the old
+    normal-equation solve worked at cond(G)^2 — the equilibrated
+    early-date monomial Gram keeps a Hilbert-like cond ~ 5.8^K, so
+    degree >= 6 tipped f32 into garbage (BASELINE.md american row
+    documented the cap). QR works at cond(G): the degree-6/7 f32
+    prices must stay within regression accuracy of the binomial value
+    and must not collapse below the degree-3 rule (a richer basis can
+    only improve the stopping rule up to noise)."""
+    tree = bermudan_binomial(1.0, 1.0, R, SIG, T, n_dates=16,
+                             n_steps=4096)
+    prices = {}
+    for deg in (3, 6, 7):
+        res = lsmc_price(put_payoff(1.0), 1.0, R, T, n_dates=16,
+                         sigma=SIG, degree=deg, n_paths=1 << 15,
+                         key=jax.random.key(7), dtype=jnp.float32)
+        assert np.isfinite(res["price"]), (deg, res)
+        assert res["price"] <= tree + 4 * res["price_se"], (deg, res)
+        assert res["price"] >= tree - 2e-3 - 4 * res["price_se"], (
+            deg, res["price"], tree)
+        prices[deg] = (res["price"], res["price_se"])
+    assert prices[7][0] >= prices[3][0] - 5 * (prices[7][1]
+                                               + prices[3][1]), prices
+
+
+def test_mesh_tsqr_degree6_parity():
+    """The mesh fit is textbook TSQR (local QR + all-gathered R
+    factors): at degree 6 / f32 the sharded stopping rule must agree
+    with the single-device one — prices within CLT bands and the
+    at-the-money continuation values close."""
+    from mlmc_tpu.parallel import SampleMesh
+
+    kw = dict(n_dates=8, sigma=SIG, degree=6, n_paths=1 << 14,
+              key=jax.random.key(13), dtype=jnp.float32)
+    res1 = lsmc_price(put_payoff(1.0), 1.0, R, T, **kw)
+    res8 = lsmc_price(put_payoff(1.0), 1.0, R, T, mesh=SampleMesh(),
+                      **kw)
+    tol = 5 * (res1["price_se"] + res8["price_se"])
+    assert abs(res1["price"] - res8["price"]) < tol, (res1["price"],
+                                                      res8["price"])
+    v1, v8 = res1["coef"][0][0], res8["coef"][0][0]   # ATM: x = 0
+    assert abs(v1 - v8) < 0.02, (v1, v8)

@@ -194,3 +194,41 @@ def test_tent_preserves_uniformity():
     t = np.asarray(tent(u))
     assert abs(t.mean() - 0.5) < 1e-3
     assert abs((t * t).mean() - 1.0 / 3.0) < 1e-3
+
+
+def test_fast_cbc_matches_direct_greedy():
+    """The FFT fast CBC evaluates the SAME candidate errors as the
+    direct O(n^2) sweep (group correlations over (Z/2^t)* are exact to
+    machine eps), so the greedy quality must match: near-ties may pick
+    the mirror z -> n - z (identical P_alpha by B_2 symmetry) or flip
+    a rounding-level tie, but the worst-case error cannot degrade."""
+    for n in (16, 64, 256):
+        zd = cbc_vector(n, 6, method="direct")
+        zf = cbc_vector(n, 6, method="fft")
+        pd, pf = p_alpha(zd, n), p_alpha(zf, n)
+        assert pf <= pd * (1 + 1e-9), (n, pd, pf)
+    # larger n: rounding-level tie flips in the greedy may cost a hair
+    zd = cbc_vector(1 << 10, 6, method="direct")
+    zf = cbc_vector(1 << 10, 6, method="fft")
+    assert p_alpha(zf, 1 << 10) <= p_alpha(zd, 1 << 10) * 1.01
+
+
+def test_fast_cbc_scales_to_2e16():
+    """n = 2^16 construction (out of reach for the direct sweep on
+    this 1-core host) lands in well under a minute and still beats the
+    random-generating-vector median — VERDICT r3 item 7."""
+    import time
+
+    n, dim = 1 << 16, 8
+    t0 = time.perf_counter()
+    z = cbc_vector(n, dim)
+    wall = time.perf_counter() - t0
+    assert wall < 30.0, wall
+    assert z.shape == (dim,) and z[0] == 1 and np.all(z % 2 == 1)
+    pz = p_alpha(z, n)
+    rng = np.random.default_rng(1)
+    ps = [p_alpha(np.concatenate([[1],
+                                  rng.integers(0, n // 2, dim - 1) * 2
+                                  + 1]), n)
+          for _ in range(9)]
+    assert pz < np.median(ps), (pz, np.median(ps))
