@@ -128,13 +128,22 @@ class Estimate:
         return xp.where(bad[None, :, None],
                         xp.asarray(np.nan, dtype=y.dtype), y)
 
-    def _fast_results_packed(self, moments_fn, components):
+    def _fast_results_packed(self, moments_fn, components, cache=True):
         """Kernel accumulators for MANY QoI components in ONE dispatch.
 
         All (component, level) sample streams pack into a single grid of
         the multi-level kernel — per-dispatch latency over a
         remote-attached chip is ~30 ms, so per-component (let alone
         per-chunk) calls would dominate structured-quantity estimation.
+
+        Results are memoized per storage state (the collected-count
+        vector): the estimation is deterministic, so the fast moment /
+        covariance / diff-vars tiers called within one adaptive round
+        share ONE dispatch instead of re-enqueueing the identical
+        program three times — on a high-enqueue-latency tunnel each
+        avoided dispatch saves a ~30 ms round trip (the measured
+        config-4 rig spread, BASELINE.md). ``cache=False`` forces a
+        fresh dispatch (benchmarks).
 
         Traceable quantities go further: the DAG evaluation, the stream
         packing, and the Pallas kernel compile into ONE jitted program, so
@@ -152,6 +161,21 @@ class Estimate:
         basis = self._fast_basis(moments_fn)
         ref_domain = tuple(float(v) for v in moments_fn.ref_domain)
         n_levels = self._sample_storage.get_n_levels()
+
+        rkey = (tuple(int(x) for x in
+                      self._sample_storage.get_n_collected()),
+                type(moments_fn).__name__, moments_fn.size,
+                tuple(float(v) for v in moments_fn.domain),
+                ref_domain, basis, tuple(components))
+        rcache = getattr(self, "_packed_results_cache", None)
+        if rcache is None:
+            rcache = self._packed_results_cache = {}
+        if cache and rkey in rcache:
+            flat = rcache[rkey]
+            return {m: flat[i * n_levels:(i + 1) * n_levels]
+                    for i, m in enumerate(components)}
+        elif rcache and next(iter(rcache))[0] != rkey[0]:
+            rcache.clear()                  # storage grew: all stale
 
         # Off-TPU the kernel runs in interpret mode, whose io_callbacks
         # deadlock against XLA:CPU's execution threads when the pallas call
@@ -206,6 +230,8 @@ class Estimate:
         # fetching the L*M*5 accumulator arrays lazily downstream pays a
         # ~30 ms tunnel round trip EACH (device_get overlaps them)
         flat = jax.device_get(flat)
+        if cache:
+            rcache[rkey] = flat
         return {m: flat[i * n_levels:(i + 1) * n_levels]
                 for i, m in enumerate(components)}
 
