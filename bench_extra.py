@@ -397,6 +397,56 @@ def bench_mimc():
                     float(mimc_sum ** 2 / mlmc_sum ** 2), 3))
 
 
+def bench_mimc_darcy():
+    """MIMC on the flagship 2-D Darcy PDE with ANISOTROPIC (hx, hy)
+    refinement (VERDICT r3 item 8) — the regime where the reference's
+    scalar hierarchy must pay nx*ny ~ 4^level per sample while mixed
+    differences decay at the product rate. Adaptive run + measured
+    optimal-work ratio vs diagonal (hx = hy) single-axis MLMC."""
+    import jax
+    from mlmc_tpu.mimc import (MIMC, darcy_mimc_value_fn,
+                               mixed_difference_terms)
+
+    # f32 device tier: CG to 1e-6 (the f32 plateau; mixed differences
+    # at the depths below sit well above it)
+    fn, d = darcy_mimc_value_fn(sigma=1.0, corr_length=0.3, n0=(4, 4),
+                                cg_tol=1e-6)
+    m = MIMC(fn, [(0, 0)], seed=3, chunk_size=1 << 9)
+    t0 = time.perf_counter()
+    res = m.run_adaptive(target_var=1e-8, bias_tol=2e-4,
+                         n_pilot=1 << 9, max_indices=12)
+    wall = time.perf_counter() - t0
+
+    # work comparison: cost model = nx * ny = 2^(a0 + a1)
+    keys = jax.random.split(jax.random.key(2), 512)
+    cost = lambda a: 2.0 ** (a[0] + a[1])
+    mimc_sum = 0.0
+    for alpha in map(tuple, res["index_set"]):
+        vals = 0
+        for corner, sign in mixed_difference_terms(alpha):
+            vals = vals + sign * np.asarray(fn(corner, keys))
+        mimc_sum += np.sqrt(vals.var() * cost(alpha))
+    depth = int(max(max(a) for a in res["index_set"]))
+    mlmc_sum, prev = 0.0, None
+    for lev in range(depth + 1):
+        cur = np.asarray(fn((lev, lev), keys))
+        diff = cur if prev is None else cur - prev
+        mlmc_sum += np.sqrt(diff.var() * cost((lev, lev)))
+        prev = cur
+    return dict(workload="MIMC 2-D Darcy (hx x hy anisotropic "
+                         "refinement), adaptive to target_var=1e-8",
+                wall_s=round(wall, 2),
+                mean=round(float(res["mean"]), 6),
+                var=float("%.3g" % res["var"]),
+                n_total=int(np.sum(res["n_samples"])),
+                n_indices=len(res["index_set"]),
+                max_depth=depth,
+                target_met=bool(res["target_met"]),
+                bias_converged=bool(res["bias_converged"]),
+                work_ratio_vs_diag_mlmc=round(
+                    float(mimc_sum ** 2 / mlmc_sum ** 2), 3))
+
+
 def bench_maxent35():
     """BASELINE config 3: maxent PDF from 35 moments of a two-Gaussian
     mixture (reference harness: test/test_distribution.py:262-354 pattern —
@@ -2155,6 +2205,7 @@ BENCHES = {"shooting": bench_shooting, "diffusion": bench_diffusion,
            "lattice": bench_lattice,
            "american": bench_american,
            "mimc": bench_mimc,
+           "mimc_darcy": bench_mimc_darcy,
            "sensitivity": bench_sensitivity,
            "unbiased": bench_unbiased,
            "cdf": bench_cdf,

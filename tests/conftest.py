@@ -20,3 +20,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from pathlib import Path  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the ``slow`` marker from the checked-in duration ledger.
+
+    ``tests/slow_tests.txt`` lists every test measured > ~20 s on the
+    single-core reference host (regenerate from a full-suite
+    ``--durations=0`` run; bare ``file::test`` entries cover all
+    parametrizations). The default CI gate runs ``-m "not slow"``
+    (< 15 min); the full suite is the nightly tier.
+    """
+    ledger = Path(__file__).parent / "slow_tests.txt"
+    if not ledger.exists():
+        return
+    slow = {line.strip() for line in ledger.read_text().splitlines()
+            if line.strip() and not line.strip().startswith("#")}
+    for item in items:
+        nodeid = item.nodeid
+        if nodeid in slow or nodeid.split("[")[0] in slow:
+            item.add_marker(pytest.mark.slow)

@@ -227,3 +227,56 @@ def test_run_adaptive_budget_cap_reported_honestly():
     assert len(res["index_set"]) <= 8
     assert not res["bias_converged"]
     assert res["bias_est"] > 1e-12
+
+
+def test_darcy_mimc_product_rate_decay():
+    """Flagship-PDE premise check (VERDICT r3 item 8): on the 2-D Darcy
+    solve with anisotropic (hx, hy) refinement the MIXED differences
+    decay at the product rate — measured E/V both drop by >~8x/>~50x
+    per diagonal step, far faster than the single-axis differences —
+    and the per-axis first differences are comparable (the problem is
+    symmetric, the coupling works on both axes)."""
+    from mlmc_tpu.mimc import darcy_mimc_value_fn
+
+    fn, d = darcy_mimc_value_fn(sigma=1.0, corr_length=0.3, n0=(4, 4))
+    assert d == 2
+    keys = jax.random.split(jax.random.key(0), 96)
+
+    def delta_stats(alpha):
+        vals = 0
+        for corner, sign in mixed_difference_terms(alpha):
+            vals = vals + sign * np.asarray(fn(corner, keys))
+        return abs(vals.mean()), vals.var()
+
+    e10, v10 = delta_stats((1, 0))
+    e01, v01 = delta_stats((0, 1))
+    e11, v11 = delta_stats((1, 1))
+    e22, v22 = delta_stats((2, 2))
+    # mixed difference sits an order below the single-axis differences
+    assert e11 < 0.5 * min(e10, e01), (e10, e01, e11)
+    assert v11 < 0.1 * min(v10, v01), (v10, v01, v11)
+    # product-rate decay along the diagonal (measured E ratio ~13,
+    # V ratio ~200; asserted with slack for the 96-sample noise)
+    assert e22 < 0.25 * e11, (e11, e22)
+    assert v22 < 0.05 * v11, (v11, v22)
+
+
+def test_darcy_mimc_adaptive_growth():
+    """run_adaptive on the Darcy adapter: grows a downward-closed
+    anisotropic index set, meets its variance target, and the estimate
+    is stable (finite, near the (0,0)+corrections telescope)."""
+    from mlmc_tpu.mimc import darcy_mimc_value_fn
+
+    fn, d = darcy_mimc_value_fn(sigma=0.8, corr_length=0.3, n0=(4, 4))
+    m = MIMC(fn, [(0, 0)], seed=3, chunk_size=1 << 7)
+    res = m.run_adaptive(target_var=2e-8, bias_tol=3e-4,
+                         n_pilot=1 << 8, max_indices=10)
+    assert res["target_met"]
+    assert np.isfinite(res["mean"]) and 0.0 < res["mean"] < 0.1
+    s = set(map(tuple, res["index_set"]))
+    assert len(s) > 1
+    assert all(tuple(np.subtract(a, np.eye(2, dtype=int)[k])) in s
+               for a in s for k in range(2) if a[k] > 0)  # closure
+    # both axes got refined (the problem is genuinely 2-axis)
+    idx = np.array(res["index_set"])
+    assert idx[:, 0].max() >= 1 and idx[:, 1].max() >= 1
