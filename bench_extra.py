@@ -321,11 +321,12 @@ def bench_american():
                              n_steps=200 * n_dates)
     # dual (Rogers) TRUE upper bound from a globally-valid surface
     # (itm_only=False — an ITM-only fit extrapolates wildly OTM).
-    # Degree 5 halves the 50-date duality gap vs 3 (measured 0.0064 vs
-    # 0.023 — the slack is surface error accumulated over the dates,
-    # NOT inner-MC noise: n_inner 64 -> 512 moved it by <3%); degree 6
-    # tips the f32 monomial normal equations into ill-conditioning.
-    kw_g = dict(kw, itm_only=False, degree=5, key=jax.random.key(5))
+    # Degree 5 halved the 50-date duality gap vs 3 (measured 0.0064 vs
+    # 0.023 — surface error accumulated over the dates, NOT inner-MC
+    # noise: n_inner 64 -> 512 moved it by <3%). The TSQR fit (r4)
+    # lifted the old degree-6 f32 normal-equation cap, so the surface
+    # now fits at degree 7.
+    kw_g = dict(kw, itm_only=False, degree=7, key=jax.random.key(5))
     glob = lsmc_price(put_payoff(1.0), 1.0, rate, 1.0, n_dates, **kw_g)
     dkw = dict(coef=glob["coef"], sigma=sigma, n_paths=1 << 14,
                n_inner=64, key=jax.random.key(6))
