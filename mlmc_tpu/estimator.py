@@ -128,6 +128,18 @@ class Estimate:
         return xp.where(bad[None, :, None],
                         xp.asarray(np.nan, dtype=y.dtype), y)
 
+    def _results_cache(self, rkey):
+        """Per-instance result memo for the deterministic estimation
+        tiers. Keys lead with the collected-count state; a key from a
+        NEWER storage state flushes every stale entry (the store only
+        grows, so one live state exists at a time)."""
+        rcache = getattr(self, "_packed_results_cache", None)
+        if rcache is None:
+            rcache = self._packed_results_cache = {}
+        if rcache and next(iter(rcache))[0] != rkey[0]:
+            rcache.clear()
+        return rcache
+
     def _fast_results_packed(self, moments_fn, components, cache=True):
         """Kernel accumulators for MANY QoI components in ONE dispatch.
 
@@ -163,19 +175,15 @@ class Estimate:
         n_levels = self._sample_storage.get_n_levels()
 
         rkey = (tuple(int(x) for x in
-                      self._sample_storage.get_n_collected()),
+                      self._sample_storage.get_n_collected()), "packed",
                 type(moments_fn).__name__, moments_fn.size,
                 tuple(float(v) for v in moments_fn.domain),
                 ref_domain, basis, tuple(components))
-        rcache = getattr(self, "_packed_results_cache", None)
-        if rcache is None:
-            rcache = self._packed_results_cache = {}
+        rcache = self._results_cache(rkey)
         if cache and rkey in rcache:
             flat = rcache[rkey]
             return {m: flat[i * n_levels:(i + 1) * n_levels]
                     for i, m in enumerate(components)}
-        elif rcache and next(iter(rcache))[0] != rkey[0]:
-            rcache.clear()                  # storage grew: all stale
 
         # Off-TPU the kernel runs in interpret mode, whose io_callbacks
         # deadlock against XLA:CPU's execution threads when the pallas call
@@ -423,12 +431,24 @@ class Estimate:
     def _extended_results(self, moments_fn, components):
         """Per-(component, level) ExtendedMomentResult from the
         double-float kernel tier (one dispatch per stream — a precision
-        tier, not a latency tier)."""
+        tier, not a latency tier). Memoized per storage state like the
+        packed fast tier: the means+vars and covariance entry points
+        both consume the same accumulators, so a final
+        estimate+density construction pays the df64 device work once."""
         import jax
         from mlmc_tpu.ops.pallas_extended import (
             moment_pipeline_from_samples_extended)
 
         basis = self._fast_basis(moments_fn)
+        rkey = (tuple(int(x) for x in
+                      self._sample_storage.get_n_collected()), "ext",
+                type(moments_fn).__name__, moments_fn.size,
+                tuple(float(v) for v in moments_fn.domain),
+                tuple(float(v) for v in moments_fn.ref_domain),
+                basis, tuple(components))
+        rcache = self._results_cache(rkey)
+        if rkey in rcache:
+            return rcache[rkey]
         interpret = jax.default_backend() != "tpu"
         level_qoi = self._gather_level_qoi()
         out = {}
@@ -443,7 +463,9 @@ class Estimate:
                                      for v in moments_fn.ref_domain),
                     basis=basis, is_level0=lvl == 0, interpret=interpret))
             out[m] = per_level
-        return jax.device_get(out)  # one pipelined fetch (see fast tier)
+        out = jax.device_get(out)   # one pipelined fetch (see fast tier)
+        rcache[rkey] = out
+        return out
 
     def estimate_moments_extended(self, moments_fn=None):
         """1e-10-grade moment means/vars: double-float Pallas tier
