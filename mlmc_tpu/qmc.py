@@ -80,13 +80,29 @@ class MLQMC:
         extension shard_maps them across the mesh (R must divide by the
         device count); per-device work and the host<->device traffic
         ([R]-vectors) are unchanged, wall time divides by the pod size
+    :param point_set: ``'sobol'`` (default — Owen-scrambled Sobol') or
+        ``'lattice'`` — an EXTENSIBLE rank-1 lattice sequence
+        (ops/lattice.py: fast-CBC generating vector for
+        ``lattice_n_max`` points, bit-reversed enumeration so every
+        power-of-two prefix is exactly the embedded lattice rule) with
+        a RANDOM SHIFT per randomization replacing the scramble.
+        Generation is one multiply-mod per coordinate (no
+        direction-number tables); the baker's/tent transform is applied
+        by default (``lattice_tent``) to periodize smooth non-periodic
+        integrands, keeping the higher lattice rate.
+    :param lattice_n_max: lattice sequence capacity (power of two;
+        points beyond it raise, like Sobol's 2^30 cap)
+    :param lattice_tent: apply the tent transform on the lattice path
     """
 
     def __init__(self, level_fns: Sequence[Callable], dims,
                  n_randomizations: int = 32, seed: int = 0,
                  cost_per_sample: Optional[Sequence[float]] = None,
                  chunk_size: int = 1 << 15, dtype=None,
-                 qoi_dim: Optional[int] = None, mesh=None):
+                 qoi_dim: Optional[int] = None, mesh=None,
+                 point_set: str = "sobol",
+                 lattice_n_max: int = 1 << 20,
+                 lattice_tent: bool = True):
         self._fns = list(level_fns)
         n_levels = len(self._fns)
         if np.isscalar(dims):
@@ -101,13 +117,38 @@ class MLQMC:
         if self._chunk & (self._chunk - 1):
             raise ValueError("chunk_size must be a power of two")
         self._dtype = jnp.dtype(dtype or jnp.result_type(float))
-        self._dvs = {d: jnp.asarray(sobol.direction_numbers(d))
-                     for d in set(self._dims)}
+        if point_set not in ("sobol", "lattice"):
+            raise ValueError("point_set must be 'sobol' or 'lattice'")
+        self._point_set = point_set
         key = jax.random.key(seed)
-        self._seeds = [
-            jax.vmap(lambda k, d=d: sobol.scramble_seeds(k, d))(
-                jax.random.split(jax.random.fold_in(key, lev), self._R))
-            for lev, d in enumerate(self._dims)]          # [R, d_l] uint32
+        if point_set == "sobol":
+            self._capacity = 1 << 30
+            self._dvs = {d: jnp.asarray(sobol.direction_numbers(d))
+                         for d in set(self._dims)}
+            self._seeds = [
+                jax.vmap(lambda k, d=d: sobol.scramble_seeds(k, d))(
+                    jax.random.split(jax.random.fold_in(key, lev),
+                                     self._R))
+                for lev, d in enumerate(self._dims)]     # [R, d_l] uint32
+        else:
+            from mlmc_tpu.ops.lattice import cbc_vector
+
+            n_max = int(lattice_n_max)
+            if n_max < 2 or n_max & (n_max - 1):
+                raise ValueError("lattice_n_max must be a power of two")
+            self._capacity = n_max
+            self._lat_n_max = n_max
+            self._lat_tent = bool(lattice_tent)
+            # one fast-CBC vector per distinct dimension, built for the
+            # full capacity (every embedded power-of-two prefix shares it)
+            self._zs = {d: jnp.asarray(cbc_vector(n_max, d) % n_max,
+                                       jnp.uint32)
+                        for d in set(self._dims)}
+            # randomization = independent uniform shift per level
+            self._seeds = [
+                jax.random.uniform(jax.random.fold_in(key, lev),
+                                   (self._R, d), self._dtype)
+                for lev, d in enumerate(self._dims)]     # [R, d_l] shifts
         self._qoi_dim = None if qoi_dim is None else int(qoi_dim)
         self._mesh = mesh
         if mesh is not None and self._R % mesh.n_devices:
@@ -144,7 +185,15 @@ class MLQMC:
         cached = self._eval_cache.get(level)
         if cached is not None:
             return cached
-        dv = self._dvs[self._dims[level]]
+        if self._point_set == "sobol":
+            dv = self._dvs[self._dims[level]]
+        else:
+            from mlmc_tpu.ops.lattice import (lattice_points_extensible,
+                                              tent as tent_fn)
+
+            lat_z = self._zs[self._dims[level]]
+            lat_n_max = self._lat_n_max
+            lat_tent = self._lat_tent
         level_fn = self._fns[level]
         chunk = min(self._chunk, n)
         dtype = self._dtype
@@ -175,9 +224,16 @@ class MLQMC:
         def one_rand(start, n_chunks, seeds):
             def body(c, carry):
                 s, cs, s2, cs2 = carry
-                u = sobol.sobol_uniforms(
-                    dv, start + c.astype(jnp.uint32) * jnp.uint32(chunk),
-                    chunk, seeds, dtype=dtype)
+                pos = start + c.astype(jnp.uint32) * jnp.uint32(chunk)
+                if self._point_set == "sobol":
+                    u = sobol.sobol_uniforms(dv, pos, chunk, seeds,
+                                             dtype=dtype)
+                else:
+                    u = lattice_points_extensible(
+                        lat_z, lat_n_max, shift=seeds, start=pos,
+                        count=chunk, dtype=dtype)
+                    if lat_tent:
+                        u = tent_fn(u)
                 fine, coarse = level_fn(u)
                 d = (fine - coarse).astype(dtype)
                 s, e = two_sum(s, jnp.sum(d, axis=0))
@@ -213,10 +269,14 @@ class MLQMC:
         under every randomization and fold them into the accumulators."""
         state = self._levels[level]
         n_add = int(n_add)
-        if state.n + n_add > (1 << 30):
+        if state.n + n_add > self._capacity:
             raise ValueError(
-                "Sobol' direction numbers carry 30 bits: %d points exceed "
-                "the 2^30 sequence capacity" % (state.n + n_add))
+                "%d points exceed the sequence capacity %d (%s)"
+                % (state.n + n_add, self._capacity,
+                   "Sobol' direction numbers carry 30 bits"
+                   if self._point_set == "sobol"
+                   else "raise lattice_n_max — the CBC vector serves "
+                        "every embedded power-of-two size"))
         fn, chunk = self._eval_fn(level, n_add)
         n_chunks, rem = divmod(n_add, chunk)
         if rem:
