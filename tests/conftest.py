@@ -38,8 +38,11 @@ def pytest_collection_modifyitems(config, items):
     ledger = Path(__file__).parent / "slow_tests.txt"
     if not ledger.exists():
         return
-    slow = {line.strip() for line in ledger.read_text().splitlines()
-            if line.strip() and not line.strip().startswith("#")}
+    slow = set()
+    for line in ledger.read_text().splitlines():
+        entry = line.split("#", 1)[0].strip()   # inline '# 123s' notes
+        if entry:
+            slow.add(entry)
     for item in items:
         nodeid = item.nodeid
         if nodeid in slow or nodeid.split("[")[0] in slow:
