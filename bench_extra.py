@@ -573,9 +573,11 @@ def bench_quantity_algebra():
         # masks, so nothing CSEs away) inside the per-level program:
         # work per enqueue scales with B while enqueues stay at L.
         B = BOOT_REPLICATES
-        est.est_bootstrap_fast(n_subsamples=B, moments_fn=mfn)  # warm
+        est.est_bootstrap_fast(n_subsamples=B, moments_fn=mfn,
+                               replace=True)  # warm
         t0 = time.perf_counter()
-        est.est_bootstrap_fast(n_subsamples=B, moments_fn=mfn)
+        est.est_bootstrap_fast(n_subsamples=B, moments_fn=mfn,
+                               replace=True)
         dt_boot = time.perf_counter() - t0
         # each replicate re-estimates (essentially) every stored sample:
         # n_sub = n_valid <= n_collected, within the workload's <2%

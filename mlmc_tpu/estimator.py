@@ -659,7 +659,7 @@ class Estimate:
 
     def est_bootstrap_fast(self, n_subsamples=100, sample_vector=None,
                            moments_fn=None, seed=0, regression=False,
-                           log=False):
+                           log=False, replace=False):
         """Device-side bootstrap: per level ONE jitted program builds the
         moment diff matrix ``dphi [N, R]`` on device (Vandermonde included
         — VERDICT r2 weak #3: nothing host-side scales with N) and vmaps
@@ -673,6 +673,15 @@ class Estimate:
             (reference ``ref_estimates_bootstrap(regression=True)``)
         :param log: additionally record log-variance spread
             (``var_bs_log_l_vars``) for the log-variance diagnostics
+        :param replace: draw replicates WITH replacement (the classical
+            Efron bootstrap) instead of the reference's
+            without-replacement subsampling. Statistically standard, and
+            an order faster on device when ``n_sub ~ N``: the
+            no-replacement Gumbel top-k is a full N-element sort per
+            replicate (TPU sort of 2^21 lanes ~ 0.1 s), while
+            with-replacement is one O(N) randint+gather — validity is
+            honored by drawing positions in the valid prefix of ONE
+            shared argsort.
 
         Structured quantities bootstrap every flat component in the same
         vmapped program; attribute shapes are [L, R(, M)] per level.
@@ -714,12 +723,27 @@ class Estimate:
             if scalar:
                 dphi = dphi[..., 0]
 
+            if replace:
+                # valid sample positions packed first — ONE sort per
+                # level, shared by every replicate
+                order = jnp.argsort(jnp.where(valid, 0, 1),
+                                    stable=True)
+                n_valid_cnt = jnp.sum(valid)
+
             def replicate(rep_key):
-                # without-replacement subsample over VALID samples only
-                g = jnp.where(valid, jax.random.gumbel(rep_key,
-                                                       valid.shape),
-                              -jnp.inf)
-                _, idx = jax.lax.top_k(g, n_sub)
+                if replace:
+                    # classical bootstrap: uniform draws (with
+                    # replacement) over the valid prefix
+                    r = jax.random.randint(rep_key, (n_sub,), 0,
+                                           n_valid_cnt)
+                    idx = order[r]
+                else:
+                    # without-replacement subsample over VALID samples
+                    g = jnp.where(valid,
+                                  jax.random.gumbel(rep_key,
+                                                    valid.shape),
+                                  -jnp.inf)
+                    _, idx = jax.lax.top_k(g, n_sub)
                 sub = dphi[idx]
                 s = jnp.sum(sub, axis=0)
                 sp = jnp.sum(sub * sub, axis=0)

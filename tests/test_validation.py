@@ -240,3 +240,28 @@ def test_fused_adaptive_achieves_target_variance():
     # chi2(15): the empirical variance of a within-target estimator stays
     # under ~2.4x the target at the 99% level; 4x flags a broken pipeline
     assert np.all(emp_var < 4.0 * target), emp_var / target
+
+
+def test_bootstrap_with_replacement_matches(mlmc_run):
+    """replace=True (classical Efron bootstrap, O(N) randint+gather — no
+    per-replicate sort) estimates the same uncertainty as the
+    without-replacement path: means within the combined scatter, spread
+    magnitudes in the same ballpark (with-replacement spread is the
+    larger of the two at n_sub ~ N: subsampling without replacement at
+    full size is nearly deterministic)."""
+    distr, sampler, storage, est, mfn = mlmc_run
+    sv = [1000, 300, 80]
+
+    est.est_bootstrap_fast(n_subsamples=60, sample_vector=sv, seed=3)
+    wo = dict(mean=est.mean_bs_mean.copy(),
+              var_mean=est.var_bs_mean.copy())
+
+    est.est_bootstrap_fast(n_subsamples=60, sample_vector=sv, seed=3,
+                           replace=True)
+    wr = dict(mean=est.mean_bs_mean, var_mean=est.var_bs_mean)
+
+    tol = 6 * np.sqrt(wo["var_mean"] / 60 + wr["var_mean"] / 60) + 1e-8
+    assert np.all(np.abs(wo["mean"] - wr["mean"]) < tol)
+    nz = wo["var_mean"][1:] > 0
+    ratio = wr["var_mean"][1:][nz] / wo["var_mean"][1:][nz]
+    assert np.all(ratio < 10) and np.all(ratio > 0.1), ratio
