@@ -444,6 +444,7 @@ def bench_mimc_darcy():
                 max_depth=depth,
                 target_met=bool(res["target_met"]),
                 bias_converged=bool(res["bias_converged"]),
+                bias_est=float("%.3g" % res["bias_est"]),
                 work_ratio_vs_diag_mlmc=round(
                     float(mimc_sum ** 2 / mlmc_sum ** 2), 3))
 
@@ -574,10 +575,10 @@ def bench_quantity_algebra():
         # work per enqueue scales with B while enqueues stay at L.
         B = BOOT_REPLICATES
         est.est_bootstrap_fast(n_subsamples=B, moments_fn=mfn,
-                               replace=True)  # warm
+                               replace="poisson")  # warm
         t0 = time.perf_counter()
         est.est_bootstrap_fast(n_subsamples=B, moments_fn=mfn,
-                               replace=True)
+                               replace="poisson")
         dt_boot = time.perf_counter() - t0
         # each replicate re-estimates (essentially) every stored sample:
         # n_sub = n_valid <= n_collected, within the workload's <2%

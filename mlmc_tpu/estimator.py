@@ -673,15 +673,25 @@ class Estimate:
             (reference ``ref_estimates_bootstrap(regression=True)``)
         :param log: additionally record log-variance spread
             (``var_bs_log_l_vars``) for the log-variance diagnostics
-        :param replace: draw replicates WITH replacement (the classical
-            Efron bootstrap) instead of the reference's
-            without-replacement subsampling. Statistically standard, and
-            an order faster on device when ``n_sub ~ N``: the
-            no-replacement Gumbel top-k is a full N-element sort per
-            replicate (TPU sort of 2^21 lanes ~ 0.1 s), while
-            with-replacement is one O(N) randint+gather — validity is
-            honored by drawing positions in the valid prefix of ONE
-            shared argsort.
+        :param replace: resampling scheme.
+
+            * ``False`` (default): without replacement — Gumbel top-k,
+              the reference's hypergeometric subsampling semantics.
+              Costs a full N-element sort PER replicate (TPU sort of
+              2^21 lanes ~ 0.1 s).
+            * ``True``: classical Efron bootstrap (with replacement) —
+              one O(N) randint+gather per replicate; validity honored
+              by drawing positions in the valid prefix of ONE shared
+              argsort. TPU row-gathers are bandwidth-poor, so at
+              n_sub ~ N this is still gather-bound.
+            * ``'poisson'``: the Poisson bootstrap — replicate weights
+              ``w_i ~ Poisson(n_sub / n_valid)`` (independent across
+              samples, E[sum w] = n_sub), so every replicate statistic
+              is a weighted reduction and the whole replicate BATCH is
+              one ``[B, N] @ [N, R·M]`` MXU matmul: no gather, no
+              sort, the fastest multi-round estimation tier by an
+              order of magnitude. Standard large-N bootstrap variant
+              (replicate sizes vary by ~sqrt(n_sub)).
 
         Structured quantities bootstrap every flat component in the same
         vmapped program; attribute shapes are [L, R(, M)] per level.
@@ -722,6 +732,26 @@ class Estimate:
             dphi = jnp.moveaxis(dphi, 0, -1)           # [N, R, M]
             if scalar:
                 dphi = dphi[..., 0]
+
+            if replace == "poisson":
+                # replicate batch as TWO MXU matmuls: weights [B, N]
+                # against dphi / dphi^2 flattened to [N, R(*M)]
+                n_valid_cnt = jnp.sum(valid)
+                lam = n_sub / jnp.maximum(n_valid_cnt, 1)
+                W = jax.vmap(lambda k: jax.random.poisson(
+                    k, lam, valid.shape))(keys)
+                W = (W * valid).astype(dphi.dtype)         # [B, N]
+                n_r = jnp.maximum(jnp.sum(W, axis=1), 2.0)  # [B]
+                flat = dphi.reshape(dphi.shape[0], -1)      # [N, R(*M)]
+                hi = jax.lax.Precision.HIGHEST
+                s = jnp.matmul(W, flat, precision=hi)
+                sp = jnp.matmul(W, flat * flat, precision=hi)
+                shape = (W.shape[0],) + dphi.shape[1:]
+                nr = n_r.reshape((-1,) + (1,) * (len(shape) - 1))
+                means = (s / n_r[:, None]).reshape(shape)
+                vs = ((sp - s * s / n_r[:, None])
+                      / (n_r - 1.0)[:, None]).reshape(shape)
+                return means, vs
 
             if replace:
                 # valid sample positions packed first — ONE sort per

@@ -256,12 +256,15 @@ def test_bootstrap_with_replacement_matches(mlmc_run):
     wo = dict(mean=est.mean_bs_mean.copy(),
               var_mean=est.var_bs_mean.copy())
 
-    est.est_bootstrap_fast(n_subsamples=60, sample_vector=sv, seed=3,
-                           replace=True)
-    wr = dict(mean=est.mean_bs_mean, var_mean=est.var_bs_mean)
+    for scheme in (True, "poisson"):
+        est.est_bootstrap_fast(n_subsamples=60, sample_vector=sv, seed=3,
+                               replace=scheme)
+        wr = dict(mean=est.mean_bs_mean, var_mean=est.var_bs_mean)
 
-    tol = 6 * np.sqrt(wo["var_mean"] / 60 + wr["var_mean"] / 60) + 1e-8
-    assert np.all(np.abs(wo["mean"] - wr["mean"]) < tol)
-    nz = wo["var_mean"][1:] > 0
-    ratio = wr["var_mean"][1:][nz] / wo["var_mean"][1:][nz]
-    assert np.all(ratio < 10) and np.all(ratio > 0.1), ratio
+        tol = (6 * np.sqrt(wo["var_mean"] / 60 + wr["var_mean"] / 60)
+               + 1e-8)
+        assert np.all(np.abs(wo["mean"] - wr["mean"]) < tol), scheme
+        nz = wo["var_mean"][1:] > 0
+        ratio = wr["var_mean"][1:][nz] / wo["var_mean"][1:][nz]
+        assert np.all(ratio < 10) and np.all(ratio > 0.1), (scheme,
+                                                            ratio)
