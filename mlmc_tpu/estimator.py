@@ -735,11 +735,24 @@ class Estimate:
 
             if replace == "poisson":
                 # replicate batch as TWO MXU matmuls: weights [B, N]
-                # against dphi / dphi^2 flattened to [N, R(*M)]
+                # against dphi / dphi^2 flattened to [N, R(*M)].
+                # Poisson draws by inverse CDF on a 13-entry table —
+                # jax.random.poisson with a TRACED rate compiles an
+                # unspecialized rejection loop measured >1000x slower
+                # on TPU; lam <= 1 here, so truncating at w = 12 is
+                # exact to ~1e-12
                 n_valid_cnt = jnp.sum(valid)
                 lam = n_sub / jnp.maximum(n_valid_cnt, 1)
-                W = jax.vmap(lambda k: jax.random.poisson(
-                    k, lam, valid.shape))(keys)
+                ks = jnp.arange(13, dtype=dphi.dtype)
+                logpmf = (-lam + ks * jnp.log(jnp.maximum(lam, 1e-30))
+                          - jax.scipy.special.gammaln(ks + 1.0))
+                cdf = jnp.cumsum(jnp.exp(logpmf))
+
+                def draw(k):
+                    u = jax.random.uniform(k, valid.shape, dphi.dtype)
+                    return jnp.searchsorted(cdf, u).astype(dphi.dtype)
+
+                W = jax.vmap(draw)(keys)
                 W = (W * valid).astype(dphi.dtype)         # [B, N]
                 n_r = jnp.maximum(jnp.sum(W, axis=1), 2.0)  # [B]
                 flat = dphi.reshape(dphi.shape[0], -1)      # [N, R(*M)]

@@ -4,7 +4,7 @@ Usage:
     python -m pytest tests/ -q --durations=0 > /tmp/durations.log
     python tests/update_slow_ledger.py /tmp/durations.log [threshold_s]
 
-Entries are the 'call' phases above the threshold (default 20 s on the
+Entries are the 'call' phases above the threshold (default 8 s on the
 single-core reference host), written as bare ``file::test`` node ids
 (parametrized variants collapse onto their base id — the conftest hook
 marks every parametrization). The ledger defines the `slow` tier: the
@@ -14,7 +14,7 @@ import re
 import sys
 from pathlib import Path
 
-DEFAULT_THRESHOLD_S = 20.0
+DEFAULT_THRESHOLD_S = 8.0
 LINE = re.compile(r"^\s*([0-9.]+)s\s+call\s+(\S+)")
 
 
