@@ -760,7 +760,6 @@ class Estimate:
                 s = jnp.matmul(W, flat, precision=hi)
                 sp = jnp.matmul(W, flat * flat, precision=hi)
                 shape = (W.shape[0],) + dphi.shape[1:]
-                nr = n_r.reshape((-1,) + (1,) * (len(shape) - 1))
                 means = (s / n_r[:, None]).reshape(shape)
                 vs = ((sp - s * s / n_r[:, None])
                       / (n_r - 1.0)[:, None]).reshape(shape)
