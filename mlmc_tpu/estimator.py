@@ -657,6 +657,102 @@ class Estimate:
                                 moments_fn=moments_fn,
                                 regression=regression, log=log)
 
+    def _bootstrap_packed_poisson(self, moments_fn, B, sample_vector,
+                                  seed):
+        """ONE jitted dispatch for the whole Poisson bootstrap: DAG
+        evaluation of every level's raw leaf, validity masking, the
+        Legendre/moment Vandermonde, the inverse-CDF Poisson weight
+        draws, and the [B, N] @ [N, R(*M)] replicate matmuls — nothing
+        leaves the device until the single pipelined fetch of the
+        [B, L, ...] statistics. The eager per-level path pays ~10
+        enqueue round trips per level over a remote-attached chip
+        (~2 s measured on the congested tunnel); this program pays
+        one.
+
+        :return: (bs_l_means [B, L, ...], bs_l_vars, n_valid [L]) numpy
+        """
+        import jax
+        import jax.numpy as jnp
+        import mlmc_tpu.quantity.quantity_estimate as qe_mod
+        from mlmc_tpu.quantity.quantity_types import ScalarType
+
+        scalar = isinstance(self._quantity.qtype, ScalarType)
+        quantity = self._quantity
+        storage_q = quantity.get_quantity_storage()
+        leaves, n_trues, lids = qe_mod._gather_raw_leaves(storage_q)
+        sv = tuple(int(sample_vector[lid]) for lid in lids)
+        prog_key = ("boot_poisson", type(moments_fn).__name__,
+                    moments_fn.size,
+                    tuple(float(v) for v in moments_fn.domain), B, sv,
+                    lids)
+        cache = getattr(quantity, "_packed_progs", None)
+        if cache is None:
+            cache = quantity._packed_progs = {}
+        program = cache.get(prog_key)
+        if program is None:
+            dag_eval = quantity.build_eval()
+
+            def program(leaves, n_trues, key):
+                acc = qe_mod._accum_dtype()
+                means_all, vars_all, nvs = [], [], []
+                for lvl, (leaf, n_true, lid) in enumerate(
+                        zip(leaves, n_trues, lids)):
+                    y = dag_eval(qe_mod._normalize_leaf(
+                        leaf, lid == 0, acc))             # [M, N, C]
+                    N = y.shape[1]
+                    # device-capacity leaves carry a garbage tail:
+                    # mask by POSITION as well as by NaN validity
+                    in_range = jnp.arange(N) < n_true
+                    t = moments_fn.transform(y)
+                    valid = (~jnp.any(jnp.isnan(t), axis=(0, 2))
+                             & in_range)
+                    phi = jnp.nan_to_num(moments_fn.eval_all(y))
+                    dphi = (phi[..., 0, :] - phi[..., 1, :]
+                            if y.shape[2] > 1 else phi[..., 0, :])
+                    dphi = jnp.moveaxis(dphi, 0, -1)      # [N, R, M]
+                    if scalar:
+                        dphi = dphi[..., 0]
+                    nv = jnp.sum(valid)
+                    lam = (jnp.minimum(jnp.asarray(sv[lvl], acc), nv)
+                           / jnp.maximum(nv, 1))
+                    ks = jnp.arange(13, dtype=acc)
+                    logpmf = (-lam
+                              + ks * jnp.log(jnp.maximum(lam, 1e-30))
+                              - jax.scipy.special.gammaln(ks + 1.0))
+                    cdf = jnp.cumsum(jnp.exp(logpmf))
+                    keys = jax.random.split(
+                        jax.random.fold_in(key, lid), B)
+
+                    def draw(k, cdf=cdf, N=N):
+                        u = jax.random.uniform(k, (N,), acc)
+                        w = jnp.zeros((N,), acc)
+                        for i in range(12):
+                            w = w + (u > cdf[i])
+                        return w
+
+                    W = jax.vmap(draw)(keys) * valid      # [B, N]
+                    n_r = jnp.maximum(jnp.sum(W, axis=1), 2.0)
+                    flat = dphi.reshape(N, -1)
+                    hi = jax.lax.Precision.HIGHEST
+                    s = jnp.matmul(W, flat, precision=hi)
+                    sp = jnp.matmul(W, flat * flat, precision=hi)
+                    shape = (B,) + dphi.shape[1:]
+                    means_all.append((s / n_r[:, None]).reshape(shape))
+                    vars_all.append(((sp - s * s / n_r[:, None])
+                                     / (n_r - 1.0)[:, None]
+                                     ).reshape(shape))
+                    nvs.append(nv)
+                return (jnp.stack(means_all, axis=1),
+                        jnp.stack(vars_all, axis=1), jnp.stack(nvs))
+
+            program = cache[prog_key] = jax.jit(program)
+
+        out = program(tuple(leaves),
+                      tuple(jnp.asarray(n, jnp.int32) for n in n_trues),
+                      jax.random.key(seed))
+        means, vs, nvs = jax.device_get(out)   # ONE pipelined fetch
+        return np.asarray(means), np.asarray(vs), np.asarray(nvs)
+
     def est_bootstrap_fast(self, n_subsamples=100, sample_vector=None,
                            moments_fn=None, seed=0, regression=False,
                            log=False, replace=False):
@@ -749,8 +845,14 @@ class Estimate:
                 cdf = jnp.cumsum(jnp.exp(logpmf))
 
                 def draw(k):
+                    # inverse CDF by 12 vectorized threshold compares
+                    # (jnp.searchsorted on the tiny table measured 100x
+                    # slower on TPU)
                     u = jax.random.uniform(k, valid.shape, dphi.dtype)
-                    return jnp.searchsorted(cdf, u).astype(dphi.dtype)
+                    w = jnp.zeros(valid.shape, dphi.dtype)
+                    for i in range(12):
+                        w = w + (u > cdf[i])
+                    return w
 
                 W = jax.vmap(draw)(keys)
                 W = (W * valid).astype(dphi.dtype)         # [B, N]
@@ -797,6 +899,20 @@ class Estimate:
         count_valid = jax.jit(lambda c: jnp.sum(~jnp.any(
             jnp.isnan(moments_fn.transform(c)), axis=(0, 2))))
 
+        if replace == "poisson" and self._quantity.traceable():
+            lids = self._quantity.get_quantity_storage().level_ids()
+            if sorted(lids) == list(range(n_levels)):
+                # whole bootstrap as ONE device dispatch
+                bs_l_means, bs_l_vars, nvs = \
+                    self._bootstrap_packed_poisson(
+                        moments_fn, B, sample_vector, seed)
+                ns = np.minimum(
+                    np.asarray(sample_vector[:n_levels], dtype=int),
+                    nvs.astype(int))
+                return self._finish_bootstrap(
+                    bs_l_means, bs_l_vars, ns, B, n_levels, regression,
+                    log)
+
         bs_l_means = None
         ns = np.empty(n_levels, dtype=int)
         for lvl in range(n_levels):
@@ -816,6 +932,14 @@ class Estimate:
             bs_l_means[:, lvl] = np.asarray(means_l)
             bs_l_vars[:, lvl] = np.asarray(vars_l)
 
+        return self._finish_bootstrap(bs_l_means, bs_l_vars, ns, B,
+                                      n_levels, regression, log)
+
+    def _finish_bootstrap(self, bs_l_means, bs_l_vars, ns, B, n_levels,
+                          regression, log):
+        """Aggregate [B, L, ...] replicate statistics into the
+        reference-parity bootstrap attributes (shared by the per-level
+        and the packed one-dispatch paths)."""
         if regression:
             # reference ref_estimates_bootstrap(regression=True): each
             # replicate's level variances are smoothed by the variance
