@@ -268,3 +268,45 @@ def test_bootstrap_with_replacement_matches(mlmc_run):
         ratio = wr["var_mean"][1:][nz] / wo["var_mean"][1:][nz]
         assert np.all(ratio < 10) and np.all(ratio > 0.1), (scheme,
                                                             ratio)
+
+
+def test_bootstrap_poisson_structured_quantity():
+    """The one-dispatch packed Poisson bootstrap on a STRUCTURED
+    quantity: [B, L, R, M]-shaped statistics with the same attribute
+    shapes as the per-level paths, finite, and the across-replicate
+    mean-spread scaling ~1/n_l across levels (more samples => tighter
+    replicate means)."""
+    from mlmc_tpu import (Memory, SynthSimulation, DeviceBatchPool,
+                          Sampler, Legendre)
+    from mlmc_tpu import estimator as est_mod
+    from mlmc_tpu.quantity.quantity import make_root_quantity
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm()))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=1), sim,
+                      [[0.1], [0.01]])
+    sampler.set_initial_n_samples([1600, 100])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+
+    root = make_root_quantity(storage, q_specs=sim.result_format())
+    ts = root["length"][1]
+    mfn = Legendre(5, (-10.0, 10.0))
+    est = est_mod.Estimate(ts, storage, mfn)
+    assert est._quantity.traceable()
+    est.est_bootstrap_fast(n_subsamples=40, seed=7, replace="poisson")
+    M = ts.qtype.size()
+    assert est.mean_bs_mean.shape == (5, M)
+    assert est.mean_bs_l_vars.shape == (2, 5, M)
+    assert np.all(np.isfinite(est.mean_bs_mean))
+    assert np.all(np.isfinite(est.var_bs_l_means))
+    pois = est.var_bs_l_means.copy()
+    # the classical (gather) bootstrap estimates the same level-mean
+    # sampling variance: per-level nontrivial-moment averages agree
+    # within a replicate-noise band
+    est.est_bootstrap_fast(n_subsamples=40, seed=7, replace=True)
+    classical = est.var_bs_l_means
+    for lvl in range(2):
+        r = pois[lvl, 1:].mean() / classical[lvl, 1:].mean()
+        assert 0.3 < r < 3.0, (lvl, r)
