@@ -934,15 +934,24 @@ def lsmc_swing(payoff: Callable, s0: float, rate: float, T: float,
         return panel                                 # [n_dates, B]
 
     def normal_fit(G, y):
-        # Blocked HIGHEST-precision normal equations + equilibrated
-        # solve: two measured v5e failure modes guard this path — bf16
-        # default matmuls bled the 50-date q=1 value 0.0561 -> 0.0418,
-        # and single-window f32 accumulation at B = 131072 bled another
-        # ~8% through the raw-monomial cond(A) ~ 2e5 (see
-        # _blocked_normal_eq / _equilibrated_solve)
-        A, b = _blocked_normal_eq(G, y)
+        # Column-equilibrated QR least squares, multi-RHS (y [B, Q]) —
+        # the same cond(G)-not-cond(G)^2 route as lsmc_price's TSQR
+        # (one factorization serves all Q rights levels); HIGHEST
+        # precision matmuls guard the measured bf16 failure mode
+        # (default passes bled the 50-date q=1 value 0.0561 -> 0.0418)
+        hi = jax.lax.Precision.HIGHEST
+        d = jax.lax.rsqrt(jnp.maximum(jnp.sum(G * G, axis=0), 1e-30))
+        q, r = jnp.linalg.qr(G * d[None, :])
+        c = jnp.matmul(q.T, y, precision=hi)
         eps = (1e-6 if jnp.finfo(dtype).bits < 64 else 1e-12)
-        return _equilibrated_solve(A, b, eps)
+        rr = jnp.concatenate(
+            [r, jnp.sqrt(eps) * jnp.eye(K, dtype=dtype)], axis=0)
+        cc = jnp.concatenate(
+            [c, jnp.zeros((K, y.shape[1]), dtype)], axis=0)
+        q2, r2 = jnp.linalg.qr(rr)
+        x = jax.scipy.linalg.solve_triangular(
+            r2, jnp.matmul(q2.T, cc, precision=hi), lower=False)
+        return x * d[:, None]
 
     def backward(panel, coefs, fit):
         ex_T = payoff(panel[-1])
