@@ -452,10 +452,24 @@ def _work(state, prog):
 
 
 def main():
+    import signal
+
     budget_s = float(os.environ.get("MLMC_BENCH_BUDGET_S", 10800))
     stall_s = float(os.environ.get("MLMC_BENCH_STALL_S", 2700))
     state = {"extras": {}, "sections": [], "ok": False}
     prog = _Progress()
+
+    def _on_term(signum, frame):
+        # a driver-side timeout kill must still leave an artifact:
+        # emit the sections completed so far + last_good, then die
+        ts, note = prog.read()
+        _emit(_artifact(state, error=(
+            "killed by signal %d during [%s]; artifact carries "
+            "sections completed before the kill" % (signum, note))))
+        os._exit(3)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     def work_wrapper():
         try:
