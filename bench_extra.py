@@ -817,12 +817,27 @@ def bench_qmc_compact():
     point_vars = ml.point_variances()
     mc_required = float(np.sum(np.sqrt(point_vars))) ** 2 / target_var
     n_evals = int(np.sum(res["n_evaluations"]))
+
+    # the SAME workload on the second RQMC family: the extensible
+    # rank-1 lattice engine (fast-CBC vectors, random shifts, tent)
+    lat = MLQMC(fns, dims, n_randomizations=16, seed=11,
+                chunk_size=1 << 16, point_set="lattice")
+    lat.extend(0, 1 << 16)
+    t0 = time.perf_counter()
+    res_l = lat.run(target_var=target_var, n_init=1 << 14)
+    wall_l = time.perf_counter() - t0
+    n_evals_l = int(np.sum(res_l["n_evaluations"]))
     return dict(target_var=target_var,
                 wall_s=round(wall, 2),
                 qmc_evaluations=n_evals,
                 mc_optimal_evaluations=int(mc_required),
                 mc_over_qmc=round(mc_required / max(n_evals, 1), 1),
-                target_met=res["target_met"])
+                target_met=res["target_met"],
+                lattice_wall_s=round(wall_l, 2),
+                lattice_evaluations=n_evals_l,
+                lattice_target_met=res_l["target_met"],
+                sobol_minus_lattice_mean=float(
+                    res["mean"] - res_l["mean"]))
 
 
 def bench_qmc():
