@@ -234,6 +234,14 @@ class MLQMC:
                         count=chunk, dtype=dtype)
                     if lat_tent:
                         u = tent_fn(u)
+                    # strictly inside (0, 1): the f32 shift-mod (and
+                    # the tent's fold) can land EXACTLY on 0/1, which
+                    # ndtri-based level fns turn into +-inf — the same
+                    # open-interval guarantee sobol.uniforms_from_bits
+                    # provides via its half-ulp centering
+                    tiny = (2.0 ** -32 if dtype == jnp.float64
+                            else 2.0 ** -24)
+                    u = jnp.clip(u, tiny, 1.0 - tiny)
                 fine, coarse = level_fn(u)
                 d = (fine - coarse).astype(dtype)
                 s, e = two_sum(s, jnp.sum(d, axis=0))
