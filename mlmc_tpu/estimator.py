@@ -796,6 +796,10 @@ class Estimate:
         import jax.numpy as jnp
         from mlmc_tpu.quantity.quantity_types import ScalarType
 
+        if replace not in (False, True, "poisson"):
+            # an unknown scheme string is truthy and would silently run
+            # the classical bootstrap — reject loudly instead
+            raise ValueError("replace must be False, True or 'poisson'")
         moments_fn = self._resolve_moments(moments_fn, remember=True)
         scalar = isinstance(self._quantity.qtype, ScalarType)
 

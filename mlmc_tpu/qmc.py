@@ -119,6 +119,13 @@ class MLQMC:
         self._dtype = jnp.dtype(dtype or jnp.result_type(float))
         if point_set not in ("sobol", "lattice"):
             raise ValueError("point_set must be 'sobol' or 'lattice'")
+        if point_set == "sobol" and (lattice_n_max != 1 << 20
+                                     or lattice_tent is not True):
+            # a lattice option on the Sobol' engine would silently
+            # no-op — the failure class the composition sweep exists
+            # to keep out
+            raise ValueError("lattice_n_max/lattice_tent apply to "
+                             "point_set='lattice' only")
         self._point_set = point_set
         key = jax.random.key(seed)
         if point_set == "sobol":

@@ -473,3 +473,15 @@ def test_mlqmc_lattice_mesh_sharded_parity():
         ml.extend(1, 512)
     for s1, s2 in zip(single._levels, sharded._levels):
         np.testing.assert_allclose(s2.sums, s1.sums, rtol=1e-12)
+
+
+def test_mlqmc_option_guards():
+    """Engine-specific options on the wrong engine are rejected loudly
+    (a silently-ignored option is the worst failure mode)."""
+    fns, dims = synth_qmc_level_fns([[0.5]], distr="norm")
+    with pytest.raises(ValueError, match="lattice"):
+        MLQMC(fns, dims, lattice_n_max=1 << 12)        # sobol default
+    with pytest.raises(ValueError, match="lattice"):
+        MLQMC(fns, dims, lattice_tent=False)
+    MLQMC(fns, dims, point_set="lattice", lattice_n_max=1 << 12,
+          lattice_tent=False)                           # valid combo

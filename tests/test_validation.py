@@ -310,3 +310,9 @@ def test_bootstrap_poisson_structured_quantity():
     for lvl in range(2):
         r = pois[lvl, 1:].mean() / classical[lvl, 1:].mean()
         assert 0.3 < r < 3.0, (lvl, r)
+
+
+def test_bootstrap_replace_scheme_validated(mlmc_run):
+    distr, sampler, storage, est, mfn = mlmc_run
+    with pytest.raises(ValueError, match="replace"):
+        est.est_bootstrap_fast(n_subsamples=4, replace="gauss")
