@@ -485,3 +485,28 @@ def test_mlqmc_option_guards():
         MLQMC(fns, dims, lattice_tent=False)
     MLQMC(fns, dims, point_set="lattice", lattice_n_max=1 << 12,
           lattice_tent=False)                           # valid combo
+
+
+def test_lattice_mlqmc_prices_gbm_call():
+    """Composition pin: the lattice engine through the SDE
+    Brownian-bridge adapter prices the GBM European call to within the
+    Euler weak bias of Black-Scholes, with large measured per-level
+    RQMC gains — the lattice twin of the Sobol' pricing test."""
+    import mlmc_tpu.sim.sde as sde
+    from mlmc_tpu.sim.sde import sde_qmc_level_fns, black_scholes_call
+
+    sim = sde.SDESimulation({"model": sde.gbm(0.05, 0.2, 1.0),
+                             "payoff": sde.european_call(
+                                 1.0, np.exp(-0.05))})
+    fns, dims = sde_qmc_level_fns(sim, [[0.25], [0.125]])
+    ml = MLQMC(fns, dims, n_randomizations=8, seed=5,
+               chunk_size=1 << 10, point_set="lattice",
+               lattice_n_max=1 << 16)
+    res = ml.run(target_var=1e-8, n_init=1 << 10)
+    assert res["target_met"]
+    bs = black_scholes_call(1.0, 1.0, 0.05, 0.2, 1.0)
+    err = abs(res["mean"] - bs)
+    # Euler weak bias at n_fine = 8 dominates the 1e-4 statistical bar
+    assert err < 6 * np.sqrt(res["var"]) + 5e-3, (res["mean"], bs)
+    assert np.all(res["mc_variance_reduction"] > 20.0), \
+        res["mc_variance_reduction"]
