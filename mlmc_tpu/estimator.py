@@ -658,7 +658,7 @@ class Estimate:
                                 regression=regression, log=log)
 
     def _bootstrap_packed_poisson(self, moments_fn, B, sample_vector,
-                                  seed):
+                                  seed, mesh=None):
         """ONE jitted dispatch for the whole Poisson bootstrap: DAG
         evaluation of every level's raw leaf, validity masking, the
         Legendre/moment Vandermonde, the inverse-CDF Poisson weight
@@ -668,6 +668,12 @@ class Estimate:
         enqueue round trips per level over a remote-attached chip
         (~2 s measured on the congested tunnel); this program pays
         one.
+
+        With a ``mesh`` the B replicates shard across the devices
+        (embarrassingly parallel — the leaf payload replicates, each
+        shard draws and reduces its B/P replicates with the SAME
+        replicate-index -> key mapping, so results are identical to
+        the single-device run up to reduction order).
 
         :return: (bs_l_means [B, L, ...], bs_l_vars, n_valid [L]) numpy
         """
@@ -681,10 +687,14 @@ class Estimate:
         storage_q = quantity.get_quantity_storage()
         leaves, n_trues, lids = qe_mod._gather_raw_leaves(storage_q)
         sv = tuple(int(sample_vector[lid]) for lid in lids)
+        n_dev = 1 if mesh is None else mesh.n_devices
+        if B % n_dev:
+            raise ValueError("n_subsamples=%d must divide by the "
+                             "mesh's %d devices" % (B, n_dev))
         prog_key = ("boot_poisson", type(moments_fn).__name__,
                     moments_fn.size,
                     tuple(float(v) for v in moments_fn.domain), B, sv,
-                    lids)
+                    lids, n_dev)
         cache = getattr(quantity, "_packed_progs", None)
         if cache is None:
             cache = quantity._packed_progs = {}
@@ -722,6 +732,12 @@ class Estimate:
                     cdf = jnp.cumsum(jnp.exp(logpmf))
                     keys = jax.random.split(
                         jax.random.fold_in(key, lid), B)
+                    if mesh is not None:
+                        # this shard's replicate block (same index ->
+                        # key mapping as the single-device run)
+                        i = jax.lax.axis_index(mesh.axis_name)
+                        keys = jax.lax.dynamic_slice_in_dim(
+                            keys, i * (B // n_dev), B // n_dev)
 
                     def draw(k, cdf=cdf, N=N):
                         u = jax.random.uniform(k, (N,), acc)
@@ -730,13 +746,13 @@ class Estimate:
                             w = w + (u > cdf[i])
                         return w
 
-                    W = jax.vmap(draw)(keys) * valid      # [B, N]
+                    W = jax.vmap(draw)(keys) * valid      # [B/P, N]
                     n_r = jnp.maximum(jnp.sum(W, axis=1), 2.0)
                     flat = dphi.reshape(N, -1)
                     hi = jax.lax.Precision.HIGHEST
                     s = jnp.matmul(W, flat, precision=hi)
                     sp = jnp.matmul(W, flat * flat, precision=hi)
-                    shape = (B,) + dphi.shape[1:]
+                    shape = (B // n_dev,) + dphi.shape[1:]
                     means_all.append((s / n_r[:, None]).reshape(shape))
                     vars_all.append(((sp - s * s / n_r[:, None])
                                      / (n_r - 1.0)[:, None]
@@ -745,6 +761,18 @@ class Estimate:
                 return (jnp.stack(means_all, axis=1),
                         jnp.stack(vars_all, axis=1), jnp.stack(nvs))
 
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as Pspec
+                try:
+                    from jax import shard_map
+                except ImportError:          # older jax
+                    from jax.experimental.shard_map import shard_map
+                ax = mesh.axis_name
+                program = shard_map(
+                    program, mesh=mesh.mesh,
+                    in_specs=(Pspec(), Pspec(), Pspec()),
+                    out_specs=(Pspec(ax), Pspec(ax), Pspec()),
+                    check_vma=False)
             program = cache[prog_key] = jax.jit(program)
 
         out = program(tuple(leaves),
@@ -755,7 +783,7 @@ class Estimate:
 
     def est_bootstrap_fast(self, n_subsamples=100, sample_vector=None,
                            moments_fn=None, seed=0, regression=False,
-                           log=False, replace=False):
+                           log=False, replace=False, mesh=None):
         """Device-side bootstrap: per level ONE jitted program builds the
         moment diff matrix ``dphi [N, R]`` on device (Vandermonde included
         — VERDICT r2 weak #3: nothing host-side scales with N) and vmaps
@@ -906,16 +934,22 @@ class Estimate:
         if replace == "poisson" and self._quantity.traceable():
             lids = self._quantity.get_quantity_storage().level_ids()
             if sorted(lids) == list(range(n_levels)):
-                # whole bootstrap as ONE device dispatch
+                # whole bootstrap as ONE device dispatch (replicates
+                # shard across the mesh when one is given)
                 bs_l_means, bs_l_vars, nvs = \
                     self._bootstrap_packed_poisson(
-                        moments_fn, B, sample_vector, seed)
+                        moments_fn, B, sample_vector, seed, mesh=mesh)
                 ns = np.minimum(
                     np.asarray(sample_vector[:n_levels], dtype=int),
                     nvs.astype(int))
                 return self._finish_bootstrap(
                     bs_l_means, bs_l_vars, ns, B, n_levels, regression,
                     log)
+        if mesh is not None:
+            raise ValueError(
+                "mesh-sharded bootstrap runs on the packed "
+                "replace='poisson' path (traceable quantity, all "
+                "levels populated)")
 
         bs_l_means = None
         ns = np.empty(n_levels, dtype=int)

@@ -316,3 +316,42 @@ def test_bootstrap_replace_scheme_validated(mlmc_run):
     distr, sampler, storage, est, mfn = mlmc_run
     with pytest.raises(ValueError, match="replace"):
         est.est_bootstrap_fast(n_subsamples=4, replace="gauss")
+
+
+def test_bootstrap_poisson_mesh_sharded_parity():
+    """Replicates shard over the 8-device mesh with the SAME
+    replicate-index -> key mapping: identical statistics to the
+    single-device packed run (parity, not just statistical
+    equivalence); loud contracts for indivisible B and for the
+    non-packed paths."""
+    from mlmc_tpu.parallel import SampleMesh
+
+    distr = Norm()
+    sim = SynthSimulation(dict(distr=distr, complexity=2))
+    storage = Memory()
+    sampler = Sampler(storage, DeviceBatchPool(seed=2, min_bucket=64),
+                      sim, [[0.1], [0.02]])
+    sampler.set_initial_n_samples([1200, 300])
+    sampler.schedule_samples()
+    sampler.ask_sampling_pool_for_samples()
+    q = make_root_quantity(storage, q_specs=sim.result_format())
+    vq = q["length"][1]["10"][0]
+    mfn = Legendre(5, distr.ppf([1e-6, 1 - 1e-6]))
+
+    e1 = est_mod.Estimate(vq, storage, mfn)
+    e1.est_bootstrap_fast(n_subsamples=32, seed=9, replace="poisson")
+    solo = (e1.mean_bs_mean.copy(), e1.var_bs_l_means.copy())
+
+    e8 = est_mod.Estimate(vq, storage, mfn)
+    e8.est_bootstrap_fast(n_subsamples=32, seed=9, replace="poisson",
+                          mesh=SampleMesh())
+    np.testing.assert_allclose(e8.mean_bs_mean, solo[0], rtol=1e-12)
+    np.testing.assert_allclose(e8.var_bs_l_means, solo[1], rtol=1e-10,
+                               atol=1e-15)
+
+    with pytest.raises(ValueError, match="divide"):
+        e8.est_bootstrap_fast(n_subsamples=30, replace="poisson",
+                              mesh=SampleMesh())
+    with pytest.raises(ValueError, match="poisson"):
+        e8.est_bootstrap_fast(n_subsamples=32, replace=True,
+                              mesh=SampleMesh())
