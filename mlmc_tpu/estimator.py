@@ -816,6 +816,11 @@ class Estimate:
               sort, the fastest multi-round estimation tier by an
               order of magnitude. Standard large-N bootstrap variant
               (replicate sizes vary by ~sqrt(n_sub)).
+        :param mesh: optional
+            :class:`~mlmc_tpu.parallel.mesh.SampleMesh` — the B
+            replicates shard across the devices (packed
+            ``replace='poisson'`` path only; exact single-device
+            parity, B must divide by the device count).
 
         Structured quantities bootstrap every flat component in the same
         vmapped program; attribute shapes are [L, R(, M)] per level.
