@@ -705,6 +705,8 @@ def bench_e2e_darcy():
                 n_samples=int(np.sum(storage.get_n_collected())),
                 n_per_level=[int(v) for v in storage.get_n_collected()],
                 adaptive_rounds=rounds,
+                sample_dispatches=int(pool.n_dispatches),
+                blocking_fetches=int(pool.n_blocking_fetches),
                 mean_flux=float(np.ravel(np.asarray(m.mean))[0]),
                 alpha=round(float(rates["alpha"]), 3),
                 beta=round(float(rates["beta"]), 3),
@@ -765,6 +767,7 @@ def bench_e2e_adaptive():
                 wall_s=round(wall, 2), n_samples=n_total,
                 adaptive_rounds=rounds,
                 sample_dispatches=int(pool.n_dispatches),
+                blocking_fetches=int(pool.n_blocking_fetches),
                 estimation_dispatches=est_dispatches,
                 n_per_level=[int(v) for v in storage.get_n_collected()],
                 density_converged=bool(getattr(result, "success", True)))

@@ -318,7 +318,11 @@ class DeviceBatchPool(SamplingPool):
       to power-of-two buckets,
     * failed samples (simulation-raised NaN / injected failures) return to
       the sampler as failed ids; renewals re-run with attempt+1 salt,
-    * per-level wall time recorded for the optimal-allocation formula C_l.
+    * per-level wall time recorded for the optimal-allocation formula C_l
+      via designated synchronous probes (cold + first warm call per
+      (level, bucket)); all other dispatches enqueue asynchronously and
+      drain in ONE pipelined fetch per ``get_finished`` — the sampling hot
+      loop pays ~1 tunnel round trip per adaptive round, not per dispatch.
 
     Multi-chip: pass ``mesh_shard`` (see mlmc_tpu.parallel) to shard the
     batch axis across devices with psum-free independent evaluation.
@@ -343,8 +347,10 @@ class DeviceBatchPool(SamplingPool):
         self._sharding = sharding
         self._jit_cache = {}
         self._warm = set()  # (level, bucket) pairs that already compiled
+        self._timed = set()  # (level, bucket) pairs with a warm C_l probe
         self._cold_times = {}  # compile-polluted first-call timings
         self.n_dispatches = 0  # device batch calls (observability)
+        self.n_blocking_fetches = 0  # host-blocking device fetches (ditto)
 
     # ------------------------------------------------------------------ #
     def sample_key(self, level_id, sample_index):
@@ -495,16 +501,19 @@ class DeviceBatchPool(SamplingPool):
             return lambda *args: fn_c(dyn_vals, *args)
         return fn_c
 
-    def execute_level(self, level_id):
-        """Run all pending samples of one level as padded device batches.
+    def _level_slices(self, level_id):
+        """Pop a level's pending segments into padded dispatch slices.
 
-        Batches larger than ``max_batch`` execute in slices so executable
-        sizes (compile time, device memory) stay bounded and the bucket
-        executables are reused across slices and adaptive rounds.
+        Batches larger than ``max_batch`` split so executable sizes
+        (compile time, device memory) stay bounded; when a batch is
+        sliced, every slice (incl. the remainder) uses the max bucket —
+        padding waste is <=1 slice of masked samples, while a fresh
+        remainder-sized bucket costs a 10-30 s remote compile per round.
+        :return: list of (idxs, attempts-or-None, bucket) slices
         """
         segments = self._pending.pop(level_id, None)
         if not segments:
-            return {}, {}
+            return []
         if (self._sharding is None
                 and all(isinstance(seg[0], range) for seg in segments)
                 and all(segments[i][0].stop == segments[i + 1][0].start
@@ -522,46 +531,41 @@ class DeviceBatchPool(SamplingPool):
                     if seg[1] is None else seg[1] for seg in segments]
             idxs = np.concatenate(arrs)
             attempts = np.concatenate(atts)
-
-        succ_all, fail_all = {}, {}
-        # when the batch is sliced, every slice (incl. the remainder) uses
-        # the max bucket: padding waste is <=1 slice of masked samples,
-        # while a fresh remainder-sized bucket costs a 10-30 s remote
-        # compile per adaptive round
         force = self._max_batch if len(idxs) > self._max_batch else None
+        slices = []
         for start in range(0, len(idxs), self._max_batch):
-            s, f = self._run_batch(level_id,
-                                   idxs[start:start + self._max_batch],
-                                   None if attempts is None else
-                                   attempts[start:start + self._max_batch],
-                                   force_bucket=force)
-            for k, v in s.items():
-                if isinstance(v, BulkResults):
-                    # one BulkResults per slice: concatenating device
-                    # payloads here would compile a fresh executable per
-                    # (slice count, sizes) combination — storages append
-                    # each slice instead
-                    succ_all.setdefault(k, []).append(v)
-                elif k in succ_all:
-                    succ_all[k].extend(v)
-                else:
-                    succ_all[k] = v
-            for k, v in f.items():
-                fail_all.setdefault(k, []).extend(v)
-        return succ_all, fail_all
+            sub = idxs[start:start + self._max_batch]  # range stays a range
+            att = None if attempts is None \
+                else attempts[start:start + self._max_batch]
+            bucket = force or _round_up_bucket(len(sub), self._min_bucket)
+            if self._sharding is not None:
+                # bucket must tile evenly over the mesh's sample axis
+                d = self._sharding.n_devices
+                bucket = -(-bucket // d) * d
+            slices.append((sub, att, bucket))
+        return slices
 
-    def _run_batch(self, level_id, idxs, attempts, force_bucket=None):
-        """One padded device batch: keys from (level, index, attempt)."""
-        from mlmc_tpu.tags import TagArray, format_tags
+    def execute_level(self, level_id):
+        """Run all pending samples of one level as padded device batches."""
+        recs = [self._dispatch_batch(level_id, *sl)
+                for sl in self._level_slices(level_id)]
+        return self._collect(recs)
 
-        level_sim = self._level_sims[level_id]
+    def _dispatch_batch(self, level_id, idxs, attempts, bucket):
+        """Enqueue one padded device batch; keys from (level, index, attempt).
+
+        JAX dispatch is ASYNCHRONOUS: the jitted call returns device
+        futures immediately, so consecutive batches (across slices AND
+        levels) overlap on device and the serialized per-dispatch tunnel
+        round trip disappears — results are drained later in ONE pipelined
+        ``jax.device_get`` (``_collect``). Synchronous completion happens
+        only for the cold (compiling) call and the first warm call per
+        (level, bucket), which are the designated C_l timing probes: a
+        blocking fetch drains the device queue, so the probe that follows
+        it measures its own compute, not queued predecessors.
+        :return: pending-record dict (completed in ``_collect``)
+        """
         n = len(idxs)
-        bucket = force_bucket or _round_up_bucket(n, self._min_bucket)
-        if self._sharding is not None:
-            # bucket must tile evenly over the mesh's sample axis
-            d = self._sharding.n_devices
-            bucket = -(-bucket // d) * d
-
         is_range = isinstance(idxs, range)
         if is_range:
             start = idxs.start
@@ -586,6 +590,7 @@ class DeviceBatchPool(SamplingPool):
         warm_key = (level_id, bucket, is_range)
         first_call = warm_key not in self._warm
         self._warm.add(warm_key)
+        timed = first_call or warm_key not in self._timed
 
         t0 = time.perf_counter()
         self.n_dispatches += 1
@@ -594,23 +599,76 @@ class DeviceBatchPool(SamplingPool):
         else:
             fine, coarse, failed = fn(level_key, jnp.asarray(idxs_p),
                                       jnp.asarray(att_p))
+        rec = dict(level_id=level_id, idxs=idxs, n=n, fine=fine,
+                   coarse=coarse, failed=failed, first_call=first_call)
+        if timed:
+            # synchronous C_l probe: the timing must include a real
+            # device->host transfer — over the remote tunnel
+            # block_until_ready acknowledges ENQUEUE only (CLAUDE.md)
+            self.n_blocking_fetches += 1
+            if self._device_results:
+                # payload stays in HBM; only the bool mask crosses the link
+                rec["failed_host"] = np.asarray(failed)
+            else:
+                fine, coarse, failed_h = jax.device_get(
+                    (fine, coarse, failed))
+                rec.update(fine=fine, coarse=coarse, failed_host=failed_h)
+            rec["elapsed"] = time.perf_counter() - t0
+            if not first_call:
+                self._timed.add(warm_key)
+        return rec
+
+    def _collect(self, recs):
+        """Complete dispatched batches: fetch every still-pending failure
+        mask (and, for host-resident pools, the payloads) in ONE pipelined
+        ``jax.device_get`` — N sequential fetches once paid N ~30 ms tunnel
+        round trips each (CLAUDE.md); a pipelined fetch pays ~one."""
+        pend = [r for r in recs if "failed_host" not in r]
+        if pend:
+            self.n_blocking_fetches += 1
+            if self._device_results:
+                masks = jax.device_get([r["failed"] for r in pend])
+                for r, m in zip(pend, masks):
+                    r["failed_host"] = np.asarray(m)
+            else:
+                outs = jax.device_get(
+                    [(r["fine"], r["coarse"], r["failed"]) for r in pend])
+                for r, (f, c, m) in zip(pend, outs):
+                    r.update(fine=f, coarse=c, failed_host=m)
+        succ_all, fail_all = {}, {}
+        for rec in recs:
+            s, f = self._finalize(rec)
+            for k, v in s.items():
+                if isinstance(v, BulkResults):
+                    # one BulkResults per slice: concatenating device
+                    # payloads here would compile a fresh executable per
+                    # (slice count, sizes) combination — storages append
+                    # each slice instead
+                    succ_all.setdefault(k, []).append(v)
+                elif k in succ_all:
+                    succ_all[k].extend(v)
+                else:
+                    succ_all[k] = v
+            for k, v in f.items():
+                fail_all.setdefault(k, []).extend(v)
+        return succ_all, fail_all
+
+    def _finalize(self, rec):
+        """Post-process one completed batch into (successful, failed)."""
+        from mlmc_tpu.tags import TagArray, format_tags
+
+        level_id, idxs, n = rec["level_id"], rec["idxs"], rec["n"]
+        fine, coarse = rec["fine"], rec["coarse"]
+        failed = rec["failed_host"][:n]
         if self._device_results:
             # payload stays in HBM at BUCKET shape — slicing a device array
             # to the batch-specific count would compile a fresh executable
-            # per adaptive round over a remote-attached chip. Only the bool
-            # mask crosses the link; it is sliced on HOST.
-            failed = np.asarray(failed)[:n]
-            elapsed = time.perf_counter() - t0
+            # per adaptive round over a remote-attached chip; consumers
+            # count len(ids) valid rows instead.
+            pass
         else:
-            # timing must include a device->host TRANSFER: over the remote
-            # tunnel block_until_ready acknowledges enqueue only (CLAUDE.md).
-            # device_get pipelines the three fetches into ~one round trip
-            # (sequential np.asarray calls paid one each)
-            fine, coarse, failed = jax.device_get((fine, coarse, failed))
-            elapsed = time.perf_counter() - t0
             fine = fine[:n]
             coarse = coarse[:n]
-            failed = failed[:n]
 
         ok = ~failed
         failed_out = [(sid, "result is nan")
@@ -640,27 +698,48 @@ class DeviceBatchPool(SamplingPool):
         n_ok = int(np.count_nonzero(ok))
         if level_id not in self.times:
             self.times[level_id] = [0, 0]
-        if n_ok:
+        if n_ok and rec.get("elapsed") is not None:
             # charge wall time only to successful samples (reference
-            # semantics). The first call per (level, bucket) includes the
-            # XLA compile (10-30 s remote vs ms of compute), so cold calls
-            # accumulate separately and only stand in for C_l until the
-            # first warm measurement arrives.
-            target = self.times[level_id] if not first_call \
+            # semantics) and only on the designated timing probes: the
+            # cold call per (level, bucket) accumulates separately (its
+            # elapsed includes the 10-30 s remote XLA compile) and only
+            # stands in for C_l until the first warm measurement arrives.
+            # Untimed async batches contribute NOTHING to [Σt, n] — C_l is
+            # consumed as the ratio t/n (storage get_n_ops), which the
+            # probe-only sums estimate without bias.
+            target = self.times[level_id] if not rec["first_call"] \
                 else self._cold_times.setdefault(level_id, [0, 0])
-            target[0] += elapsed * n_ok / max(n, 1)
+            target[0] += rec["elapsed"] * n_ok / max(n, 1)
             target[1] += n_ok
         return ({level_id: successful} if n_ok else {}), (
             {level_id: failed_out} if failed_out else {}
         )
 
     def get_finished(self):
-        successful = {}
-        failed = {}
-        for level_id in sorted(list(self._pending.keys())):
-            s, f = self.execute_level(level_id)
-            successful.update(s)
-            failed.update(f)
+        """Drain every pending level in one asynchronous wave.
+
+        Two passes: (A) slices that still need a synchronous C_l timing
+        probe (cold compile / first warm call per (level, bucket)) run
+        first — each probe's blocking fetch drains the device queue, so
+        probe timings stay clean of queued work; (B) every remaining slice
+        of every level enqueues back-to-back and completes in ONE pipelined
+        fetch. An adaptive round therefore costs ~1 tunnel round trip once
+        the executables are warm, instead of one per dispatch (the round-4
+        e2e wall swung 20-94 s with tunnel weather on exactly this).
+        """
+        plans = [(lid, self._level_slices(lid))
+                 for lid in sorted(self._pending.keys())]
+        recs, deferred = [], []
+        for level_id, slices in plans:
+            for sl in slices:
+                warm_key = (level_id, sl[2], isinstance(sl[0], range))
+                if warm_key not in self._timed:
+                    recs.append(self._dispatch_batch(level_id, *sl))
+                else:
+                    deferred.append((level_id, sl))
+        for level_id, sl in deferred:
+            recs.append(self._dispatch_batch(level_id, *sl))
+        successful, failed = self._collect(recs)
         # warm (compile-free) timings win; compile-polluted cold timings
         # only stand in while a level has no warm measurement yet
         times = {lvl: list(t) for lvl, t in self._cold_times.items()}
