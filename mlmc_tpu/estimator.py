@@ -140,6 +140,30 @@ class Estimate:
             rcache.clear()
         return rcache
 
+    @staticmethod
+    def _copy_result_leaves(res):
+        """Deep-copy the array leaves of a cached result structure.
+
+        Cache hits must hand back COPIES: the deterministic-tier memo
+        (``_results_cache``) would otherwise alias the same numpy
+        accumulators into every caller at one storage state, so any
+        downstream in-place mutation of a returned array silently
+        corrupts every later estimate (advisor r4). A copy of the
+        L*M*R(+R^2) accumulators is microseconds next to the ~30 ms
+        dispatch the cache saves."""
+        if isinstance(res, dict):
+            return {k: Estimate._copy_result_leaves(v)
+                    for k, v in res.items()}
+        if isinstance(res, tuple):  # namedtuple accumulator records
+            vals = [Estimate._copy_result_leaves(v) for v in res]
+            return (type(res)(*vals) if hasattr(res, "_fields")
+                    else tuple(vals))
+        if isinstance(res, list):
+            return [Estimate._copy_result_leaves(v) for v in res]
+        if isinstance(res, np.ndarray):
+            return np.array(res)
+        return res
+
     def _fast_results_packed(self, moments_fn, components, cache=True):
         """Kernel accumulators for MANY QoI components in ONE dispatch.
 
@@ -181,7 +205,7 @@ class Estimate:
                 ref_domain, basis, tuple(components))
         rcache = self._results_cache(rkey)
         if cache and rkey in rcache:
-            flat = rcache[rkey]
+            flat = self._copy_result_leaves(rcache[rkey])
             return {m: flat[i * n_levels:(i + 1) * n_levels]
                     for i, m in enumerate(components)}
 
@@ -239,7 +263,9 @@ class Estimate:
         # ~30 ms tunnel round trip EACH (device_get overlaps them)
         flat = jax.device_get(flat)
         if cache:
-            rcache[rkey] = flat
+            # store a private copy: the fresh return below must not alias
+            # the memo either (same mutation hazard as the hit path)
+            rcache[rkey] = self._copy_result_leaves(flat)
         return {m: flat[i * n_levels:(i + 1) * n_levels]
                 for i, m in enumerate(components)}
 
@@ -448,7 +474,7 @@ class Estimate:
                 basis, tuple(components))
         rcache = self._results_cache(rkey)
         if rkey in rcache:
-            return rcache[rkey]
+            return self._copy_result_leaves(rcache[rkey])
         interpret = jax.default_backend() != "tpu"
         level_qoi = self._gather_level_qoi()
         out = {}
@@ -464,7 +490,7 @@ class Estimate:
                     basis=basis, is_level0=lvl == 0, interpret=interpret))
             out[m] = per_level
         out = jax.device_get(out)   # one pipelined fetch (see fast tier)
-        rcache[rkey] = out
+        rcache[rkey] = self._copy_result_leaves(out)  # no aliasing (ditto)
         return out
 
     def estimate_moments_extended(self, moments_fn=None):
@@ -691,10 +717,16 @@ class Estimate:
         if B % n_dev:
             raise ValueError("n_subsamples=%d must divide by the "
                              "mesh's %d devices" % (B, n_dev))
+        # the jitted closure bakes in mesh.mesh/axis_name, so the key must
+        # carry the mesh IDENTITY, not just the device count — a later call
+        # with a different same-size mesh would otherwise reuse a stale
+        # executable (advisor r4 finding)
+        mesh_token = None if mesh is None else (
+            mesh.axis_name, tuple(d.id for d in mesh.mesh.devices.flat))
         prog_key = ("boot_poisson", type(moments_fn).__name__,
                     moments_fn.size,
                     tuple(float(v) for v in moments_fn.domain), B, sv,
-                    lids, n_dev)
+                    lids, mesh_token)
         cache = getattr(quantity, "_packed_progs", None)
         if cache is None:
             cache = quantity._packed_progs = {}
@@ -763,16 +795,14 @@ class Estimate:
 
             if mesh is not None:
                 from jax.sharding import PartitionSpec as Pspec
-                try:
-                    from jax import shard_map
-                except ImportError:          # older jax
-                    from jax.experimental.shard_map import shard_map
+
+                from mlmc_tpu.parallel.mesh import shard_map_norep
+
                 ax = mesh.axis_name
-                program = shard_map(
-                    program, mesh=mesh.mesh,
+                program = shard_map_norep(
+                    program, mesh.mesh,
                     in_specs=(Pspec(), Pspec(), Pspec()),
-                    out_specs=(Pspec(ax), Pspec(ax), Pspec()),
-                    check_vma=False)
+                    out_specs=(Pspec(ax), Pspec(ax), Pspec()))
             program = cache[prog_key] = jax.jit(program)
 
         out = program(tuple(leaves),

@@ -134,23 +134,12 @@ class FusedMLMC:
 
             if self._mesh is not None:
                 from jax.sharding import PartitionSpec as P
-                try:
-                    from jax import shard_map
-                except ImportError:  # older jax
-                    from jax.experimental.shard_map import shard_map
 
-                import inspect
+                from mlmc_tpu.parallel.mesh import shard_map_norep
 
-                kwargs = dict(mesh=self._mesh.mesh,
-                              in_specs=(P(), P(), P()), out_specs=P())
-                # jax renamed check_rep -> check_vma; pass whichever this
-                # version accepts (the old fallback crashed with check_vma)
-                params = inspect.signature(shard_map).parameters
-                if "check_vma" in params:
-                    kwargs["check_vma"] = False
-                elif "check_rep" in params:
-                    kwargs["check_rep"] = False
-                step = shard_map(step, **kwargs)
+                step = shard_map_norep(step, self._mesh.mesh,
+                                       in_specs=(P(), P(), P()),
+                                       out_specs=P())
 
             # explicit AOT compile OUTSIDE the timed region: the cost model
             # feeds the allocation formula C_l, and a 10-30 s remote compile

@@ -214,11 +214,17 @@ def _check_exact_range(n, dtype):
     range (2^24 for f32) would round and the 'integer-exact nodes'
     property — which the dual-lattice character tests rely on — would
     silently degrade. Refuse loudly instead."""
-    exact = {4: 1 << 24, 8: 1 << 53}.get(jnp.dtype(dtype).itemsize, 0)
+    # f64 could represent residues exactly to 2^53, but the node formula's
+    # index arithmetic is uint32 (i*z wraps mod 2^32, exact only while n
+    # divides 2^32) — so 2^32 is the hard ceiling regardless of dtype
+    # (advisor r4: admitting larger n would silently wrap, not raise)
+    exact = {4: 1 << 24, 8: 1 << 32}.get(jnp.dtype(dtype).itemsize, 0)
     if n > exact:
         raise ValueError(
-            "n=%d exceeds %s's exact-integer range (%d): lattice "
-            "residues would round; pass dtype=float64 (requires x64)"
+            "n=%d exceeds the exact range for %s lattices (%d): f32 "
+            "residues would round past 2^24; beyond 2^32 the uint32 "
+            "index arithmetic itself wraps; pass dtype=float64 "
+            "(requires x64) for n in (2^24, 2^32]"
             % (n, jnp.dtype(dtype).name, exact))
 
 

@@ -49,6 +49,30 @@ class SampleMesh:
         return jax.device_put(array, self.batch_sharding())
 
 
+def shard_map_norep(fn, mesh, in_specs, out_specs):
+    """``shard_map`` with the replication check waived, across jax versions.
+
+    jax renamed ``check_rep`` -> ``check_vma``: hardcoding either kwarg
+    crashes on the other version (advisor r4 finding) — introspect the
+    installed signature and pass whichever it accepts. The waiver itself is
+    needed because our replicated outputs (psum-reduced accumulators,
+    all-gathered solves) are invisible to static vma/rep inference.
+    """
+    import inspect
+
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    params = inspect.signature(_sm).parameters
+    if "check_vma" in params:
+        kwargs["check_vma"] = False
+    elif "check_rep" in params:
+        kwargs["check_rep"] = False
+    return _sm(fn, **kwargs)
+
+
 def sample_mesh(n_devices: Optional[int] = None) -> SampleMesh:
     """Mesh over the first ``n_devices`` devices (None = all)."""
     devices = jax.devices()

@@ -12,13 +12,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
 
 from mlmc_tpu.ops.fused_estimate import fused_mlmc_moments
-from mlmc_tpu.parallel.mesh import SampleMesh
+from mlmc_tpu.parallel.mesh import SampleMesh, shard_map_norep
 
 
 def sharded_mlmc_step(
@@ -56,12 +52,11 @@ def sharded_mlmc_step(
             axis_name=axis,
         )
 
-    sharded = shard_map(
+    sharded = shard_map_norep(
         _step,
-        mesh=mesh,
+        mesh,
         in_specs=(P(),),      # replicated key
         out_specs=P(),        # psum-reduced accumulators, replicated
-        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -112,12 +107,11 @@ def sharded_synth_pipeline(
         return [type(r)(*(jax.lax.psum(field, axis) for field in r))
                 for r in res]
 
-    sharded = shard_map(
+    sharded = shard_map_norep(
         _step,
-        mesh=mesh,
+        mesh,
         in_specs=(P(),),
         out_specs=P(),
-        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -167,11 +161,10 @@ def sharded_synth_pipeline_from_noise(
         return [type(r)(*(jax.lax.psum(field, axis) for field in r))
                 for r in res]
 
-    sharded = shard_map(
+    sharded = shard_map_norep(
         _step,
-        mesh=mesh,
+        mesh,
         in_specs=(P(axis),) * L,
         out_specs=P(),
-        check_vma=False,
     )
     return jax.jit(sharded)

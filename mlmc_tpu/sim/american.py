@@ -369,10 +369,9 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
         if mesh is None:
             return jax.jit(run)
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:                          # older jax
-            from jax.experimental.shard_map import shard_map
+
+        from mlmc_tpu.parallel.mesh import shard_map_norep
+
         if B % mesh.n_devices:
             raise ValueError(f"n_paths={B} must divide by the mesh's "
                              f"{mesh.n_devices} devices")
@@ -381,13 +380,13 @@ def lsmc_price(payoff: Callable, s0: float, rate: float, T: float,
             kr = jax.random.fold_in(kr, jax.lax.axis_index(axis))
             return run(kr, coefs)
 
-        # check_vma=False: the TSQR coefficients ARE replicated (every
-        # shard solves the identical stacked system of all-gathered R
-        # factors) but static vma inference cannot see through the
-        # gather + local QR, so the replication check must be waived
-        return jax.jit(shard_map(
-            sharded, mesh=mesh.mesh, in_specs=(P(), P()),
-            out_specs=(P(), P()), check_vma=False))
+        # replication check waived: the TSQR coefficients ARE replicated
+        # (every shard solves the identical stacked system of all-gathered
+        # R factors) but static vma inference cannot see through the
+        # gather + local QR
+        return jax.jit(shard_map_norep(
+            sharded, mesh.mesh, in_specs=(P(), P()),
+            out_specs=(P(), P())))
 
     t0 = time.perf_counter()
     dummy = jnp.zeros((max(n_dates - 1, 1), K), dtype)[:n_dates - 1]

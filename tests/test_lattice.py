@@ -145,6 +145,13 @@ def test_validation_errors():
     with pytest.raises(FloatingPointError):
         lattice_estimate(lambda u: jnp.log(u[:, 0] - 2.0), 1,
                          n=1 << 8, n_shifts=4)
+    # exact-range caps: f32 residues round past 2^24; past 2^33 even f64
+    # lattices would WRAP in the uint32 index arithmetic (advisor r4) —
+    # both must refuse loudly, never silently produce wrong nodes
+    with pytest.raises(ValueError, match="exact range"):
+        lattice_points([1, 3], 1 << 26, count=4, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="exact range"):
+        lattice_points([1, 3], 1 << 33, count=4, dtype=jnp.float64)
 
 
 def test_extensible_prefixes_are_lattices():
