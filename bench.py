@@ -377,6 +377,40 @@ def _section_bayes(state, tick):
     state["extras"]["bayes"] = bench_bayes_compact()
 
 
+def _section_roofline(state, tick):
+    """Hardware-relative evidence (VERDICT r4 item 2): measured
+    speed-of-light peaks for this chip (HBM stream, VPU fma, VPU
+    transcendental mix, MXU bf16 matmul) plus achieved-vs-peak numbers
+    for the Darcy CG batch and the coupled SDE scan (XLA cost analysis
+    supplies flops/bytes). The headline Pallas kernel's utilization is
+    derived here from its sustained samples/s and the per-sample
+    transcendental budget (0.5 log + 0.5 sqrt + 1 trig for Box-Muller
+    with both halves used, + 1 QoI sqrt = 3 transcendental evals per
+    telescoped sample — arithmetic documented in docs/performance.md)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_extra import bench_roofline
+
+    tick("roofline: measured peaks + achieved-vs-peak")
+    r = bench_roofline()
+    value = state.get("value")
+    peak_t = r.get("vpu_transcendental_per_s")
+    draw_rate = r.get("rng_normal_draws_per_s")
+    if value and peak_t:
+        achieved = 3.0 * value
+        r["headline_utilization"] = {
+            "transcendentals_per_sample": 3.0,
+            "transcendentals_per_s": round(achieved, 1),
+            "frac_of_vpu_transcendental_peak": round(achieved / peak_t, 3),
+            # the sharpest speed-of-light: the full pipeline (PRNG +
+            # Box-Muller + QoI + 25-moment recurrence + covariance)
+            # vs the rate at which this chip can merely DRAW the
+            # normals (jax.random.normal) and do nothing else with them
+            "frac_of_chip_normal_draw_rate": round(
+                value / draw_rate, 3) if draw_rate else None,
+        }
+    state["extras"]["roofline"] = r
+
+
 def _section_maxent(state, tick):
     """Maxent PDF from the headline estimate (config 3)."""
     import mlmc_tpu.tool.simple_distribution as sd
@@ -429,6 +463,7 @@ def _work(state, prog):
         ("precision_vs_f64", _section_precision, True),
         ("extended_precision", _section_extended, on_tpu),
         ("rng_quality", _section_rng_quality, True),
+        ("roofline", _section_roofline, True),
         ("qmc", _section_qmc, True),
         ("bayes", _section_bayes, True),
         ("maxent", _section_maxent, True),
