@@ -258,6 +258,11 @@ def _single_dispatch_sums(quantity, quantity_storage):
     program = cached[1]
     outs = program(tuple(leaves),
                    tuple(jnp.asarray(n, jnp.int32) for n in n_trues))
+    # ONE pipelined fetch for the whole result structure: the previous
+    # per-leaf np.asarray comprehension paid a ~30-150 ms tunnel round
+    # trip for EACH of the 3L tiny arrays — it dominated this tier's wall
+    # (measured 0.27 s of 0.28 s at 2.7e6 samples, round 5)
+    outs = jax.device_get(outs)
     return [(np.asarray(s, dtype=np.float64),
              np.asarray(sp, dtype=np.float64), int(nv), n_true)
             for (s, sp, nv), n_true in zip(outs, n_trues)]
@@ -340,6 +345,12 @@ def estimate_mean(quantity, single_dispatch=None):
             for _ in range(n_levels)]
     sums_of_squares = [np.zeros(quantity_vec_size, dtype=np.float64)
                        for _ in range(n_levels)]
+    # per-chunk device results ([M] sums + scalars) are NOT fetched inside
+    # the loop: each eager fetch pays its own ~30 ms tunnel round trip
+    # (CLAUDE.md), so the loop enqueues every chunk's reduction and drains
+    # them in ONE pipelined device_get below — the same discipline as the
+    # sampling pool and the packed tiers
+    pending = []
     for chunk_spec in quantity_storage.chunks():
         if fused_eval is not None:
             leaf = jnp.asarray(quantity_storage.samples(chunk_spec))
@@ -367,8 +378,10 @@ def estimate_mean(quantity, single_dispatch=None):
             assert samples.shape[0] == quantity_vec_size
             n_true = samples.shape[1]
             s, sp, n_valid = _chunk_sums(samples)
+        pending.append((chunk_spec.level_id, n_true, (s, sp, n_valid)))
 
-        lid = chunk_spec.level_id
+    for (lid, n_true, _), (s, sp, n_valid) in zip(
+            pending, jax.device_get([p[2] for p in pending])):
         n_valid = int(n_valid)
         n_samples[lid] += n_valid
         n_rm_samples[lid] += n_true - n_valid
