@@ -328,9 +328,17 @@ class DeviceBatchPool(SamplingPool):
     batch axis across devices with psum-free independent evaluation.
     """
 
+    #: byte budget for un-drained host-bound wave payloads: an async wave
+    #: holds every dispatch's (fine, coarse) device buffers until the
+    #: pipelined flush, so an unbounded wave over a host storage could
+    #: hold the whole run's payload in device memory at once. Waves
+    #: flush early past this budget (device_results pools are exempt —
+    #: their payload stays in HBM by design and is owned by the storage).
+    INFLIGHT_BYTES = 1 << 30
+
     def __init__(self, work_dir=None, debug=False, seed=0, min_bucket=256,
                  sharding=None, bulk=True, max_batch=65536,
-                 device_results=False):
+                 device_results=False, inflight_bytes=None):
         super().__init__(work_dir=work_dir, debug=debug)
         self._bulk = bulk
         # keep result payloads as DEVICE arrays (pair with DeviceMemory to
@@ -338,6 +346,8 @@ class DeviceBatchPool(SamplingPool):
         # mask crosses the link
         self._device_results = bool(device_results)
         self._max_batch = int(max_batch)
+        self._inflight_bytes = int(inflight_bytes if inflight_bytes
+                                   is not None else self.INFLIGHT_BYTES)
         self._root_key = jax.random.key(seed)
         self._pending = {}  # level_id -> list[(index array, attempt array)]
         self._attempts = {}  # level_id -> {index: times scheduled}
@@ -737,9 +747,32 @@ class DeviceBatchPool(SamplingPool):
                     recs.append(self._dispatch_batch(level_id, *sl))
                 else:
                     deferred.append((level_id, sl))
+        successful, failed = {}, {}
+
+        def drain(recs):
+            s, f = self._collect(recs)
+            for k, v in s.items():
+                if k in successful and isinstance(v, list):
+                    successful[k].extend(v)
+                else:
+                    successful[k] = v
+            for k, v in f.items():
+                failed.setdefault(k, []).extend(v)
+
+        pending_bytes = 0
         for level_id, sl in deferred:
-            recs.append(self._dispatch_batch(level_id, *sl))
-        successful, failed = self._collect(recs)
+            rec = self._dispatch_batch(level_id, *sl)
+            recs.append(rec)
+            if not self._device_results:
+                pending_bytes += (rec["fine"].nbytes
+                                  + rec["coarse"].nbytes)
+                if pending_bytes >= self._inflight_bytes:
+                    # host-bound payloads: drain the wave early so the
+                    # un-fetched device buffers stay under the budget
+                    drain(recs)
+                    recs, pending_bytes = [], 0
+        if recs:
+            drain(recs)
         # warm (compile-free) timings win; compile-polluted cold timings
         # only stand in while a level has no warm measurement yet
         times = {lvl: list(t) for lvl, t in self._cold_times.items()}

@@ -168,6 +168,30 @@ def test_device_pool_async_wave_parity_and_roundtrips():
         assert a.shape == b.shape and np.array_equal(a, b, equal_nan=True)
 
 
+def test_device_pool_inflight_budget_parity():
+    """A tiny in-flight byte budget forces the wave to drain in several
+    pipelined fetches; results stay bit-identical and every sample still
+    lands exactly once."""
+    import numpy as np
+    from mlmc_tpu import Memory, SynthSimulation, DeviceBatchPool, Sampler
+    from mlmc_tpu.random.distributions import Norm
+
+    sim = SynthSimulation(dict(distr=Norm(), complexity=2))
+    results = []
+    for budget in (None, 1):   # default vs degenerate flush-every-batch
+        storage = Memory()
+        pool = DeviceBatchPool(seed=6, min_bucket=64, max_batch=128,
+                               inflight_bytes=budget)
+        sampler = Sampler(storage, pool, sim, [[0.1], [0.01]])
+        sampler.set_initial_n_samples([700, 300])
+        sampler.schedule_samples()
+        sampler.ask_sampling_pool_for_samples()
+        results.append(storage.sample_pairs())
+    for a, b in zip(*results):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape and np.array_equal(a, b, equal_nan=True)
+
+
 def test_device_pool_cost_model_survives_async():
     """C_l (n_ops ratio) comes from the designated warm probes only and
     stays a sane per-sample wall time even though most dispatches are
