@@ -57,9 +57,11 @@ class Moments:
     # value transforms (pure jnp; traceable)
     # ------------------------------------------------------------------ #
     def linear(self, value):
+        """Affine map from the user domain onto the reference domain."""
         return (value - self._linear_shift) * self._linear_scale + self.ref_domain[0]
 
     def inv_linear(self, value):
+        """Inverse of :meth:`linear` (reference -> user domain)."""
         return (value - self.ref_domain[0]) / self._linear_scale + self._linear_shift
 
     def clip(self, value):
@@ -69,6 +71,8 @@ class Moments:
         return jnp.where(bad, jnp.nan, value)
 
     def transform(self, value):
+        """Full forward transform: optional log, affine map, optional
+        out-of-domain clipping to NaN (``safe_eval``)."""
         value = jnp.asarray(value)
         if self._is_log:
             value = jnp.log(value)
@@ -78,6 +82,7 @@ class Moments:
         return value
 
     def inv_transform(self, ref):
+        """Map reference-domain values back to the user domain."""
         ref = jnp.asarray(ref)
         out = self.inv_linear(ref)
         if self._is_log:
@@ -100,6 +105,7 @@ class Moments:
         return hash((type(self).__name__, self.size, self.domain, self._is_log, self._is_clip))
 
     def change_size(self, size):
+        """Same basis/domain/flags with a different moment count."""
         # keyword args: subclass signatures insert ref_domain positionally
         # (the reference's positional call is broken for its subclasses);
         # a custom ref_domain must survive the resize (review finding)
@@ -114,22 +120,30 @@ class Moments:
         return self._eval_all(value, self.size)
 
     def eval(self, i, value):
+        """Value of the i-th moment function (reference moments.py:34)."""
         return self._eval_all(value, i + 1)[..., -1]
 
     def eval_single_moment(self, i, value):
+        """i-th moment values, broadcasting over ``value``'s shape."""
         return self._eval_all(value, i + 1)[..., i]
 
     def eval_all(self, value, size=None):
+        """Vandermonde of the first ``size`` moment functions:
+        ``[*value.shape, size]`` (traceable jnp path)."""
         return self._eval_all(value, self.size if size is None else size)
 
     def eval_all_der(self, value, size=None, degree=1):
+        """``degree``-th derivatives of the moment functions
+        (reference moments.py:199-229)."""
         return self._eval_all_der(
             value, self.size if size is None else size, degree)
 
     def eval_diff(self, value, size=None):
+        """First finite-difference matrix application (reference :185)."""
         return self._eval_diff(value, self.size if size is None else size)
 
     def eval_diff2(self, value, size=None):
+        """Second finite-difference matrix application (reference :188)."""
         return self._eval_diff2(value, self.size if size is None else size)
 
     # hook for fused kernels: evaluate on already-transformed values
@@ -142,6 +156,7 @@ class Moments:
     # device. Semantics identical to the jnp path.
     # ------------------------------------------------------------------ #
     def transform_np(self, value):
+        """Host-numpy twin of :meth:`transform` (same semantics)."""
         value = np.asarray(value, dtype=float)
         if self._is_log:
             value = np.log(value)
@@ -152,6 +167,7 @@ class Moments:
         return value
 
     def eval_all_np(self, value, size=None):
+        """Host-numpy twin of :meth:`eval_all` for maxent/plot consumers."""
         if size is None:
             size = self.size
         t = self.transform_np(np.atleast_1d(value))
@@ -227,6 +243,7 @@ class Monomial(Moments):
         return polyvander(t, size - 1)
 
     def eval(self, i, value):
+        """i-th monomial ``t**i`` on the transformed value."""
         t = self.transform(_atleast_1d(value))
         return t ** i
 
@@ -268,6 +285,7 @@ class Fourier(Moments):
         return self._eval_ref(t, size)
 
     def eval(self, i, value):
+        """i-th Fourier mode (1, cos kx at odd i, sin kx at even i)."""
         t = self.transform(_atleast_1d(value))
         if i == 0:
             return jnp.ones_like(t)
@@ -345,6 +363,7 @@ class TransformedMoments(Moments):
         return self._apply(orig)[..., :size]
 
     def eval_all_np(self, value, size=None):
+        """Host-numpy path: origin Vandermonde times the transform."""
         if size is None:
             size = self.size
         orig = self._origin.eval_all_np(value, self._origin.size)
@@ -367,7 +386,9 @@ class TransformedMoments(Moments):
         return self._apply(orig)[..., :size]
 
     def transform(self, value):
+        """Delegates to the origin basis (same domain handling)."""
         return self._origin.transform(value)
 
     def inv_transform(self, ref):
+        """Delegates to the origin basis."""
         return self._origin.inv_transform(ref)
