@@ -142,7 +142,10 @@ class Estimate:
 
     @staticmethod
     def _copy_result_leaves(res):
-        """Deep-copy the array leaves of a cached result structure.
+        """Deep-copy a cached result structure (lists/namedtuples of
+        numpy accumulators — ``copy.deepcopy`` covers them all, present
+        and future; a hand-rolled recursion silently aliased any
+        container type it did not know about).
 
         Cache hits must hand back COPIES: the deterministic-tier memo
         (``_results_cache``) would otherwise alias the same numpy
@@ -151,18 +154,9 @@ class Estimate:
         corrupts every later estimate (advisor r4). A copy of the
         L*M*R(+R^2) accumulators is microseconds next to the ~30 ms
         dispatch the cache saves."""
-        if isinstance(res, dict):
-            return {k: Estimate._copy_result_leaves(v)
-                    for k, v in res.items()}
-        if isinstance(res, tuple):  # namedtuple accumulator records
-            vals = [Estimate._copy_result_leaves(v) for v in res]
-            return (type(res)(*vals) if hasattr(res, "_fields")
-                    else tuple(vals))
-        if isinstance(res, list):
-            return [Estimate._copy_result_leaves(v) for v in res]
-        if isinstance(res, np.ndarray):
-            return np.array(res)
-        return res
+        import copy
+
+        return copy.deepcopy(res)
 
     def _fast_results_packed(self, moments_fn, components, cache=True):
         """Kernel accumulators for MANY QoI components in ONE dispatch.

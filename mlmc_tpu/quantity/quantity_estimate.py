@@ -86,6 +86,9 @@ _chunk_sums = jax.jit(_chunk_sums_impl)
 SINGLE_DISPATCH_MIN_SAMPLES = 1 << 15
 #: budget for DAG-output intermediates materialized per scan step
 _SD_BYTE_BUDGET = 1 << 27
+#: in-flight input-buffer budget for the eager per-chunk loop's deferred
+#: fetches (mirrors DeviceBatchPool.INFLIGHT_BYTES)
+_INFLIGHT_BYTES = 1 << 30
 
 
 def _sd_chunk_size(m_out):
@@ -349,8 +352,21 @@ def estimate_mean(quantity, single_dispatch=None):
     # the loop: each eager fetch pays its own ~30 ms tunnel round trip
     # (CLAUDE.md), so the loop enqueues every chunk's reduction and drains
     # them in ONE pipelined device_get below — the same discipline as the
-    # sampling pool and the packed tiers
-    pending = []
+    # sampling pool and the packed tiers. Enqueued-but-unexecuted chunks
+    # keep their INPUT buffers alive in device memory, so waves drain
+    # early past a byte budget (mirrors DeviceBatchPool.INFLIGHT_BYTES —
+    # review finding: an unbounded wave of ~100 MB chunks could hold the
+    # whole pass's payload in HBM at once).
+    pending, done, inflight = [], [], 0
+
+    def _drain():
+        nonlocal pending, inflight
+        if pending:
+            done.extend(
+                ((lid, n_true), outs) for (lid, n_true, _), outs in zip(
+                    pending, jax.device_get([p[2] for p in pending])))
+            pending, inflight = [], 0
+
     for chunk_spec in quantity_storage.chunks():
         if fused_eval is not None:
             leaf = jnp.asarray(quantity_storage.samples(chunk_spec))
@@ -379,9 +395,13 @@ def estimate_mean(quantity, single_dispatch=None):
             n_true = samples.shape[1]
             s, sp, n_valid = _chunk_sums(samples)
         pending.append((chunk_spec.level_id, n_true, (s, sp, n_valid)))
+        leaf_ref = leaf if fused_eval is not None else samples
+        inflight += getattr(leaf_ref, "nbytes", 0)
+        if inflight >= _INFLIGHT_BYTES:
+            _drain()
+    _drain()
 
-    for (lid, n_true, _), (s, sp, n_valid) in zip(
-            pending, jax.device_get([p[2] for p in pending])):
+    for (lid, n_true), (s, sp, n_valid) in done:
         n_valid = int(n_valid)
         n_samples[lid] += n_valid
         n_rm_samples[lid] += n_true - n_valid

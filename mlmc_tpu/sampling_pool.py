@@ -648,20 +648,22 @@ class DeviceBatchPool(SamplingPool):
         succ_all, fail_all = {}, {}
         for rec in recs:
             s, f = self._finalize(rec)
-            for k, v in s.items():
-                if isinstance(v, BulkResults):
-                    # one BulkResults per slice: concatenating device
-                    # payloads here would compile a fresh executable per
-                    # (slice count, sizes) combination — storages append
-                    # each slice instead
-                    succ_all.setdefault(k, []).append(v)
-                elif k in succ_all:
-                    succ_all[k].extend(v)
-                else:
-                    succ_all[k] = v
-            for k, v in f.items():
-                fail_all.setdefault(k, []).extend(v)
+            self._merge_results(succ_all, s)
+            self._merge_results(fail_all, f)
         return succ_all, fail_all
+
+    @staticmethod
+    def _merge_results(dst, src):
+        """Merge per-level result dicts; every value normalizes to a
+        LIST — of per-slice BulkResults (one per device batch:
+        concatenating device payloads would compile a fresh executable
+        per (slice count, sizes) combination, storages append each slice
+        instead) or of (id, payload) tuples. One merge implementation
+        for batch-, wave- and drain-level accumulation (review finding:
+        three hand-rolled copies carried a latent overwrite branch)."""
+        for k, v in src.items():
+            items = [v] if isinstance(v, BulkResults) else list(v)
+            dst.setdefault(k, []).extend(items)
 
     def _finalize(self, rec):
         """Post-process one completed batch into (successful, failed)."""
@@ -751,13 +753,8 @@ class DeviceBatchPool(SamplingPool):
 
         def drain(recs):
             s, f = self._collect(recs)
-            for k, v in s.items():
-                if k in successful and isinstance(v, list):
-                    successful[k].extend(v)
-                else:
-                    successful[k] = v
-            for k, v in f.items():
-                failed.setdefault(k, []).extend(v)
+            self._merge_results(successful, s)
+            self._merge_results(failed, f)
 
         pending_bytes = 0
         for level_id, sl in deferred:

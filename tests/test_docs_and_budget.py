@@ -52,6 +52,18 @@ def test_budget_guard_fails_on_wall_overrun(tmp_path):
     assert "wall" in r.stdout or "budget" in r.stdout
 
 
+def test_budget_guard_fails_on_truncated_log(tmp_path):
+    """A crashed pytest leaves an empty/truncated durations log; a green
+    guard over zero evidence would mask the crash."""
+    r = _run_guard(tmp_path, "")
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "truncated" in r.stdout
+    # durations present but no summary line (run killed mid-suite)
+    r = _run_guard(tmp_path,
+                   "1.0s call     tests/test_fast.py::test_ok\n")
+    assert r.returncode == 1, r.stdout + r.stderr
+
+
 def test_budget_guard_passes_ledgered_and_fast(tmp_path):
     # a ledgered slow test + fast tests + in-budget wall -> OK
     ledgered = next(

@@ -76,6 +76,13 @@ def regenerate(log_path, threshold):
 
 def check(log_path, threshold, max_wall):
     durations, wall = parse_durations(log_path)
+    if not durations or wall is None:
+        # a crashed/OOM-killed pytest leaves a truncated log; a green
+        # guard over zero evidence would mask it (review finding)
+        print("suite-budget guard FAILED: durations log is empty or "
+              "truncated (%d timed tests, wall %s) — did pytest crash?"
+              % (len(durations), wall))
+        sys.exit(1)
     ledgered = ledger_entries()
     offenders = sorted(
         ((base, secs) for base, secs in durations.items()
