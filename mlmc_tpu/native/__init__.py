@@ -64,10 +64,12 @@ def _load():
 
 
 def available():
+    """True when the native C++ library is built and loadable."""
     return _load() is not None
 
 
 def build_error():
+    """The captured build/load failure message (None when healthy)."""
     _load()
     return _build_error
 
@@ -100,9 +102,11 @@ class SampleLogWriter:
         return int(n)
 
     def flush(self):
+        """Flush buffered records through the native writer."""
         self._lib.mlmc_writer_flush(self._handle)
 
     def close(self):
+        """Close the native writer handle (idempotent)."""
         if self._handle:
             self._lib.mlmc_writer_close(self._handle)
             self._handle = None
@@ -144,6 +148,7 @@ class SampleLogReader:
         return out[:got]
 
     def close(self):
+        """Close the native reader handle (idempotent)."""
         if self._handle:
             self._lib.mlmc_reader_close(self._handle)
             self._handle = None

@@ -54,6 +54,7 @@ def _show_and_save(fig, file, title):
 
 
 def make_monotone(X, Y):
+    """Sort X and drop duplicate abscissae so (X, Y) is strictly monotone."""
     sX, iX = np.unique(X, return_index=True)
     return sX, np.array(Y)[iX]
 
@@ -186,6 +187,7 @@ class Distribution:
             _show_and_save(self.fig_cdf, cdf_file, self._title + "_cdf")
 
     def reset(self):
+        """Clear accumulated curves for a fresh plot."""
         plt.close()
         self._domain = None
 
@@ -196,6 +198,7 @@ class Distribution:
                 for edge in (lo, hi)]
 
     def adjust_domain(self, domain):
+        """Widen the x-domain to cover ``domain``."""
         if self._domain is None:
             self._domain = list(domain)
         else:
@@ -257,6 +260,7 @@ class Eigenvalues:
         self.i_plot += 1
 
     def add_linear_fit(self, values):
+        """Overlay a least-squares linear fit of the log-eigenvalues."""
         values = np.asarray(values)
         X = np.arange(len(values))
         pos = values > 0
@@ -268,6 +272,7 @@ class Eigenvalues:
         _show_and_save(self.fig, file, self.title)
 
     def adjust_ylim(self, ylim):
+        """Widen the y-limits to cover ``ylim``."""
         if self._ylim is None:
             self._ylim = list(ylim)
         else:
@@ -395,6 +400,7 @@ class BSplots:
         self._moments_cmap = None
 
     def set_moments_color_bar(self, range_, label, ax=None):
+        """Attach the moment-index color bar used by the BS plots."""
         self._moments_cmap = create_color_bar(range_, label, ax)
         return self._moments_cmap
 

@@ -38,6 +38,7 @@ _UID_COUNTER = itertools.count()
 
 
 def cache_clear():
+    """Drop the memoized per-chunk DAG evaluation cache."""
     _SAMPLE_CACHE.clear()
 
 
@@ -89,6 +90,11 @@ def make_root_quantity(storage, q_specs: List[QuantitySpec]):
 
 
 class Quantity:
+    """Lazy typed node of the post-processing DAG: an operation over
+    input quantities, evaluated per stored chunk (reference
+    mlmc/quantity/quantity.py:35-513). Traceable nodes compose into one
+    jitted program under the fused estimation tiers."""
+
     def __init__(self, quantity_type, operation, input_quantities=[], traceable=True):
         """
         :param quantity_type: QType instance
@@ -127,6 +133,7 @@ class Quantity:
         return self._storage._uid if self._storage is not None else None
 
     def size(self) -> int:
+        """Flattened length of this quantity along the M axis."""
         return self.qtype.size()
 
     def traceable(self):
@@ -442,12 +449,15 @@ class Quantity:
 
     @staticmethod
     def QDict(key_quantity):
+        """(name, quantity) pairs -> one DictType quantity (children
+        concatenate along the M axis in declaration order)."""
         pairs = list(key_quantity)
         dict_type = qt.DictType([(key, q.qtype) for key, q in pairs])
         return Quantity._concatenate([q for _, q in pairs], dict_type)
 
     @staticmethod
     def QTimeSeries(time_quantity):
+        """(time, quantity) pairs of one shared type -> TimeSeriesType."""
         pairs = list(time_quantity)
         children = [q for _, q in pairs]
         elem_type = Quantity._check_same_qtype(children)
@@ -456,6 +466,7 @@ class Quantity:
 
     @staticmethod
     def QField(key_quantity):
+        """(location, quantity) pairs of one shared type -> FieldType."""
         pairs = list(key_quantity)
         children = [q for _, q in pairs]
         Quantity._check_same_qtype(children)
@@ -525,6 +536,9 @@ class _SubsampleParamsQuantity:
 
 
 class QuantityConst(Quantity):
+    """Constant leaf: a host value broadcast as ``[M, 1, 1]`` against
+    every chunk (reference quantity.py:515-565)."""
+
     def __init__(self, quantity_type, value):
         self.qtype = quantity_type
         self._uid = next(_UID_COUNTER)
@@ -618,6 +632,10 @@ class QuantityMean:
 
 
 class QuantityStorage(Quantity):
+    """DAG leaf reading level chunks straight from a SampleStorage
+    (reference quantity.py:654-695); the root of every user DAG built by
+    ``make_root_quantity``."""
+
     def __init__(self, storage, qtype):
         self._storage = storage
         self.qtype = qtype
@@ -628,6 +646,7 @@ class QuantityStorage(Quantity):
         self._selection_id = None
 
     def level_ids(self):
+        """Level ids holding collected results in the backing storage."""
         return self._storage.get_level_ids()
 
     def selection_id(self):
@@ -640,12 +659,14 @@ class QuantityStorage(Quantity):
         return True
 
     def chunks(self, level_id=None):
+        """Iterate the storage's ChunkSpecs (one level or all levels)."""
         return self._storage.chunks(level_id)
 
     def samples(self, chunk_spec):
         return self._storage.sample_pairs_level(chunk_spec)  # [M, chunk size, 2]
 
     def n_collected(self):
+        """Per-level collected sample counts from the backing storage."""
         return self._storage.get_n_collected()
 
     def payload_resident(self):

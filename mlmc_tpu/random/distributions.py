@@ -20,6 +20,7 @@ class JaxDistr:
     qmc_dim = 1
 
     def sample(self, key, shape=()):
+        """Draw variates of ``shape`` from a PRNG key (device path)."""
         raise NotImplementedError
 
     def sample_uniforms(self, u):
@@ -35,21 +36,27 @@ class JaxDistr:
         raise NotImplementedError
 
     def rvs(self, size=1, random_state=None):
+        """Host draws (scipy-compatible; tests and host tooling)."""
         return self._scipy().rvs(size=size, random_state=random_state)
 
     def ppf(self, q):
+        """Quantile function (host scipy)."""
         return self._scipy().ppf(q)
 
     def pdf(self, x):
+        """Probability density (host scipy)."""
         return self._scipy().pdf(x)
 
     def cdf(self, x):
+        """Cumulative distribution (host scipy)."""
         return self._scipy().cdf(x)
 
     def mean(self):
+        """Exact mean."""
         return self._scipy().mean()
 
     def var(self):
+        """Exact variance."""
         return self._scipy().var()
 
 

@@ -97,6 +97,7 @@ class TagRange:
         return np.arange(self.start, self.stop, dtype=np.int64)
 
     def materialize(self) -> np.ndarray:
+        """Render as an array of ``L{l}_S{n}`` id strings (cached)."""
         if self._cache is None:
             self._cache = format_tags(self.level_id, self.indices)
         return self._cache
@@ -143,6 +144,7 @@ class TagArray:
         self._cache = None
 
     def materialize(self) -> np.ndarray:
+        """Render as an array of ``L{l}_S{n}`` id strings (cached)."""
         if self._cache is None:
             self._cache = format_tags(self.level_id, self.indices)
         return self._cache
@@ -163,6 +165,7 @@ class TagArray:
         return arr.astype(dtype) if dtype is not None else arr
 
     def tolist(self):
+        """Materialized id strings as a Python list."""
         return self.materialize().tolist()
 
     def __add__(self, other):
@@ -192,6 +195,7 @@ class TagChain:
             self.extend(seg)
 
     def extend(self, seq):
+        """Append a TagRange/TagArray/sequence of ids lazily."""
         if isinstance(seq, (TagRange, TagArray, TagChain, list, tuple,
                             np.ndarray)):
             self._segments.append(seq)
@@ -202,6 +206,7 @@ class TagChain:
             self._n += len(seq)
 
     def append(self, tag):
+        """Add one id (string or (level, index) tag) to the chain."""
         self._segments.append([tag])
         self._n += 1
 

@@ -38,11 +38,13 @@ class HDF5:
         return self._file
 
     def close(self):
+        """Close the underlying h5py file handle."""
         if self._file is not None:
             self._file.close()
             self._file = None
 
     def flush(self):
+        """Flush pending writes to disk."""
         if self._file is not None:
             self._file.flush()
 
@@ -54,6 +56,7 @@ class HDF5:
 
     # ------------------------------------------------------------------ #
     def create_file_structure(self, level_parameters):
+        """Create (or reload, on resume) the header + /Levels groups."""
         if self._load_from_file:
             self.load_from_file()
         else:
@@ -69,15 +72,18 @@ class HDF5:
                 "'level_parameters' aren't stored in HDF file, unable to create level groups")
 
     def clear_groups(self):
+        """Drop every /Levels group (fresh-start runs)."""
         for item in list(self.file.keys()):
             del self.file[item]
 
     def init_header(self, level_parameters):
+        """Write the root attrs (version, level_parameters)."""
         self.file.attrs["version"] = self.VERSION
         self.file.attrs["level_parameters"] = np.asarray(level_parameters, dtype=float)
         self.file.create_group("Levels")
 
     def add_level_group(self, level_id: str):
+        """Create /Levels/<id> if absent; return its LevelGroup."""
         path = "/Levels/" + level_id
         if path not in self.file:
             self.file["Levels"].create_group(level_id)
@@ -104,11 +110,13 @@ class HDF5:
         self.file.create_dataset("result_format", data=data)
 
     def load_result_format(self):
+        """Read the stored QuantitySpec list back from the file."""
         if "result_format" not in self.file:
             raise AttributeError("result_format dataset not in HDF file")
         return self.file["result_format"][()]
 
     def load_level_parameters(self):
+        """Read the per-level simulation steps from the root attrs."""
         return self.file.attrs.get("level_parameters", [])
 
 
@@ -171,6 +179,7 @@ class LevelGroup:
 
     # ------------------------------------------------------------------ #
     def append_scheduled(self, scheduled_samples):
+        """Append sample-id strings to the resizable scheduled dataset."""
         if len(scheduled_samples) > 0:
             self._append_dataset(
                 "scheduled", [(s.encode(),) for s in scheduled_samples])
@@ -199,9 +208,13 @@ class LevelGroup:
 
     # ------------------------------------------------------------------ #
     def scheduled(self):
+        """The raw scheduled dataset ([N, 1] S100 ids)."""
         return self.group["scheduled"][()]
 
     def chunks(self, n_samples=None):
+        """Yield ChunkSpecs over the collected sample axis (one per HDF5
+        storage chunk; a scheduled-but-empty level yields one empty
+        chunk so iteration stays uniform)."""
         if "collected_values" not in self.group:
             # a scheduled-but-empty level: one empty chunk, so level
             # iteration stays uniform across backends
@@ -223,29 +236,35 @@ class LevelGroup:
                                 level_id=int(self.level_id))
 
     def collected(self, chunk_slice):
+        """Read ``collected_values[chunk_slice]`` ([n, 2, M] or None)."""
         if "collected_values" not in self.group:
             return None
         return self.group["collected_values"][chunk_slice]
 
     def collected_n_items(self):
+        """Number of collected samples on this level."""
         if "collected_values" not in self.group:
             return 0
         return self.group["collected_values"].shape[0]
 
     def get_finished_ids(self):
+        """Successful + failed sample ids (everything no longer running)."""
         failed_ids = [s[0].decode() for s in self.group["failed"][()]]
         successful_ids = [s[0].decode() for s in self.group["collected_ids"][()]]
         return np.concatenate((np.array(successful_ids, dtype=object),
                                np.array(failed_ids, dtype=object)), axis=0)
 
     def get_unfinished_ids(self):
+        """scheduled - finished: the resume set (reference hdf5.py:400-406)."""
         scheduled_ids = [s[0].decode() for s in self.scheduled()]
         return list(set(scheduled_ids) - set(self.get_finished_ids()))
 
     def get_failed_ids(self):
+        """Sample ids stored in the failed dataset."""
         return [s[0].decode() for s in self.group["failed"][()]]
 
     def clear_failed_dataset(self):
+        """Drop + recreate the failed dataset (renew-failed support)."""
         if "failed" in self.group:
             del self._hdf.file[self.level_group_path + "/failed"]
             self._make_dataset("failed", shape=(0,), maxshape=(None,),

@@ -52,6 +52,7 @@ class ProcessBase:
 
     @staticmethod
     def get_arguments(arguments):
+        """Parse the CLI argument vector (run|collect|renew|process)."""
         parser = argparse.ArgumentParser()
         parser.add_argument(
             "command", choices=["run", "collect", "renew", "process"],
@@ -73,6 +74,7 @@ class ProcessBase:
         raise NotImplementedError
 
     def create_moments_fn(self, quantity, storage):
+        """Moment basis over the estimated domain of ``quantity``."""
         from mlmc_tpu.moments import Legendre
 
         domain = est_mod.Estimate.estimate_domain(quantity, storage,
@@ -80,14 +82,17 @@ class ProcessBase:
         return Legendre(self.n_moments, domain)
 
     def get_quantity(self, storage, sim_factory):
+        """Root quantity of the stored results (override point)."""
         from mlmc_tpu.quantity.quantity import make_root_quantity
 
         return make_root_quantity(storage, q_specs=sim_factory.result_format())
 
     def initial_n_samples(self):
+        """Per-level initial sample counts (override point)."""
         return [100, 10]
 
     def target_var(self):
+        """Target total estimator variance (override point)."""
         return 1e-3
 
     # ------------------------------------------------------------------ #
@@ -110,6 +115,7 @@ class ProcessBase:
         return sampler, sim_factory
 
     def run(self, renew=False):
+        """Execute the sampling workflow (fresh or renew-failed mode)."""
         os.makedirs(self.work_dir, mode=0o775, exist_ok=True)
         sampler_list = []
         for nl in [self.n_levels]:
