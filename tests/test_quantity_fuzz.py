@@ -303,10 +303,12 @@ def _check_node(node):
 
 @pytest.mark.parametrize(
     "seed_range",
-    [range(0, 40), range(40, 130), range(130, 220)],
-    ids=["seeds_0_39", "seeds_40_129", "seeds_130_219"])
+    [range(0, 25), range(25, 70), range(70, 120), range(120, 170),
+     range(170, 220)],
+    ids=["seeds_0_24", "seeds_25_69", "seeds_70_119", "seeds_120_169",
+         "seeds_170_219"])
 def test_random_program_sweep(store_and_oracle, seed_range):
-    """≥200 random algebra programs (three slices, each under the fast
+    """≥200 random algebra programs (five slices, each under the fast
     gate's 8 s budget — XLA's process-wide eager compile cache makes the
     split near-free), every chunk vs the numpy oracle; failures
     prefix-shrink to the shortest failing seeded op trace."""
