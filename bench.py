@@ -225,9 +225,10 @@ def build_xla_step():
 def _section_headline(state, tick):
     """Pallas fused kernel: (a) single dispatch — one 1e8-sample call +
     one device->host transfer, includes the tunnel's ~30 ms round trip;
-    (b) sustained — 16 pipeline runs inside ONE jitted dispatch (1.6e9
+    (b) sustained — 32 pipeline runs inside ONE jitted dispatch (3.2e9
     samples), amortizing the latency: the production number for
-    locally-attached devices. block_until_ready over the tunnel
+    locally-attached devices (reps ablation r5: 16 -> 5.10e9, 32 ->
+    5.35e9 samples/s; the device-only wall is ~18.5 ms/pipeline). block_until_ready over the tunnel
     acknowledges enqueue, so all timings force a host transfer."""
     total = float(sum(N_PER_LEVEL))
     tick("headline: compiling pallas pipeline")
@@ -242,7 +243,7 @@ def _section_headline(state, tick):
     single_s = (time.perf_counter() - t0) / n_runs
     state["est"] = pallas_estimates(accs)
 
-    reps = 16
+    reps = 32
 
     @jax.jit
     def sustained(seed):
@@ -256,7 +257,7 @@ def _section_headline(state, tick):
             out = acc if out is None else out + acc
         return out
 
-    tick("headline: compiling sustained x16 dispatch")
+    tick("headline: compiling sustained x32 dispatch")
     _ = float(sustained(jnp.int32(0)))
     tick("headline: timing sustained dispatches")
     t0 = time.perf_counter()
