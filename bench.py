@@ -227,8 +227,11 @@ def _section_headline(state, tick):
     one device->host transfer, includes the tunnel's ~30 ms round trip;
     (b) sustained — 32 pipeline runs inside ONE jitted dispatch (3.2e9
     samples), amortizing the latency: the production number for
-    locally-attached devices (reps ablation r5: 16 -> 5.10e9, 32 ->
-    5.35e9 samples/s; the device-only wall is ~18.5 ms/pipeline). block_until_ready over the tunnel
+    locally-attached devices. Round-5 history: reps 16 -> 32 lifted
+    5.05e9 -> 5.37e9; the cov-precision fix (split MXU self-product —
+    the raw one-bf16-pass dots carried 1.5e-2 relative covariance
+    error) then settled the HONEST headline at ~3.9-4.0e9 samples/s
+    (measured 26 ms/pipeline; Precision.HIGHEST would cost 45.6 ms). block_until_ready over the tunnel
     acknowledges enqueue, so all timings force a host transfer."""
     total = float(sum(N_PER_LEVEL))
     tick("headline: compiling pallas pipeline")
@@ -310,8 +313,11 @@ def _section_precision(state, tick):
         chunk=16384))
     ref = f64_reference_moments(
         x, N_MOMENTS, fine_step=0.25, coarse_step=0.5, domain=DOMAIN,
-        include_cov=False)
-    report = check_against_f64(r, ref, include_cov=False)  # raises on fail
+        include_cov=True)
+    # include_cov guards the round-5 fix: the raw one-bf16-pass MXU dots
+    # carried 1.5e-2 relative cov error; the split self-product holds the
+    # same eps32-derived bound as the sums (~1e-5 measured)
+    report = check_against_f64(r, ref, include_cov=True)  # raises on fail
     state["extras"]["precision_vs_f64"] = {
         "bound_holds": True,
         "max_rel_dev_vs_f64": max(report.values()),

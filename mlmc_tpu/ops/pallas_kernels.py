@@ -103,6 +103,46 @@ def _basis_rows(phi, t, valid, vf, n_moments, basis):
         phi[n, :] = jnp.zeros_like(t[0])
 
 
+def _cov_self_product(p):
+    """``p @ p.T`` ([R_PAD, C] contracting C) at ~bf16_3x accuracy in
+    TWO MXU passes.
+
+    Mosaic's DEFAULT f32 ``dot_general`` is ONE bf16 pass (8 mantissa
+    bits, CLAUDE.md): the raw product carried a measured 1.5e-2 relative
+    covariance error vs f64 (round-5 review finding).
+    ``Precision.HIGHEST`` fixes it but costs 6 passes — the dots no
+    longer hide behind the VPU work and the headline halved (45.6 vs
+    18.7 ms/pipeline measured); Mosaic rejects ``Precision.HIGH``.
+    Instead split ``p = hi + lo`` with ``hi`` bf16-exact:
+
+        p p^T = hi hi^T + X + X^T + lo lo^T,   X = hi lo^T,
+
+    compute ``hi hi^T`` (lossless in the bf16 pass) and ONE cross term
+    (its transpose is free by symmetry), and drop ``lo lo^T``
+    (~2^-18 relative). Measured: cov rel dev vs f64 drops 1.5e-2 ->
+    ~1.4e-5 at 4e6 samples.
+
+    The hi/lo temporaries are produced in COLUMN BLOCKS so the peak VMEM
+    stays ~2 x [R_PAD, block] above the caller's scratch — whole-chunk
+    temps at chunk=32768 blew the 16 MB scoped-vmem limit by 0.6 MB."""
+    C = p.shape[1]
+    block = min(C, 4096)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = jnp.zeros((p.shape[0], p.shape[0]), jnp.float32)
+    for start in range(0, C, block):
+        pb = p[:, start:start + block]
+        hi = pb.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = pb - hi
+        cross = dot(hi, lo)
+        out = out + dot(hi, hi) + cross + cross.T
+    return out
+
+
 def _kahan_into(acc_ref, comp_ref, delta, *, block=False):
     """Compensated (Kahan) accumulation ``acc += delta`` with a running
     error-carry buffer. Cross-chunk accumulation error stays at one f32
@@ -187,13 +227,9 @@ def _accumulate_chunk(x, i, sums_ref, sums2_ref, cov_f_ref, cov_c_ref,
         dphi = pf - pc
     _kahan_row_into(sums_ref, c_sums, dphi)
     _kahan_row_into(sums2_ref, c_sums2, dphi * dphi)
-    _kahan_into(cov_f_ref, c_cov_f, jax.lax.dot_general(
-        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32))
+    _kahan_into(cov_f_ref, c_cov_f, _cov_self_product(pf))
     if not is_level0:
-        _kahan_into(cov_c_ref, c_cov_c, jax.lax.dot_general(
-            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        _kahan_into(cov_c_ref, c_cov_c, _cov_self_product(pc))
     # exact integer count (f32 loses integers past 2^24 ~ 1.7e7 samples)
     n_valid_ref[0, 0] += jnp.sum(vf).astype(jnp.int32)
 
@@ -279,13 +315,9 @@ def _accumulate_qoi_chunk(fine, coarse, i, sums_ref, sums2_ref, cov_f_ref,
         dphi = pf - pc
     _kahan_row_into(sums_ref, c_sums, dphi)
     _kahan_row_into(sums2_ref, c_sums2, dphi * dphi)
-    _kahan_into(cov_f_ref, c_cov_f, jax.lax.dot_general(
-        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32))
+    _kahan_into(cov_f_ref, c_cov_f, _cov_self_product(pf))
     if not is_level0:
-        _kahan_into(cov_c_ref, c_cov_c, jax.lax.dot_general(
-            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        _kahan_into(cov_c_ref, c_cov_c, _cov_self_product(pc))
     n_valid_ref[0, 0] += jnp.sum(vf).astype(jnp.int32)
 
 
@@ -633,9 +665,7 @@ def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
     build(phi_f, t_f)
     pf = phi_f[...]
     # output blocks carry a leading level dim selected by the index map
-    kadd(cov_f_ref, c_cov_f, jax.lax.dot_general(
-        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32))
+    kadd(cov_f_ref, c_cov_f, _cov_self_product(pf))
 
     # coarse side only where the level has one (level 0 = 64% of samples
     # skips the second recurrence + MXU pass entirely)
@@ -646,9 +676,7 @@ def _synth_mlmc_kernel(level_ref, seed_ref, first_ref, nsamp_ref, base_ref,
         dphi = pf - pc
         krow(sums_ref, c_sums, dphi)
         krow(sums2_ref, c_sums2, dphi * dphi)
-        kadd(cov_c_ref, c_cov_c, jax.lax.dot_general(
-            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        kadd(cov_c_ref, c_cov_c, _cov_self_product(pc))
 
     @pl.when(has_coarse == 0)
     def _():
@@ -807,9 +835,7 @@ def _samples_mlmc_kernel(level_ref, first_ref, nsamp_ref, base_ref,
 
     _basis_rows(phi_f, t_f, valid, vf, n_moments, basis)
     pf = phi_f[...]
-    kadd(cov_f_ref, c_cov_f, jax.lax.dot_general(
-        pf, pf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32))
+    kadd(cov_f_ref, c_cov_f, _cov_self_product(pf))
 
     @pl.when(has_coarse == 1)
     def _():
@@ -818,9 +844,7 @@ def _samples_mlmc_kernel(level_ref, first_ref, nsamp_ref, base_ref,
         dphi = pf - pc
         krow(sums_ref, c_sums, dphi)
         krow(sums2_ref, c_sums2, dphi * dphi)
-        kadd(cov_c_ref, c_cov_c, jax.lax.dot_general(
-            pc, pc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        kadd(cov_c_ref, c_cov_c, _cov_self_product(pc))
 
     @pl.when(has_coarse == 0)
     def _():

@@ -30,6 +30,10 @@ EPS32 = np.float32(np.finfo(np.float32).eps)  # 1.19e-7
 # recurrence (<=2 roundings x 32 steps) + reduction tree (log2 32768 = 15)
 # + Kahan residual + 4x margin
 C_BOUND = 4 * (2 * 32 + 15 + 2)
+# Covariance shares this bound: the kernel's split self-product
+# (pallas_kernels._cov_self_product) carries ~(2^-17 + 2^-18) * abs of
+# per-product error (bf16-truncated cross term + dropped lo lo^T),
+# ~3.4x below eps32 * C_BOUND; the Kahan cross-chunk term is identical.
 
 
 def f64_reference_moments(noise, n_moments, *, fine_step, coarse_step,
