@@ -403,7 +403,7 @@ class Estimate:
     def estimate_moments_fast(self, moments_fn=None):
         """Pallas fast path: moment means/vars streaming stored level chunks
         through the fused on-device kernel
-        (ops/pallas_kernels.moment_pipeline_from_samples).
+        (ops/pallas_kernels.mlmc_moment_pipeline_from_samples).
 
         Supports Legendre/Monomial/Fourier bases (guarded — anything else
         raises) and both scalar and structured quantities: a quantity with M

@@ -358,7 +358,9 @@ def synth_moment_pipeline(seed, n_moments, n_samples, *, fine_step,
     assert chunk % 1024 == 0
     # two [R_PAD, chunk] f32 scratch buffers must fit in 16 MB VMEM
     assert chunk <= 32768, "chunk > 32768 exceeds VMEM scratch budget"
-    n_chunks = -(-n_samples // chunk)
+    # at least one grid step: a zero-sample call must return ZEROED
+    # accumulators, not uninitialized output HBM (review finding)
+    n_chunks = max(-(-n_samples // chunk), 1)
     a, b = domain
     t_scale = 2.0 / (b - a)
     t_shift = (a + b) / 2.0
@@ -436,7 +438,7 @@ def synth_moment_pipeline_from_noise(noise, n_moments, *, fine_step,
     assert n_moments <= R_PAD
     assert chunk % 1024 == 0 and chunk <= 32768
     n_samples = noise.shape[0]
-    assert n_samples % chunk == 0
+    assert n_samples % chunk == 0 and n_samples > 0
     n_chunks = n_samples // chunk
     a, b = domain
     kernel = functools.partial(
@@ -514,6 +516,12 @@ def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
     dropped per the reference semantics; the tail past len(fine) is padded
     with NaN.
 
+    SINGLE-SHOT API (tests, one-off analyses): n bakes into the
+    executable, so every distinct sample count recompiles (~10-30 s over
+    a remote AOT helper). The adaptive production path is
+    ``mlmc_moment_pipeline_from_samples`` — pow2-bucketed chunk counts +
+    traced sample counts, one executable per bucket (review finding).
+
     :param fine/coarse: [N] float arrays (coarse ignored for level 0)
     :param ref_domain: the basis' reference domain (clip bounds)
     :return: SynthMomentResult (f32 accumulators)
@@ -521,7 +529,9 @@ def moment_pipeline_from_samples(fine, coarse, n_moments, *, domain,
     assert n_moments <= R_PAD
     assert chunk % 1024 == 0 and chunk <= 16384
     n = fine.shape[0]
-    n_pad = -(-n // chunk) * chunk
+    # >= one chunk: zero-sample inputs return zeroed accumulators
+    # (the NaN padding invalidates every column), never garbage
+    n_pad = max(-(-n // chunk), 1) * chunk
     pad = n_pad - n
     fine = jnp.pad(jnp.asarray(fine, jnp.float32), (0, pad),
                    constant_values=jnp.nan).reshape(1, n_pad)
@@ -708,13 +718,23 @@ def synth_mlmc_pipeline(seed, n_moments, n_per_level, level_steps, *,
     """
     assert n_moments <= R_PAD
     assert chunk % 1024 == 0 and chunk <= 32768
+    if len(n_per_level) != len(level_steps):
+        # zip would silently truncate and the dropped levels' output
+        # blocks would return uninitialized HBM (review finding)
+        raise ValueError(
+            "n_per_level has %d entries but level_steps has %d"
+            % (len(n_per_level), len(level_steps)))
     L = len(n_per_level)
     a, b = domain
 
     level_ids, firsts, nsamps, bases, fsteps, csteps, hasc = \
         [], [], [], [], [], [], []
     for lvl, (n, h) in enumerate(zip(n_per_level, level_steps)):
-        n_chunks = -(-int(n) // chunk)
+        # a zero-sample level still needs ONE grid step: its first_ref
+        # pass zeroes the output block (the n_total<=0 validity mask
+        # kills every column), where zero chunks would leave the block
+        # as uninitialized HBM garbage (review finding)
+        n_chunks = max(-(-int(n) // chunk), 1)
         for c in range(n_chunks):
             level_ids.append(lvl)
             firsts.append(1 if c == 0 else 0)

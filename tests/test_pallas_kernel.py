@@ -782,3 +782,31 @@ def test_packed_results_cache_per_storage_state():
     r = est._fast_results_packed(mfn, [0], cache=False)
     assert len(est._packed_results_cache) == n_keys
     assert np.isfinite(float(r[0][0].n_valid))
+
+
+def test_zero_sample_level_returns_zeros_not_garbage():
+    """A level with zero samples must come back as ZEROED accumulators:
+    zero grid chunks used to leave the output block as uninitialized HBM
+    (round-5 review finding); mismatched tuple lengths must raise instead
+    of silently truncating via zip."""
+    import numpy as np
+    import pytest
+    from mlmc_tpu.ops.pallas_kernels import (mlmc_moment_pipeline_from_samples,
+                                             pack_level_samples,
+                                             synth_mlmc_pipeline)
+
+    import jax
+    interpret = jax.default_backend() != "tpu"
+    res = synth_mlmc_pipeline(3, 8, (2048, 0), (0.5, 0.25),
+                              domain=(-4.0, 4.0), chunk=1024,
+                              interpret=interpret)
+    empty = res[1]
+    assert int(empty.n_valid) == 0
+    assert np.all(np.asarray(empty.sums) == 0.0)
+    assert np.all(np.asarray(empty.cov_fine) == 0.0)
+    assert int(res[0].n_valid) > 0
+
+    with pytest.raises(ValueError, match="entries"):
+        synth_mlmc_pipeline(3, 8, (2048, 512, 256), (0.5, 0.25),
+                            domain=(-4.0, 4.0), chunk=1024,
+                            interpret=interpret)
